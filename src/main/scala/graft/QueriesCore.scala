@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Listing
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Core query set: flagship aggregation + the listing spine (SURVEY §7
+  * Phase 1). Each entry has an exact DuckDB oracle.
+  */
+object QueriesCore {
+
+  /** Oracle SQL for [[Listing.listObjectsV2]] — kept as a builder so every
+    * parameterization stays in sync with the Spark pipeline. */
+  def listV2Sql(bucket: String, prefix: String, cap: Int,
+                startAfter: Option[String]): String = {
+    val p = prefix.length + 1
+    val after = startAfter.map(t => s" AND name > '$t'").getOrElse("")
+    s"""WITH ${Oracle.objectsCte},
+scoped AS (SELECT * FROM objects WHERE bucket_id = '$bucket' AND name LIKE '$prefix%'$after),
+wcp AS (SELECT *, CASE WHEN strpos(substr(name, $p), '/') > 0
+  THEN concat('$prefix', substr(substr(name, $p), 1, strpos(substr(name, $p), '/')))
+  ELSE NULL END AS cp FROM scoped)
+SELECT name, is_folder, size, created_at FROM (
+  SELECT cp AS name, TRUE AS is_folder, CAST(NULL AS BIGINT) AS size,
+         CAST(NULL AS TIMESTAMP) AS created_at
+  FROM wcp WHERE cp IS NOT NULL GROUP BY cp
+  UNION ALL
+  SELECT name, FALSE AS is_folder, size, created_at FROM wcp WHERE cp IS NULL
+) ORDER BY name LIMIT $cap"""
+  }
+
+  def queries: Map[String, Q] = Map(
+    // A1/A2-style flagship aggregation (TPC-H Q1 shape). Doubles are cast to
+    // DECIMAL(18,2) before summation: exact, order-insensitive, identical in
+    // both engines; final cast back to DOUBLE keeps the output schema simple.
+    "q1_agg" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir)
+        li.groupBy(col("l_returnflag"), col("l_linestatus"))
+          .agg(
+            sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+            sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base_price"),
+            count(lit(1)).as("count_order"))
+          .orderBy(col("l_returnflag"), col("l_linestatus"))
+      },
+      oracle = Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+          |  count(*) AS count_order
+          |FROM lineitem GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      doc = "A1: grouped size aggregation (0005-add-size-functions.sql:2)"),
+
+    // S1+P2+A1: sum(size) per bucket over the objects relation.
+    "a1_size_by_bucket" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .groupBy(col("bucket_id"))
+        .agg(sum(col("size")).as("total_size"), count(lit(1)).as("n"))
+        .orderBy(col("bucket_id")),
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, CAST(sum(size) AS BIGINT) AS total_size,
+          |count(*) AS n FROM objects GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "A1 size-by-bucket (0005:2-17)"),
+
+    // The Phase-1 spine: delimiter listing with folder collapse.
+    "list_v2_prefix" -> Q(
+      fn = (s, dir) =>
+        Listing.listObjectsV2(Tables.objects(s, dir), "F", "R/", Some("/"), None, 100),
+      oracle = Some(listV2Sql("F", "R/", 100, None)),
+      doc = "O1/U1/F7: listObjectsV2 delimiter collapse (0050:598-672)"),
+
+    "list_v2_root" -> Q(
+      fn = (s, dir) =>
+        Listing.listObjectsV2(Tables.objects(s, dir), "O", "", Some("/"), None, 50),
+      oracle = Some(listV2Sql("O", "", 50, None)),
+      doc = "root-level delimiter listing"),
+
+    "list_v2_start_after" -> Q(
+      fn = (s, dir) =>
+        Listing.listObjectsV2(Tables.objects(s, dir), "F", "N/", Some("/"),
+          Some("N/1"), 80),
+      oracle = Some(listV2Sql("F", "N/", 80, Some("N/1"))),
+      doc = "P4 keyset cursor + delimiter (pg.ts:633-651)"),
+
+    "list_v2_no_delimiter" -> Q(
+      fn = (s, dir) =>
+        Listing.listObjectsV2(Tables.objects(s, dir), "F", "A/", None, None, 200),
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, FALSE AS is_folder, size, created_at FROM objects
+          |WHERE bucket_id = 'F' AND name LIKE 'A/%'
+          |ORDER BY name LIMIT 200""".stripMargin)),
+      doc = "flat keyset listing (no delimiter branch, pg.ts:581-726)"))
+}

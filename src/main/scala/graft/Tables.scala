@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver testdata (TESTDATA.md / FIXTURES.md §A) plus the
+  * reference-shaped metadata relations (FIXTURES.md §B) synthesized
+  * deterministically from the star schema, so every engine query has an exact
+  * DuckDB-oracle twin (the same synthesis is published as SQL CTEs in
+  * [[Oracle]]).
+  *
+  * Reference data model: supabase/storage `storage.objects`
+  * (migrations/tenant/0002-storage-schema.sql:68, 0026-objects-prefixes.sql:3).
+  * Keys are `/`-separated S3 keys compared byte-wise (COLLATE "C") — Spark's
+  * UTF8String binary ordering matches exactly (SURVEY §1.2).
+  */
+object Tables {
+
+  val starTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** The `storage.objects` analog, synthesized from `lineitem`.
+    *
+    * Key shape (FIXTURES.md "keys synthesized from lineitem"):
+    *   - l_linenumber == 1 → `<returnflag>/<orderkey>.dat`          (depth-2 leaf)
+    *   - otherwise        → `<returnflag>/<orderkey>/item-<n>.dat`  (depth-3)
+    * so delimiter collapse sees both leaf files and folders at every prefix.
+    * (orderkey, linenumber) is unique → `name` is unique.
+    *
+    * Columns mirror FIXTURES.md §B `objects`. `size` uses floor()+cast because
+    * Spark's double→bigint cast truncates while DuckDB's rounds — floor() first
+    * makes both exact and identical.
+    */
+  def objects(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.select(
+      when(col("l_linenumber") === 1,
+        concat(col("l_returnflag"), lit("/"), col("l_orderkey"), lit(".dat")))
+        .otherwise(concat(col("l_returnflag"), lit("/"), col("l_orderkey"),
+          lit("/item-"), col("l_linenumber"), lit(".dat"))).as("name"),
+      col("l_linestatus").as("bucket_id"),
+      floor(col("l_extendedprice")).cast("long").as("size"),
+      col("l_shipdate").as("created_at"),
+      col("l_shipdate").as("updated_at"),
+      md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))).as("version"),
+      when(col("l_linenumber") % 3 === 0, lit("image/png"))
+        .when(col("l_linenumber") % 3 === 1, lit("text/plain"))
+        .otherwise(lit("application/json")).as("mimetype"))
+  }
+
+  /** S3-side listing snapshot (`storage._s3_remote_keys_<ts>` scratch table,
+    * reference src/storage/database/pg.ts:1615-1629): the anti-join partner of
+    * `objects` in the orphan scanner. Synthesized from lineitem with a skewed
+    * filter so both (S3 ∖ DB) and (DB ∖ S3) are non-empty: S3 has keys for
+    * linenumber <= 5, DB query side will use a different subset.
+    */
+  def s3Keys(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.filter(col("l_linenumber") <= 5)
+      .select(
+        when(col("l_linenumber") === 1,
+          concat(col("l_returnflag"), lit("/"), col("l_orderkey"), lit(".dat")))
+          .otherwise(concat(col("l_returnflag"), lit("/"), col("l_orderkey"),
+            lit("/item-"), col("l_linenumber"), lit(".dat"))).as("key"),
+        floor(col("l_extendedprice")).cast("long").as("size"))
+  }
+
+  /** `s3_multipart_uploads_parts` analog (FIXTURES.md §B): one part per
+    * lineitem row, upload per order. */
+  def multipartParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = lineitem(spark, dir)
+    li.select(
+      concat(lit("upload-"), col("l_orderkey")).as("upload_id"),
+      col("l_linenumber").as("part_number"),
+      floor(col("l_extendedprice")).cast("long").as("size"),
+      md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("etag"),
+      col("l_shipdate").as("created_at"))
+  }
+}
+
+/** DuckDB twins of the synthesized relations above. Any query whose oracle SQL
+  * uses `objects`/`s3_keys`/`parts` must prepend the matching CTE. Keep these
+  * byte-for-byte in sync with [[Tables]] — the driver hash-compares results.
+  */
+object Oracle {
+  val objectsCte: String =
+    """objects AS (
+      |  SELECT
+      |    CASE WHEN l_linenumber = 1
+      |      THEN concat(l_returnflag, '/', l_orderkey, '.dat')
+      |      ELSE concat(l_returnflag, '/', l_orderkey, '/item-', l_linenumber, '.dat')
+      |    END AS name,
+      |    l_linestatus AS bucket_id,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |    l_shipdate AS created_at,
+      |    l_shipdate AS updated_at,
+      |    md5(concat(l_orderkey, '-', l_linenumber)) AS version,
+      |    CASE WHEN l_linenumber % 3 = 0 THEN 'image/png'
+      |         WHEN l_linenumber % 3 = 1 THEN 'text/plain'
+      |         ELSE 'application/json' END AS mimetype
+      |  FROM lineitem
+      |)""".stripMargin
+
+  val s3KeysCte: String =
+    """s3_keys AS (
+      |  SELECT
+      |    CASE WHEN l_linenumber = 1
+      |      THEN concat(l_returnflag, '/', l_orderkey, '.dat')
+      |      ELSE concat(l_returnflag, '/', l_orderkey, '/item-', l_linenumber, '.dat')
+      |    END AS key,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS size
+      |  FROM lineitem WHERE l_linenumber <= 5
+      |)""".stripMargin
+
+  val partsCte: String =
+    """parts AS (
+      |  SELECT
+      |    concat('upload-', l_orderkey) AS upload_id,
+      |    l_linenumber AS part_number,
+      |    CAST(floor(l_extendedprice) AS BIGINT) AS size,
+      |    md5(concat(l_orderkey, ':', l_linenumber)) AS etag,
+      |    l_shipdate AS created_at
+      |  FROM lineitem
+      |)""".stripMargin
+
+  def withObjects(sql: String): String = s"WITH $objectsCte\n$sql"
+  def withS3(sql: String): String = s"WITH $objectsCte,\n$s3KeysCte\n$sql"
+  def withParts(sql: String): String = s"WITH $partsCte\n$sql"
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.functions.PathFns._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hierarchical listing / search over the `objects` relation — the engine's
+  * core operator family (SURVEY §3.1, reference
+  * src/storage/object.ts:619-721 + migrations/tenant/0050-search-v2-optimised.sql).
+  *
+  * Spark-first shape: one declarative pipeline
+  * `filter(prefix, cursor) → commonPrefix → folders ∪ files → orderBy → limit(k+1)`.
+  * The reference's hybrid skip-scan (O(k·log n) index seeks) exists because
+  * Postgres reads heap pages; a columnar scan + groupBy is the Spark idiom —
+  * predicate pushdown prunes row groups on `bucket_id`/`name` min-max stats,
+  * and TakeOrderedAndProject makes the final top-k a distributed heap, so no
+  * global sort materializes at 100 TB.
+  */
+object Listing {
+
+  /** Result schema shared by all listing variants: folder rows carry NULL
+    * size/timestamps (reference 0027:29-36, object.ts:663-667). */
+  private def folderRows(withCp: DataFrame): DataFrame =
+    withCp.filter(col("cp").isNotNull)
+      .groupBy(col("cp").as("name"))
+      .agg(count(lit(1)).as("_n")) // groupBy (not distinct) keeps one shuffle
+      .select(col("name"), lit(true).as("is_folder"),
+        lit(null).cast("long").as("size"),
+        lit(null).cast("timestamp").as("created_at"))
+
+  private def fileRows(withCp: DataFrame): DataFrame =
+    withCp.filter(col("cp").isNull)
+      .select(col("name"), lit(false).as("is_folder"), col("size"), col("created_at"))
+
+  /** ListObjectsV2 (S3 semantics, reference s3-handler.ts:204-276 +
+    * storage.search_v2 0050:598-672): delimiter collapse into common
+    * prefixes, byte-ordered keyset pagination via `startAfter`, page cap.
+    *
+    * Scale notes: `limit` caps at 1000 (s3-handler.ts:219) so the result is
+    * tiny; everything before the limit is a single scan + one partial-agg
+    * shuffle over only the keys under `prefix` (pushed-down filters).
+    */
+  def listObjectsV2(objects: DataFrame, bucket: String, prefix: String,
+                    delimiter: Option[String] = Some("/"),
+                    startAfter: Option[String] = None,
+                    maxKeys: Int = 1000): DataFrame = {
+    val cap = math.min(maxKeys, 1000)
+    val scoped = objects
+      .filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
+      .filter(startAfter.map(t => col("name") > lit(t)).getOrElse(lit(true)))
+    delimiter match {
+      case Some(d) =>
+        val withCp = scoped.withColumn("cp", commonPrefix(col("name"), prefix, d))
+        // per-branch limit before union (reference 0027:41-52, U2): k+k→k
+        folderRows(withCp).orderBy(col("name")).limit(cap)
+          .unionByName(fileRows(withCp).orderBy(col("name")).limit(cap))
+          .orderBy(col("name")).limit(cap)
+      case None =>
+        scoped.select(col("name"), lit(false).as("is_folder"), col("size"),
+          col("created_at")).orderBy(col("name")).limit(cap)
+    }
+  }
+
+  /** Legacy `storage.search` (0002:131-147 via 0050:327+): case-insensitive
+    * prefix match, sorted by lower(name) byte-order, OFFSET pagination. */
+  def searchLegacy(objects: DataFrame, bucket: String, prefix: String,
+                   limit: Int = 100, offset: Int = 0): DataFrame = {
+    val cap = math.min(limit, 1500)
+    val scoped = objects.filter(col("bucket_id") === bucket &&
+      hasPrefixCI(col("name"), prefix))
+    val withCp = scoped.withColumn("cp", commonPrefix(col("name"), prefix, "/"))
+    folderRows(withCp).unionByName(fileRows(withCp))
+      .orderBy(lower(col("name")), col("name"))
+      .offset(offset).limit(cap)
+  }
+
+  /** `storage.search_by_timestamp` (0050:676-790, A5): folders aggregate
+    * MIN(created_at) as both created/updated; keyset pagination on the
+    * ms-truncated (timestamp, name) row value. */
+  def searchByTimestamp(objects: DataFrame, bucket: String, prefix: String,
+                        after: Option[(java.sql.Timestamp, String)] = None,
+                        limit: Int = 100): DataFrame = {
+    val cap = math.min(limit, 1500)
+    val scoped = objects.filter(col("bucket_id") === bucket &&
+      hasPrefix(col("name"), prefix))
+    val withCp = scoped.withColumn("cp", commonPrefix(col("name"), prefix, "/"))
+    val folders = withCp.filter(col("cp").isNotNull)
+      .groupBy(col("cp").as("name"))
+      .agg(min(col("created_at")).as("created_at"))
+      .select(col("name"), lit(true).as("is_folder"), col("created_at"))
+    val files = withCp.filter(col("cp").isNull)
+      .select(col("name"), lit(false).as("is_folder"), col("created_at"))
+    val unioned = folders.unionByName(files)
+    val paged = after match {
+      case Some((ts, tok)) =>
+        unioned.filter(keysetAfter(col("created_at"), col("name"), lit(ts), lit(tok)))
+      case None => unioned
+    }
+    paged.orderBy(truncMs(col("created_at")), col("name")).limit(cap)
+  }
+
+  /** Whitelisted dynamic sort (O3, 0023:22-42 / pg.ts:616-625): sortColumn ∈
+    * {name, updated_at, created_at}, else default name asc; name is always the
+    * tiebreak (O2). */
+  def sortedListing(objects: DataFrame, bucket: String, prefix: String,
+                    sortColumn: String, sortOrder: String, limit: Int): DataFrame = {
+    val colName = sortColumn match {
+      case "updated_at" | "created_at" | "last_accessed_at" => sortColumn
+      case _ => "name"
+    }
+    val key: Column =
+      if (colName == "name") col("name") else truncMs(col(colName))
+    val (k1, k2) = sortOrder.toLowerCase match {
+      case "desc" => (key.desc, col("name").desc)
+      case _ => (key.asc, col("name").asc)
+    }
+    objects.filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
+      .orderBy(k1, k2).limit(math.min(limit, 1500))
+  }
+}

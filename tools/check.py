@@ -1,0 +1,119 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's t2 correctness gate.
+
+Usage: python3 tools/check.py [sfDir] [outDir]
+
+Reads outDir/<name>/ parquet (written by graft.Verify) and
+outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views over
+sfDir/*.parquet, and compares: schema (column names), row count, and values
+(rows sorted, columns sorted by name). Reports exact mismatches plus float
+drift so ulp-level risk is visible before the real driver runs.
+"""
+import sys, os, json, math
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(val):
+    import pandas as pd
+    import numpy as np
+    if val is None:
+        return None
+    if isinstance(val, (list, tuple, np.ndarray)):
+        return tuple(canon(v) for v in val)
+    try:
+        if pd.isna(val):
+            return None
+    except (TypeError, ValueError):
+        pass
+    if isinstance(val, (np.integer,)):
+        return int(val)
+    if isinstance(val, (np.floating,)):
+        return float(val)
+    return val
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{out}/oracle_sql.json"))
+    results = {}
+    result_dirs = [d for d in os.listdir(out)
+                   if os.path.isdir(os.path.join(out, d))]
+    for name in sorted(result_dirs):
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')").fetchdf()
+        except Exception as e:
+            results[name] = f"READ-FAIL: {e}"
+            continue
+        if name not in oracle:
+            results[name] = f"rows-only: {len(got)} rows (no oracle)"
+            continue
+        try:
+            exp = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            results[name] = f"ORACLE-FAIL: {e}"
+            continue
+        gc, ec = sorted(got.columns), sorted(exp.columns)
+        if gc != ec:
+            results[name] = f"SCHEMA-MISMATCH: spark={gc} duck={ec}"
+            continue
+        if len(got) != len(exp):
+            results[name] = f"ROWCOUNT-MISMATCH: spark={len(got)} duck={len(exp)}"
+            continue
+        g = [tuple(canon(v) for v in row) for row in got[gc].itertuples(index=False)]
+        e = [tuple(canon(v) for v in row) for row in exp[ec].itertuples(index=False)]
+        g.sort(key=repr)
+        e.sort(key=repr)
+        bad = 0
+        drift = 0.0
+        first = None
+        for i, (gr, er) in enumerate(zip(g, e)):
+            if gr == er:
+                continue
+            ok = True
+            for a, b in zip(gr, er):
+                if a == b or (a is None and b is None):
+                    continue
+                fa = isinstance(a, float)
+                fb = isinstance(b, float)
+                if fa and fb:
+                    if math.isnan(a) and math.isnan(b):
+                        continue
+                    if a != b:
+                        ok = False
+                        drift = max(drift, abs(a - b))
+                else:
+                    ok = False
+            # pandas NaN vs None noise
+            if not ok:
+                bad += 1
+                if first is None:
+                    first = (i, gr, er)
+        if bad == 0:
+            results[name] = f"OK ({len(got)} rows)"
+        else:
+            results[name] = (f"VALUE-MISMATCH: {bad}/{len(got)} rows differ, "
+                             f"max float drift={drift}; first: spark={first[1]} "
+                             f"duck={first[2]}")
+    width = max(len(k) for k in results) if results else 10
+    fails = 0
+    for k, v in sorted(results.items()):
+        flag = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"
+        if flag == "FAIL":
+            fails += 1
+        print(f"{flag}  {k:<{width}}  {v}")
+    print(f"\n{len(results) - fails}/{len(results)} pass")
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()
