@@ -1,0 +1,376 @@
+package graft
+
+import graft.functions.{FilterDsl, PathFns}
+import graft.operators.{Listing, Multipart, Scanner}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Joins, aggregations, windows, set ops, pagination and the JSON filter DSL
+  * (SURVEY §2.2–2.8). Every query is deterministic (unique total order) and
+  * every aggregate over doubles goes through DECIMAL so both engines produce
+  * bit-identical values.
+  */
+object QueriesRel {
+
+  def queries: Map[String, Q] = Map(
+
+    // ───────────── joins ─────────────
+
+    // J2: S3 ∖ DB orphan anti-join. DB side excludes image/png rows so the
+    // difference is non-empty in both directions.
+    "j2_orphan_s3" -> Q(
+      fn = (s, dir) => {
+        val db = Tables.objects(s, dir).filter(col("mimetype") =!= "image/png")
+        Scanner.orphanedS3Keys(Tables.s3Keys(s, dir), db).orderBy(col("key"))
+      },
+      oracle = Some(Oracle.withS3(
+        """SELECT key, size FROM s3_keys
+          |WHERE key NOT IN (SELECT name FROM objects WHERE mimetype <> 'image/png')
+          |ORDER BY key""".stripMargin)),
+      doc = "J2 orphaned blobs (scanner.ts:323-363)"),
+
+    // J3: DB ∖ S3 orphan anti-join.
+    "j3_orphan_db" -> Q(
+      fn = (s, dir) =>
+        Scanner.orphanedDbRows(Tables.objects(s, dir), Tables.s3Keys(s, dir))
+          .select(col("name"), col("size"), col("mimetype")).orderBy(col("name")),
+      oracle = Some(Oracle.withS3(
+        """SELECT name, size, mimetype FROM objects
+          |WHERE name NOT IN (SELECT key FROM s3_keys)
+          |ORDER BY name""".stripMargin)),
+      doc = "J3 orphaned metadata rows (scanner.ts:365-403)"),
+
+    // J5: batch multi-key lookup via broadcast semi-join.
+    "j5_multikey_lookup" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val keys = objects.filter(col("size").between(50000, 50500))
+          .select(col("name").as("key"))
+        Scanner.findObjects(objects, keys)
+          .select(col("name"), col("size"), col("mimetype")).orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, size, mimetype FROM objects
+          |WHERE name IN (SELECT name FROM objects WHERE size BETWEEN 50000 AND 50500)
+          |ORDER BY name""".stripMargin)),
+      doc = "J5 name = ANY($) lookup (pg.ts:1203-1228)"),
+
+    // J7-shape: FK chain with broadcast dims (objects→buckets analog at star
+    // scale: orders→customer→nation→region).
+    "j7_star_join" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.orders(s, dir)
+        val c = Tables.customer(s, dir)
+        val n = Tables.nation(s, dir)
+        val r = Tables.region(s, dir)
+        o.filter(col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+          .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+          .groupBy(col("r_name"))
+          .agg(sum(col("o_totalprice").cast(DecimalType(18, 2))).cast("double").as("revenue"),
+            count(lit(1)).as("n_orders"))
+          .orderBy(col("r_name"))
+      },
+      oracle = Some(
+        """SELECT r_name,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_orders
+          |FROM orders
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      doc = "J7 FK joins w/ broadcast dims (uploader.ts:72-116 shape)"),
+
+    // J1: legacy-search folder→object left join on reconstructed names
+    // (0002:131-147): depth-2 'folders' rejoin to real objects, deeper ones
+    // null-extend.
+    "j1_folder_join" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val scoped = objects.filter(col("bucket_id") === "F" &&
+          PathFns.hasPrefix(col("name"), "R/"))
+        val folders = scoped.select(PathFns.splitPart(col("name"), 2).as("folder")).distinct()
+        folders.join(objects.filter(col("bucket_id") === "F"),
+            concat(lit("R/"), col("folder")) === col("name"), "left")
+          .select(col("folder"), col("name"), col("size"))
+          .orderBy(col("folder"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT folder, name, size FROM (
+          |  SELECT DISTINCT string_split(name, '/')[2] AS folder FROM objects
+          |  WHERE bucket_id = 'F' AND name LIKE 'R/%') f
+          |LEFT JOIN (SELECT * FROM objects WHERE bucket_id = 'F') o
+          |  ON concat('R/', f.folder) = o.name
+          |ORDER BY folder""".stripMargin)),
+      doc = "J1 legacy folder join (0002:131-147)"),
+
+    // ───────────── aggregations / windows ─────────────
+
+    // A3: distinct folder extraction at a depth.
+    "a3_distinct_folders" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .filter(col("bucket_id") === "O")
+        .select(PathFns.splitPart(col("name"), 1).as("folder")).distinct()
+        .orderBy(col("folder")),
+      oracle = Some(Oracle.withObjects(
+        """SELECT DISTINCT string_split(name, '/')[1] AS folder FROM objects
+          |WHERE bucket_id = 'O' ORDER BY folder""".stripMargin)),
+      doc = "A3 distinct folders (0002:131-138)"),
+
+    // A4: DISTINCT ON — first object row per collapsed prefix.
+    "a4_first_per_prefix" -> Q(
+      fn = (s, dir) => {
+        val scoped = Tables.objects(s, dir).filter(col("bucket_id") === "F" &&
+          PathFns.hasPrefix(col("name"), "R/"))
+        scoped.withColumn("cp", PathFns.commonPrefix(col("name"), "R/"))
+          .filter(col("cp").isNotNull)
+          .groupBy(col("cp"))
+          .agg(min(col("name")).as("first_name"),
+            min_by(col("size"), col("name")).as("first_size"))
+          .orderBy(col("cp"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT cp, min(name) AS first_name, arg_min(size, name) AS first_size
+          |FROM (SELECT *, CASE WHEN strpos(substr(name, 3), '/') > 0
+          |  THEN concat('R/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |  ELSE NULL END AS cp
+          |  FROM objects WHERE bucket_id = 'F' AND name LIKE 'R/%') w
+          |WHERE cp IS NOT NULL GROUP BY cp ORDER BY cp""".stripMargin)),
+      doc = "A4 DISTINCT ON first-per-prefix (0020:8-39)"),
+
+    // A5: search_by_timestamp — folders carry MIN(created_at), keyset cursor
+    // on the ms-truncated (timestamp, name) row value.
+    "a5_search_by_timestamp" -> Q(
+      fn = (s, dir) =>
+        Listing.searchByTimestamp(Tables.objects(s, dir), "F", "R/",
+          Some(("1996-06-01 00:00:00", "R/")), 150),
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, is_folder, created_at FROM (
+          |  SELECT cp AS name, TRUE AS is_folder, min(created_at) AS created_at
+          |  FROM (SELECT *, CASE WHEN strpos(substr(name, 3), '/') > 0
+          |    THEN concat('R/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |    ELSE NULL END AS cp
+          |    FROM objects WHERE bucket_id = 'F' AND name LIKE 'R/%') w
+          |  WHERE cp IS NOT NULL GROUP BY cp
+          |  UNION ALL
+          |  SELECT name, FALSE AS is_folder, created_at
+          |  FROM (SELECT *, CASE WHEN strpos(substr(name, 3), '/') > 0
+          |    THEN concat('R/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |    ELSE NULL END AS cp
+          |    FROM objects WHERE bucket_id = 'F' AND name LIKE 'R/%') w2
+          |  WHERE cp IS NULL
+          |) u
+          |WHERE date_trunc('millisecond', created_at) > TIMESTAMP '1996-06-01'
+          |   OR (date_trunc('millisecond', created_at) = TIMESTAMP '1996-06-01' AND name > 'R/')
+          |ORDER BY date_trunc('millisecond', created_at), name LIMIT 150""".stripMargin)),
+      doc = "A5 search_by_timestamp + P5 composite cursor (0050:676-790)"),
+
+    // A6: multipart progress accumulation.
+    "a6_multipart_progress" -> Q(
+      fn = (s, dir) => Multipart.uploadProgress(Tables.multipartParts(s, dir))
+        .orderBy(col("upload_id")),
+      oracle = Some(Oracle.withParts(
+        """SELECT upload_id, CAST(sum(size) AS BIGINT) AS in_progress_size,
+          |count(*) AS num_parts, max(part_number) AS max_part
+          |FROM parts GROUP BY upload_id ORDER BY upload_id""".stripMargin)),
+      doc = "A6 in_progress_size accumulation (pg.ts:1526-1544)"),
+
+    // W1: first-row-per-group via window ranking (DISTINCT ON dual).
+    "w1_first_per_group" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val w = Window.partitionBy(col("bucket_id"), col("folder")).orderBy(col("name"))
+        objects.withColumn("folder", PathFns.splitPart(col("name"), 1))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("bucket_id"), col("folder"), col("name"), col("size"))
+          .orderBy(col("bucket_id"), col("folder"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, folder, name, size FROM (
+          |  SELECT bucket_id, string_split(name, '/')[1] AS folder, name, size,
+          |    row_number() OVER (PARTITION BY bucket_id, string_split(name, '/')[1]
+          |                       ORDER BY name) AS rn
+          |  FROM objects) t
+          |WHERE rn = 1 ORDER BY bucket_id, folder""".stripMargin)),
+      doc = "W1 first-row-per-group (0020:8)"),
+
+    // P12: existence probe with LIMIT — count is deterministic even though
+    // the probed rows aren't.
+    "p12_existence_probe" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .filter(col("bucket_id") === "F" && PathFns.hasPrefix(col("name"), "R/9"))
+        .limit(100)
+        .agg(count(lit(1)).as("n")),
+      oracle = Some(Oracle.withObjects(
+        """SELECT count(*) AS n FROM (
+          |  SELECT 1 FROM objects WHERE bucket_id = 'F' AND name LIKE 'R/9%' LIMIT 100) t""".stripMargin)),
+      doc = "P12 SELECT 1 ... LIMIT n probe (pg.ts:498-517)"),
+
+    // ───────────── sorts / pagination / set ops ─────────────
+
+    // O2/O3: whitelisted dynamic sort, DESC with name tiebreak.
+    "o3_sorted_listing_desc" -> Q(
+      fn = (s, dir) =>
+        Listing.sortedListing(Tables.objects(s, dir), "F", "N/", "updated_at", "desc", 120),
+      oracle = Some(Oracle.withObjects(
+        """SELECT * FROM objects WHERE bucket_id = 'F' AND name LIKE 'N/%'
+          |ORDER BY date_trunc('millisecond', updated_at) DESC, name DESC
+          |LIMIT 120""".stripMargin)),
+      doc = "O2/O3 dynamic sort (0023:22-42, pg.ts:616-625)"),
+
+    // O4: legacy offset pagination with ILIKE prefix + lower(name) sort.
+    "o4_offset_pagination" -> Q(
+      fn = (s, dir) =>
+        Listing.searchLegacy(Tables.objects(s, dir), "F", "r/", 50, 20),
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, is_folder, size, created_at FROM (
+          |  SELECT cp AS name, TRUE AS is_folder, CAST(NULL AS BIGINT) AS size,
+          |         CAST(NULL AS TIMESTAMP) AS created_at
+          |  FROM (SELECT *, CASE WHEN strpos(substr(name, 3), '/') > 0
+          |    THEN concat('R/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |    ELSE NULL END AS cp
+          |    FROM objects WHERE bucket_id = 'F' AND lower(name) LIKE 'r/%') w
+          |  WHERE cp IS NOT NULL GROUP BY cp
+          |  UNION ALL
+          |  SELECT name, FALSE AS is_folder, size, created_at
+          |  FROM (SELECT *, CASE WHEN strpos(substr(name, 3), '/') > 0
+          |    THEN concat('R/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |    ELSE NULL END AS cp
+          |    FROM objects WHERE bucket_id = 'F' AND lower(name) LIKE 'r/%') w2
+          |  WHERE cp IS NULL
+          |) u ORDER BY lower(name), name OFFSET 20 LIMIT 50""".stripMargin)),
+      doc = "O4 offset pagination + F10 lower-collation (0002:136, 0050:327+)"),
+
+    // O8: parts pagination.
+    "o8_parts_pagination" -> Q(
+      fn = (s, dir) => Tables.multipartParts(s, dir)
+        .filter(col("part_number") > 2)
+        .orderBy(col("upload_id"), col("part_number"), col("id"))
+        .limit(100),
+      oracle = Some(Oracle.withParts(
+        """SELECT * FROM parts WHERE part_number > 2
+          |ORDER BY upload_id, part_number, id LIMIT 100""".stripMargin)),
+      doc = "O8 ListParts keyset (pg.ts:1581-1613)"),
+
+    // U3: set difference.
+    "u3_except" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        objects.filter(col("size") > 90000).select(col("name"))
+          .except(objects.filter(col("mimetype") === "text/plain").select(col("name")))
+          .orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT name FROM objects WHERE size > 90000
+          |EXCEPT
+          |SELECT name FROM objects WHERE mimetype = 'text/plain'
+          |ORDER BY name""".stripMargin)),
+      doc = "U3 set difference (scanner.ts:30-73)"),
+
+    // ───────────── scalar functions / filter DSL ─────────────
+
+    // F1-F8 combined projection over synthesized keys.
+    "fn_path_scalars" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .filter(col("bucket_id") === "O")
+        .select(col("name"),
+          PathFns.foldername(col("name")).as("folder_parts"),
+          PathFns.filename(col("name")).as("file_name"),
+          PathFns.extension(col("name")).as("ext"),
+          PathFns.getLevel(col("name")).as("level"),
+          PathFns.getPrefix(col("name")).as("parent"),
+          PathFns.getPrefixes(col("name")).as("ancestors"))
+        .orderBy(col("name")).limit(500),
+      oracle = Some(Oracle.withObjects(
+        """SELECT name,
+          |  string_split(name, '/')[1:-2] AS folder_parts,
+          |  string_split(name, '/')[-1] AS file_name,
+          |  string_split(string_split(name, '/')[-1], '.')[-1] AS ext,
+          |  CAST(len(string_split(name, '/')) AS INT) AS level,
+          |  regexp_replace(name, '[\/]{1}[^\/]+\/?$', '') AS parent,
+          |  list_transform(generate_series(1, len(string_split(name, '/')) - 1),
+          |                 i -> array_to_string(string_split(name, '/')[1:i], '/')) AS ancestors
+          |FROM objects WHERE bucket_id = 'O' ORDER BY name LIMIT 500""".stripMargin)),
+      doc = "F1-F8 path scalars (0002:85-122, 0026:6-56)"),
+
+    // P8: JSON metadata filter DSL — range.
+    "p8_filter_dsl_range" -> Q(
+      fn = (s, dir) => Tables.events(s, dir)
+        .filter(FilterDsl.filter(col("props"),
+          """{"$and":[{"k":{"$gte":30}},{"k":{"$lt":60}}]}"""))
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id")),
+      oracle = Some(
+        """SELECT event_id, event_type, props FROM events
+          |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 30
+          |  AND TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) < 60
+          |ORDER BY event_id""".stripMargin),
+      doc = "P8 filter DSL $and/$gte/$lt (filter.ts:152-308)"),
+
+    // P8: $or / $eq / $in.
+    "p8_filter_dsl_or_in" -> Q(
+      fn = (s, dir) => Tables.events(s, dir)
+        .filter(FilterDsl.filter(col("props"),
+          """{"$or":[{"k":{"$eq":69}},{"k":{"$in":[5,7,11]}}]}"""))
+        .select(col("event_id"), col("event_type"), col("props"))
+        .orderBy(col("event_id")),
+      oracle = Some(
+        """SELECT event_id, event_type, props FROM events
+          |WHERE TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) = 69
+          |   OR TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE) IN (5, 7, 11)
+          |ORDER BY event_id""".stripMargin),
+      doc = "P8 filter DSL $or/$eq/$in"),
+
+    // ───────────── headline analytics (bench anchors) ─────────────
+
+    // TPC-H Q3 shape: selective join + grouped top-k by revenue.
+    "q3_topk_revenue" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") < to_timestamp(lit("1997-03-15 00:00:00")))
+        val l = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") > to_timestamp(lit("1997-03-15 00:00:00")))
+        l.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+          .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"))
+          .orderBy(col("revenue").desc, col("l_orderkey"))
+          .limit(10)
+      },
+      oracle = Some(
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1997-03-15'
+          |  AND l_shipdate > TIMESTAMP '1997-03-15'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin),
+      doc = "headline: selective join + grouped top-k"),
+
+    // TPC-H Q6 shape: pushdown-friendly selective scan-aggregate.
+    "q6_selective_sum" -> Q(
+      fn = (s, dir) => Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-01-01 00:00:00")) &&
+          col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(sum((col("l_extendedprice").cast(DecimalType(18, 2)) *
+          col("l_discount").cast(DecimalType(18, 2)))).cast("double").as("revenue"),
+          count(lit(1)).as("n")),
+      oracle = Some(
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+          |  count(*) AS n
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
+      doc = "headline: selective scan-agg, filters pushed to parquet"))
+}

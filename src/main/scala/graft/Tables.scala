@@ -30,17 +30,48 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  def events(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "events")
+  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects by default. Read nanos as long (runtime conf) and surface `ts`
+    * as a microsecond timestamp — DuckDB's TIMESTAMP_NS µs-truncates the same
+    * way when cast, so oracle comparisons on `ts` use
+    * `CAST(ts AS TIMESTAMP)`. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+      // integer `div`, not `/` — ns-since-epoch (~1.7e18) exceeds double's
+      // 2^53 exact-integer range, so float division would corrupt the low bits
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** The `storage.objects` analog, synthesized from `lineitem`.
-    *
-    * Key shape (FIXTURES.md "keys synthesized from lineitem"):
-    *   - l_linenumber == 1 → `<returnflag>/<orderkey>.dat`          (depth-2 leaf)
-    *   - otherwise        → `<returnflag>/<orderkey>/item-<n>.dat`  (depth-3)
+  /** Unique per-row suffix. The synthetic lineitem has ~20% duplicate
+    * (l_orderkey, l_linenumber) pairs, so keys need a disambiguator or every
+    * tie-breaking operator (min_by, LIMIT boundaries) goes nondeterministic.
+    * Inputs are integers only — double→string formatting differs between
+    * engines, epoch-ms and floored prices do not.
+    */
+  private def uniqCol = substring(md5(concat_ws("|",
+    col("l_orderkey"), col("l_linenumber"), col("l_suppkey"), col("l_partkey"),
+    floor(col("l_extendedprice")).cast("long"),
+    // l_shipdate reads as TIMESTAMP_NTZ; cast to session-tz (UTC) timestamp
+    // so unix_millis matches DuckDB's epoch_ms over the naive value
+    unix_millis(col("l_shipdate").cast("timestamp")),
+    col("l_linestatus"))), 1, 8)
+
+  /** S3-key column synthesized from a lineitem row (shared by objects and the
+    * scanner's S3-listing snapshot):
+    *   - l_linenumber == 1 → `<returnflag>/<orderkey>-<uniq>.dat`          (depth-2 leaf)
+    *   - otherwise        → `<returnflag>/<orderkey>/item-<n>-<uniq>.dat`  (depth-3)
     * so delimiter collapse sees both leaf files and folders at every prefix.
-    * (orderkey, linenumber) is unique → `name` is unique.
+    */
+  private def keyCol =
+    when(col("l_linenumber") === 1,
+      concat(col("l_returnflag"), lit("/"), col("l_orderkey"), lit("-"), uniqCol, lit(".dat")))
+      .otherwise(concat(col("l_returnflag"), lit("/"), col("l_orderkey"),
+        lit("/item-"), col("l_linenumber"), lit("-"), uniqCol, lit(".dat")))
+
+  /** The `storage.objects` analog, synthesized from `lineitem`.
     *
     * Columns mirror FIXTURES.md §B `objects`. `size` uses floor()+cast because
     * Spark's double→bigint cast truncates while DuckDB's rounds — floor() first
@@ -49,10 +80,7 @@ object Tables {
   def objects(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     li.select(
-      when(col("l_linenumber") === 1,
-        concat(col("l_returnflag"), lit("/"), col("l_orderkey"), lit(".dat")))
-        .otherwise(concat(col("l_returnflag"), lit("/"), col("l_orderkey"),
-          lit("/item-"), col("l_linenumber"), lit(".dat"))).as("name"),
+      keyCol.as("name"),
       col("l_linestatus").as("bucket_id"),
       floor(col("l_extendedprice")).cast("long").as("size"),
       col("l_shipdate").as("created_at"),
@@ -72,11 +100,7 @@ object Tables {
   def s3Keys(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     li.filter(col("l_linenumber") <= 5)
-      .select(
-        when(col("l_linenumber") === 1,
-          concat(col("l_returnflag"), lit("/"), col("l_orderkey"), lit(".dat")))
-          .otherwise(concat(col("l_returnflag"), lit("/"), col("l_orderkey"),
-            lit("/item-"), col("l_linenumber"), lit(".dat"))).as("key"),
+      .select(keyCol.as("key"),
         floor(col("l_extendedprice")).cast("long").as("size"))
   }
 
@@ -85,6 +109,7 @@ object Tables {
   def multipartParts(spark: SparkSession, dir: String): DataFrame = {
     val li = lineitem(spark, dir)
     li.select(
+      uniqCol.as("id"),
       concat(lit("upload-"), col("l_orderkey")).as("upload_id"),
       col("l_linenumber").as("part_number"),
       floor(col("l_extendedprice")).cast("long").as("size"),
@@ -98,13 +123,21 @@ object Tables {
   * byte-for-byte in sync with [[Tables]] — the driver hash-compares results.
   */
 object Oracle {
+  /** Byte-identical twin of [[Tables.uniqCol]]/[[Tables.keyCol]]. */
+  private val uniqSql =
+    "substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_suppkey, l_partkey, " +
+      "CAST(floor(l_extendedprice) AS BIGINT), epoch_ms(l_shipdate), l_linestatus)), 1, 8)"
+
+  private val keySql =
+    s"""CASE WHEN l_linenumber = 1
+       |      THEN concat(l_returnflag, '/', l_orderkey, '-', $uniqSql, '.dat')
+       |      ELSE concat(l_returnflag, '/', l_orderkey, '/item-', l_linenumber, '-', $uniqSql, '.dat')
+       |    END""".stripMargin
+
   val objectsCte: String =
-    """objects AS (
+    s"""objects AS (
       |  SELECT
-      |    CASE WHEN l_linenumber = 1
-      |      THEN concat(l_returnflag, '/', l_orderkey, '.dat')
-      |      ELSE concat(l_returnflag, '/', l_orderkey, '/item-', l_linenumber, '.dat')
-      |    END AS name,
+      |    $keySql AS name,
       |    l_linestatus AS bucket_id,
       |    CAST(floor(l_extendedprice) AS BIGINT) AS size,
       |    l_shipdate AS created_at,
@@ -117,19 +150,17 @@ object Oracle {
       |)""".stripMargin
 
   val s3KeysCte: String =
-    """s3_keys AS (
+    s"""s3_keys AS (
       |  SELECT
-      |    CASE WHEN l_linenumber = 1
-      |      THEN concat(l_returnflag, '/', l_orderkey, '.dat')
-      |      ELSE concat(l_returnflag, '/', l_orderkey, '/item-', l_linenumber, '.dat')
-      |    END AS key,
+      |    $keySql AS key,
       |    CAST(floor(l_extendedprice) AS BIGINT) AS size
       |  FROM lineitem WHERE l_linenumber <= 5
       |)""".stripMargin
 
   val partsCte: String =
-    """parts AS (
+    s"""parts AS (
       |  SELECT
+      |    $uniqSql AS id,
       |    concat('upload-', l_orderkey) AS upload_id,
       |    l_linenumber AS part_number,
       |    CAST(floor(l_extendedprice) AS BIGINT) AS size,

@@ -52,7 +52,9 @@ object PathFns {
   def commonPrefix(key: Column, prefix: String, delimiter: String = "/"): Column = {
     val rest = substring(key, prefix.length + 1, Int.MaxValue)
     val pos = instr(rest, delimiter)
-    when(pos > 0, concat(lit(prefix), rest.substr(lit(1), pos)))
+    // slice from the KEY, not concat(prefix, …): a case-insensitive prefix
+    // match ('r/' vs 'R/…') must still display the folder in the key's bytes
+    when(pos > 0, key.substr(lit(1), lit(prefix.length) + pos))
       .otherwise(lit(null))
   }
 

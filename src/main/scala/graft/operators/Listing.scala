@@ -78,7 +78,7 @@ object Listing {
     * MIN(created_at) as both created/updated; keyset pagination on the
     * ms-truncated (timestamp, name) row value. */
   def searchByTimestamp(objects: DataFrame, bucket: String, prefix: String,
-                        after: Option[(java.sql.Timestamp, String)] = None,
+                        after: Option[(String, String)] = None,
                         limit: Int = 100): DataFrame = {
     val cap = math.min(limit, 1500)
     val scoped = objects.filter(col("bucket_id") === bucket &&
@@ -93,7 +93,10 @@ object Listing {
     val unioned = folders.unionByName(files)
     val paged = after match {
       case Some((ts, tok)) =>
-        unioned.filter(keysetAfter(col("created_at"), col("name"), lit(ts), lit(tok)))
+        // cursor timestamp parses in the session tz (UTC) — never via
+        // java.sql.Timestamp, whose valueOf uses the JVM default tz
+        unioned.filter(keysetAfter(col("created_at"), col("name"),
+          to_timestamp(lit(ts)), lit(tok)))
       case None => unioned
     }
     paged.orderBy(truncMs(col("created_at")), col("name")).limit(cap)
