@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-stream queries (SURVEY §2.9) in their batch form — the streaming
+  * twins (readStream + watermark + dropDuplicates/foreachBatch) live in
+  * graft.streaming and are exercised by StreamingSpec; these entries pin the
+  * *semantics* against the oracle. `ts` is µs-truncated on both sides
+  * (Tables.events / CAST(ts AS TIMESTAMP)).
+  */
+object QueriesEvents {
+
+  def queries: Map[String, Q] = Map(
+
+    // E2 singleton-key dedup: keep the earliest event per (user, type) —
+    // pg-boss `singletonKey` suppression (event.ts:13) in batch form.
+    "e2_singleton_dedup" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"), col("event_type"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("user_id"), col("event_type"), col("event_id"), col("ts"))
+          .orderBy(col("user_id"), col("event_type"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_type, event_id, CAST(ts AS TIMESTAMP) AS ts FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+          |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+          |  FROM events) t
+          |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin),
+      doc = "E2 singletonKey dedup (event.ts:13)"),
+
+    // Tumbling-window aggregation (1h) — the batch twin of the streaming
+    // windowed agg; DECIMAL-cast sum for cross-engine determinism.
+    "e_hourly_agg" -> Q(
+      fn = (s, dir) => Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast("double").as("total_value"))
+        .orderBy(col("hour"), col("event_type")),
+      oracle = Some(
+        """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS total_value
+          |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
+      doc = "windowed agg (streaming twin: graft.streaming)"),
+
+    // A8 queue metrics: counts by state/type for monitoring (queue.ts).
+    "e_queue_metrics" -> Q(
+      fn = (s, dir) => Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy(col("event_type")),
+      oracle = Some(
+        """SELECT event_type, count(*) AS n, count(DISTINCT user_id) AS n_users,
+          |  min(CAST(ts AS TIMESTAMP)) AS first_ts, max(CAST(ts AS TIMESTAMP)) AS last_ts
+          |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "A8 queue metrics aggregation (queue.ts)"),
+
+    // E3 scheduled/delayed visibility: only events whose schedule time has
+    // passed a cutoff 'watermark' are deliverable (event.ts:117-120).
+    "e3_delayed_visibility" -> Q(
+      fn = (s, dir) => Tables.events(s, dir)
+        .filter(col("ts") <= to_timestamp(lit("2024-01-05 00:00:00")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("deliverable"))
+        .orderBy(col("event_type")),
+      oracle = Some(
+        """SELECT event_type, count(*) AS deliverable FROM events
+          |WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-05'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "E3 startAfter visibility cutoff (event.ts:117-120)"))
+}

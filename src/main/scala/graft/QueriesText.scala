@@ -1,0 +1,200 @@
+package graft
+
+import graft.operators.{Dedup, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+/** North-star text-pipeline queries over `documents`: dedup (exact, n-gram
+  * Jaccard, MinHash-LSH, SimHash, embedding-cosine) and text analysis
+  * (tokens, quality, lang-id, fingerprint). The corpus has no natural
+  * duplicates, so dedup queries splice in synthetic variants (doc_id +
+  * 1,000,000) — the same construction in the oracle SQL.
+  */
+object QueriesText {
+
+  /** Shared corpus-with-duplicates: every 3rd doc re-appears verbatim. */
+  private val corpusCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+      |)""".stripMargin
+
+  /** Near-dup corpus: every 5th doc re-appears with a 5-word tail appended. */
+  private val nearDupCte =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000 AS doc_id,
+      |         concat(text, ' quality data pipeline tail marker') AS text
+      |  FROM documents WHERE doc_id % 5 = 0
+      |)""".stripMargin
+
+  private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  def queries: Map[String, Q] = Map(
+
+    // Exact dedup: content-hash groupBy, min-id winner.
+    "dedup_exact" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        Dedup.exactDedup(corpus, "doc_id", "text").orderBy(col("content_hash"))
+      },
+      oracle = Some(
+        s"""WITH $corpusCte
+           |SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+           |       count(*) AS n_copies
+           |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin),
+      doc = "exact dedup via content hash"),
+
+    // Exact n-gram Jaccard near-dup pairs (shared-shingle candidate join).
+    "dedup_jaccard_pairs" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(
+        s"""WITH $nearDupCte,
+           |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
+           |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
+           |e AS (SELECT id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+           |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           |             count(*) AS inter
+           |      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2, 3, 4),
+           |j AS (SELECT id_a, id_b,
+           |             round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+           |      FROM p)
+           |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
+           |ORDER BY id_a, id_b""".stripMargin),
+      doc = "n-gram Jaccard near-dup (exact, shingle-join candidates)"),
+
+    // MinHash-LSH near-dup pairs — approximate scale path; xxhash64 signature
+    // isn't SQL-portable → rows-only check (recall vs exact asserted in
+    // DedupSpec).
+    "dedup_minhash_lsh" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = None,
+      doc = "MinHash+LSH near-dup (banded, sub-quadratic)"),
+
+    // SimHash near-dup pairs — rows-only (xxhash64).
+    "dedup_simhash" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        Dedup.simhashPairs(corpus, "doc_id", "text", 16)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = None,
+      doc = "SimHash near-dup (blocked hamming)"),
+
+    // Embedding-cosine near-dup: exact duplicates spliced in at vec_id+100000.
+    "dedup_embedding_cosine" -> Q(
+      fn = (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val corpus = e.select(col("vec_id"), col("embedding"))
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
+          |p AS (SELECT a.id AS id_a, b.id AS id_b,
+          |  round(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2]))
+          |   / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+          |    * sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos_sim
+          |  FROM v a JOIN v b ON a.id < b.id)
+          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin),
+      doc = "embedding-cosine near-dup pairs"),
+
+    // Token counting (whitespace + subword-regex proxy).
+    "text_token_counts" -> Q(
+      fn = (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+          TextAnalysis.subwordCount(col("text")).as("n_subwords"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""SELECT doc_id,
+           |  CAST(len($wordsSql) AS INT) AS n_tokens,
+           |  CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), w -> len(w) > 0))
+           |    + length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_subwords
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "token counting (whitespace + BPE-ish regex)"),
+
+    // Quality metrics.
+    "text_quality" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.qualityMetrics(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""SELECT doc_id,
+           |  CAST(len($wordsSql) AS INT) AS n_words,
+           |  round(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+           |        / len($wordsSql), 6) AS mean_word_len,
+           |  round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+           |        / length(text), 6) AS punct_ratio,
+           |  round(CAST(len(list_filter($wordsSql,
+           |        w -> w IN ('the','a','and','of','to','in','is','for','on','with'))) AS DOUBLE)
+           |        / len($wordsSql), 6) AS stopword_ratio
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "quality scoring (length/punct/stopword ratios)"),
+
+    // Language-ID heuristic, aggregated.
+    "text_lang_id" -> Q(
+      fn = (s, dir) => Tables.documents(s, dir)
+        .select(TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred")),
+      oracle = Some(
+        s"""WITH scored AS (SELECT
+           |  len(list_filter($wordsSql, w -> w IN ('the','a','and','of','to','in','is'))) AS s_en,
+           |  len(list_filter($wordsSql, w -> w IN ('el','la','de','que','y','en','los'))) AS s_es,
+           |  len(list_filter($wordsSql, w -> w IN ('der','die','und','das','von','ist','ein'))) AS s_de,
+           |  len(list_filter($wordsSql, w -> w IN ('le','la','et','les','des','est','une'))) AS s_fr
+           |  FROM documents),
+           |pred AS (SELECT CASE
+           |  WHEN s_fr > greatest(s_de, s_es, s_en, 0) THEN 'fr'
+           |  WHEN s_de > greatest(s_es, s_en, 0) THEN 'de'
+           |  WHEN s_es > greatest(s_en, 0) THEN 'es'
+           |  WHEN s_en > 0 THEN 'en'
+           |  ELSE 'und' END AS lang_pred FROM scored)
+           |SELECT lang_pred, count(*) AS n FROM pred
+           |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
+      doc = "language-ID stopword heuristic"),
+
+    // Document fingerprint (order-insensitive content hash).
+    "text_fingerprint" -> Q(
+      fn = (s, dir) => Tables.documents(s, dir)
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""SELECT doc_id,
+           |  md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fp
+           |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "document fingerprinting"))
+}

@@ -16,5 +16,6 @@ final case class Q(
 object Registry {
   /** All declared queries, keyed by the SURVEY §2 operator they cover. */
   def all: Map[String, Q] =
-    QueriesCore.queries ++ QueriesRel.queries
+    QueriesCore.queries ++ QueriesRel.queries ++ QueriesVector.queries ++
+      QueriesText.queries ++ QueriesEvents.queries
 }

@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for large-scale training-data pipelines (north-star ops,
+  * BASELINE.json): exact, n-gram Jaccard, MinHash+LSH, SimHash, and
+  * embedding-cosine near-dup. Everything is expression-level (codegen'd); the
+  * only shuffles are the groupBys/joins that the algorithms inherently need,
+  * and candidate generation is always bucketed (LSH bands / shared shingles /
+  * sign buckets) so no O(n²) all-pairs materializes at 100 TB.
+  */
+object Dedup {
+
+  /** Word tokens: lowercase, whitespace-split. */
+  def words(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Distinct word n-gram shingles of a text column. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val w = words(text)
+    array_distinct(transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
+      i => array_join(slice(w, i, lit(n)), " ")))
+  }
+
+  /** Exact dedup: content-hash groupBy. Returns one winner row per distinct
+    * content (min id), plus the duplicate count. */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate pairs come
+    * from a shared-shingle join (docs with no common shingle never meet), so
+    * the shuffle is bounded by shingle frequency, not n². */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+      .withColumn("n_sh", size(col("sh")))
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard", round(col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature: k hash functions h_i(s) = xxhash64(salt_i || s),
+    * signature[i] = min over shingles. One pass, no shuffle. */
+  def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column = {
+    val sh = shingles(text, n)
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      salt => array_min(transform(sh, s => xxhash64(salt, s))))
+  }
+
+  /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
+    * `rows` rows; docs sharing any band bucket become candidates; candidates
+    * are scored by signature agreement (the MinHash estimate of Jaccard).
+    * The band join is the standard sub-quadratic LSH shape: only hash-equal
+    * bands shuffle together. */
+  def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      bands: Int = 16, rows: Int = 4,
+                      estThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rows
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), numHashes).as("sig"))
+    val banded = sig.select(col("id"), col("sig"),
+      explode(transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"),
+          xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
+            _.cast("string")), ",")).as("bucket")))).as("bb"))
+      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    val cand = a.join(b, col("a.band") === col("b.band") &&
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand.withColumn("est_jaccard",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / size(col("sig_a")))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign of
+    * Σ_words (bit j of xxhash64(word) ? +1 : -1). */
+  def simhash(text: Column): Column = {
+    val w = words(text)
+    val hashes = transform(w, x => xxhash64(x))
+    // shift distances must be Scala literals (shiftright takes Int), so the
+    // 64 bit-sums unroll at plan-build time — still one pass over the data
+    (0 until 64).map { j =>
+      val bitSum = aggregate(hashes, lit(0), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates bucketed
+    * by the high 16 bits (docs differing there are far anyway for small
+    * distances — standard block-permutation trade-off). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxDist: Int = 8): DataFrame = {
+    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+      .withColumn("block", shiftright(col("sim"), 48))
+    val a = withSim.as("a")
+    val b = withSim.as("b")
+    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.sim").bitwiseXOR(col("b.sim"))))
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+  }
+
+  /** Embedding-cosine near-dup pairs ≥ simThreshold. Candidates are bucketed
+    * by LSH sign-bit pattern ([[Vectors.lshBuckets]]) when `lshPlanes` > 0;
+    * 0 = exact all-pairs (correctness baseline, test scale only). */
+  def embeddingNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                            simThreshold: Double = 0.95,
+                            lshPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val base =
+      if (lshPlanes > 0) Vectors.lshBuckets(df, embCol, dim, lshPlanes)
+      else df.withColumn("lsh_bucket", lit(0L))
+    val v = base.select(col(idCol).as("id"), col("lsh_bucket"),
+      transform(col(embCol), _.cast("double")).as("emb"))
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos_sim", round(
+        Vectors.dot(col("a.emb"), col("b.emb")) /
+          (sqrt(Vectors.norm2(col("a.emb"))) * sqrt(Vectors.norm2(col("b.emb")))), 6))
+      .filter(col("cos_sim") >= simThreshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+  }
+}

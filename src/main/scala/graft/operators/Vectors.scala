@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search — the S3Vectors-compatible surface (SURVEY §2.10,
+  * reference src/storage/protocols/vector/adapter/pgvector/index.ts).
+  *
+  * The reference's semantic baseline is pgvector's *exact* scan (it falls back
+  * to `enable_indexscan=off` for bridged HNSW, index.ts:666-683), so exact
+  * brute-force kNN is correct by construction here; the HNSW index is a
+  * latency optimization for point queries that a columnar scan replaces at
+  * batch scale. The scale path is [[lshBuckets]]: hyperplane-LSH pre-bucketing
+  * so a 100 TB corpus only scans matching buckets.
+  *
+  * Distance math stays in whole-stage codegen: `zip_with` + `aggregate`
+  * higher-order functions over `ArrayType(Float)` cast to double.
+  */
+object Vectors {
+
+  /** Sequential left-fold sum of an array<double> column. */
+  private def fold(arr: Column): Column =
+    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+
+  def dot(a: Column, b: Column): Column =
+    fold(zip_with(a, b, (x, y) => x * y))
+
+  def norm2(a: Column): Column = fold(zip_with(a, a, (x, y) => x * y))
+
+  /** Cosine distance `1 - <a,q>/(|a||q|)` (pgvector `<=>`, halfvec_cosine_ops,
+    * migrations/vector_store/0001-init.sql:34). */
+  def cosineDistance(a: Column, q: Column): Column =
+    lit(1.0) - dot(a, q) / (sqrt(norm2(a)) * sqrt(norm2(q)))
+
+  /** Euclidean distance (pgvector `<->`, halfvec_l2_ops). */
+  def l2Distance(a: Column, q: Column): Column =
+    sqrt(fold(zip_with(a, q, (x, y) => (x - y) * (x - y))))
+
+  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+
+  /** V3 queryVectors: exact kNN — distance + TakeOrderedAndProject (a
+    * distributed top-k heap, no global sort materializes). `distance` is
+    * rounded to 9 dp: engines re-associate float summation differently, and a
+    * deterministic output needs a stable (distance, key) order.
+    * topK ≤ 100 (reference vector/limits.ts:5). */
+  def knn(vectors: DataFrame, keyCol: String, embCol: String,
+          query: Seq[Double], metric: String = "cosine", topK: Int = 10): DataFrame = {
+    val q = typedLit(query)
+    val emb = asDouble(col(embCol))
+    val dist = metric match {
+      case "euclidean" => l2Distance(emb, q)
+      case _ => cosineDistance(emb, q)
+    }
+    vectors
+      .withColumn("distance", round(dist, 9))
+      .orderBy(col("distance"), col(keyCol))
+      .limit(math.min(topK, 100))
+  }
+
+  /** Scale path: hyperplane-LSH bucketing. `nPlanes` seeded pseudo-random
+    * hyperplanes; bucket id = sign-bit pattern of the projections. Used as a
+    * pre-filter so ANN queries scan one bucket (plus neighbors if recall
+    * demands) instead of the full corpus; at 100 TB the vectors relation is
+    * written partitioned by this bucket.
+    */
+  def lshBuckets(vectors: DataFrame, embCol: String, dim: Int,
+                 nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val emb = asDouble(col(embCol))
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      when(dot(emb, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    vectors.withColumn("lsh_bucket", bucket)
+  }
+
+  /** ANN top-k: restrict the exact scan to the query's LSH bucket. */
+  def annKnn(vectors: DataFrame, keyCol: String, embCol: String, dim: Int,
+             query: Seq[Double], topK: Int = 10,
+             nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val qBucket = planes.zipWithIndex.map { case (p, i) =>
+      if (p.zip(query).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
+    }.sum
+    knn(lshBuckets(vectors, embCol, dim, nPlanes, seed)
+      .filter(col("lsh_bucket") === qBucket), keyCol, embCol, query, "cosine", topK)
+  }
+
+  /** V4 getVectors: key lookup, ≤100 keys (limits.ts:9). */
+  def getByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
+    vectors.filter(col(keyCol).isin(keys.take(100): _*))
+
+  /** V5 deleteVectors as a batch rewrite: everything except the keys. */
+  def deleteByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
+    vectors.filter(!col(keyCol).isin(keys.take(500): _*))
+
+  /** V6 listVectors: keyset pagination + segmented parallel scan
+    * (`mod(abs(hashtext(key)), segCount) = segIdx`, index.ts:860-886). The
+    * segment hash is engine-defined (Spark hash ≠ pg hashtext by design). */
+  def listSegment(vectors: DataFrame, keyCol: String, segCount: Int, segIdx: Int,
+                  after: Option[Long] = None, maxResults: Int = 1000): DataFrame = {
+    require(segCount <= 16, "parallel segments capped at 16 (limits.ts:7)")
+    vectors.filter(pmod(col(keyCol), lit(segCount)) === segIdx)
+      .filter(after.map(col(keyCol) > _).getOrElse(lit(true)))
+      .orderBy(col(keyCol))
+      .limit(math.min(maxResults, 1000))
+  }
+
+  /** V2 putVectors upsert: last-wins by key over prioritized batches
+    * (ON CONFLICT DO UPDATE, index.ts:518-655). Deterministic batch merge —
+    * SURVEY §7 hard-part 4. */
+  def upsert(batches: DataFrame, keyCol: String, priorityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col(priorityCol).desc)
+    batches.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+}
