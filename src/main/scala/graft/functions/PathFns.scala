@@ -32,7 +32,8 @@ object PathFns {
   /** F5 `storage.get_prefix(name)` — parent path, '' at root (0026:26-34).
     * Identical regex to the reference. */
   def getPrefix(name: Column): Column =
-    regexp_replace(name, "[\\/]{1}[^\\/]+\\/?$", "")
+    when(instr(name, "/") > 0, regexp_replace(name, "[\\/]{1}[^\\/]+\\/?$", ""))
+      .otherwise(lit(""))
 
   /** F6 `storage.get_prefixes(name)` — all ancestor paths ["a","a/b",...]
     * (0026:37-56). */

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines (north-star ops): media as
+  * opaque `binary` columns with typed metadata structs, plus
+  * decode/feature-extract plumbing.
+  *
+  * The container has no image/audio codecs, so the decode kernels are
+  * deterministic STUBS (clearly marked) — but the Spark-side contract is
+  * real and tested: schema, batch iteration via `mapPartitions` (the Scala
+  * analog of `mapInPandas`: one iterator per partition, arbitrary per-batch
+  * native calls, no per-row JVM crossing), partition sizing, and the
+  * metadata-first design that lets Catalyst prune the heavy binary column
+  * whenever a query touches only metadata.
+  */
+object Multimodal {
+
+  /** Typed media metadata — the analog of the reference's system `metadata`
+    * jsonb (adapter.ts:25-35) for media blobs. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("kind", StringType), // image | audio | video
+    StructField("mime", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("duration_ms", LongType),
+    StructField("bytes", BinaryType)))
+
+  /** Deterministic synthetic media over the `documents` fixture: the text
+    * bytes stand in for an encoded payload. Real pipelines read
+    * `spark.read.format("binaryFile")` from object storage; everything
+    * downstream is identical. */
+  def syntheticMedia(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Tables.documents(spark, dir)
+    d.select(
+      col("doc_id").as("media_id"),
+      when(col("doc_id") % 3 === 0, "image")
+        .when(col("doc_id") % 3 === 1, "audio").otherwise("video").as("kind"),
+      when(col("doc_id") % 3 === 0, "image/png")
+        .when(col("doc_id") % 3 === 1, "audio/wav").otherwise("video/mp4").as("mime"),
+      (pmod(col("doc_id"), lit(1920)) + 1).cast("int").as("width"),
+      (pmod(col("doc_id"), lit(1080)) + 1).cast("int").as("height"),
+      (col("n_chars") * 10).as("duration_ms"),
+      col("text").cast("binary").as("bytes"))
+  }
+
+  /** ??? decode stub: a real implementation calls an image codec here
+    * (per-partition, batched). The stub derives a deterministic fake feature
+    * vector from the bytes so the distributed plumbing is testable. */
+  private def decodeAndExtractStub(bytes: Array[Byte], featDim: Int): Array[Float] = {
+    // STUB — replace with e.g. JPEG decode + model forward pass. Deliberately
+    // cheap and deterministic: rolling byte hash folded into featDim floats.
+    val feats = new Array[Float](featDim)
+    var h = 1125899906842597L
+    var i = 0
+    while (i < bytes.length) {
+      h = 31 * h + bytes(i)
+      feats(i % featDim) += (h & 0xffff) / 65535.0f
+      i += 1
+    }
+    feats
+  }
+
+  /** Feature extraction over media batches: `mapPartitions` so the (native)
+    * decoder amortizes per-partition, not per-row — the Scala shape of a
+    * Pandas `mapInPandas` UDF. Output schema: (media_id, kind, features). */
+  def extractFeatures(media: DataFrame, featDim: Int = 16): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("kind", StringType),
+      StructField("features", ArrayType(FloatType))))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("kind"), col("bytes"))
+      .mapPartitions { rows =>
+        // per-partition init happens HERE (codec/model load in a real impl)
+        rows.map { r =>
+          val feats = decodeAndExtractStub(r.getAs[Array[Byte]]("bytes"), featDim)
+          Row(r.getLong(0), r.getString(1), feats.toSeq)
+        }
+      }
+  }
+
+  /** Metadata-only projection — must NOT read the binary column. Verified by
+    * MultimodalSpec via the physical plan's ReadSchema. */
+  def mediaStats(media: DataFrame): DataFrame =
+    media.groupBy(col("kind"))
+      .agg(count(lit(1)).as("n"),
+        max(col("width")).as("max_width"),
+        sum(col("duration_ms")).as("total_duration_ms"))
+
+  /** Frame-sampling plumbing: every k-th synthetic 'frame' index up to a
+    * cap — the real kernel swaps in a video demuxer. */
+  def sampleFrameIndexes(media: DataFrame, everyMs: Long = 1000L, maxFrames: Int = 8): DataFrame =
+    media.select(col("media_id"),
+      slice(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs)),
+        1, maxFrames).as("frame_ts_ms"))
+}

@@ -1,0 +1,77 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** Event pipeline as Structured Streaming (SURVEY §2.9 E1–E6) — the Spark
+  * shape of the reference's pg-boss queue + webhook workers
+  * (src/internal/queue/event.ts, src/storage/events/ lifecycle+workers).
+  *
+  * The reference's streaming semantics are: at-least-once delivery,
+  * `singletonKey` dedup, `startAfter` delayed visibility, per-queue
+  * dead-letter queues. Mapped to: append-only event log → `readStream` with
+  * watermark + `dropDuplicates` (state bounded by the watermark — the
+  * retention policy pg-boss gets from its job tables, SURVEY §7 hard-part 5),
+  * event-time filters, and `foreachBatch` try/catch DLQ routing.
+  */
+object EventStream {
+
+  /** The event_log schema (FIXTURES.md §B). */
+  val eventLogSchema: StructType = StructType(Seq(
+    StructField("event_id", StringType),
+    StructField("queue", StringType),
+    StructField("tenant_ref", StringType),
+    StructField("bucket_id", StringType),
+    StructField("name", StringType),
+    StructField("payload", StringType),
+    StructField("singleton_key", StringType),
+    StructField("schedule_at", TimestampType),
+    StructField("created_at", TimestampType)))
+
+  /** E1: lifecycle events are appended to an event-log directory; consumers
+    * readStream from it. */
+  def readEventLog(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(eventLogSchema).parquet(path)
+
+  /** E2: singleton-key dedup with a watermark bounding the dedup state —
+    * pg-boss suppresses duplicate pending jobs by `singletonKey`
+    * (event.ts:13). */
+  def dedupSingleton(events: DataFrame, watermarkDelay: String = "1 hour"): DataFrame =
+    events.withWatermark("created_at", watermarkDelay)
+      .dropDuplicates("queue", "singleton_key")
+
+  /** E3: scheduled/delayed jobs — an event is visible only once the batch
+    * time passes `schedule_at` (event.ts:117-120). In streaming form the
+    * cutoff is evaluated per micro-batch. */
+  def visibleAt(events: DataFrame, cutoff: java.sql.Timestamp): DataFrame =
+    events.filter(col("schedule_at").isNull || col("schedule_at") <= lit(cutoff))
+
+  /** E4/E6: consume with a handler; failures route to a dead-letter sink —
+    * `<queue>-dead-letter` (event.ts:60-62). The handler runs per micro-batch
+    * (at-least-once, idempotent handlers required, same as pg-boss). */
+  def withDlq(events: DataFrame, handle: DataFrame => Unit,
+              dlqSink: mutable.Buffer[String]): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try handle(batch)
+        catch {
+          case e: Throwable =>
+            batch.select(col("event_id")).collect()
+              .foreach(r => dlqSink += s"${r.getString(0)}:${e.getMessage}")
+        }
+      }
+
+  /** Windowed event-rate aggregation with watermark — the monitoring
+    * counterpart (A8) in streaming form. */
+  def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",
+                     watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark("created_at", watermarkDelay)
+      .groupBy(window(col("created_at"), windowLength), col("queue"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.{Dedup, Vectors}
+import org.apache.spark.sql.functions._
+
+/** Dedup + vector-search semantics: MinHash recall vs exact Jaccard, SimHash
+  * on identical text, ANN-vs-exact agreement, upsert determinism.
+  */
+class DedupVectorsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("exact dedup groups identical content, keeps min id") {
+    val df = Seq((1L, "x y z"), (2L, "x y z"), (3L, "other text here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.exactDedup(df, "doc_id", "text")
+      .orderBy("keep_id").collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("jaccard pairs: identical docs = 1.0, disjoint docs absent") {
+    val df = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "q r s t u v w x")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
+  test("minhash-LSH finds the high-jaccard pairs that exact jaccard finds") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = docs.unionByName(docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" tail marker suffix words here")).as("text")))
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.7)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = if (exact.isEmpty) 1.0
+      else exact.intersect(approx).size.toDouble / exact.size
+    assert(exact.nonEmpty, "fixture should produce high-jaccard pairs")
+    assert(recall >= 0.9, s"minhash recall $recall too low (exact=${exact.size})")
+  }
+
+  test("simhash: identical text → hamming 0; simhashPairs finds it") {
+    val df = Seq((1L, "the quick brown fox jumps"), (2L, "the quick brown fox jumps"),
+      (3L, "completely different words entirely")).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(df, "doc_id", "text", 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq == Seq((1L, 2L, 0)))
+  }
+
+  test("ANN kNN results are a subset of the exact scan, same ordering") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val exact = Vectors.knn(emb, "vec_id", "embedding", q, "cosine", 200)
+      .select("vec_id", "distance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val ann = Vectors.annKnn(emb, "vec_id", "embedding", 64, q, 10, nPlanes = 4)
+      .select("vec_id", "distance").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(ann.nonEmpty)
+    // every ANN hit carries the same distance the exact scan assigns it
+    ann.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
+    // the query vector itself lands in its own bucket → distance 0 at rank 1
+    assert(ann.head._1 == 0L && ann.head._2 == 0.0)
+  }
+
+  test("upsert is last-wins by priority and deterministic") {
+    val batches = Seq((1L, "v1", 1), (1L, "v2", 2), (2L, "w1", 1))
+      .toDF("key", "value", "priority")
+    val got = Vectors.upsert(batches, "key", "priority")
+      .orderBy("key").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq == Seq((1L, "v2"), (2L, "w1")))
+  }
+
+  test("embedding near-dup: exact copy scores cos_sim 1.0") {
+    val e = Tables.embeddings(spark, sfDir).limit(50)
+    val corpus = e.select($"vec_id", $"embedding")
+      .unionByName(e.filter($"vec_id" === 5)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    val got = Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((5L, 100005L, 1.0)))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.functions.TokenCodec
+import graft.operators.Listing
+import org.apache.spark.sql.functions._
+
+/** Listing semantics against a reference-shaped fixture: delimiter collapse,
+  * folder-row NULL shape, cursors, caps — mirrors the behaviors inventoried
+  * in the reference's acceptance/API_COVERAGE.md (listing continuation /
+  * start-after / delimiter).
+  */
+class ListingSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf("2020-06-01 12:00:00.123")
+  private def objectsDf = Seq(
+    ("b1", "a.txt"), ("b1", "dir/x.txt"), ("b1", "dir/y.txt"),
+    ("b1", "dir/sub/z.txt"), ("b1", "dirx"), ("b1", "e/1"), ("b2", "other")
+  ).map { case (b, n) => (b, n, 100L, ts) }
+    .toDF("bucket_id", "name", "size", "created_at")
+
+  test("delimiter collapse: folders + leaves, byte-ordered") {
+    val got = Listing.listObjectsV2(objectsDf, "b1", "", Some("/"), None, 100)
+      .collect().map(r => (r.getString(0), r.getBoolean(1), r.isNullAt(2)))
+    // folder rows carry trailing '/' and NULL metadata (0027:29-36)
+    assert(got.toSeq == Seq(
+      ("a.txt", false, false), ("dir/", true, true), ("dirx", false, false),
+      ("e/", true, true)))
+  }
+
+  test("prefix scoping + startAfter cursor") {
+    val got = Listing.listObjectsV2(objectsDf, "b1", "dir/", Some("/"), Some("dir/x.txt"), 100)
+      .select("name").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("dir/y.txt"))
+    // 'dir/sub/' folder sorts before the cursor → excluded; before it:
+    val all = Listing.listObjectsV2(objectsDf, "b1", "dir/", Some("/"), None, 100)
+      .select("name").collect().map(_.getString(0))
+    assert(all.toSeq == Seq("dir/sub/", "dir/x.txt", "dir/y.txt"))
+  }
+
+  test("maxKeys caps the page (≤1000) and bucket scoping holds") {
+    assert(Listing.listObjectsV2(objectsDf, "b1", "", Some("/"), None, 2).count() == 2)
+    assert(Listing.listObjectsV2(objectsDf, "b2", "", Some("/"), None, 100)
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("other"))
+  }
+
+  test("no-delimiter flat listing returns leaves only") {
+    val got = Listing.listObjectsV2(objectsDf, "b1", "dir/", None, None, 100)
+      .select("name").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("dir/sub/z.txt", "dir/x.txt", "dir/y.txt"))
+  }
+
+  test("legacy search is case-insensitive and offset-paginated") {
+    val df = Seq(("b1", "Dir/A.txt"), ("b1", "dir/b.txt"), ("b1", "DIR/c.txt"))
+      .map { case (b, n) => (b, n, 1L, ts) }
+      .toDF("bucket_id", "name", "size", "created_at")
+    val got = Listing.searchLegacy(df, "b1", "dir/", 10, 0)
+      .select("name").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("Dir/A.txt", "dir/b.txt", "DIR/c.txt"))
+    assert(Listing.searchLegacy(df, "b1", "dir/", 10, 2).count() == 1)
+  }
+
+  test("continuation token round-trips (O5/F14)") {
+    val c = TokenCodec.Cursor("dir/x.txt", "created_at", "desc", Some("2020-06-01"))
+    assert(TokenCodec.decode(TokenCodec.encode(c)) == c)
+    val (page, next) = TokenCodec.paginate(Seq("a", "b", "c"), 2, (s: String) => s)
+    assert(page == Seq("a", "b") && next.isDefined)
+    assert(TokenCodec.decode(next.get).startAfter == "b")
+    assert(TokenCodec.paginate(Seq("a"), 2, (s: String) => s)._2.isEmpty)
+  }
+
+  test("searchByTimestamp: folders aggregate MIN(created_at)") {
+    val df = Seq(
+      ("b1", "d/1", java.sql.Timestamp.valueOf("2020-01-02 00:00:00")),
+      ("b1", "d/2", java.sql.Timestamp.valueOf("2020-01-01 00:00:00")),
+      ("b1", "leaf", java.sql.Timestamp.valueOf("2020-01-03 00:00:00"))
+    ).map { case (b, n, t) => (b, n, 1L, t) }
+      .toDF("bucket_id", "name", "size", "created_at")
+    val got = Listing.searchByTimestamp(df, "b1", "", None, 10)
+      .collect().map(r => (r.getString(0), r.getTimestamp(2).toString))
+    assert(got.toSeq == Seq(
+      ("d/", "2020-01-01 00:00:00.0"), ("leaf", "2020-01-03 00:00:00.0")))
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: schema, per-partition feature extraction, and —
+  * critically for 100 TB — column pruning: metadata-only queries must not
+  * read the binary payload.
+  */
+class MultimodalSpec extends SparkTestBase {
+
+  test("synthetic media has the typed schema and deterministic payloads") {
+    val m = Multimodal.syntheticMedia(spark, sfDir)
+    assert(m.schema.fieldNames.toSeq ==
+      Seq("media_id", "kind", "mime", "width", "height", "duration_ms", "bytes"))
+    val kinds = m.select("kind").distinct().collect().map(_.getString(0)).toSet
+    assert(kinds == Set("image", "audio", "video"))
+  }
+
+  test("extractFeatures runs per-partition and is deterministic") {
+    val m = Multimodal.syntheticMedia(spark, sfDir).limit(20)
+    val f1 = Multimodal.extractFeatures(m, 8).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](2)))
+    val f2 = Multimodal.extractFeatures(m.repartition(7), 8).orderBy("media_id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](2)))
+    assert(f1.length == 20 && f1.forall(_._2.length == 8))
+    assert(f1.toSeq == f2.toSeq, "features must not depend on partitioning")
+  }
+
+  test("metadata-only aggregation prunes the binary column from the scan") {
+    val dir = java.nio.file.Files.createTempDirectory("media").toString
+    Multimodal.syntheticMedia(spark, sfDir).write.mode("overwrite").parquet(dir)
+    val stats = Multimodal.mediaStats(spark.read.parquet(dir))
+    val plan = stats.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema"))
+    assert(!plan.contains("bytes"), s"binary column must be pruned:\n$plan")
+    assert(stats.count() == 3)
+  }
+
+  test("frame sampling emits bounded per-media frame indexes") {
+    val got = Multimodal.sampleFrameIndexes(
+      Multimodal.syntheticMedia(spark, sfDir).limit(5), 1000L, 4)
+      .collect().map(_.getSeq[Long](1))
+    assert(got.forall(f => f.nonEmpty && f.length <= 4))
+    assert(got.forall(_.headOption.contains(0L)))
+  }
+}
