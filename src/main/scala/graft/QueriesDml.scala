@@ -1,0 +1,238 @@
+package graft
+
+import graft.functions.Validators
+import graft.operators.{IcebergCatalog, ObjectStore, Rls, S3Response, Scanner}
+import org.apache.spark.sql.functions._
+
+/** DML batch forms (D1–D7), Iceberg catalog (I1–I5), RLS, validators, and S3
+  * response shaping — the remaining SURVEY §2 inventory.
+  */
+object QueriesDml {
+
+  private val objCols =
+    "name, bucket_id, owner_id, size, created_at, updated_at, version, mimetype"
+
+  def queries: Map[String, Q] = Map(
+
+    // D1 upsert: last-wins merge of an update batch over the relation.
+    "d1_upsert_merge" -> Q(
+      fn = (s, dir) => {
+        val existing = Tables.objects(s, dir).filter(col("bucket_id") === "F")
+        val incoming = existing.filter(col("size") > 90000)
+          .withColumn("size", col("size") + 1)
+          .withColumn("version", lit("v2"))
+        ObjectStore.upsert(existing, incoming)
+          .select(col("name"), col("size"), col("version"))
+          .orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        s""", existing AS (SELECT * FROM objects WHERE bucket_id = 'F'),
+           |incoming AS (SELECT name, bucket_id, owner_id, size + 1 AS size,
+           |  created_at, updated_at, 'v2' AS version, mimetype
+           |  FROM existing WHERE size > 90000),
+           |merged AS (SELECT *, row_number() OVER (PARTITION BY bucket_id, name
+           |    ORDER BY _prio DESC) AS rn
+           |  FROM (SELECT $objCols, 0 AS _prio FROM existing
+           |        UNION ALL SELECT $objCols, 1 AS _prio FROM incoming) u)
+           |SELECT name, size, version FROM merged WHERE rn = 1 ORDER BY name""".stripMargin)),
+      doc = "D1 ON CONFLICT DO UPDATE as batch merge (pg.ts:905-961)"),
+
+    // D2 duplicate check: the conflicting keys an insert batch would hit.
+    "d2_create_conflicts" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val objects = Tables.objects(s, dir)
+        val incoming = objects.filter(col("size").between(10000, 10300))
+          .select(col("bucket_id"), col("name"))
+          .unionByName(Seq(("F", "zzz/brand-new.dat")).toDF("bucket_id", "name"))
+        ObjectStore.createConflicts(objects, incoming).orderBy(col("bucket_id"), col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, incoming AS (
+          |  SELECT bucket_id, name FROM objects WHERE size BETWEEN 10000 AND 10300
+          |  UNION ALL SELECT 'F', 'zzz/brand-new.dat')
+          |SELECT bucket_id, name FROM incoming
+          |WHERE EXISTS (SELECT 1 FROM objects o WHERE o.bucket_id = incoming.bucket_id
+          |              AND o.name = incoming.name)
+          |ORDER BY bucket_id, name""".stripMargin)),
+      doc = "D2 KeyAlreadyExists duplicate probe (pg.ts:1004-1040)"),
+
+    // D4 delete with RETURNING: the deleted set.
+    "d4_delete_returning" -> Q(
+      fn = (s, dir) => {
+        val (_, deleted) = ObjectStore.deleteWhere(Tables.objects(s, dir),
+          col("bucket_id") === "O" &&
+            col("created_at") < to_timestamp(lit("1995-06-01 00:00:00")))
+        deleted.select(col("name"), col("size")).orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, size FROM objects
+          |WHERE bucket_id = 'O' AND created_at < TIMESTAMP '1995-06-01'
+          |ORDER BY name""".stripMargin)),
+      doc = "D4 DELETE ... RETURNING (pg.ts:1042-1117)"),
+
+    // D6 bulk move: prefix rename + re-sort (rename map over the relation).
+    "d6_bulk_move" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .filter(col("bucket_id") === "F")
+        .withColumn("name", when(col("name").startsWith("R/9"),
+          concat(lit("archive/"), col("name"))).otherwise(col("name")))
+        .select(col("name"), col("size"))
+        .orderBy(col("name")).limit(500),
+      oracle = Some(Oracle.withObjects(
+        """SELECT CASE WHEN name LIKE 'R/9%' THEN concat('archive/', name)
+          |  ELSE name END AS name, size
+          |FROM objects WHERE bucket_id = 'F'
+          |ORDER BY name LIMIT 500""".stripMargin)),
+      doc = "D6 moveObject batch form (object.ts:461-608)"),
+
+    // D7 delete-all-before cutoff, summarized as the reclaimed totals.
+    "d7_delete_all_before" -> Q(
+      fn = (s, dir) => {
+        val (_, deleted) = ObjectStore.deleteAllBefore(Tables.objects(s, dir), "F",
+          to_timestamp(lit("1995-03-01 00:00:00")))
+        deleted.agg(count(lit(1)).as("n_deleted"), sum(col("size")).as("bytes_reclaimed"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT count(*) AS n_deleted, CAST(sum(size) AS BIGINT) AS bytes_reclaimed
+          |FROM objects WHERE bucket_id = 'F' AND created_at < TIMESTAMP '1995-03-01'""".stripMargin)),
+      doc = "D7 emptyBucket/delete-all-before (storage.ts:326-343)"),
+
+    // J6 composite-key lookup join.
+    "j6_composite_lookup" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val kv = objects.filter(col("size").between(20000, 20100))
+          .select(col("name").as("key"), col("version").as("v"))
+        Scanner.findObjectVersions(objects, kv)
+          .select(col("name"), col("version"), col("size")).orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, version, size FROM objects
+          |WHERE EXISTS (SELECT 1 FROM objects o2
+          |  WHERE o2.size BETWEEN 20000 AND 20100
+          |  AND o2.name = objects.name AND o2.version = objects.version)
+          |ORDER BY name""".stripMargin)),
+      doc = "J6 (name, version) tuple-list lookup (pg.ts:1229-1253)"),
+
+    // I3 list tables in a namespace (keyset).
+    "i3_list_tables" -> Q(
+      fn = (s, dir) =>
+        IcebergCatalog.listTables(IcebergCatalog.tables(s, dir), "5", None, 100),
+      oracle = Some(
+        """WITH tables AS (SELECT concat('tbl-', s_suppkey) AS id,
+          |  CAST(s_nationkey AS VARCHAR) AS namespace_id,
+          |  lower(replace(s_name, '#', '_')) AS name,
+          |  concat('s3://warehouse/', s_nationkey, '/', s_suppkey, '/metadata.json') AS location
+          |  FROM supplier)
+          |SELECT id, namespace_id, name, location FROM tables
+          |WHERE namespace_id = '5' ORDER BY name LIMIT 100""".stripMargin),
+      doc = "I3 catalog listing (tenant-catalog.ts:287-326)"),
+
+    // I2 per-bucket quota usage.
+    "i2_quota_usage" -> Q(
+      fn = (s, dir) => IcebergCatalog.quotaUsage(
+        IcebergCatalog.namespaces(s, dir), IcebergCatalog.tables(s, dir))
+        .orderBy(col("bucket_id")),
+      oracle = Some(
+        """WITH namespaces AS (SELECT CAST(n_nationkey AS VARCHAR) AS id,
+          |  concat('bkt-', n_regionkey) AS bucket_id,
+          |  lower(replace(n_name, ' ', '_')) AS name FROM nation),
+          |tables AS (SELECT concat('tbl-', s_suppkey) AS id,
+          |  CAST(s_nationkey AS VARCHAR) AS namespace_id FROM supplier),
+          |ns AS (SELECT bucket_id, count(*) AS n_namespaces FROM namespaces GROUP BY 1),
+          |tb AS (SELECT n.bucket_id, count(*) AS n_tables FROM tables t
+          |       JOIN namespaces n ON t.namespace_id = n.id GROUP BY 1)
+          |SELECT COALESCE(ns.bucket_id, tb.bucket_id) AS bucket_id, n_namespaces, n_tables
+          |FROM ns FULL OUTER JOIN tb ON ns.bucket_id = tb.bucket_id
+          |ORDER BY bucket_id""".stripMargin),
+      doc = "I2 tenant quota counts (multitenant/0019:1-4)"),
+
+    // I5 reconciler diff: desired vs actual catalog state, both directions.
+    "i5_reconciler_diff" -> Q(
+      fn = (s, dir) => {
+        val desired = IcebergCatalog.tables(s, dir).select(col("location"))
+        val actual = IcebergCatalog.tables(s, dir)
+          .filter(expr("CAST(substr(id, 5) AS BIGINT) % 10 != 0"))
+          .select(col("location"))
+          .unionByName(Tables.region(s, dir)
+            .select(concat(lit("s3://warehouse/stale/"), col("r_regionkey")).as("location")))
+        IcebergCatalog.reconcilerDiff(desired, actual).orderBy(col("location"))
+      },
+      oracle = Some(
+        """WITH tables AS (SELECT s_suppkey,
+          |  concat('s3://warehouse/', s_nationkey, '/', s_suppkey, '/metadata.json') AS location
+          |  FROM supplier),
+          |desired AS (SELECT location FROM tables),
+          |actual AS (SELECT location FROM tables WHERE s_suppkey % 10 != 0
+          |  UNION ALL SELECT concat('s3://warehouse/stale/', r_regionkey) FROM region)
+          |SELECT location, 'create' AS action FROM desired
+          |  WHERE location NOT IN (SELECT location FROM actual)
+          |UNION ALL
+          |SELECT location, 'drop' AS action FROM actual
+          |  WHERE location NOT IN (SELECT location FROM desired)
+          |ORDER BY location""".stripMargin),
+      doc = "I5 catalog reconciler (reconciler.ts, J2-pattern diff)"),
+
+    // RLS: authenticated user sees public buckets + own rows.
+    "rls_scoped_listing" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val buckets = Seq(("F", true), ("O", false)).toDF("id", "public")
+        Rls.scopedObjects(Tables.objects(s, dir), buckets,
+          Rls.Context("authenticated", Some("user-7"), "read"))
+          .groupBy(col("bucket_id")).agg(count(lit(1)).as("visible"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, count(*) AS visible FROM objects
+          |WHERE bucket_id = 'F' OR owner_id = 'user-7'
+          |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "RLS parameterized view (pg-connection.ts:65-74, rls_tests.yaml)"),
+
+    // P10 MIME wildcard validation as a bulk predicate.
+    "p10_mime_validation" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .filter(Validators.mimeAllowedCol(col("mimetype"),
+          typedLit(Seq("text/*", "application/json"))))
+        .groupBy(col("mimetype")).agg(count(lit(1)).as("n"))
+        .orderBy(col("mimetype")),
+      oracle = Some(Oracle.withObjects(
+        """SELECT mimetype, count(*) AS n FROM objects
+          |WHERE mimetype LIKE 'text/%' OR mimetype = 'application/json'
+          |GROUP BY mimetype ORDER BY mimetype""".stripMargin)),
+      doc = "P10 allowed_mime_types incl. type/* wildcards (uploader.ts:305-332)"),
+
+    // S3 wire shape: ListBucketResult projection over the delimiter listing.
+    "s3_list_bucket_result" -> Q(
+      fn = (s, dir) => S3Response.listBucketResult(
+        operators.Listing.listObjectsV2(Tables.objects(s, dir), "F", "R/", Some("/"), None, 100)),
+      oracle = Some {
+        val inner = QueriesCore.listV2Sql("F", "R/", 100, None)
+        s"""SELECT CASE WHEN is_folder THEN name END AS common_prefix,
+           |  CASE WHEN NOT is_folder THEN name END AS key,
+           |  CASE WHEN NOT is_folder THEN created_at END AS last_modified,
+           |  CASE WHEN NOT is_folder THEN size END AS content_length,
+           |  CASE WHEN NOT is_folder THEN md5(name) END AS etag
+           |FROM ($inner) t""".stripMargin
+      },
+      doc = "S3 ListBucketResult shaping (s3-handler.ts:204-276)"),
+
+    // ListMultipartUploads (uploads synthesized from orders).
+    "s3_list_uploads" -> Q(
+      fn = (s, dir) => {
+        val uploads = Tables.orders(s, dir).select(
+          concat(lit("O/"), col("o_orderkey"), lit(".bin")).as("key"),
+          concat(lit("upload-"), col("o_orderkey")).as("upload_id"),
+          col("o_orderdate").as("created_at"))
+          .filter(col("key").startsWith("O/1"))
+        S3Response.listUploadsResult(uploads, 200)
+      },
+      oracle = Some(
+        """SELECT concat('O/', o_orderkey, '.bin') AS key,
+          |  concat('upload-', o_orderkey) AS upload_id,
+          |  o_orderdate AS initiated
+          |FROM orders WHERE concat('O/', o_orderkey, '.bin') LIKE 'O/1%'
+          |ORDER BY key, upload_id LIMIT 200""".stripMargin),
+      doc = "ListMultipartUploads shape (s3-handler.ts:290-293)"))
+}

@@ -82,6 +82,7 @@ object Tables {
     li.select(
       keyCol.as("name"),
       col("l_linestatus").as("bucket_id"),
+      concat(lit("user-"), col("l_suppkey") % 50).as("owner_id"),
       floor(col("l_extendedprice")).cast("long").as("size"),
       col("l_shipdate").as("created_at"),
       col("l_shipdate").as("updated_at"),
@@ -139,6 +140,7 @@ object Oracle {
       |  SELECT
       |    $keySql AS name,
       |    l_linestatus AS bucket_id,
+      |    concat('user-', l_suppkey % 50) AS owner_id,
       |    CAST(floor(l_extendedprice) AS BIGINT) AS size,
       |    l_shipdate AS created_at,
       |    l_shipdate AS updated_at,

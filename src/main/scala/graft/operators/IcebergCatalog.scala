@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iceberg REST-catalog state as relations (SURVEY §2.11 I1–I5, reference
+  * src/storage/protocols/iceberg/catalog/tenant-catalog.ts +
+  * migrations/tenant/0038). The engine stores `iceberg_namespaces` /
+  * `iceberg_tables` as plain relations; catalog verbs become listing (O1)
+  * and diff (J2-pattern) queries.
+  */
+object IcebergCatalog {
+
+  /** Synthetic catalog relations from the star schema: nations → namespaces,
+    * (nation, region) pairs → tables, deterministic in both engines. */
+  def namespaces(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.nation(spark, dir).select(
+      col("n_nationkey").cast("string").as("id"),
+      concat(lit("bkt-"), col("n_regionkey")).as("bucket_id"),
+      lower(regexp_replace(col("n_name"), " ", "_")).as("name"))
+
+  def tables(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.supplier(spark, dir).select(
+      concat(lit("tbl-"), col("s_suppkey")).as("id"),
+      col("s_nationkey").cast("string").as("namespace_id"),
+      lower(regexp_replace(col("s_name"), "#", "_")).as("name"),
+      concat(lit("s3://warehouse/"), col("s_nationkey"), lit("/"), col("s_suppkey"),
+        lit("/metadata.json")).as("location"))
+
+  /** I3 listTables: keyset-paginated listing within a namespace
+    * (tenant-catalog.ts:287-326). */
+  def listTables(tables: DataFrame, namespaceId: String,
+                 after: Option[String] = None, pageSize: Int = 100): DataFrame =
+    tables.filter(col("namespace_id") === namespaceId)
+      .filter(after.map(col("name") > _).getOrElse(lit(true)))
+      .orderBy(col("name")).limit(pageSize)
+
+  /** I2 quota check: per-tenant namespace/table counts vs limits
+    * (multitenant/0019:1-4 — defaults 10 namespaces, 10 tables). */
+  def quotaUsage(namespaces: DataFrame, tables: DataFrame): DataFrame =
+    namespaces.groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_namespaces"))
+      .join(
+        tables.join(namespaces.select(col("id").as("namespace_id"), col("bucket_id")),
+          Seq("namespace_id"))
+          .groupBy(col("bucket_id")).agg(count(lit(1)).as("n_tables")),
+        Seq("bucket_id"), "full_outer")
+
+  /** I5 reconciler: diff desired vs actual remote-catalog state
+    * (catalog/reconciler.ts) — both directions, J2/J3 anti-join pattern. */
+  def reconcilerDiff(desired: DataFrame, actual: DataFrame): DataFrame = {
+    val missing = desired.join(actual, Seq("location"), "left_anti")
+      .select(col("location"), lit("create").as("action"))
+    val orphaned = actual.join(desired, Seq("location"), "left_anti")
+      .select(col("location"), lit("drop").as("action"))
+    missing.unionByName(orphaned)
+  }
+}

@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DML operators in deterministic batch form (SURVEY §2.12 D1–D7, reference
+  * src/storage/database/pg.ts:905-1168 + src/storage/object.ts).
+  *
+  * The reference mutates Postgres rows under advisory locks; the batch engine
+  * expresses each mutation as a pure relation rewrite — order-insensitive
+  * (explicit priority ordering, SURVEY §7 hard-part 4), so re-running a job
+  * is idempotent and merges parallelize as one shuffle on the merge key.
+  */
+object ObjectStore {
+
+  private val mergeKey = Seq("bucket_id", "name")
+
+  /** D1 upsertObject: `INSERT ... ON CONFLICT (name, bucket_id) DO UPDATE`
+    * (pg.ts:905-961) — last-wins merge of `incoming` over `existing` by the
+    * merge key. */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val all = existing.withColumn("_prio", lit(0))
+      .unionByName(incoming.withColumn("_prio", lit(1)))
+    val w = Window.partitionBy(mergeKey.map(col): _*).orderBy(col("_prio").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn", "_prio")
+  }
+
+  /** D2 createObject: plain insert; duplicates raise KeyAlreadyExists
+    * (pg.ts:1004-1040). Batch form returns the conflicting keys so the caller
+    * can assert emptiness (the anti-join is the duplicate check). */
+  def createConflicts(existing: DataFrame, incoming: DataFrame): DataFrame =
+    incoming.join(existing, mergeKey, "left_semi")
+
+  /** D3 updateObject / NoSuchKey: conditional rewrite of matching rows; the
+    * match count is the RETURNING cardinality (pg.ts:963-1002). */
+  def updateWhere(objects: DataFrame, predicate: Column,
+                  set: Map[String, Column]): DataFrame =
+    set.foldLeft(objects) { case (df, (c, v)) =>
+      df.withColumn(c, when(predicate, v).otherwise(col(c)))
+    }
+
+  /** D4 delete with RETURNING (pg.ts:1042-1117): returns (survivors, deleted)
+    * — the deleted set is what the reference's RETURNING clause yields. */
+  def deleteWhere(objects: DataFrame, predicate: Column): (DataFrame, DataFrame) =
+    (objects.filter(!predicate), objects.filter(predicate))
+
+  /** D5 copyObject (object.ts:301-459): re-key a source row to `destName`
+    * with a fresh version; `preserveUnspecifiedFileMetadata` keeps the
+    * destination's user metadata when the copy doesn't specify one. */
+  def copyObject(objects: DataFrame, bucket: String, srcName: String,
+                 destName: String, newVersion: String): DataFrame = {
+    val copied = objects
+      .filter(col("bucket_id") === bucket && col("name") === srcName)
+      .withColumn("name", lit(destName))
+      .withColumn("version", lit(newVersion))
+    upsert(objects, copied)
+  }
+
+  /** D6 moveObject = copy + delete source in one rewrite (object.ts:461-608). */
+  def moveObject(objects: DataFrame, bucket: String, srcName: String,
+                 destName: String, newVersion: String): DataFrame =
+    copyObject(objects, bucket, srcName, destName, newVersion)
+      .filter(!(col("bucket_id") === bucket && col("name") === srcName))
+
+  /** D7 emptyBucket / delete-all-before: cutoff delete (storage.ts:326-343,
+    * object-admin-delete-all-before.ts:21). The reference batches ≤500 rows
+    * per delete because each is a Postgres transaction; one partitioned batch
+    * job replaces the loop. */
+  def deleteAllBefore(objects: DataFrame, bucket: String,
+                      before: Column): (DataFrame, DataFrame) =
+    deleteWhere(objects, col("bucket_id") === bucket && col("created_at") < before)
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.functions.Validators
+import graft.operators.{ObjectStore, Rls}
+import org.apache.spark.sql.functions._
+
+/** DML batch semantics (D1–D7), RLS policy matrix, validators, range math. */
+class ObjectStoreSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val ts = java.sql.Timestamp.valueOf("2020-01-01 00:00:00")
+  private def objs = Seq(
+    ("b1", "a", "user-1", 10L, ts, "v1"),
+    ("b1", "b", "user-2", 20L, ts, "v1"),
+    ("b2", "a", "user-1", 30L, ts, "v1")
+  ).toDF("bucket_id", "name", "owner_id", "size", "created_at", "version")
+
+  test("D1 upsert: incoming wins on (bucket, name); others untouched") {
+    val incoming = Seq(("b1", "a", "user-9", 99L, ts, "v2"),
+      ("b1", "new", "user-9", 5L, ts, "v1"))
+      .toDF("bucket_id", "name", "owner_id", "size", "created_at", "version")
+    val got = ObjectStore.upsert(objs, incoming)
+      .orderBy("bucket_id", "name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3), r.getString(5)))
+    assert(got.toSeq == Seq(("b1", "a", 99L, "v2"), ("b1", "b", 20L, "v1"),
+      ("b1", "new", 5L, "v1"), ("b2", "a", 30L, "v1")))
+    // idempotent: re-applying the same batch changes nothing
+    val twice = ObjectStore.upsert(ObjectStore.upsert(objs, incoming), incoming)
+    assert(twice.count() == 4)
+  }
+
+  test("D2 createConflicts flags only existing (bucket, name) pairs") {
+    val incoming = Seq(("b1", "a"), ("b1", "zzz")).toDF("bucket_id", "name")
+    val got = ObjectStore.createConflicts(objs, incoming)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(("b1", "a")))
+  }
+
+  test("D3 updateWhere rewrites only matching rows") {
+    val got = ObjectStore.updateWhere(objs, col("name") === "a",
+      Map("version" -> lit("v9"), "size" -> lit(0L)))
+      .orderBy("bucket_id", "name")
+      .collect().map(r => (r.getString(1), r.getLong(3), r.getString(5)))
+    assert(got.toSeq == Seq(("a", 0L, "v9"), ("b", 20L, "v1"), ("a", 0L, "v9")))
+  }
+
+  test("D4/D6/D7: delete returning, move, cutoff delete") {
+    val (survivors, deleted) = ObjectStore.deleteWhere(objs, col("bucket_id") === "b2")
+    assert(survivors.count() == 2 && deleted.count() == 1)
+    val moved = ObjectStore.moveObject(objs, "b1", "a", "moved/a", "v2")
+    val names = moved.filter(col("bucket_id") === "b1")
+      .select("name").collect().map(_.getString(0)).toSet
+    assert(names == Set("moved/a", "b"))
+    val (_, cut) = ObjectStore.deleteAllBefore(objs, "b1",
+      to_timestamp(lit("2021-01-01 00:00:00")))
+    assert(cut.count() == 2)
+  }
+
+  test("RLS policy matrix: service_role / authenticated / anon") {
+    val buckets = Seq(("b1", true), ("b2", false)).toDF("id", "public")
+    def visible(ctx: Rls.Context): Set[String] =
+      Rls.scopedObjects(objs, buckets, ctx)
+        .select(concat_ws(":", col("bucket_id"), col("name")))
+        .collect().map(_.getString(0)).toSet
+    assert(visible(Rls.Context("service_role", None, "read")) ==
+      Set("b1:a", "b1:b", "b2:a"))
+    assert(visible(Rls.Context("authenticated", Some("user-1"), "read")) ==
+      Set("b1:a", "b1:b", "b2:a")) // public b1 + own row in b2
+    assert(visible(Rls.Context("authenticated", Some("user-2"), "read")) ==
+      Set("b1:a", "b1:b")) // public b1 only (owns nothing in b2)
+    assert(visible(Rls.Context("anon", None, "read")) == Set("b1:a", "b1:b"))
+    assert(visible(Rls.Context("anon", None, "write")).isEmpty)
+  }
+
+  test("P9/P10 validators") {
+    assert(Validators.isValidKey("folder/file.txt"))
+    assert(!Validators.isValidKey(".."))
+    assert(!Validators.isValidKey("/leading"))
+    assert(!Validators.isValidKey("a//b"))
+    assert(!Validators.isValidKey("bad\u0001key"))
+    assert(!Validators.isValidKey("x" * 1025))
+    assert(Validators.isValidBucketName("my-bucket.v2"))
+    assert(!Validators.isValidBucketName("x" * 101))
+    assert(Validators.mimeAllowed("image/png", Seq("image/*")))
+    assert(Validators.mimeAllowed("text/plain", Seq("text/plain")))
+    assert(!Validators.mimeAllowed("video/mp4", Seq("image/*", "text/plain")))
+    assert(Validators.mimeAllowed("anything/else", Nil))
+  }
+
+  test("S4 range math (range.ts:9-56)") {
+    assert(Validators.parseRangeHeader("bytes=0-99", 1000).contains((0L, 99L)))
+    assert(Validators.parseRangeHeader("bytes=500-", 1000).contains((500L, 999L)))
+    assert(Validators.parseRangeHeader("bytes=-100", 1000).contains((900L, 999L)))
+    assert(Validators.parseRangeHeader("bytes=0-5000", 1000).contains((0L, 999L)))
+    assert(Validators.parseRangeHeader("bytes=2000-", 1000).isEmpty)
+    assert(Validators.parseRangeHeader("bytes=5-2", 1000).isEmpty)
+    assert(Validators.parseRangeHeader("bytes=-0", 1000).isEmpty)
+    assert(Validators.parseRangeHeader("garbage", 1000).isEmpty)
+  }
+}
