@@ -49,13 +49,12 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k hash functions h_i(s) = xxhash64(salt_i || s),
-    * signature[i] = min over shingles. One pass, no shuffle. */
-  def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column = {
-    val sh = shingles(text, n)
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      salt => array_min(transform(sh, s => xxhash64(salt, s))))
-  }
+  /** MinHash signature: k hash functions h_i(s) = xxh64(xxh64(s), i),
+    * signature[i] = min over shingles. One codegen'd pass per row
+    * ([[graft.functions.MinHashSig]]) — the HOF formulation re-shingled and
+    * re-string-hashed k× per row after lambda inlining. */
+  def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column =
+    graft.functions.VectorExprs.minhashSig(shingles(text, n), numHashes)
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `rows` rows; docs sharing any band bucket become candidates; candidates
@@ -89,18 +88,10 @@ object Dedup {
   }
 
   /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign of
-    * Σ_words (bit j of xxhash64(word) ? +1 : -1). */
-  def simhash(text: Column): Column = {
-    val w = words(text)
-    val hashes = transform(w, x => xxhash64(x))
-    // shift distances must be Scala literals (shiftright takes Int), so the
-    // 64 bit-sums unroll at plan-build time — still one pass over the data
-    (0 until 64).map { j =>
-      val bitSum = aggregate(hashes, lit(0), (acc, h) =>
-        acc + when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(bitSum > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_.bitwiseOR(_))
-  }
+    * Σ_words (bit j of xxh64(word) ? +1 : -1). One codegen'd pass per row
+    * ([[graft.functions.SimHash64]]). */
+  def simhash(text: Column): Column =
+    graft.functions.VectorExprs.simhash64(words(text))
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates bucketed
     * by the high 16 bits (docs differing there are far anyway for small
@@ -126,14 +117,15 @@ object Dedup {
     val base =
       if (lshPlanes > 0) Vectors.lshBuckets(df, embCol, dim, lshPlanes)
       else df.withColumn("lsh_bucket", lit(0L))
-    val v = base.select(col(idCol).as("id"), col("lsh_bucket"),
-      transform(col(embCol), _.cast("double")).as("emb"))
+    // norms are per-ROW (computed once below the join), so each of the O(n²/b)
+    // candidate pairs costs exactly one codegen'd dot product
+    val v = base.select(col(idCol).as("id"), col("lsh_bucket"), col(embCol).as("emb"))
+      .withColumn("nrm", sqrt(Vectors.norm2(col("emb"))))
     val a = v.as("a")
     val b = v.as("b")
     a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
       .withColumn("cos_sim", round(
-        Vectors.dot(col("a.emb"), col("b.emb")) /
-          (sqrt(Vectors.norm2(col("a.emb"))) * sqrt(Vectors.norm2(col("b.emb")))), 6))
+        Vectors.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos_sim") >= simThreshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
   }

@@ -13,19 +13,16 @@ import org.apache.spark.sql.functions._
   * batch scale. The scale path is [[lshBuckets]]: hyperplane-LSH pre-bucketing
   * so a 100 TB corpus only scans matching buckets.
   *
-  * Distance math stays in whole-stage codegen: `zip_with` + `aggregate`
-  * higher-order functions over `ArrayType(Float)` cast to double.
+  * Distance math is a codegen'd Catalyst expression
+  * ([[graft.functions.VecDot]]/[[graft.functions.VecL2Sq]]) — numerically
+  * identical to the `zip_with`+`aggregate` left-fold it replaces, but inside
+  * whole-stage codegen instead of interpreted HOF fallback.
   */
 object Vectors {
 
-  /** Sequential left-fold sum of an array<double> column. */
-  private def fold(arr: Column): Column =
-    aggregate(arr, lit(0.0), (acc, x) => acc + x)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.vecDot(a, b)
 
-  def dot(a: Column, b: Column): Column =
-    fold(zip_with(a, b, (x, y) => x * y))
-
-  def norm2(a: Column): Column = fold(zip_with(a, a, (x, y) => x * y))
+  def norm2(a: Column): Column = graft.functions.VectorExprs.vecDot(a, a)
 
   /** Cosine distance `1 - <a,q>/(|a||q|)` (pgvector `<=>`, halfvec_cosine_ops,
     * migrations/vector_store/0001-init.sql:34). */
@@ -34,9 +31,7 @@ object Vectors {
 
   /** Euclidean distance (pgvector `<->`, halfvec_l2_ops). */
   def l2Distance(a: Column, q: Column): Column =
-    sqrt(fold(zip_with(a, q, (x, y) => (x - y) * (x - y))))
-
-  private def asDouble(a: Column): Column = transform(a, _.cast("double"))
+    sqrt(graft.functions.VectorExprs.l2Sq(a, q))
 
   /** V3 queryVectors: exact kNN — distance + TakeOrderedAndProject (a
     * distributed top-k heap, no global sort materializes). `distance` is
@@ -46,7 +41,7 @@ object Vectors {
   def knn(vectors: DataFrame, keyCol: String, embCol: String,
           query: Seq[Double], metric: String = "cosine", topK: Int = 10): DataFrame = {
     val q = typedLit(query)
-    val emb = asDouble(col(embCol))
+    val emb = col(embCol)
     val dist = metric match {
       case "euclidean" => l2Distance(emb, q)
       case _ => cosineDistance(emb, q)
@@ -67,7 +62,7 @@ object Vectors {
                  nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val emb = asDouble(col(embCol))
+    val emb = col(embCol)
     val bucket = planes.zipWithIndex.map { case (p, i) =>
       when(dot(emb, typedLit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
