@@ -1,0 +1,192 @@
+package graft
+
+import graft.functions.PathFns
+import graft.operators.{Multimodal, ObjectStore}
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 inventory: J4 child-existence semi-join, A2 counts,
+  * D3 conditional update, D5 batch copy, I1 soft-delete registry, V1/V7
+  * vector-index registry, and the multimodal pipeline as first-class queries.
+  */
+object QueriesExtra {
+
+  def queries: Map[String, Q] = Map(
+
+    // J4 semi-join existence: which candidate prefixes have ≥1 child below
+    // them. The reference probes EXISTS ... LIKE 'p/%' per prefix row
+    // (0026:81-104); the batch form derives every object's ancestor set once
+    // (F6) and turns the probe into an equality join — no LIKE scan per
+    // candidate, shuffles on an 8-byte-ish prefix key, scales to any depth.
+    "j4_child_exists" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir).filter(col("bucket_id") === "F")
+        val parents = objects
+          .filter(size(split(col("name"), "/")) === 3)
+          .select(regexp_replace(col("name"), "/[^/]+$", "").as("prefix")).distinct()
+        val candidates = parents.unionByName(
+          parents.select(concat(col("prefix"), lit("x")).as("prefix")))
+        val ancestors = objects
+          .select(explode(PathFns.getPrefixes(col("name"))).as("prefix")).distinct()
+          .withColumn("has_children", lit(true))
+        candidates.join(ancestors, Seq("prefix"), "left")
+          .select(col("prefix"),
+            coalesce(col("has_children"), lit(false)).as("has_children"))
+          .orderBy(col("prefix"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, f AS (SELECT name FROM objects WHERE bucket_id = 'F'),
+          |parents AS (SELECT DISTINCT regexp_replace(name, '/[^/]+$', '') AS prefix
+          |            FROM f WHERE len(string_split(name, '/')) = 3),
+          |cands AS (SELECT prefix FROM parents
+          |          UNION ALL SELECT prefix || 'x' FROM parents)
+          |SELECT c.prefix,
+          |       EXISTS (SELECT 1 FROM f o WHERE o.name LIKE c.prefix || '/%')
+          |         AS has_children
+          |FROM cands c ORDER BY prefix""".stripMargin)),
+      doc = "J4 child-existence probe as ancestor-set equality join (0026:81-104)"),
+
+    // A2 count objects in bucket (pg.ts:498-535).
+    "a2_count_objects" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .groupBy(col("bucket_id")).agg(count(lit(1)).as("n"))
+        .orderBy(col("bucket_id")),
+      oracle = Some(Oracle.withObjects(
+        "SELECT bucket_id, count(*) AS n FROM objects GROUP BY bucket_id ORDER BY bucket_id")),
+      doc = "A2 COUNT(*) per bucket (pg.ts:498-535)"),
+
+    // D3 conditional update: rewrite matching rows, count by the new values.
+    "d3_update_metadata" -> Q(
+      fn = (s, dir) => {
+        val updated = ObjectStore.updateWhere(Tables.objects(s, dir),
+          col("bucket_id") === "F" && col("mimetype") === "text/plain",
+          Map("mimetype" -> lit("text/markdown")))
+        updated.groupBy(col("bucket_id"), col("mimetype"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("bucket_id"), col("mimetype"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id,
+          |  CASE WHEN bucket_id = 'F' AND mimetype = 'text/plain'
+          |       THEN 'text/markdown' ELSE mimetype END AS mimetype,
+          |  count(*) AS n
+          |FROM objects GROUP BY 1, 2 ORDER BY bucket_id, mimetype""".stripMargin)),
+      doc = "D3 UPDATE ... RETURNING as conditional rewrite (pg.ts:963-1002)"),
+
+    // D5 batch copy: re-key a source set under copy/, fresh version, merge.
+    "d5_copy_batch" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir).filter(col("bucket_id") === "F")
+        val copied = objects.filter(col("name").startsWith("R/9"))
+          .withColumn("name", concat(lit("copy/"), col("name")))
+          .withColumn("version", lit("v-copy"))
+        ObjectStore.upsert(objects, copied)
+          .filter(col("name").startsWith("copy/") || col("name").startsWith("R/9"))
+          .select(col("name"), col("version"), col("size"))
+          .orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, f AS (SELECT * FROM objects WHERE bucket_id = 'F'),
+          |copies AS (SELECT concat('copy/', name) AS name, 'v-copy' AS version, size
+          |           FROM f WHERE name LIKE 'R/9%'),
+          |all_rows AS (SELECT name, version, size FROM f
+          |             UNION ALL SELECT name, version, size FROM copies)
+          |SELECT name, version, size FROM all_rows
+          |WHERE name LIKE 'copy/%' OR name LIKE 'R/9%'
+          |ORDER BY name""".stripMargin)),
+      doc = "D5 copyObject batch form, new version at destination (object.ts:301-459)"),
+
+    // I1/I4 analytics-bucket registry with soft delete (deleted_at).
+    "i1_analytics_buckets" -> Q(
+      fn = (s, dir) => Tables.nation(s, dir)
+        .select(concat(lit("bkt-"), col("n_nationkey")).as("id"),
+          lower(regexp_replace(col("n_name"), " ", "_")).as("name"),
+          when(col("n_nationkey") % 3 === 0,
+            to_timestamp(lit("2026-01-01 00:00:00"))).as("deleted_at"))
+        .filter(col("deleted_at").isNull)
+        .select(col("id"), col("name"))
+        .orderBy(col("id")),
+      oracle = Some(
+        """SELECT concat('bkt-', n_nationkey) AS id,
+          |  lower(replace(n_name, ' ', '_')) AS name
+          |FROM nation WHERE n_nationkey % 3 != 0
+          |ORDER BY id""".stripMargin),
+      doc = "I1/I4 soft-deleted ANALYTICS bucket registry (0038:18, storage.ts:159-198)"),
+
+    // V1/V7 vector-index registry + distance-metric resolution (broadcast
+    // lookup instead of the reference's pg_opclass introspection join).
+    "v7_metric_resolution" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val indexes = Tables.nation(s, dir).select(
+          concat(lit("idx-"), col("n_nationkey")).as("name"),
+          (lit(64) + (col("n_nationkey") % 4) * 64).cast("int").as("dimension"),
+          when(col("n_nationkey") % 2 === 0, "cosine").otherwise("euclidean")
+            .as("distance_metric"))
+        val opclasses = Seq(
+          ("cosine", "halfvec_cosine_ops"), ("euclidean", "halfvec_l2_ops"))
+          .toDF("distance_metric", "opclass")
+        indexes.join(broadcast(opclasses), Seq("distance_metric"))
+          .select(col("name"), col("dimension"), col("distance_metric"), col("opclass"))
+          .orderBy(col("name"))
+      },
+      oracle = Some(
+        """SELECT concat('idx-', n_nationkey) AS name,
+          |  CAST(64 + (n_nationkey % 4) * 64 AS INT) AS dimension,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN 'cosine' ELSE 'euclidean' END
+          |    AS distance_metric,
+          |  CASE WHEN n_nationkey % 2 = 0 THEN 'halfvec_cosine_ops'
+          |       ELSE 'halfvec_l2_ops' END AS opclass
+          |FROM nation ORDER BY name""".stripMargin),
+      doc = "V1/V7 index registry + opclass↔metric map (pgvector/index.ts:325-336,894-918)"),
+
+    // Multimodal: metadata-only aggregation — Catalyst prunes the binary
+    // column from the scan (verified in MultimodalSpec via ReadSchema).
+    "mm_media_stats" -> Q(
+      fn = (s, dir) => Multimodal.mediaStats(Multimodal.syntheticMedia(s, dir))
+        .orderBy(col("kind")),
+      oracle = Some(
+        """WITH media AS (SELECT
+          |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    CAST(doc_id % 1920 + 1 AS INT) AS width,
+          |    n_chars * 10 AS duration_ms
+          |  FROM documents)
+          |SELECT kind, count(*) AS n, max(width) AS max_width,
+          |  CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms
+          |FROM media GROUP BY kind ORDER BY kind""".stripMargin),
+      doc = "Multimodal metadata-first stats; binary column pruned from scan"),
+
+    // Multimodal: frame-sampling plumbing (bounded per-media frame indexes).
+    "mm_frame_sample" -> Q(
+      fn = (s, dir) => Multimodal
+        .sampleFrameIndexes(Multimodal.syntheticMedia(s, dir))
+        .select(col("media_id"),
+          size(col("frame_ts_ms")).as("n_frames"),
+          element_at(col("frame_ts_ms"), 1).as("first_ts"),
+          element_at(col("frame_ts_ms"), -1).as("last_ts"))
+        .orderBy(col("media_id")),
+      oracle = Some(
+        """WITH media AS (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms
+          |  FROM documents),
+          |f AS (SELECT media_id,
+          |    least(CAST((duration_ms - 1) // 1000 + 1 AS INT), 8) AS n_frames
+          |  FROM media)
+          |SELECT media_id, n_frames,
+          |  CAST(0 AS BIGINT) AS first_ts,
+          |  CAST((n_frames - 1) * 1000 AS BIGINT) AS last_ts
+          |FROM f ORDER BY media_id""".stripMargin),
+      doc = "Multimodal frame sampling (every 1000ms, ≤8 frames)"),
+
+    // Multimodal: per-partition feature extraction (stubbed decode kernel) —
+    // not SQL-expressible, driver records a rows-only check.
+    "mm_extract_features" -> Q(
+      fn = (s, dir) => {
+        val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
+        feats.select(col("media_id"), col("kind"),
+          round(graft.functions.VectorExprs.vecDot(col("features"), col("features")), 4)
+            .as("feat_norm2"))
+          .orderBy(col("media_id"))
+      },
+      oracle = None,
+      doc = "Multimodal decode+extract via mapPartitions (stub kernel, real plumbing)"))
+}

@@ -35,7 +35,12 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
       .withColumn("n_sh", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s"))
+    // join key is the shingle's 64-bit hash, not the string: the self-join
+    // shuffles ~|docs|·|shingles| rows, and 8-byte keys shuffle and compare
+    // far cheaper than shingle text (collision odds at 100 TB shingle
+    // cardinality ~2^40 are ~2^-16 per pair-count — below float-round noise)
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
+      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
     val a = exploded.as("a")
     val b = exploded.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
