@@ -71,26 +71,55 @@ object Tables {
       .otherwise(concat(col("l_returnflag"), lit("/"), col("l_orderkey"),
         lit("/item-"), col("l_linenumber"), lit("-"), uniqCol, lit(".dat")))
 
-  /** The `storage.objects` analog, synthesized from `lineitem`.
+  /** Bump when any synthesized-relation expression changes, so stale
+    * materializations under /tmp are never reused. */
+  private val synthVersion = "v1"
+
+  /** Materialize a synthesized relation once per (relation, sfDir) as parquet
+    * — the storage layout a real deployment would have (the reference's
+    * `storage.objects` is a stored table, not a per-query derivation).
+    * Layout IS the index (SURVEY §4): partitioned by `bucket_id` when the
+    * relation has one (partition pruning replaces the btree's leading column)
+    * and sorted by key within partitions (parquet min/max stats give
+    * row-group skipping on `name` predicates — the covering-index replacement).
+    */
+  private def materialized(spark: SparkSession, dir: String, name: String,
+                           partCol: Option[String], sortCol: String)
+                          (build: => DataFrame): DataFrame = {
+    val safe = dir.replace('/', '_')
+    val out = s"/tmp/graft_tables/$synthVersion/$safe/$name"
+    if (!new java.io.File(s"$out/_SUCCESS").exists()) {
+      val w = partCol match {
+        case Some(p) => build.repartition(col(p)).sortWithinPartitions(col(sortCol))
+          .write.partitionBy(p)
+        case None => build.sortWithinPartitions(col(sortCol)).write
+      }
+      w.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(out)
+  }
+
+  /** The `storage.objects` analog, synthesized from `lineitem` and stored
+    * partitioned by `bucket_id`, name-sorted (see [[materialized]]).
     *
     * Columns mirror FIXTURES.md §B `objects`. `size` uses floor()+cast because
     * Spark's double→bigint cast truncates while DuckDB's rounds — floor() first
     * makes both exact and identical.
     */
-  def objects(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    li.select(
-      keyCol.as("name"),
-      col("l_linestatus").as("bucket_id"),
-      concat(lit("user-"), col("l_suppkey") % 50).as("owner_id"),
-      floor(col("l_extendedprice")).cast("long").as("size"),
-      col("l_shipdate").as("created_at"),
-      col("l_shipdate").as("updated_at"),
-      md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))).as("version"),
-      when(col("l_linenumber") % 3 === 0, lit("image/png"))
-        .when(col("l_linenumber") % 3 === 1, lit("text/plain"))
-        .otherwise(lit("application/json")).as("mimetype"))
-  }
+  def objects(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "objects", Some("bucket_id"), "name") {
+      lineitem(spark, dir).select(
+        keyCol.as("name"),
+        col("l_linestatus").as("bucket_id"),
+        concat(lit("user-"), col("l_suppkey") % 50).as("owner_id"),
+        floor(col("l_extendedprice")).cast("long").as("size"),
+        col("l_shipdate").as("created_at"),
+        col("l_shipdate").as("updated_at"),
+        md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))).as("version"),
+        when(col("l_linenumber") % 3 === 0, lit("image/png"))
+          .when(col("l_linenumber") % 3 === 1, lit("text/plain"))
+          .otherwise(lit("application/json")).as("mimetype"))
+    }
 
   /** S3-side listing snapshot (`storage._s3_remote_keys_<ts>` scratch table,
     * reference src/storage/database/pg.ts:1615-1629): the anti-join partner of
@@ -98,25 +127,25 @@ object Tables {
     * filter so both (S3 ∖ DB) and (DB ∖ S3) are non-empty: S3 has keys for
     * linenumber <= 5, DB query side will use a different subset.
     */
-  def s3Keys(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    li.filter(col("l_linenumber") <= 5)
-      .select(keyCol.as("key"),
-        floor(col("l_extendedprice")).cast("long").as("size"))
-  }
+  def s3Keys(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "s3_keys", None, "key") {
+      lineitem(spark, dir).filter(col("l_linenumber") <= 5)
+        .select(keyCol.as("key"),
+          floor(col("l_extendedprice")).cast("long").as("size"))
+    }
 
   /** `s3_multipart_uploads_parts` analog (FIXTURES.md §B): one part per
     * lineitem row, upload per order. */
-  def multipartParts(spark: SparkSession, dir: String): DataFrame = {
-    val li = lineitem(spark, dir)
-    li.select(
-      uniqCol.as("id"),
-      concat(lit("upload-"), col("l_orderkey")).as("upload_id"),
-      col("l_linenumber").as("part_number"),
-      floor(col("l_extendedprice")).cast("long").as("size"),
-      md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("etag"),
-      col("l_shipdate").as("created_at"))
-  }
+  def multipartParts(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "parts", None, "upload_id") {
+      lineitem(spark, dir).select(
+        uniqCol.as("id"),
+        concat(lit("upload-"), col("l_orderkey")).as("upload_id"),
+        col("l_linenumber").as("part_number"),
+        floor(col("l_extendedprice")).cast("long").as("size"),
+        md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("etag"),
+        col("l_shipdate").as("created_at"))
+    }
 }
 
 /** DuckDB twins of the synthesized relations above. Any query whose oracle SQL

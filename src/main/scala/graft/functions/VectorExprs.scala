@@ -25,9 +25,16 @@ object VectorExprs {
   /** Σ (a(i)−b(i))² as double, sequential (L2 distance squared). */
   def l2Sq(a: Column, b: Column): Column = c(VecL2Sq(e(a), e(b)))
 
-  /** MinHash signature of an array<string> shingle set: k hash functions
-    * h_i(s) = xxh64(xxh64(s, 42), i); one pass over the shingles. */
-  def minhashSig(shingles: Column, k: Int): Column = c(MinHashSig(e(shingles), k))
+  /** Distinct word-n-gram shingle hashes of an array<string> token list:
+    * each window of n word-hashes chain-combines via xxh64; result sorted
+    * distinct. Equality across documents matches string-shingle equality up
+    * to 2^-64-scale collisions. */
+  def shingleHashes(words: Column, n: Int): Column = c(ShingleHashes(e(words), n))
+
+  /** MinHash signature over an array<long> shingle-hash set: k hash functions
+    * h_i(s) = xxh64(s, i); one pass over the hashes. */
+  def minhashSig(shingleHashes: Column, k: Int): Column =
+    c(MinHashSig(e(shingleHashes), k))
 
   /** 64-bit SimHash of an array<string> token list: bit j = sign of
     * Σ_tokens (bit j of xxh64(token, 42) ? +1 : −1); one pass. */
@@ -138,12 +145,12 @@ case class VecL2Sq(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** One-pass MinHash signature. Replaces the k×|shingles| string-rehash (and
-  * k× shingle recomputation after lambda inlining) that the pure-Column
-  * formulation cost: each shingle is string-hashed once, then mixed into the
-  * k slots with the cheap long-hash finalizer. Reference semantics at
-  * SURVEY §2 north-star (MinHash+LSH dedup). */
-case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+/** Distinct shingle hashes from a token array: hash each word once, chain
+  * n-word windows with xxh64, sort + dedup. Replaces the interpreted
+  * slice/array_join/array_distinct string-shingle pipeline — no shingle
+  * strings are ever built. Window semantics mirror [[graft.operators.Dedup
+  * .shingles]]: max(|words|−n+1, 1) windows, the tail windows truncated. */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -152,11 +159,88 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    val w = arr.numElements()
+    val wh = new Array[Long](w)
+    var i = 0
+    while (i < w) { wh(i) = XXH64.hashUTF8String(arr.getUTF8String(i), 42L); i += 1 }
+    val m = math.max(w - n + 1, 1)
+    val out = new Array[Long](math.max(m, 0))
+    i = 0
+    while (i < m) {
+      var h = 42L
+      var j = i
+      val end = math.min(i + n, w)
+      while (j < end) { h = XXH64.hashLong(wh(j), h); j += 1 }
+      out(i) = h
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var uniq = 0
+    i = 0
+    while (i < out.length) {
+      if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      val m = ctx.freshName("m")
+      val h = ctx.freshName("h")
+      val end = ctx.freshName("end")
+      val wh = ctx.freshName("wh")
+      val out = ctx.freshName("out")
+      val uniq = ctx.freshName("uniq")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |int $w = $a.numElements();
+         |long[] $wh = new long[$w];
+         |for (int $i = 0; $i < $w; $i++) {
+         |  $wh[$i] = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |}
+         |int $m = java.lang.Math.max($w - $n + 1, 1);
+         |long[] $out = new long[$m];
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long $h = 42L;
+         |  int $end = java.lang.Math.min($i + $n, $w);
+         |  for (int $j = $i; $j < $end; $j++) {
+         |    $h = $xxh.hashLong($wh[$j], $h);
+         |  }
+         |  $out[$i] = $h;
+         |}
+         |java.util.Arrays.sort($out);
+         |int $uniq = 0;
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($i == 0 || $out[$i] != $out[$i - 1]) { $out[$uniq] = $out[$i]; $uniq++; }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $uniq));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(child = c)
+}
+
+/** One-pass MinHash signature over pre-hashed shingles (SURVEY §2 north-star
+  * MinHash+LSH dedup): sig[i] = min over shingles of xxh64(shingleHash, i). */
+case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"need array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
     val n = arr.numElements()
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val h = arr.getLong(i)
       var j = 0
       while (j < k) {
         val v = XXH64.hashLong(h, j.toLong)
@@ -182,7 +266,7 @@ case class MinHashSig(child: Expression, k: Int) extends UnaryExpression {
          |long[] $sig = new long[$k];
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = $xxh.hashUTF8String($a.getUTF8String($i), 42L);
+         |  long $h = $a.getLong($i);
          |  for (int $j = 0; $j < $k; $j++) {
          |    long $v = $xxh.hashLong($h, (long) $j);
          |    if ($v < $sig[$j]) $sig[$j] = $v;

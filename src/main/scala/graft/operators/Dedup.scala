@@ -33,14 +33,18 @@ object Dedup {
     * the shuffle is bounded by shingle frequency, not n². */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
-      .withColumn("n_sh", size(col("sh")))
-    // join key is the shingle's 64-bit hash, not the string: the self-join
-    // shuffles ~|docs|·|shingles| rows, and 8-byte keys shuffle and compare
-    // far cheaper than shingle text (collision odds at 100 TB shingle
-    // cardinality ~2^40 are ~2^-16 per pair-count — below float-round noise)
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("sh")).as("s0"))
-      .select(col("id"), col("n_sh"), xxhash64(col("s0")).as("s"))
+    // shingles never materialize as strings: ShingleHashes emits the distinct
+    // 64-bit window hashes in one codegen pass, so the self-join shuffles
+    // 8-byte keys (collision odds at 100 TB shingle cardinality ~2^40 are
+    // ~2^-16 per pair-count — below float-round noise)
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
+      .withColumn("n_sh", size(col("hs")))
+    // materialize the exploded shingle set once — the self-join would
+    // otherwise re-run scan+shingle+hash for EACH side (at 100 TB this is a
+    // written signature table; persist is its single-job equivalent)
+    val exploded = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
     val inter = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -54,12 +58,14 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature: k hash functions h_i(s) = xxh64(xxh64(s), i),
-    * signature[i] = min over shingles. One codegen'd pass per row
-    * ([[graft.functions.MinHashSig]]) — the HOF formulation re-shingled and
-    * re-string-hashed k× per row after lambda inlining. */
+  /** MinHash signature: k hash functions h_i(s) = xxh64(shingleHash(s), i),
+    * signature[i] = min over shingles. Two codegen'd passes per row
+    * ([[graft.functions.ShingleHashes]] → [[graft.functions.MinHashSig]]) —
+    * the HOF formulation re-shingled and re-string-hashed k× per row after
+    * lambda inlining. */
   def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column =
-    graft.functions.VectorExprs.minhashSig(shingles(text, n), numHashes)
+    graft.functions.VectorExprs.minhashSig(
+      graft.functions.VectorExprs.shingleHashes(words(text), n), numHashes)
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `rows` rows; docs sharing any band bucket become candidates; candidates
@@ -72,12 +78,16 @@ object Dedup {
     val numHashes = bands * rows
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes).as("sig"))
+    // materialize banded signatures once — the self-join would otherwise
+    // recompute shingling+MinHash for each side (at 100 TB this is a written
+    // signature table; persist is its single-job equivalent)
     val banded = sig.select(col("id"), col("sig"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
             _.cast("string")), ",")).as("bucket")))).as("bb"))
       .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&

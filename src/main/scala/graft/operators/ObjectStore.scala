@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** DML operators in deterministic batch form (SURVEY §2.12 D1–D7, reference
@@ -18,14 +17,14 @@ object ObjectStore {
 
   /** D1 upsertObject: `INSERT ... ON CONFLICT (name, bucket_id) DO UPDATE`
     * (pg.ts:905-961) — last-wins merge of `incoming` over `existing` by the
-    * merge key. */
-  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame = {
-    val all = existing.withColumn("_prio", lit(0))
-      .unionByName(incoming.withColumn("_prio", lit(1)))
-    val w = Window.partitionBy(mergeKey.map(col): _*).orderBy(col("_prio").desc)
-    all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn", "_prio")
-  }
+    * merge key (incoming rows are key-unique, as the reference's upserts are).
+    *
+    * Shaped as anti-join + union, NOT a window over the full relation: the
+    * upsert batch is always small relative to the relation, so AQE plans a
+    * broadcast anti-join and the 100 TB side is never shuffled or sorted. */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame =
+    existing.join(incoming.select(mergeKey.map(col): _*), mergeKey, "left_anti")
+      .unionByName(incoming)
 
   /** D2 createObject: plain insert; duplicates raise KeyAlreadyExists
     * (pg.ts:1004-1040). Batch form returns the conflicting keys so the caller
