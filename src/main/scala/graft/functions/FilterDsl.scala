@@ -34,20 +34,29 @@ object FilterDsl {
     translate(metadata, mapper.readTree(filterJson))
 
   private def translate(m: Column, node: JsonNode): Column = {
-    require(node.isObject, s"filter node must be an object: $node")
+    require(node.isObject && !node.isEmpty,
+      s"filter node must be a non-empty object: $node")
+    val keys = node.fieldNames.asScala.toSeq
+    val (logical, fields) = keys.partition(_.startsWith("$"))
+    // reference filter.ts rejects mixing logical and field keys, and any
+    // unknown $-prefixed key at field position (filter.test.ts:255-259)
+    require(logical.isEmpty || fields.isEmpty,
+      s"cannot mix logical operators with field keys: $keys")
+    logical.foreach(k => require(k == "$and" || k == "$or", s"unknown operator $k"))
     val conds = node.fields.asScala.map { e =>
       (e.getKey, e.getValue) match {
-        case ("$and", v) => v.elements.asScala.map(translate(m, _))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        case ("$or", v) => v.elements.asScala.map(translate(m, _))
-          .reduceOption(_ || _).getOrElse(lit(false))
+        case (k @ ("$and" | "$or"), v) =>
+          require(v.isArray && v.size > 0, s"$k requires a non-empty array")
+          val parts = v.elements.asScala.map(translate(m, _))
+          if (k == "$and") parts.reduce(_ && _) else parts.reduce(_ || _)
         case (field, v) if v.isObject =>
+          require(!v.isEmpty, s"empty operator object for field $field")
           v.fields.asScala.map { op => condition(m, field, op.getKey, op.getValue) }
-            .reduceOption(_ && _).getOrElse(lit(true))
+            .reduce(_ && _)
         case (field, v) => condition(m, field, "$eq", v) // bare scalar = $eq
       }
     }
-    conds.reduceOption(_ && _).getOrElse(lit(true))
+    conds.reduce(_ && _)
   }
 
   /** Extract field as JSON text (NULL when missing). */
@@ -72,12 +81,35 @@ object FilterDsl {
     coalesce(scalarEq, lit(false)) || coalesce(arrEq, lit(false))
   }
 
+  /** $in/$nin membership with the array-values bridge (filter.test.ts:145-155:
+    * `->>f = ANY(vs) OR EXISTS(jsonb_array_elements(f) = ANY(vs))`). */
+  private def inExpr(f: Column, vs: Seq[JsonNode]): Column =
+    if (vs.forall(_.isNumber)) {
+      val scalarIn = f.try_cast(DoubleType).isin(vs.map(_.asDouble): _*)
+      val arrIn = arrays_overlap(from_json(f, ArrayType(DoubleType)),
+        typedLit(vs.map(_.asDouble)))
+      coalesce(scalarIn, lit(false)) || coalesce(arrIn, lit(false))
+    } else {
+      val scalarIn = f.isin(vs.map(_.asText): _*)
+      val arrIn = arrays_overlap(from_json(f, ArrayType(StringType)),
+        typedLit(vs.map(_.asText)))
+      coalesce(scalarIn, lit(false)) || coalesce(arrIn, lit(false))
+    }
+
+  private def requireFiniteNumber(op: String, v: JsonNode): Unit = {
+    require(v.isNumber, s"$op requires a number, got $v")
+    val d = v.asDouble
+    require(!d.isNaN && !d.isInfinity, s"$op requires a finite number, got $v")
+  }
+
   private def condition(m: Column, field: String, op: String, v: JsonNode): Column = {
     val f = fieldText(m, field)
     def num = f.try_cast(DoubleType)
+    if (v.isNumber) requireFiniteNumber(op, v)
     // numeric comparisons go through try_cast: non-numeric → NULL → filtered
-    // out, same as the reference's jsonb_typeof = 'number' guard
-    def cmp(c: Column => Column): Column = if (v.isNumber) c(num) else c(f)
+    // out, same as the reference's jsonb_typeof = 'number' guard. Range ops
+    // accept only numeric comparands (filter.test.ts:274-276).
+    def cmp(c: Column => Column): Column = { requireFiniteNumber(op, v); c(num) }
     op match {
       case "$eq" => eqExpr(m, field, v)
       case "$ne" => f.isNotNull && !eqExpr(m, field, v)
@@ -86,17 +118,20 @@ object FilterDsl {
       case "$lt" => cmp(_ < scalarLit(v))
       case "$lte" => cmp(_ <= scalarLit(v))
       case "$exists" =>
-        if (v.asBoolean) f.isNotNull else f.isNull
+        // key presence (jsonb_exists, filter.test.ts:157-168), not
+        // non-null-ness: {"k": null} still exists
+        require(v.isBoolean, s"$$exists requires a boolean, got $v")
+        val present = array_contains(json_object_keys(m), field)
+        if (v.asBoolean) coalesce(present, lit(false))
+        else !coalesce(present, lit(false))
       case "$in" =>
         val vs = v.elements.asScala.toSeq
-        if (vs.forall(_.isNumber)) num.isin(vs.map(_.asDouble): _*)
-        else f.isin(vs.map(_.asText): _*)
+        require(v.isArray && vs.nonEmpty, s"$$in requires a non-empty array")
+        inExpr(f, vs)
       case "$nin" =>
         val vs = v.elements.asScala.toSeq
-        val in =
-          if (vs.forall(_.isNumber)) num.isin(vs.map(_.asDouble): _*)
-          else f.isin(vs.map(_.asText): _*)
-        f.isNotNull && !coalesce(in, lit(false))
+        require(v.isArray && vs.nonEmpty, s"$$nin requires a non-empty array")
+        f.isNotNull && !coalesce(inExpr(f, vs), lit(false))
       case other => throw new IllegalArgumentException(s"unknown operator $other")
     }
   }

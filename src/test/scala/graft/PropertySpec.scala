@@ -1,0 +1,142 @@
+package graft
+
+import graft.functions.{PathFns, TokenCodec, VectorExprs}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based checks (SURVEY §5): Spark expressions vs naive Scala
+  * models over seeded random inputs. Each property evaluates the whole
+  * sample batch in ONE Spark job (scalacheck generates the data; the
+  * assertion compares the full result vector).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def sample[A](g: Gen[A], n: Int, seed: Long = 42L): List[A] =
+    Gen.listOfN(n, g).pureApply(Gen.Parameters.default, Seed(seed))
+
+  private val segGen: Gen[String] = for {
+    len <- Gen.choose(1, 8)
+    cs <- Gen.listOfN(len, Gen.frequency(
+      8 -> Gen.alphaNumChar, 1 -> Gen.oneOf('-', '_', '.', '!', '~'),
+      1 -> Gen.oneOf('é', 'ß', '中', '€')))
+  } yield cs.mkString
+
+  private val keyGen: Gen[String] = for {
+    depth <- Gen.choose(1, 4)
+    segs <- Gen.listOfN(depth, segGen)
+  } yield segs.mkString("/")
+
+  // ── F7 commonPrefix vs naive spec (0050:31-44) ──
+
+  test("commonPrefix matches the naive model for random keys and prefixes") {
+    def model(key: String, prefix: String, d: String): Option[String] = {
+      val rest = key.drop(prefix.length)
+      val pos = rest.indexOf(d)
+      if (pos >= 0) Some(key.take(prefix.length + pos + d.length)) else None
+    }
+    val keys = sample(keyGen, 500).distinct
+    for (prefix <- Seq("", "a", keys.head.take(2), keys.head + "/")) {
+      val applicable = keys.filter(_.startsWith(prefix))
+      val got = applicable.toDF("name")
+        .select(col("name"), PathFns.commonPrefix(col("name"), prefix).as("cp"))
+        .collect().map(r => r.getString(0) -> Option(r.getString(1))).toMap
+      applicable.foreach { k =>
+        assert(got(k) == model(k, prefix, "/"), s"key=$k prefix=$prefix")
+      }
+    }
+  }
+
+  // ── byte ordering: Spark orderBy == COLLATE "C" (SURVEY §1.2) ──
+
+  test("Spark string ordering is UTF-8 byte order (COLLATE \"C\" parity)") {
+    val keys = sample(keyGen, 400).distinct
+    val sparkOrder = keys.toDF("name").orderBy(col("name"))
+      .collect().map(_.getString(0)).toSeq
+    val byteOrder = keys.sortWith { (a, b) =>
+      val x = a.getBytes("UTF-8")
+      val y = b.getBytes("UTF-8")
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) < (y(i) & 0xff) else x.length < y.length
+    }
+    assert(sparkOrder == byteOrder)
+  }
+
+  // ── F15 successor bounds every string with that prefix (0050:210-216) ──
+
+  test("successor(p) is an exclusive upper bound for keys with prefix p (ASCII ranges)") {
+    val asciiSeg = Gen.listOfN(5, Gen.alphaNumChar).map(_.mkString)
+    val ps = sample(asciiSeg, 50).distinct
+    val keys = sample(keyGen, 300)
+    val df = ps.toDF("p").crossJoin(keys.toDF("k"))
+      .withColumn("succ", PathFns.successor(col("p")))
+      .filter(col("k").startsWith(col("p")))
+    val bad = df.filter(!(col("k") < col("succ"))).count()
+    assert(bad == 0)
+  }
+
+  // ── O5/F14 token codec round-trip (object.ts:635-712) ──
+
+  test("continuation-token codec round-trips arbitrary cursors") {
+    val cursorGen = for {
+      sa <- Gen.asciiPrintableStr
+      sc <- Gen.oneOf("name", "created_at", "updated_at")
+      so <- Gen.oneOf("asc", "desc")
+      sca <- Gen.option(Gen.asciiPrintableStr)
+    } yield TokenCodec.Cursor(sa, sc, so, sca)
+    sample(cursorGen, 300, seed = 7L).foreach { c =>
+      assert(TokenCodec.decode(TokenCodec.encode(c)) == c)
+    }
+    // unicode keys survive the base64(JSON) trip
+    sample(keyGen, 100, seed = 11L).foreach { k =>
+      assert(TokenCodec.decode(TokenCodec.encode(TokenCodec.Cursor(k))).startAfter == k)
+    }
+  }
+
+  // ── P5 keyset predicate == tuple comparison (0039:43-52) ──
+
+  test("keysetAfter equals ROW(truncMs(ts), name) > ROW(after, token)") {
+    val tsGen = Gen.choose(0L, 2000000000000L) // epoch millis + sub-ms noise
+    val rows = sample(Gen.zip(tsGen, keyGen, Gen.choose(0, 999)), 400)
+      .map { case (ms, k, us) => (new java.sql.Timestamp(ms), k, us) }
+    val (afterMs, token) = (1000000000000L, rows.head._2)
+    val df = rows.toDF("ts", "name", "us")
+      // micros beyond the ms boundary exercise the truncation
+      .withColumn("ts",
+        timestamp_micros(unix_micros(col("ts")) + col("us").cast("long")))
+    val got = df.filter(PathFns.keysetAfter(col("ts"), col("name"),
+        timestamp_millis(lit(afterMs)), lit(token)))
+      .select("name").collect().map(_.getString(0)).toSeq.sorted
+    val want = df.select(
+        (unix_millis(date_trunc("millisecond", col("ts"))) * 1000).as("tm"),
+        col("name")).collect()
+      .filter { r =>
+        val tm = r.getLong(0) / 1000
+        tm > afterMs || (tm == afterMs && r.getString(1) > token)
+      }.map(_.getString(1)).toSeq.sorted
+    assert(got == want)
+  }
+
+  // ── ShingleHashes == distinct string shingles (collision-free at test scale) ──
+
+  test("shingleHashes cardinality equals distinct string-shingle count") {
+    val textGen = for {
+      n <- Gen.choose(1, 40)
+      ws <- Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+    } yield ws.mkString(" ")
+    val texts = sample(textGen, 300)
+    def modelCount(t: String, n: Int): Int = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      val m = math.max(w.length - n + 1, 1)
+      (0 until m).map(i => w.slice(i, math.min(i + n, w.length)).mkString(" ")).distinct.size
+    }
+    val got = texts.toDF("text")
+      .select(size(VectorExprs.shingleHashes(
+        split(lower(trim(col("text"))), "\\s+"), 3)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(got == texts.map(modelCount(_, 3)))
+  }
+}
