@@ -139,6 +139,28 @@ object QueriesExtra {
           |FROM nation ORDER BY name""".stripMargin),
       doc = "V1/V7 index registry + opclass↔metric map (pgvector/index.ts:325-336,894-918)"),
 
+    // I2 optimistic commit: CAS on metadata location, batch form.
+    "i2_commit_swap" -> Q(
+      fn = (s, dir) => {
+        val tables = operators.IcebergCatalog.tables(s, dir)
+        val requests = tables
+          .filter(expr("CAST(substr(id, 5) AS BIGINT) % 7").isin(0L, 1L))
+          .select(col("id"),
+            when(expr("CAST(substr(id, 5) AS BIGINT) % 7") === 0, col("location"))
+              .otherwise(concat(col("location"), lit(".stale"))).as("expected_location"),
+            concat(col("location"), lit(".v2")).as("new_location"))
+        val (_, outcomes) = operators.IcebergCatalog.commitTables(tables, requests)
+        outcomes.orderBy(col("id"))
+      },
+      oracle = Some(
+        """WITH tables AS (SELECT concat('tbl-', s_suppkey) AS id, s_suppkey,
+          |  concat('s3://warehouse/', s_nationkey, '/', s_suppkey, '/metadata.json')
+          |    AS location FROM supplier)
+          |SELECT id, CASE WHEN s_suppkey % 7 = 0 THEN 'committed'
+          |                ELSE 'conflict' END AS outcome
+          |FROM tables WHERE s_suppkey % 7 IN (0, 1) ORDER BY id""".stripMargin),
+      doc = "I2 optimistic metadata-location CAS (tenant-catalog.ts:178-409)"),
+
     // Multimodal: metadata-only aggregation — Catalyst prunes the binary
     // column from the scan (verified in MultimodalSpec via ReadSchema).
     "mm_media_stats" -> Q(

@@ -46,6 +46,25 @@ object IcebergCatalog {
           .groupBy(col("bucket_id")).agg(count(lit(1)).as("n_tables")),
         Seq("bucket_id"), "full_outer")
 
+  /** I2 commitTable: the optimistic metadata-location swap
+    * (tenant-catalog.ts:178-409) in batch form. A commit request
+    * `(id, expected_location, new_location)` succeeds iff its expectation
+    * matches the table's current location — the CAS the REST catalog runs
+    * per-commit, applied as one broadcast-join rewrite over the catalog
+    * relation. Returns (new catalog state, per-request outcome). */
+  def commitTables(tables: DataFrame, requests: DataFrame): (DataFrame, DataFrame) = {
+    val joined = tables.join(broadcast(requests), Seq("id"), "left")
+    val updated = joined.withColumn("location",
+      when(col("expected_location") === col("location"), col("new_location"))
+        .otherwise(col("location")))
+      .drop("expected_location", "new_location")
+    val outcomes = tables.join(broadcast(requests), Seq("id"))
+      .select(col("id"),
+        when(col("expected_location") === col("location"), lit("committed"))
+          .otherwise(lit("conflict")).as("outcome"))
+    (updated, outcomes)
+  }
+
   /** I5 reconciler: diff desired vs actual remote-catalog state
     * (catalog/reconciler.ts) — both directions, J2/J3 anti-join pattern. */
   def reconcilerDiff(desired: DataFrame, actual: DataFrame): DataFrame = {
