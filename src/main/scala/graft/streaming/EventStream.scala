@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
@@ -66,6 +66,44 @@ object EventStream {
               .foreach(r => dlqSink += s"${r.getString(0)}:${e.getMessage}")
         }
       }
+
+  /** E6 dispatch input/outcome rows (webhook.ts:102-195). */
+  final case class DispatchEvent(event_id: String, queue: String, payload: String)
+  final case class RetryState(attempts: Int)
+  final case class DispatchOutcome(event_id: String, queue: String,
+                                   outcome: String, attempts: Int)
+
+  /** E6: webhook dispatch with per-event retry bookkeeping — the pg-boss
+    * `retryLimit` + dead-letter semantics (event.ts:60-62, webhook.ts:102-195)
+    * as keyed custom state (`flatMapGroupsWithState`). Attempts survive across
+    * redeliveries (micro-batches); success → `delivered`, exhaustion at
+    * `maxAttempts` → `dead-letter`, else `retrying` with state updated.
+    * `send` sees (event, attempt) so backoff policies can key on the count;
+    * it must be deterministic/idempotent — at-least-once delivery, exactly
+    * like the reference's workers. State is O(in-flight failing events). */
+  def dispatchWithRetries(events: Dataset[DispatchEvent],
+                          send: (DispatchEvent, Int) => Boolean,
+                          maxAttempts: Int = 3): Dataset[DispatchOutcome] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_id)
+      .flatMapGroupsWithState[RetryState, DispatchOutcome](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (id: String, rows: Iterator[DispatchEvent], state: GroupState[RetryState]) =>
+          rows.toSeq.map { ev =>
+            val attempt = state.getOption.map(_.attempts).getOrElse(0) + 1
+            if (send(ev, attempt)) {
+              if (state.exists) state.remove()
+              DispatchOutcome(id, ev.queue, "delivered", attempt)
+            } else if (attempt >= maxAttempts) {
+              if (state.exists) state.remove()
+              DispatchOutcome(id, ev.queue, "dead-letter", attempt)
+            } else {
+              state.update(RetryState(attempt))
+              DispatchOutcome(id, ev.queue, "retrying", attempt)
+            }
+          }.iterator
+      }
+  }
 
   /** Windowed event-rate aggregation with watermark — the monitoring
     * counterpart (A8) in streaming form. */

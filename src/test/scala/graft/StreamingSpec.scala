@@ -66,6 +66,40 @@ class StreamingSpec extends SparkTestBase {
     assert(dlq.map(_.split(":")(0)).toSet == Set("e4", "e5"))
   }
 
+  test("E6: dispatch retries accumulate in keyed state; exhaustion dead-letters") {
+    import graft.streaming.EventStream.{DispatchEvent, DispatchOutcome}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[DispatchEvent]
+    // deterministic send: e1 succeeds on attempt 3, e3 immediately, e2 never
+    val outcomes = EventStream.dispatchWithRetries(input.toDS(),
+      (ev, attempt) => ev.event_id match {
+        case "e1" => attempt >= 3
+        case "e3" => true
+        case _ => false
+      }, maxAttempts = 3)
+    val q = outcomes.writeStream.format("memory").queryName("dispatch_out")
+      .outputMode("append").start()
+    // three delivery rounds: the source re-emits undelivered events, state
+    // carries the attempt count across micro-batches
+    input.addData(DispatchEvent("e1", "webhooks", "p1"),
+      DispatchEvent("e2", "webhooks", "p2"), DispatchEvent("e3", "webhooks", "p3"))
+    q.processAllAvailable()
+    input.addData(DispatchEvent("e1", "webhooks", "p1"),
+      DispatchEvent("e2", "webhooks", "p2"))
+    q.processAllAvailable()
+    input.addData(DispatchEvent("e1", "webhooks", "p1"),
+      DispatchEvent("e2", "webhooks", "p2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dispatch_out").as[DispatchOutcome].collect()
+      .map(o => (o.event_id, o.outcome, o.attempts)).toSet
+    assert(got == Set(
+      ("e1", "retrying", 1), ("e1", "retrying", 2), ("e1", "delivered", 3),
+      ("e2", "retrying", 1), ("e2", "retrying", 2), ("e2", "dead-letter", 3),
+      ("e3", "delivered", 1)))
+  }
+
   test("windowed counts aggregate with watermark") {
     val dir = writeEventLog()
     val counts = EventStream.windowedCounts(EventStream.readEventLog(spark, dir),
