@@ -26,6 +26,19 @@ object QueriesVector {
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
 
+  /** The LSH hyperplanes are seeded (Vectors.lshBuckets, seed 42), so the
+    * oracle can carry them as SQL literals and recompute identical buckets:
+    * double literals round-trip via toString, and both engines fold the dot
+    * product left-to-right, so every sign bit matches bit-for-bit. */
+  private def lshBucketSql(emb: String, nPlanes: Int, dim: Int): String = {
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    planes.zipWithIndex.map { case (p, i) =>
+      val lit = "[" + p.map(_.toString).mkString(", ") + "]::DOUBLE[]"
+      s"(CASE WHEN list_sum(list_transform(list_zip($emb, $lit), z -> z[1]*z[2])) >= 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   def queries: Map[String, Q] = Map(
 
     // V3 exact kNN, cosine (pgvector `<=>`, index.ts:740-805).
@@ -130,8 +143,14 @@ object QueriesVector {
       fn = (s, dir) => {
         val emb = Tables.embeddings(s, dir)
         Vectors.annKnn(emb, "vec_id", "embedding", 64, queryVec(s, dir), 10, nPlanes = 4)
-          .select(col("vec_id"), col("label"), col("distance"))
+          .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
       },
-      oracle = None,
+      oracle = Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |cand AS (SELECT vec_id, label, embedding FROM embeddings, q
+           |  WHERE ${lshBucketSql("CAST(embedding AS DOUBLE[])", 4, 64)}
+           |      = ${lshBucketSql("qv", 4, 64)})
+           |SELECT vec_id, label, ${cosSql("embedding")} AS distance
+           |FROM cand, q ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (LSH-bucketed) — scale path"))
 }
