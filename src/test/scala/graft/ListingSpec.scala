@@ -69,6 +69,24 @@ class ListingSpec extends SparkTestBase {
     assert(TokenCodec.paginate(Seq("a"), 2, (s: String) => s)._2.isEmpty)
   }
 
+  test("searchByTimestamp composite cursor: ms-truncated row-value comparison (P5/F11)") {
+    // a and b share the same millisecond (differ at micros) — the cursor
+    // truncates to ms, so only the name tiebreak separates them (0039:43-52)
+    val df = Seq(
+      ("b1", "a", java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123400")),
+      ("b1", "b", java.sql.Timestamp.valueOf("2020-01-01 00:00:00.123900")),
+      ("b1", "c", java.sql.Timestamp.valueOf("2020-01-01 00:00:00.124000")),
+      ("b1", "d", java.sql.Timestamp.valueOf("2019-12-31 00:00:00.0"))
+    ).map { case (b, n, t) => (b, n, 1L, t) }
+      .toDF("bucket_id", "name", "size", "created_at")
+    val got = Listing.searchByTimestamp(df, "b1", "",
+      Some(("2020-01-01 00:00:00.123", "a")), 10)
+      .select("name").collect().map(_.getString(0))
+    // after (ms .123, "a"): b (same ms, name tiebreak) and c (later ms);
+    // a itself and the earlier d are excluded
+    assert(got.toSeq == Seq("b", "c"))
+  }
+
   test("searchByTimestamp: folders aggregate MIN(created_at)") {
     val df = Seq(
       ("b1", "d/1", java.sql.Timestamp.valueOf("2020-01-02 00:00:00")),
