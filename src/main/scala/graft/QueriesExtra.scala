@@ -139,6 +139,46 @@ object QueriesExtra {
           |FROM nation ORDER BY name""".stripMargin),
       doc = "V1/V7 index registry + opclass↔metric map (pgvector/index.ts:325-336,894-918)"),
 
+    // Multipart listing with delimiter collapse — the A4 DISTINCT ON variant
+    // over s3_multipart_uploads (0021:28-67): folders from collapsed key
+    // prefixes, leaf uploads keep (key, upload_id).
+    "s3_list_uploads_collapsed" -> Q(
+      fn = (s, dir) => {
+        val uploads = Tables.orders(s, dir).select(
+          when(col("o_orderkey") % 10 === 0,
+            concat(lit("U/"), col("o_orderkey"), lit(".bin")))
+            .otherwise(concat(lit("U/"), substring(col("o_orderpriority"), 1, 1),
+              lit("/"), col("o_orderkey"), lit(".bin"))).as("key"),
+          concat(lit("upload-"), col("o_orderkey")).as("upload_id"))
+        val withCp = uploads.withColumn("cp",
+          PathFns.commonPrefix(col("key"), "U/"))
+        val folders = withCp.filter(col("cp").isNotNull)
+          .groupBy(col("cp").as("key"))
+          .agg(count(lit(1)).as("_n"))
+          .select(col("key"), lit(true).as("is_folder"),
+            lit(null).cast("string").as("upload_id"))
+        val leaves = withCp.filter(col("cp").isNull)
+          .select(col("key"), lit(false).as("is_folder"), col("upload_id"))
+        folders.unionByName(leaves).orderBy(col("key")).limit(1000)
+      },
+      oracle = Some(
+        """WITH uploads AS (SELECT
+          |    CASE WHEN o_orderkey % 10 = 0 THEN concat('U/', o_orderkey, '.bin')
+          |         ELSE concat('U/', substr(o_orderpriority, 1, 1), '/', o_orderkey, '.bin')
+          |    END AS key,
+          |    concat('upload-', o_orderkey) AS upload_id
+          |  FROM orders),
+          |cp AS (SELECT key, upload_id,
+          |    CASE WHEN strpos(substr(key, 3), '/') > 0
+          |         THEN substr(key, 1, 2 + strpos(substr(key, 3), '/')) END AS c
+          |  FROM uploads),
+          |folders AS (SELECT DISTINCT c AS key, TRUE AS is_folder,
+          |    CAST(NULL AS VARCHAR) AS upload_id FROM cp WHERE c IS NOT NULL),
+          |leaves AS (SELECT key, FALSE AS is_folder, upload_id FROM cp WHERE c IS NULL)
+          |SELECT * FROM (SELECT * FROM folders UNION ALL SELECT * FROM leaves)
+          |ORDER BY key LIMIT 1000""".stripMargin),
+      doc = "ListMultipartUploads delimiter collapse (0021:28-67, A4 variant)"),
+
     // I2 optimistic commit: CAS on metadata location, batch form.
     "i2_commit_swap" -> Q(
       fn = (s, dir) => {
