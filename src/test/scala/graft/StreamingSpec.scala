@@ -100,6 +100,33 @@ class StreamingSpec extends SparkTestBase {
       ("e3", "delivered", 1)))
   }
 
+  test("E6: delete-all-before worker — events drive the D7 cutoff delete per batch") {
+    // the object:admin:delete-all-before consumer (events/objects/
+    // object-admin-delete-all-before.ts:21): each event carries a bucket +
+    // cutoff; the worker applies ObjectStore.deleteAllBefore as a batch job
+    val objects = Seq(
+      ("b1", "old1", ts("2023-01-01 00:00:00")),
+      ("b1", "old2", ts("2023-06-01 00:00:00")),
+      ("b1", "new1", ts("2024-03-01 00:00:00")),
+      ("b2", "other", ts("2023-01-01 00:00:00"))
+    ).toDF("bucket_id", "name", "created_at")
+    val dir = writeEventLog()
+    val deleted = mutable.Buffer[String]()
+    val events = EventStream.readEventLog(spark, dir)
+      .filter(col("queue") === "object:deleted")
+    val q = events.writeStream.outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.select("bucket_id").distinct().collect().foreach { r =>
+          val (_, dead) = graft.operators.ObjectStore.deleteAllBefore(
+            objects, r.getString(0), to_timestamp(lit("2024-01-01 00:00:00")))
+          dead.select("name").collect().foreach(deleted += _.getString(0))
+        }
+      }.start()
+    q.awaitTermination(60000)
+    assert(deleted.sorted == Seq("old1", "old2"))
+  }
+
   test("windowed counts aggregate with watermark") {
     val dir = writeEventLog()
     val counts = EventStream.windowedCounts(EventStream.readEventLog(spark, dir),
