@@ -77,6 +77,17 @@ object PathFns {
     concat(p.substr(lit(1), length(p) - 1),
       chr(ascii(substring(p, -1, 1)) + 1))
 
+  /** F13 `escapeLike` (pg.ts:41-47): escape `\ % _` so user input stays
+    * literal inside a LIKE pattern. Needed only at SQL-dialect boundaries —
+    * Spark's startsWith/contains are literal already; kept for parity. */
+  def escapeLike(s: String): String =
+    s.replace("\\", "\\\\").replace("%", "\\%").replace("_", "\\_")
+
+  /** listBuckets search `name ILIKE '%' || escapeLike(term) || '%'`
+    * (pg.ts:753-756): case-insensitive LITERAL contains. */
+  def ilikeContains(c: Column, term: String): Column =
+    lower(c).contains(term.toLowerCase)
+
   /** P3 prefix predicate — literal (escaped-LIKE) semantics of pg.ts:41-47:
     * user input is matched literally, which in Spark is plain startsWith. */
   def hasPrefix(name: Column, prefix: String): Column = name.startsWith(prefix)
