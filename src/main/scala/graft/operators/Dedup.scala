@@ -15,7 +15,10 @@ object Dedup {
   /** Word tokens: lowercase, whitespace-split. */
   def words(text: Column): Column = split(lower(trim(text)), "\\s+")
 
-  /** Distinct word n-gram shingles of a text column. */
+  /** Reference formulation of distinct word n-gram shingles. The hot path
+    * uses [[graft.functions.ShingleHashes]] (same windows, hashed, codegen);
+    * this string form defines the semantics and backs the property test
+    * (PropertySpec: hash cardinality == distinct string-shingle count). */
   def shingles(text: Column, n: Int = 3): Column = {
     val w = words(text)
     array_distinct(transform(sequence(lit(1), greatest(size(w) - (n - 1), lit(1))),
