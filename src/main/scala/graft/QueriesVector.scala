@@ -152,5 +152,35 @@ object QueriesVector {
            |      = ${lshBucketSql("qv", 4, 64)})
            |SELECT vec_id, label, ${cosSql("embedding")} AS distance
            |FROM cand, q ORDER BY distance, vec_id LIMIT 10""".stripMargin),
-      doc = "V3 ANN (LSH-bucketed) — scale path"))
+      doc = "V3 ANN (LSH-bucketed) — scale path"),
+
+    // V3 ANN via IVF-flat: probe the 4 nearest of 16 seeded centroid lists.
+    // Centroids come from the table (vec_id % 97 == 3), so the oracle
+    // recomputes identical assignments — no literals needed.
+    "v3_ann_ivf" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        Vectors.ivfKnn(emb, "vec_id", "embedding", centroids, queryVec(s, dir), 10, 4)
+          .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+           |assigned AS (SELECT e.vec_id, e.label, e.embedding,
+           |    (SELECT c.cid FROM cents c
+           |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+           |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+           |  FROM embeddings e),
+           |probes AS (SELECT c.cid FROM cents c, q
+           |  ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+           |    z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 4)
+           |SELECT vec_id, label, ${l2Sql("embedding")} AS distance
+           |FROM assigned, q WHERE cid IN (SELECT cid FROM probes)
+           |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 ANN (IVF-flat, nProbe=4/16) — partition-pruned scale path"))
 }

@@ -82,6 +82,39 @@ object Vectors {
       .filter(col("lsh_bucket") === qBucket), keyCol, embCol, query, "cosine", topK)
   }
 
+  /** IVF-flat coarse quantization — the second ANN scale path beside
+    * [[lshBuckets]]: assign each vector to its nearest centroid (L2,
+    * centroid-id tiebreak via lexicographic struct min), probe only the
+    * closest lists at query time. At 100 TB the vectors relation is written
+    * partitioned by `ivf_cid`, so a query scans nProbe partitions. Centroids
+    * are deterministic seeded samples (IVF-flat without k-means refinement),
+    * which keeps assignments exactly reproducible by the DuckDB oracle. */
+  def ivfAssign(vectors: DataFrame, embCol: String,
+                centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    val candidates = centroids.map { case (cid, cv) =>
+      struct(graft.functions.VectorExprs.l2Sq(col(embCol), typedLit(cv)).as("d"),
+        lit(cid).as("c"))
+    }
+    vectors.withColumn("ivf_cid", array_min(array(candidates: _*)).getField("c"))
+  }
+
+  /** IVF kNN: exact L2 top-k restricted to the query's nProbe nearest
+    * centroid lists. */
+  def ivfKnn(vectors: DataFrame, keyCol: String, embCol: String,
+             centroids: Seq[(Long, Seq[Double])], query: Seq[Double],
+             topK: Int = 10, nProbe: Int = 4): DataFrame = {
+    val probes = centroids
+      .map { case (cid, cv) =>
+        val d = cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
+        (cid, d)
+      }
+      .sortBy { case (cid, d) => (d, cid) }
+      .take(nProbe).map(_._1)
+    knn(ivfAssign(vectors, embCol, centroids)
+      .filter(col("ivf_cid").isin(probes: _*)),
+      keyCol, embCol, query, "euclidean", topK)
+  }
+
   /** V4 getVectors: key lookup, ≤100 keys (limits.ts:9). */
   def getByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
     vectors.filter(col(keyCol).isin(keys.take(100): _*))

@@ -49,6 +49,26 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("IVF kNN results are a subset of the exact L2 scan, same ordering") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % 97 === 3)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+    val ivf = Vectors.ivfKnn(emb, "vec_id", "embedding", centroids, q, 10, 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val exact = Vectors.knn(emb, "vec_id", "embedding", q, "euclidean", 50)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf.nonEmpty)
+    assert(ivf.toSet.subsetOf(exact.toSet))
+    // order within the probed subset must agree with the exact ranking
+    assert(exact.filter(ivf.contains) == ivf)
+    // the query vector itself (distance 0) is always in its own probe list
+    assert(ivf.head == 0L)
+  }
+
   test("ANN kNN results are a subset of the exact scan, same ordering") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding")
