@@ -127,6 +127,43 @@ class StreamingSpec extends SparkTestBase {
     assert(deleted.sorted == Seq("old1", "old2"))
   }
 
+  test("D11: multipart assembly state machine — out-of-order parts, complete, abort") {
+    import graft.streaming.MultipartAssembly
+    import graft.streaming.MultipartAssembly.{PartEvent, UploadResult}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[PartEvent]
+    // staleAfter=None: timeout-driven no-data batches would spin with the
+    // test's 0-interval trigger; eviction is a production-trigger concern
+    val q = MultipartAssembly.assemble(input.toDS(), staleAfter = None)
+      .writeStream.format("memory").queryName("mp_out").outputMode("append").start()
+    // parts arrive out of order and across batches
+    input.addData(
+      PartEvent("u1", "part", 2, 200L, "e2"), PartEvent("u1", "part", 1, 100L, "e1"),
+      PartEvent("u2", "part", 1, 10L, "x1"))
+    q.processAllAvailable()
+    input.addData(
+      PartEvent("u1", "part", 3, 300L, "e3"), PartEvent("u1", "complete", 0, 0L, ""),
+      PartEvent("u2", "abort", 0, 0L, ""))
+    q.processAllAvailable()
+    // u3 completes with no parts → invalid; u2's state was dropped by abort,
+    // so a fresh part + complete assembles a 1-part upload
+    input.addData(
+      PartEvent("u3", "complete", 0, 0L, ""),
+      PartEvent("u2", "part", 1, 11L, "y1"), PartEvent("u2", "complete", 0, 0L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("mp_out").as[UploadResult].collect()
+      .map(r => (r.upload_id, r.status, r.n_parts, r.total_size, r.etag)).toSet
+    val e1 = org.apache.commons.codec.digest.DigestUtils.md5Hex("e1e2e3") + "-3"
+    val y1 = org.apache.commons.codec.digest.DigestUtils.md5Hex("y1") + "-1"
+    assert(got == Set(
+      ("u1", "completed", 3, 600L, e1),
+      ("u2", "aborted", 1, 0L, ""),
+      ("u3", "invalid-parts", 0, 0L, ""),
+      ("u2", "completed", 1, 11L, y1)))
+  }
+
   test("windowed counts aggregate with watermark") {
     val dir = writeEventLog()
     val counts = EventStream.windowedCounts(EventStream.readEventLog(spark, dir),
