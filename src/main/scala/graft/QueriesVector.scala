@@ -39,6 +39,16 @@ object QueriesVector {
     }.mkString(" + ")
   }
 
+  /** The same seeded planes as one row per plane, for probe-order SQL. */
+  private def planesCte(nPlanes: Int, dim: Int): String = {
+    val rnd = new scala.util.Random(42L)
+    val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
+    val vals = planes.zipWithIndex.map { case (p, i) =>
+      s"($i, [${p.mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n  ")
+    s"planes(i, p) AS (VALUES\n  $vals)"
+  }
+
   def queries: Map[String, Q] = Map(
 
     // V3 exact kNN, cosine (pgvector `<=>`, index.ts:740-805).
@@ -182,5 +192,32 @@ object QueriesVector {
            |SELECT vec_id, label, ${l2Sql("embedding")} AS distance
            |FROM assigned, q WHERE cid IN (SELECT cid FROM probes)
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
-      doc = "V3 ANN (IVF-flat, nProbe=4/16) — partition-pruned scale path"))
+      doc = "V3 ANN (IVF-flat, nProbe=4/16) — partition-pruned scale path"),
+
+    // V3 ANN multi-probe LSH: probe the exact bucket + the 2 buckets across
+    // the boundaries the query sits closest to (recall recovery).
+    "v3_ann_lsh_multiprobe" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.annKnn(emb, "vec_id", "embedding", 64, queryVec(s, dir), 10,
+          nPlanes = 4, multiProbe = 2)
+          .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |${planesCte(4, 64)},
+           |proj AS (SELECT i, list_sum(list_transform(list_zip(q.qv, p), z -> z[1]*z[2])) AS d
+           |  FROM planes, q),
+           |qb AS (SELECT CAST(SUM(CASE WHEN d >= 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS b
+           |  FROM proj),
+           |flips AS (SELECT i FROM proj ORDER BY abs(d), i LIMIT 2),
+           |probes AS (SELECT b FROM qb
+           |  UNION ALL SELECT xor(b, CAST(1 << i AS BIGINT)) FROM qb, flips),
+           |assigned AS (SELECT vec_id, label, embedding,
+           |    ${lshBucketSql("CAST(embedding AS DOUBLE[])", 4, 64)} AS bucket
+           |  FROM embeddings)
+           |SELECT vec_id, label, ${cosSql("embedding")} AS distance
+           |FROM assigned, q WHERE bucket IN (SELECT b FROM probes)
+           |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 ANN multi-probe LSH (boundary-nearest bit flips)"))
 }

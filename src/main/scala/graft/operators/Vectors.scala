@@ -69,17 +69,26 @@ object Vectors {
     vectors.withColumn("lsh_bucket", bucket)
   }
 
-  /** ANN top-k: restrict the exact scan to the query's LSH bucket. */
+  /** ANN top-k: restrict the exact scan to the query's LSH bucket, plus —
+    * when `multiProbe` > 0 — the buckets reached by flipping the sign bits
+    * whose hyperplane projections are smallest in magnitude (the query sits
+    * closest to those boundaries, so they recover the most lost recall:
+    * standard multi-probe LSH). Probe order is deterministic (|projection|,
+    * then plane index), so the DuckDB oracle reproduces the probe set. */
   def annKnn(vectors: DataFrame, keyCol: String, embCol: String, dim: Int,
              query: Seq[Double], topK: Int = 10,
-             nPlanes: Int = 8, seed: Long = 42L): DataFrame = {
+             nPlanes: Int = 8, seed: Long = 42L, multiProbe: Int = 0): DataFrame = {
     val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
-    val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      if (p.zip(query).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
-    }.sum
+    val projections = planes.map(p => p.zip(query).map { case (a, b) => a * b }.sum)
+    val qBucket = projections.zipWithIndex
+      .map { case (d, i) => if (d >= 0) 1L << i else 0L }.sum
+    val flips = projections.zipWithIndex
+      .sortBy { case (d, i) => (math.abs(d), i) }
+      .take(math.min(multiProbe, nPlanes)).map { case (_, i) => i }
+    val probes = qBucket +: flips.toSeq.map(i => qBucket ^ (1L << i))
     knn(lshBuckets(vectors, embCol, dim, nPlanes, seed)
-      .filter(col("lsh_bucket") === qBucket), keyCol, embCol, query, "cosine", topK)
+      .filter(col("lsh_bucket").isin(probes: _*)), keyCol, embCol, query, "cosine", topK)
   }
 
   /** IVF-flat coarse quantization — the second ANN scale path beside

@@ -83,6 +83,14 @@ class DedupVectorsSpec extends SparkTestBase {
     ann.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
     // the query vector itself lands in its own bucket → distance 0 at rank 1
     assert(ann.head._1 == 0L && ann.head._2 == 0.0)
+    // multi-probe widens the candidate set: its top-k is at least as close
+    // to the exact ranking as the single-bucket top-k (recall recovery)
+    val multi = Vectors.annKnn(emb, "vec_id", "embedding", 64, q, 10,
+      nPlanes = 4, multiProbe = 2)
+      .select("vec_id", "distance").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(multi.map(_._1).toSet.contains(0L))
+    assert(multi.map(_._2).max <= ann.map(_._2).max)
+    multi.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
   }
 
   test("upsert is last-wins by priority and deterministic") {
