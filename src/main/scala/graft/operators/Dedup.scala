@@ -79,26 +79,31 @@ object Dedup {
                       bands: Int = 16, rows: Int = 4,
                       estThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
+    // materialize signatures once — both the band join and the scoring join
+    // would otherwise recompute shingling+MinHash (at 100 TB this is a
+    // written signature table; persist is its single-job equivalent)
     val sig = df.select(col(idCol).as("id"),
       minhashSignature(col(textCol), numHashes).as("sig"))
-    // materialize banded signatures once — the self-join would otherwise
-    // recompute shingling+MinHash for each side (at 100 TB this is a written
-    // signature table; persist is its single-job equivalent)
-    val banded = sig.select(col("id"), col("sig"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the band self-join shuffles only (id, band, bucket) — 24 bytes/row —
+    // never the 8·numHashes-byte signatures; those rejoin after candidate
+    // dedup from the (tiny relative to the corpus) signature table
+    val banded = sig.select(col("id"),
       explode(transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
           xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
             _.cast("string")), ",")).as("bucket")))).as("bb"))
-      .select(col("id"), col("sig"), col("bb.band"), col("bb.bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    cand.withColumn("est_jaccard",
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
           x => x)).cast("double") / size(col("sig_a")))
       .filter(col("est_jaccard") >= estThreshold)
