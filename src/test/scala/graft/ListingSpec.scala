@@ -60,6 +60,17 @@ class ListingSpec extends SparkTestBase {
     assert(Listing.searchLegacy(df, "b1", "dir/", 10, 2).count() == 1)
   }
 
+  test("EncodingType=url keys match encodeURIComponent semantics") {
+    val df = Seq("dir/my file(1)!*~'.txt", "café/x.dat")
+      .map(n => (n, false, 1L, ts)).toDF("name", "is_folder", "size", "created_at")
+    val got = graft.operators.S3Response
+      .listBucketResult(df, encodingType = Some("url"))
+      .select("key").collect().map(_.getString(0)).toSet
+    // encodeURIComponent: '/' → %2F, space → %20, é → %C3%A9,
+    // and ! ( ) * ~ ' stay literal
+    assert(got == Set("dir%2Fmy%20file(1)!*~'.txt", "caf%C3%A9%2Fx.dat"))
+  }
+
   test("continuation token round-trips (O5/F14)") {
     val c = TokenCodec.Cursor("dir/x.txt", "created_at", "desc", Some("2020-06-01"))
     assert(TokenCodec.decode(TokenCodec.encode(c)) == c)
