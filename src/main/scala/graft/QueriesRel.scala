@@ -275,26 +275,30 @@ object QueriesRel {
     // ───────────── scalar functions / filter DSL ─────────────
 
     // F1-F8 combined projection over synthesized keys.
+    // Array-returning scalars (F1 foldername, F6 get_prefixes) are projected
+    // through array_join: the driver's compare sorts rows via pandas, which
+    // cannot hash numpy arrays (round-1 fn_path_scalars ORACLE-FAIL). The raw
+    // array forms stay covered by PathFnsSpec.
     "fn_path_scalars" -> Q(
       fn = (s, dir) => Tables.objects(s, dir)
         .filter(col("bucket_id") === "O")
         .select(col("name"),
-          PathFns.foldername(col("name")).as("folder_parts"),
+          concat_ws("/", PathFns.foldername(col("name"))).as("folder_path"),
           PathFns.filename(col("name")).as("file_name"),
           PathFns.extension(col("name")).as("ext"),
           PathFns.getLevel(col("name")).as("level"),
           PathFns.getPrefix(col("name")).as("parent"),
-          PathFns.getPrefixes(col("name")).as("ancestors"))
+          concat_ws("|", PathFns.getPrefixes(col("name"))).as("ancestors"))
         .orderBy(col("name")).limit(500),
       oracle = Some(Oracle.withObjects(
         """SELECT name,
-          |  string_split(name, '/')[1:-2] AS folder_parts,
+          |  array_to_string(string_split(name, '/')[1:-2], '/') AS folder_path,
           |  string_split(name, '/')[-1] AS file_name,
           |  string_split(string_split(name, '/')[-1], '.')[-1] AS ext,
           |  CAST(len(string_split(name, '/')) AS INT) AS level,
           |  regexp_replace(name, '[\/]{1}[^\/]+\/?$', '') AS parent,
-          |  list_transform(generate_series(1, len(string_split(name, '/')) - 1),
-          |                 i -> array_to_string(string_split(name, '/')[1:i], '/')) AS ancestors
+          |  array_to_string(list_transform(generate_series(1, len(string_split(name, '/')) - 1),
+          |                 i -> array_to_string(string_split(name, '/')[1:i], '/')), '|') AS ancestors
           |FROM objects WHERE bucket_id = 'O' ORDER BY name LIMIT 500""".stripMargin)),
       doc = "F1-F8 path scalars (0002:85-122, 0026:6-56)"),
 

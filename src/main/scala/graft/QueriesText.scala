@@ -31,6 +31,57 @@ object QueriesText {
 
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** DuckDB twin of [[graft.operators.Dedup.minhashLshPairs]] (16 bands × 4
+    * rows): portable md5-derived double hashing h_i = h1 + i·h2m, band join on
+    * slice equality (Spark joins on xxhash64 of the same slice — equality-
+    * equivalent), signature-agreement estimate. The 64 min-aggregates are
+    * generated here rather than hand-written. */
+  private def minhashOracle(corpus: String): String = {
+    val minExprs = (0 until 64).map(i => s"min(h1 + $i*h2m) AS s$i").mkString(", ")
+    val sigArr = (0 until 64).map(i => s"s$i").mkString("[", ", ", "]")
+    val bandArr = (0 until 16).map(b =>
+      s"struct_pack(band := $b, bucket := array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))")
+      .mkString("[", ", ", "]")
+    s"""WITH $corpus,
+       |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
+       |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
+       |e AS (SELECT id, unnest(shl) AS s FROM sh),
+       |h AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+       |        CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % 1000000007 AS h2m FROM e),
+       |sig AS (SELECT id, $sigArr AS sig FROM (SELECT id, $minExprs FROM h GROUP BY id)),
+       |bands AS (SELECT id, bb.band AS band, bb.bucket AS bucket
+       |          FROM (SELECT id, unnest($bandArr) AS bb FROM sig)),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
+       |         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |est AS (SELECT c.id_a, c.id_b,
+       |        round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0, 6) AS est_jaccard
+       |        FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.operators.Dedup.simhashPairs]]: 60-bit portable
+    * fingerprints (md5-derived word hashes, signed bit sums), high-16-bit
+    * blocking, hamming ≤ maxDist. */
+  private def simhashOracle(corpus: String, maxDist: Int): String = {
+    val bitSums = (0 until 60).map(j =>
+      s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
+    val fp = (0 until 60).map(j =>
+      s"(CASE WHEN b$j > 0 THEN (1::BIGINT << $j) ELSE 0 END)").mkString(" + ")
+    s"""WITH $corpus,
+       |w AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM corpus),
+       |h AS (SELECT id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
+       |bits AS (SELECT id, $bitSums FROM h GROUP BY id),
+       |fp AS (SELECT id, $fp AS sim FROM bits),
+       |v AS (SELECT id, sim, sim >> 44 AS block FROM fp),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |      CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
+       |      FROM v a JOIN v b ON a.block = b.block AND a.id < b.id)
+       |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy, min-id winner.
@@ -76,9 +127,8 @@ object QueriesText {
            |ORDER BY id_a, id_b""".stripMargin),
       doc = "n-gram Jaccard near-dup (exact, shingle-join candidates)"),
 
-    // MinHash-LSH near-dup pairs — approximate scale path; xxhash64 signature
-    // isn't SQL-portable → rows-only check (recall vs exact asserted in
-    // DedupSpec).
+    // MinHash-LSH near-dup pairs — approximate scale path, hash-checked:
+    // signatures use portable md5-derived double hashing (Dedup.hash60).
     "dedup_minhash_lsh" -> Q(
       fn = (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -89,10 +139,10 @@ object QueriesText {
         Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.5)
           .orderBy(col("id_a"), col("id_b"))
       },
-      oracle = None,
+      oracle = Some(minhashOracle(nearDupCte)),
       doc = "MinHash+LSH near-dup (banded, sub-quadratic)"),
 
-    // SimHash near-dup pairs — rows-only (xxhash64).
+    // SimHash near-dup pairs — hash-checked (portable 60-bit fingerprints).
     "dedup_simhash" -> Q(
       fn = (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -103,7 +153,7 @@ object QueriesText {
         Dedup.simhashPairs(corpus, "doc_id", "text", 16)
           .orderBy(col("id_a"), col("id_b"))
       },
-      oracle = None,
+      oracle = Some(simhashOracle(nearDupCte, 16)),
       doc = "SimHash near-dup (blocked hamming)"),
 
     // Embedding-cosine near-dup: exact duplicates spliced in at vec_id+100000.

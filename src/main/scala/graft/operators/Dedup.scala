@@ -63,27 +63,53 @@ object Dedup {
 
   /** MinHash signature: k hash functions h_i(s) = xxh64(shingleHash(s), i),
     * signature[i] = min over shingles. Two codegen'd passes per row
-    * ([[graft.functions.ShingleHashes]] → [[graft.functions.MinHashSig]]) —
-    * the HOF formulation re-shingled and re-string-hashed k× per row after
-    * lambda inlining. */
+    * ([[graft.functions.ShingleHashes]] → [[graft.functions.MinHashSig]]).
+    * This is the per-row signature kernel (streaming / map-only contexts);
+    * [[minhashLshPairs]] instead derives signatures with an exploded
+    * partial-aggregation so the whole pipeline is oracle-reproducible. */
   def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column =
     graft.functions.VectorExprs.minhashSig(
       graft.functions.VectorExprs.shingleHashes(words(text), n), numHashes)
+
+  /** Portable 60-bit shingle hash: the first 15 hex chars of md5, parsed as
+    * an integer — bit-identical in any engine with md5 (DuckDB:
+    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), unlike xxh64 whose seed
+    * wiring is engine-private. 60 bits keeps every downstream `h1 + i*h2m`
+    * strictly inside non-negative signed-64 range. */
+  private def hash60(s: Column, from: Int): Column =
+    conv(substring(md5(s), from, 15), 16, 10).cast("long")
+
+  /** Second hash for Kirsch-Mitzenmacher double hashing, reduced mod a prime
+    * so `i * h2m` (i < numHashes) cannot overflow when added to a 60-bit h1. */
+  private val DoubleHashPrime = 1000000007L
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `rows` rows; docs sharing any band bucket become candidates; candidates
     * are scored by signature agreement (the MinHash estimate of Jaccard).
     * The band join is the standard sub-quadratic LSH shape: only hash-equal
-    * bands shuffle together. */
+    * bands shuffle together.
+    *
+    * Signature derivation is explode → k-way partial min-aggregation over
+    * portable md5-derived hashes (h_i = h1 + i·h2m, double hashing): one md5
+    * per (doc, shingle), map-side combine does the min work before the
+    * one shuffle by id, and every value is reproducible in the DuckDB oracle
+    * — unlike the xxh64 kernel this replaced, which forced a rows-only check. */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 16, rows: Int = 4,
                       estThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
+    val exploded = df
+      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
+      .select(col("id"), hash60(col("s"), 1).as("h1"),
+        pmod(hash60(col("s"), 17), lit(DoubleHashPrime)).as("h2m"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(col("h1") + lit(i.toLong) * col("h2m")).as(s"s$i"))
     // materialize signatures once — both the band join and the scoring join
     // would otherwise recompute shingling+MinHash (at 100 TB this is a
     // written signature table; persist is its single-job equivalent)
-    val sig = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), numHashes).as("sig"))
+    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id"),
+        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join shuffles only (id, band, bucket) — 24 bytes/row —
     // never the 8·numHashes-byte signatures; those rejoin after candidate
@@ -112,17 +138,35 @@ object Dedup {
 
   /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign of
     * Σ_words (bit j of xxh64(word) ? +1 : -1). One codegen'd pass per row
-    * ([[graft.functions.SimHash64]]). */
+    * ([[graft.functions.SimHash64]]) — the per-row kernel; [[simhashPairs]]
+    * derives fingerprints via exploded aggregation for oracle portability. */
   def simhash(text: Column): Column =
     graft.functions.VectorExprs.simhash64(words(text))
 
+  private val SimHashBits = 60
+
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates bucketed
     * by the high 16 bits (docs differing there are far anyway for small
-    * distances — standard block-permutation trade-off). */
+    * distances — standard block-permutation trade-off).
+    *
+    * 60-bit fingerprints from portable md5-derived word hashes: explode words
+    * → 60 signed bit-sum aggregates (map-side combined, one shuffle by id) →
+    * sign bits packed into a long. Every value is DuckDB-reproducible, so the
+    * query is hash-checked rather than rows-only. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 8): DataFrame = {
-    val withSim = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
-      .withColumn("block", shiftright(col("sim"), 48))
+    val exploded = df
+      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .select(col("id"), hash60(col("w"), 1).as("h"))
+    val bitAggs = (0 until SimHashBits).map(j =>
+      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"b$j"))
+    val fingerprint = (0 until SimHashBits)
+      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
+      .reduce(_ + _)
+    val withSim = exploded.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"), fingerprint.as("sim"))
+      .withColumn("block", shiftright(col("sim"), SimHashBits - 16))
     val a = withSim.as("a")
     val b = withSim.as("b")
     a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
