@@ -62,8 +62,8 @@ object QueriesText {
   }
 
   /** DuckDB twin of [[graft.operators.Dedup.simhashPairs]]: 60-bit portable
-    * fingerprints (md5-derived word hashes, signed bit sums), high-16-bit
-    * blocking, hamming ≤ maxDist. */
+    * fingerprints (md5-derived word hashes, signed bit sums), 4×15-bit
+    * multi-block candidates (any block equal), hamming ≤ maxDist. */
   private def simhashOracle(corpus: String, maxDist: Int): String = {
     val bitSums = (0 until 60).map(j =>
       s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j").mkString(", ")
@@ -74,10 +74,11 @@ object QueriesText {
        |h AS (SELECT id, CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h FROM w),
        |bits AS (SELECT id, $bitSums FROM h GROUP BY id),
        |fp AS (SELECT id, $fp AS sim FROM bits),
-       |v AS (SELECT id, sim, sim >> 44 AS block FROM fp),
-       |p AS (SELECT a.id AS id_a, b.id AS id_b,
+       |blk AS (SELECT id, sim, b, (sim >> (15 * b)) & 32767 AS bv
+       |        FROM fp CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b)),
+       |p AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
        |      CAST(bit_count(xor(a.sim, b.sim)) AS INT) AS hamming
-       |      FROM v a JOIN v b ON a.block = b.block AND a.id < b.id)
+       |      FROM blk a JOIN blk b ON a.b = b.b AND a.bv = b.bv AND a.id < b.id)
        |SELECT id_a, id_b, hamming FROM p WHERE hamming <= $maxDist
        |ORDER BY id_a, id_b""".stripMargin
   }
@@ -100,7 +101,11 @@ object QueriesText {
            |FROM corpus GROUP BY 1 ORDER BY content_hash""".stripMargin),
       doc = "exact dedup via content hash"),
 
-    // Exact n-gram Jaccard near-dup pairs (shared-shingle candidate join).
+    // Exact n-gram Jaccard near-dup pairs (shared-shingle candidate join),
+    // df-capped at 8: corpus-common shingles would pair df² docs (the sf0.01
+    // fixture's hottest shingle has df=100 → 4950 pairs from one key); the cap
+    // drops them from the Jaccard universe before the self-join. The pair set
+    // at threshold 0.5 is unchanged for this corpus (asserted in PropertySpec).
     "dedup_jaccard_pairs" -> Q(
       fn = (s, dir) => {
         val d = Tables.documents(s, dir)
@@ -108,7 +113,7 @@ object QueriesText {
           .unionByName(d.filter(col("doc_id") % 5 === 0)
             .select((col("doc_id") + 1000000).as("doc_id"),
               concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
-        Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5)
+        Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
           .orderBy(col("id_a"), col("id_b"))
       },
       oracle = Some(
@@ -116,7 +121,11 @@ object QueriesText {
            |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
            |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
            |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
-           |e AS (SELECT id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+           |e0 AS (SELECT id, unnest(shl) AS s FROM sh),
+           |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 8),
+           |f AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
+           |e AS (SELECT f.id, s, n_sh FROM f
+           |      JOIN (SELECT id, count(*) AS n_sh FROM f GROUP BY id) n USING (id)),
            |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
            |             count(*) AS inter
            |      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2, 3, 4),
@@ -125,7 +134,7 @@ object QueriesText {
            |      FROM p)
            |SELECT id_a, id_b, jaccard FROM j WHERE jaccard >= 0.5
            |ORDER BY id_a, id_b""".stripMargin),
-      doc = "n-gram Jaccard near-dup (exact, shingle-join candidates)"),
+      doc = "n-gram Jaccard near-dup (exact, shingle-join candidates, df-capped)"),
 
     // MinHash-LSH near-dup pairs — approximate scale path, hash-checked:
     // signatures use portable md5-derived double hashing (Dedup.hash60).
@@ -157,29 +166,37 @@ object QueriesText {
       doc = "SimHash near-dup (blocked hamming)"),
 
     // Embedding-cosine near-dup: exact duplicates spliced in at vec_id+100000.
+    // LSH-bucketed (4 seeded hyperplanes → 16 sign buckets): the self-join key
+    // is the bucket, so no all-pairs/constant-key join exists in the plan —
+    // the 100 TB shape. The oracle recomputes identical buckets from the same
+    // seeded planes as SQL literals (the v3_ann_lsh technique); exact-vs-
+    // bucketed recall is asserted in DedupVectorsSpec.
     "dedup_embedding_cosine" -> Q(
       fn = (s, dir) => {
         val e = Tables.embeddings(s, dir)
         val corpus = e.select(col("vec_id"), col("embedding"))
           .unionByName(e.filter(col("vec_id") % 10 === 0)
             .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
-        Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9)
+        Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9,
+          lshPlanes = 4, dim = 64)
           .orderBy(col("id_a"), col("id_b"))
       },
       oracle = Some(
-        """WITH corpus AS (
-          |  SELECT vec_id, embedding FROM embeddings
-          |  UNION ALL
-          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
-          |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
-          |p AS (SELECT a.id AS id_a, b.id AS id_b,
-          |  round(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2]))
-          |   / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
-          |    * sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos_sim
-          |  FROM v a JOIN v b ON a.id < b.id)
-          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
-          |ORDER BY id_a, id_b""".stripMargin),
-      doc = "embedding-cosine near-dup pairs"),
+        s"""WITH corpus AS (
+           |  SELECT vec_id, embedding FROM embeddings
+           |  UNION ALL
+           |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+           |v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS emb FROM corpus),
+           |bk AS (SELECT id, emb,
+           |  ${QueriesVector.lshBucketSql("emb", 4, 64)} AS bucket FROM v),
+           |p AS (SELECT a.id AS id_a, b.id AS id_b,
+           |  round(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2]))
+           |   / (sqrt(list_sum(list_transform(a.emb, x -> x*x)))
+           |    * sqrt(list_sum(list_transform(b.emb, x -> x*x)))), 6) AS cos_sim
+           |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.id < b.id)
+           |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+           |ORDER BY id_a, id_b""".stripMargin),
+      doc = "embedding-cosine near-dup pairs (LSH-bucketed scale path)"),
 
     // Token counting (whitespace + subword-regex proxy).
     "text_token_counts" -> Q(

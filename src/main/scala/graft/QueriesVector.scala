@@ -30,7 +30,7 @@ object QueriesVector {
     * oracle can carry them as SQL literals and recompute identical buckets:
     * double literals round-trip via toString, and both engines fold the dot
     * product left-to-right, so every sign bit matches bit-for-bit. */
-  private def lshBucketSql(emb: String, nPlanes: Int, dim: Int): String = {
+  private[graft] def lshBucketSql(emb: String, nPlanes: Int, dim: Int): String = {
     val rnd = new scala.util.Random(42L)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
     planes.zipWithIndex.map { case (p, i) =>

@@ -39,6 +39,327 @@ object VectorExprs {
   /** 64-bit SimHash of an array<string> token list: bit j = sign of
     * Σ_tokens (bit j of xxh64(token, 42) ? +1 : −1); one pass. */
   def simhash64(words: Column): Column = c(SimHash64(e(words)))
+
+  /** Portable MinHash signature computed row-locally from word n-gram
+    * shingles: sig[i] = min over windows of (h1 + i·h2m) where h1/h2m are the
+    * two 60-bit halves of md5(shingle string) ([[Md5Hash]]). Bit-identical to
+    * the exploded groupBy-min formulation over `md5(s)` substrings — the
+    * DuckDB-oracle hash-check proves it — but with NO shuffle: signature
+    * derivation is a map-only projection. */
+  def minhashMd5Sig(words: Column, n: Int, k: Int): Column =
+    c(MinHashMd5Sig(e(words), n, k))
+
+  /** Portable 60-bit SimHash: bit j = sign of Σ_words (bit j of the md5-h1
+    * word hash ? +1 : −1); one row-local pass, no explode/aggregate. */
+  def simhashMd5(words: Column): Column = c(SimHashMd5(e(words)))
+
+  /** Number of positions where two equal-length long arrays agree — the
+    * MinHash signature-agreement estimator, replacing the interpreted
+    * `size(filter(zip_with(...)))` HOF stack on the candidate-pair hot path. */
+  def sigAgreement(a: Column, b: Column): Column = c(SigAgreement(e(a), e(b)))
+
+  /** One bucket id per LSH band: bucket[b] = xxh64 chain over
+    * sig[b·rows … b·rows+rows). Bucket equality ⇔ band-slice equality (up to
+    * 2^-64 collisions), which is all the band join consumes — the oracle
+    * joins on the slice values themselves. */
+  def lshBandBuckets(sig: Column, bands: Int, rows: Int): Column =
+    c(LshBandBuckets(e(sig), bands, rows))
+
+  /** 0-based index of the first position where two long arrays agree (−1 if
+    * none) — the "first matching band" dedup: a candidate pair is kept only
+    * where the joined band IS its first match, so each pair surfaces exactly
+    * once and no distinct-shuffle is needed. */
+  def firstEqIndex(a: Column, b: Column): Column = c(FirstEqIndex(e(a), e(b)))
+}
+
+/** Portable md5-derived 60-bit hashes (static forwarders — callable from
+  * generated Java). `h1` = hex chars 1-15 of md5, `h2` = hex chars 17-31,
+  * each parsed base-16: exactly `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`
+  * in DuckDB / `conv(substring(md5(s),1,15),16,10)` in Spark SQL, so every
+  * value is reproducible in any engine with md5. 60 bits keeps
+  * `h1 + i*h2m (i<64, h2m<1e9+7)` strictly inside non-negative signed-64. */
+object Md5Hash {
+  private val local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  private def be(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (b(off + i) & 0xffL); i += 1 }
+    v
+  }
+
+  /** (h1, h2) of the md5 of words[from..to) joined by a single space —
+    * digested incrementally, so the joined shingle string never materializes. */
+  def window60(arr: ArrayData, from: Int, to: Int): Array[Long] = {
+    val md = local.get()
+    md.reset()
+    var i = from
+    while (i < to) {
+      if (i > from) md.update(' '.toByte)
+      md.update(arr.getUTF8String(i).getBytes)
+      i += 1
+    }
+    val d = md.digest()
+    Array(be(d, 0) >>> 4, be(d, 8) >>> 4)
+  }
+
+  /** h1 of a single token. */
+  def h160(s: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val md = local.get()
+    md.reset()
+    be(md.digest(s.getBytes), 0) >>> 4
+  }
+}
+
+/** Row-local portable MinHash signature (see [[VectorExprs.minhashMd5Sig]]).
+  * Window semantics mirror [[graft.operators.Dedup.shingles]]: max(w−n+1, 1)
+  * windows, tail-truncated; duplicate windows are harmless under min(). */
+case class MinHashMd5Sig(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"need array<string>, got ${t.sql}")
+  }
+
+  private val prime = 1000000007L
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val w = arr.numElements()
+    val m = math.max(w - n + 1, 1)
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < m) {
+      val p = Md5Hash.window60(arr, i, math.min(i + n, w))
+      val h2m = p(1) % prime
+      var j = 0
+      while (j < k) {
+        val v = p(0) + j.toLong * h2m
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val w = ctx.freshName("w")
+      val m = ctx.freshName("m")
+      val p = ctx.freshName("p")
+      val v = ctx.freshName("v")
+      val h2m = ctx.freshName("h2m")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int $w = $a.numElements();
+         |int $m = java.lang.Math.max($w - $n + 1, 1);
+         |long[] $sig = new long[$k];
+         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $m; $i++) {
+         |  long[] $p = graft.functions.Md5Hash.window60($a, $i, java.lang.Math.min($i + $n, $w));
+         |  long $h2m = $p[1] % ${prime}L;
+         |  for (int $j = 0; $j < $k; $j++) {
+         |    long $v = $p[0] + (long) $j * $h2m;
+         |    if ($v < $sig[$j]) $sig[$j] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($sig);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): MinHashMd5Sig = copy(child = c)
+}
+
+/** Row-local portable 60-bit SimHash (see [[VectorExprs.simhashMd5]]). */
+case class SimHashMd5(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"need array<string>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sums = new Array[Int](60)
+    var i = 0
+    while (i < n) {
+      val h = Md5Hash.h160(arr.getUTF8String(i))
+      var j = 0
+      while (j < 60) {
+        sums(j) += (if (((h >>> j) & 1L) == 1L) 1 else -1)
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (sums(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      val h = ctx.freshName("h")
+      val sums = ctx.freshName("sums")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $sums = new int[60];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = graft.functions.Md5Hash.h160($a.getUTF8String($i));
+         |  for (int $j = 0; $j < 60; $j++) {
+         |    $sums[$j] += ((($h >>> $j) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $out = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if ($sums[$j] > 0) $out |= (1L << $j);
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHashMd5 = copy(child = c)
+}
+
+/** Count of agreeing positions in two equal-length long arrays. */
+case class SigAgreement(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"need (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0
+    var i = 0
+    while (i < n) { if (x.getLong(i) == y.getLong(i)) s += 1; i += 1 }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $s = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigAgreement =
+    copy(left = l, right = r)
+}
+
+/** Per-band LSH bucket ids from a MinHash signature (see
+  * [[VectorExprs.lshBandBuckets]]): replaces an interpreted
+  * `transform(sequence, b -> xxhash64(array_join(slice(...))))` stack. */
+case class LshBandBuckets(child: Expression, bands: Int, rows: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"need array<bigint>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 42L
+      var j = b * rows
+      val end = math.min(j + rows, arr.numElements())
+      while (j < end) { h = XXH64.hashLong(arr.getLong(j), h); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val b = ctx.freshName("b")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val end = ctx.freshName("end")
+      val out = ctx.freshName("out")
+      val xxh = classOf[XXH64].getName
+      s"""
+         |long[] $out = new long[$bands];
+         |for (int $b = 0; $b < $bands; $b++) {
+         |  long $h = 42L;
+         |  int $end = java.lang.Math.min($b * $rows + $rows, $a.numElements());
+         |  for (int $j = $b * $rows; $j < $end; $j++) {
+         |    $h = $xxh.hashLong($a.getLong($j), $h);
+         |  }
+         |  $out[$b] = $h;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): LshBandBuckets = copy(child = c)
+}
+
+/** First index where two long arrays agree, −1 if none (see
+  * [[VectorExprs.firstEqIndex]]). */
+case class FirstEqIndex(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(LongType, _), ArrayType(LongType, _)) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"need (array<bigint>, array<bigint>), got (${l.sql}, ${r.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) return i
+      i += 1
+    }
+    -1
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val r = ctx.freshName("r")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $r = -1;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.getLong($i) == $b.getLong($i)) { $r = $i; break; }
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): FirstEqIndex =
+    copy(left = l, right = r)
 }
 
 private[graft] trait ArrayNumericCheck { self: Expression =>

@@ -33,20 +33,39 @@ object Dedup {
 
   /** Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidate pairs come
     * from a shared-shingle join (docs with no common shingle never meet), so
-    * the shuffle is bounded by shingle frequency, not n². */
+    * the shuffle is bounded by shingle frequency, not n².
+    *
+    * `maxDf` > 0 enables the document-frequency cap every production near-dup
+    * pipeline needs: a corpus-common shingle (a stop phrase) pairs df² docs —
+    * a quadratic hot key at 100 TB. Shingles with df > maxDf are dropped from
+    * the universe BEFORE the self-join (Jaccard is then defined over the
+    * capped universe — numerator and set sizes alike), which bounds any
+    * single shingle's pair contribution at maxDf². The hot set is tiny by
+    * Zipf (few distinct shingles are corpus-common), so it broadcasts. */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.5): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.5,
+                   maxDf: Int = 0): DataFrame = {
     // shingles never materialize as strings: ShingleHashes emits the distinct
     // 64-bit window hashes in one codegen pass, so the self-join shuffles
     // 8-byte keys (collision odds at 100 TB shingle cardinality ~2^40 are
     // ~2^-16 per pair-count — below float-round noise)
     val sh = df.select(col(idCol).as("id"),
       graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
-      .withColumn("n_sh", size(col("hs")))
+    val all = sh.select(col("id"), size(col("hs")).as("n_full"),
+      explode(col("hs")).as("s"))
+    val surviving =
+      if (maxDf <= 0) all.withColumnRenamed("n_full", "n_sh")
+      else {
+        val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        val kept = all.drop("n_full").join(broadcast(hot), Seq("s"), "left_anti")
+        // set sizes over the capped universe, so Jaccard stays a true ratio
+        kept.join(kept.groupBy("id").agg(count(lit(1)).as("n_sh")), Seq("id"))
+      }
     // materialize the exploded shingle set once — the self-join would
     // otherwise re-run scan+shingle+hash for EACH side (at 100 TB this is a
     // written signature table; persist is its single-job equivalent)
-    val exploded = sh.select(col("id"), col("n_sh"), explode(col("hs")).as("s"))
+    val exploded = surviving.select(col("id"), col("n_sh"), col("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
@@ -64,24 +83,13 @@ object Dedup {
   /** MinHash signature: k hash functions h_i(s) = xxh64(shingleHash(s), i),
     * signature[i] = min over shingles. Two codegen'd passes per row
     * ([[graft.functions.ShingleHashes]] → [[graft.functions.MinHashSig]]).
-    * This is the per-row signature kernel (streaming / map-only contexts);
-    * [[minhashLshPairs]] instead derives signatures with an exploded
-    * partial-aggregation so the whole pipeline is oracle-reproducible. */
+    * Fastest kernel when cross-engine reproducibility is not needed;
+    * [[minhashLshPairs]] uses the md5-portable row-local kernel
+    * ([[graft.functions.MinHashMd5Sig]]) so the whole pipeline is
+    * oracle-reproducible. */
   def minhashSignature(text: Column, numHashes: Int = 64, n: Int = 3): Column =
     graft.functions.VectorExprs.minhashSig(
       graft.functions.VectorExprs.shingleHashes(words(text), n), numHashes)
-
-  /** Portable 60-bit shingle hash: the first 15 hex chars of md5, parsed as
-    * an integer — bit-identical in any engine with md5 (DuckDB:
-    * `CAST('0x'||substr(md5(s),1,15) AS BIGINT)`), unlike xxh64 whose seed
-    * wiring is engine-private. 60 bits keeps every downstream `h1 + i*h2m`
-    * strictly inside non-negative signed-64 range. */
-  private def hash60(s: Column, from: Int): Column =
-    conv(substring(md5(s), from, 15), 16, 10).cast("long")
-
-  /** Second hash for Kirsch-Mitzenmacher double hashing, reduced mod a prime
-    * so `i * h2m` (i < numHashes) cannot overflow when added to a 60-bit h1. */
-  private val DoubleHashPrime = 1000000007L
 
   /** MinHash-LSH candidate pairs: signatures split into `bands` bands of
     * `rows` rows; docs sharing any band bucket become candidates; candidates
@@ -89,49 +97,51 @@ object Dedup {
     * The band join is the standard sub-quadratic LSH shape: only hash-equal
     * bands shuffle together.
     *
-    * Signature derivation is explode → k-way partial min-aggregation over
-    * portable md5-derived hashes (h_i = h1 + i·h2m, double hashing): one md5
-    * per (doc, shingle), map-side combine does the min work before the
-    * one shuffle by id, and every value is reproducible in the DuckDB oracle
-    * — unlike the xxh64 kernel this replaced, which forced a rows-only check. */
+    * Signature derivation is ROW-LOCAL ([[graft.functions.MinHashMd5Sig]]):
+    * one codegen'd pass per doc computes sig[i] = min over shingles of
+    * (h1 + i·h2m) where h1/h2m are the two 60-bit halves of md5(shingle) —
+    * Kirsch-Mitzenmacher double hashing over a portable digest. No explode,
+    * no shuffle: the DuckDB oracle reproduces every value from
+    * `substr(md5(s),…)` substrings, which the hash-check proves. (This
+    * replaced an exploded 64-way min-aggregation that evaluated interpreted
+    * HOF shingling + two md5s per (doc, shingle) row — 11.8 s at sf0.1;
+    * the kernel path is ~20× cheaper and shuffle-free.) */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 16, rows: Int = 4,
                       estThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
-    val exploded = df
-      .select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s"))
-      .select(col("id"), hash60(col("s"), 1).as("h1"),
-        pmod(hash60(col("s"), 17), lit(DoubleHashPrime)).as("h2m"))
-    val minAggs = (0 until numHashes).map(i =>
-      min(col("h1") + lit(i.toLong) * col("h2m")).as(s"s$i"))
     // materialize signatures once — both the band join and the scoring join
     // would otherwise recompute shingling+MinHash (at 100 TB this is a
     // written signature table; persist is its single-job equivalent)
-    val sig = exploded.groupBy("id").agg(minAggs.head, minAggs.tail: _*)
-      .select(col("id"),
-        array((0 until numHashes).map(i => col(s"s$i")): _*).as("sig"))
+    val sig = df.select(col(idCol).as("id"),
+        graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, numHashes).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the band self-join shuffles only (id, band, bucket) — 24 bytes/row —
-    // never the 8·numHashes-byte signatures; those rejoin after candidate
-    // dedup from the (tiny relative to the corpus) signature table
+    // the band self-join shuffles (id, buckets, band, bucket) — the
+    // bands-long bucket array rides along (8·bands bytes) so each matched
+    // pair can check "is this my FIRST matching band" locally and surface
+    // exactly once: no distinct-shuffle over the candidate pairs, which
+    // outnumber the banded rows ~20× on dup-dense corpora. The
+    // 8·numHashes-byte signatures still never shuffle here; they rejoin from
+    // the (tiny relative to the corpus) signature table for scoring.
     val banded = sig.select(col("id"),
-      explode(transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"),
-          xxhash64(array_join(transform(slice(col("sig"), b * rows + 1, lit(rows)),
-            _.cast("string")), ",")).as("bucket")))).as("bb"))
-      .select(col("id"), col("bb.band"), col("bb.bucket"))
+        graft.functions.VectorExprs.lshBandBuckets(col("sig"), bands, rows).as("buckets"))
+      .select(col("id"), col("buckets"), posexplode(col("buckets")))
+      .select(col("id"), col("buckets"), col("pos").as("band"), col("col").as("bucket"))
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
         col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .filter(graft.functions.VectorExprs.firstEqIndex(
+        col("a.buckets"), col("b.buckets")) === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
     cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      // codegen'd agreement count — the interpreted zip_with/filter HOF stack
+      // was the second hot spot after shingling (one eval per candidate pair)
       .withColumn("est_jaccard",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast("double") / size(col("sig_a")))
+        graft.functions.VectorExprs.sigAgreement(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
@@ -144,33 +154,48 @@ object Dedup {
     graft.functions.VectorExprs.simhash64(words(text))
 
   private val SimHashBits = 60
+  private val SimHashBlocks = 4     // 4 blocks × 15 bits
+  private val SimHashBlockBits = 15
 
   /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates bucketed
-    * by the high 16 bits (docs differing there are far anyway for small
-    * distances — standard block-permutation trade-off).
+    * by multi-block permutation — a pair is a candidate when ANY of the 4
+    * 15-bit blocks matches exactly (the standard Charikar/Manku blocking:
+    * near-identical fingerprints agree on at least one block unless their
+    * diffs spread across every block). Versus the single high-16-bit block
+    * this replaced, candidates are ~4× but each block's buckets are a valid
+    * partition key at scale, and recall no longer depends on WHERE the
+    * differing bits fall.
     *
-    * 60-bit fingerprints from portable md5-derived word hashes: explode words
-    * → 60 signed bit-sum aggregates (map-side combined, one shuffle by id) →
-    * sign bits packed into a long. Every value is DuckDB-reproducible, so the
+    * 60-bit fingerprints from portable md5-derived word hashes, computed
+    * row-locally ([[graft.functions.SimHashMd5]]) — no explode, no 60-way
+    * aggregate, no shuffle; every value remains DuckDB-reproducible, so the
     * query is hash-checked rather than rows-only. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxDist: Int = 8): DataFrame = {
-    val exploded = df
-      .select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
-      .select(col("id"), hash60(col("w"), 1).as("h"))
-    val bitAggs = (0 until SimHashBits).map(j =>
-      sum(when(shiftright(col("h"), j).bitwiseAND(lit(1L)) === 1L, 1)
-        .otherwise(-1)).as(s"b$j"))
-    val fingerprint = (0 until SimHashBits)
-      .map(j => when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(0L))
-      .reduce(_ + _)
-    val withSim = exploded.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-      .select(col("id"), fingerprint.as("sim"))
-      .withColumn("block", shiftright(col("sim"), SimHashBits - 16))
-    val a = withSim.as("a")
-    val b = withSim.as("b")
-    a.join(b, col("a.block") === col("b.block") && col("a.id") < col("b.id"))
-      .withColumn("hamming", bit_count(col("a.sim").bitwiseXOR(col("b.sim"))))
+    val withSim = df.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.simhashMd5(words(col(textCol))).as("sim"))
+    // 4 rows per doc: (block index, 15-bit block value); the self-join key is
+    // (blk, bv) so only block-equal docs shuffle together
+    val blocked = withSim.select(col("id"), col("sim"), explode(array(
+      (0 until SimHashBlocks).map(b => struct(lit(b).as("blk"),
+        shiftright(col("sim"), b * SimHashBlockBits)
+          .bitwiseAND(lit((1L << SimHashBlockBits) - 1)).as("bv"))): _*)).as("bb"))
+      .select(col("id"), col("sim"), col("bb.blk"), col("bb.bv"))
+    val a = blocked.as("a")
+    val b = blocked.as("b")
+    // a pair matching in several blocks surfaces once: keep it only where the
+    // joined block is its FIRST matching block — derivable locally from the
+    // fingerprint xor (block b' matches ⇔ its 15 xor bits are zero), so no
+    // distinct-shuffle over the candidate pairs
+    val xorv = col("a.sim").bitwiseXOR(col("b.sim"))
+    val firstBlk = (SimHashBlocks - 1 to 0 by -1).foldLeft(lit(-1)) { (acc, bp) =>
+      when(shiftright(xorv, bp * SimHashBlockBits)
+        .bitwiseAND(lit((1L << SimHashBlockBits) - 1)) === 0L, lit(bp)).otherwise(acc)
+    }
+    a.join(b, col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+        col("a.id") < col("b.id"))
+      .filter(firstBlk === col("a.blk"))
+      .withColumn("hamming", bit_count(xorv))
       .filter(col("hamming") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
   }

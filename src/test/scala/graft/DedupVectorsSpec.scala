@@ -101,6 +101,27 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, "v2"), (2L, "w1")))
   }
 
+  test("embedding near-dup LSH-bucketed path: recall vs exact all-pairs") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.select($"vec_id", $"embedding")
+      .unionByName(e.filter($"vec_id" % 10 === 0)
+        .select(($"vec_id" + 100000).as("vec_id"), $"embedding"))
+    def pairs(planes: Int) =
+      Dedup.embeddingNearDupPairs(corpus, "vec_id", "embedding", 0.9, planes, 64)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(0)
+    val bucketed = pairs(4)
+    assert(exact.nonEmpty)
+    // bucketed candidates are a subset of all pairs, scored identically
+    assert(bucketed.subsetOf(exact))
+    // exact duplicates project identically on every hyperplane → same bucket,
+    // so the spliced vec_id+100000 copies are always found
+    val spliced = exact.filter { case (a, b) => b == a + 100000 }
+    assert(spliced.subsetOf(bucketed))
+    val recall = bucketed.size.toDouble / exact.size
+    assert(recall >= 0.5, s"LSH recall $recall too low (exact=${exact.size})")
+  }
+
   test("embedding near-dup: exact copy scores cos_sim 1.0") {
     val e = Tables.embeddings(spark, sfDir).limit(50)
     val corpus = e.select($"vec_id", $"embedding")
