@@ -95,6 +95,61 @@ object QueriesExtra {
           |ORDER BY name""".stripMargin)),
       doc = "D5 copyObject batch form, new version at destination (object.ts:301-459)"),
 
+    // P8 over objects.user_metadata: the reference's custom-metadata filter
+    // surface (0025-custom-metadata.sql; object.ts carries user_metadata on
+    // every write path). Bare-scalar $eq + $gte range through the same DSL
+    // translator the vector filters use; NULL user_metadata never matches.
+    "p8_object_user_metadata" -> Q(
+      fn = (s, dir) => Tables.objects(s, dir)
+        .filter(col("bucket_id") === "F")
+        .filter(graft.functions.FilterDsl.filter(col("user_metadata"),
+          """{"tier": "gold", "idx": {"$gte": 50}}"""))
+        .select(col("name"),
+          get_json_object(col("user_metadata"), "$.tier").as("tier"),
+          get_json_object(col("user_metadata"), "$.idx").cast("int").as("idx"))
+        .orderBy(col("name")),
+      oracle = Some(Oracle.withObjects(
+        """SELECT name, json_extract_string(user_metadata, '$.tier') AS tier,
+          |       CAST(json_extract_string(user_metadata, '$.idx') AS INT) AS idx
+          |FROM objects WHERE bucket_id = 'F'
+          |  AND coalesce(json_extract_string(user_metadata, '$.tier') = 'gold', FALSE)
+          |  AND coalesce(TRY_CAST(json_extract_string(user_metadata, '$.idx') AS DOUBLE) >= 50, FALSE)
+          |ORDER BY name""".stripMargin)),
+      doc = "P8 filter DSL over objects.user_metadata (0025-custom-metadata.sql)"),
+
+    // D5 metadata-directive REPLACE with preserveUnspecifiedFileMetadata:
+    // the copy takes the request's user_metadata, keeps the source mimetype
+    // (unspecified file metadata preserved), fresh version (object.ts:335-352).
+    "d5_copy_metadata_merge" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        // source key is a query parameter (min R/9* name), like the
+        // reference's sourceKey argument
+        val srcName = objects
+          .filter(col("bucket_id") === "F" && col("name").startsWith("R/9"))
+          .agg(min(col("name"))).head.getString(0)
+        ObjectStore.copyObject(objects, "F", srcName, "copy-meta/dest.dat",
+            "v-copy2", copyMetadata = false,
+            newUserMetadata = Some("""{"copied":"yes"}"""),
+            newMimetype = None, preserveUnspecifiedFileMetadata = true)
+          .filter(col("bucket_id") === "F" &&
+            col("name").isin(srcName, "copy-meta/dest.dat"))
+          .select(col("name"), col("version"), col("mimetype"), col("user_metadata"))
+          .orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, f AS (SELECT * FROM objects WHERE bucket_id = 'F'),
+          |src AS (SELECT min(name) AS sn FROM f WHERE name LIKE 'R/9%'),
+          |rows_out AS (
+          |  SELECT f.name, f.version, f.mimetype, f.user_metadata
+          |  FROM f, src WHERE f.name = src.sn
+          |  UNION ALL
+          |  SELECT 'copy-meta/dest.dat' AS name, 'v-copy2' AS version,
+          |         f.mimetype, '{"copied":"yes"}' AS user_metadata
+          |  FROM f, src WHERE f.name = src.sn)
+          |SELECT * FROM rows_out ORDER BY name""".stripMargin)),
+      doc = "D5 REPLACE + preserveUnspecifiedFileMetadata merge (object.ts:335-352)"),
+
     // I1/I4 analytics-bucket registry with soft delete (deleted_at).
     "i1_analytics_buckets" -> Q(
       fn = (s, dir) => Tables.nation(s, dir)

@@ -223,6 +223,38 @@ object QueriesRel {
           |LIMIT 120""".stripMargin)),
       doc = "O2/O3 dynamic sort (0023:22-42, pg.ts:616-625)"),
 
+    // O5: keyset cursor on a DYNAMIC sort column, DESC — "sort by modified,
+    // page 2". The continuation token (F14 codec) carries the row-value
+    // cursor (sortColumnAfter, name); sortedListingPage decodes and applies
+    // ROW(date_trunc(ms, updated_at), name) < ROW(after, token).
+    "o5_sorted_cursor_desc" -> Q(
+      fn = (s, dir) => {
+        val token = graft.functions.TokenCodec.encode(graft.functions.TokenCodec.Cursor(
+          startAfter = "N/40", sortColumn = "updated_at", sortOrder = "desc",
+          sortColumnAfter = Some("1995-06-01 00:00:00")))
+        Listing.sortedListingPage(Tables.objects(s, dir), "F", "N/", token, 100)
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT * FROM objects WHERE bucket_id = 'F' AND name LIKE 'N/%'
+          |AND (date_trunc('millisecond', updated_at) < TIMESTAMP '1995-06-01 00:00:00'
+          |     OR (date_trunc('millisecond', updated_at) = TIMESTAMP '1995-06-01 00:00:00'
+          |         AND name < 'N/40'))
+          |ORDER BY date_trunc('millisecond', updated_at) DESC, name DESC
+          |LIMIT 100""".stripMargin)),
+      doc = "O5 keyset cursor on dynamic sort column, DESC (pg.ts:633-651, 0039:43-52)"),
+
+    // listBuckets contains-search: the term carries literal '_' and '%' —
+    // escaped-LIKE semantics (pg.ts:41-47) mean they must match themselves,
+    // not wildcard; the DuckDB twin is a literal contains() for the same
+    // reason. Only the 7 '_100%'-suffixed bucket names qualify.
+    "bucket_search_contains" -> Q(
+      fn = (s, dir) =>
+        Listing.listBuckets(Tables.buckets(s, dir), Some("_100%"), "name", "asc", 10, 0),
+      oracle = Some(Oracle.withBuckets(
+        """SELECT * FROM buckets WHERE contains(lower(name), '_100%')
+          |ORDER BY name, id LIMIT 10""".stripMargin)),
+      doc = "listBuckets escaped-ILIKE contains search + pagination (pg.ts:746-789)"),
+
     // O4: legacy offset pagination with ILIKE prefix + lower(name) sort.
     "o4_offset_pagination" -> Q(
       fn = (s, dir) =>

@@ -73,7 +73,7 @@ object Tables {
 
   /** Bump when any synthesized-relation expression changes, so stale
     * materializations under /tmp are never reused. */
-  private val synthVersion = "v1"
+  private val synthVersion = "v2"
 
   /** Materialize a synthesized relation once per (relation, sfDir) as parquet
     * — the storage layout a real deployment would have (the reference's
@@ -118,7 +118,17 @@ object Tables {
         md5(concat(col("l_orderkey"), lit("-"), col("l_linenumber"))).as("version"),
         when(col("l_linenumber") % 3 === 0, lit("image/png"))
           .when(col("l_linenumber") % 3 === 1, lit("text/plain"))
-          .otherwise(lit("application/json")).as("mimetype"))
+          .otherwise(lit("application/json")).as("mimetype"),
+        // `user_metadata` jsonb (0025-custom-metadata.sql): built via concat
+        // (not to_json) so the byte form is engine-independent; NULL for
+        // every 7th row — jsonb NULL is the reference's default
+        when(col("l_linenumber") % 7 === 0, lit(null).cast("string"))
+          .otherwise(concat(lit("{\"tier\":\""),
+            when(col("l_partkey") % 3 === 0, lit("gold"))
+              .when(col("l_partkey") % 3 === 1, lit("silver"))
+              .otherwise(lit("bronze")),
+            lit("\",\"idx\":"), (col("l_partkey") % 100).cast("string"), lit("}")))
+          .as("user_metadata"))
     }
 
   /** S3-side listing snapshot (`storage._s3_remote_keys_<ts>` scratch table,
@@ -132,6 +142,27 @@ object Tables {
       lineitem(spark, dir).filter(col("l_linenumber") <= 5)
         .select(keyCol.as("key"),
           floor(col("l_extendedprice")).cast("long").as("size"))
+    }
+
+  /** `storage.buckets` analog (reference 0004-bucket + pg.ts:746-789),
+    * synthesized from `nation` (25 rows — bucket catalogs are small dims).
+    * Every 4th name carries a literal `_100%` and every 4th+1 a `.media`
+    * suffix so the listBuckets contains-search exercises escaped-LIKE
+    * semantics (`%`/`_` in the term must match literally, pg.ts:41-47). */
+  def buckets(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "buckets", None, "name") {
+      val bucketName = concat(lit("bkt_"), lower(col("n_name")),
+        when(col("n_nationkey") % 4 === 0, lit("_100%"))
+          .when(col("n_nationkey") % 4 === 1, lit(".media"))
+          .otherwise(lit("")))
+      nation(spark, dir).select(
+        bucketName.as("id"),
+        bucketName.as("name"),
+        concat(lit("user-"), col("n_nationkey") % 50).as("owner_id"),
+        (col("n_nationkey") % 2 === 0).as("public"),
+        ((col("n_nationkey") + 1).cast("long") * 1048576L).as("file_size_limit"),
+        expr("timestampadd(DAY, n_nationkey, TIMESTAMP '2020-01-01 00:00:00')")
+          .as("created_at"))
     }
 
   /** `s3_multipart_uploads_parts` analog (FIXTURES.md §B): one part per
@@ -176,7 +207,12 @@ object Oracle {
       |    md5(concat(l_orderkey, '-', l_linenumber)) AS version,
       |    CASE WHEN l_linenumber % 3 = 0 THEN 'image/png'
       |         WHEN l_linenumber % 3 = 1 THEN 'text/plain'
-      |         ELSE 'application/json' END AS mimetype
+      |         ELSE 'application/json' END AS mimetype,
+      |    CASE WHEN l_linenumber % 7 = 0 THEN NULL
+      |         ELSE concat('{"tier":"',
+      |            CASE WHEN l_partkey % 3 = 0 THEN 'gold'
+      |                 WHEN l_partkey % 3 = 1 THEN 'silver' ELSE 'bronze' END,
+      |            '","idx":', l_partkey % 100, '}') END AS user_metadata
       |  FROM lineitem
       |)""".stripMargin
 
@@ -200,7 +236,26 @@ object Oracle {
       |  FROM lineitem
       |)""".stripMargin
 
+  /** Byte-identical twin of [[Tables.buckets]]. */
+  val bucketsCte: String = {
+    val nameSql =
+      """concat('bkt_', lower(n_name),
+        |      CASE WHEN n_nationkey % 4 = 0 THEN '_100%'
+        |           WHEN n_nationkey % 4 = 1 THEN '.media' ELSE '' END)""".stripMargin
+    s"""buckets AS (
+       |  SELECT
+       |    $nameSql AS id,
+       |    $nameSql AS name,
+       |    concat('user-', n_nationkey % 50) AS owner_id,
+       |    n_nationkey % 2 = 0 AS public,
+       |    CAST(n_nationkey + 1 AS BIGINT) * 1048576 AS file_size_limit,
+       |    TIMESTAMP '2020-01-01 00:00:00' + INTERVAL (n_nationkey) DAY AS created_at
+       |  FROM nation
+       |)""".stripMargin
+  }
+
   def withObjects(sql: String): String = s"WITH $objectsCte\n$sql"
   def withS3(sql: String): String = s"WITH $objectsCte,\n$s3KeysCte\n$sql"
   def withParts(sql: String): String = s"WITH $partsCte\n$sql"
+  def withBuckets(sql: String): String = s"WITH $bucketsCte\n$sql"
 }

@@ -103,4 +103,12 @@ object PathFns {
     val dt = truncMs(ts)
     (dt > after) || (dt === after && name > token)
   }
+
+  /** DESC twin of [[keysetAfter]]: ROW(date_trunc(ms, ts), name) < ROW(a, t)
+    * — the reference flips the row-value operator with the sort order
+    * (`pageOperator`, pg.ts:626 / `cursor_op`, 0039:43-52). */
+  def keysetBefore(ts: Column, name: Column, before: Column, token: Column): Column = {
+    val dt = truncMs(ts)
+    (dt < before) || (dt === before && name < token)
+  }
 }

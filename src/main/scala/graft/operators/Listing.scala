@@ -104,20 +104,76 @@ object Listing {
 
   /** Whitelisted dynamic sort (O3, 0023:22-42 / pg.ts:616-625): sortColumn ∈
     * {name, updated_at, created_at}, else default name asc; name is always the
-    * tiebreak (O2). */
+    * tiebreak (O2).
+    *
+    * `after` is the O5 keyset cursor on the DYNAMIC sort key — the reference's
+    * `(sortBy.after, nextToken)` pair (pg.ts:633-651): the page predicate is
+    * the row value `ROW(date_trunc(ms, sortCol), name) >/< ROW(after, token)`
+    * with the operator following the sort order, so "sort by modified,
+    * page 2" stays an index-range scan, never OFFSET. An empty after-value
+    * coalesces to epoch exactly as the reference's
+    * `COALESCE(NULLIF($n,'')::timestamptz, 'epoch')`. */
   def sortedListing(objects: DataFrame, bucket: String, prefix: String,
-                    sortColumn: String, sortOrder: String, limit: Int): DataFrame = {
+                    sortColumn: String, sortOrder: String, limit: Int,
+                    after: Option[(String, String)] = None): DataFrame = {
     val colName = sortColumn match {
       case "updated_at" | "created_at" | "last_accessed_at" => sortColumn
       case _ => "name"
     }
     val key: Column =
       if (colName == "name") col("name") else truncMs(col(colName))
-    val (k1, k2) = sortOrder.toLowerCase match {
-      case "desc" => (key.desc, col("name").desc)
-      case _ => (key.asc, col("name").asc)
+    val desc = sortOrder.toLowerCase == "desc"
+    val (k1, k2) =
+      if (desc) (key.desc, col("name").desc) else (key.asc, col("name").asc)
+    val scoped = objects
+      .filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
+    val paged = after match {
+      case Some((av, tok)) if colName != "name" =>
+        val aTs = to_timestamp(lit(if (av.isEmpty) "1970-01-01 00:00:00" else av))
+        scoped.filter(
+          if (desc) keysetBefore(col(colName), col("name"), aTs, lit(tok))
+          else keysetAfter(col(colName), col("name"), aTs, lit(tok)))
+      case Some((_, tok)) =>
+        scoped.filter(if (desc) col("name") < tok else col("name") > tok)
+      case None => scoped
     }
-    objects.filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
-      .orderBy(k1, k2).limit(math.min(limit, 1500))
+    paged.orderBy(k1, k2).limit(math.min(limit, 1500))
+  }
+
+  /** listBuckets (pg.ts:746-789): optional contains-search on `name` with
+    * escaped-LIKE semantics — the reference wraps the user term in
+    * `%escapeLike(term)%` (pg.ts:753-756), so `%`/`_` inside the term match
+    * LITERALLY; in Spark that is a plain case-insensitive `contains`
+    * ([[ilikeContains]]) — no pattern compilation at all. Whitelisted sort +
+    * LIMIT/OFFSET pagination as in the reference; `id` tiebreaks for a total
+    * order. Bucket catalogs are small dims (the relation broadcast-joins
+    * everywhere else), so OFFSET here is not a scale concern. */
+  def listBuckets(buckets: DataFrame, search: Option[String] = None,
+                  sortColumn: String = "name", sortOrder: String = "asc",
+                  limit: Int = 100, offset: Int = 0): DataFrame = {
+    val filtered = search.filter(_.nonEmpty)
+      .map(t => buckets.filter(ilikeContains(col("name"), t)))
+      .getOrElse(buckets)
+    val sortKey = sortColumn match {
+      case "id" | "name" | "created_at" => col(sortColumn)
+      case _ => col("name")
+    }
+    val ordered = sortOrder.toLowerCase match {
+      case "desc" => filtered.orderBy(sortKey.desc, col("id").desc)
+      case _ => filtered.orderBy(sortKey.asc, col("id").asc)
+    }
+    ordered.offset(offset).limit(limit)
+  }
+
+  /** O5 continuation-token page: decode → [[sortedListing]] — the wiring the
+    * reference does in `ListObjectsV2` when `nextToken` carries a
+    * `sortColumnAfter` row-value cursor (pg.ts:633-651, object.ts:676-712). */
+  def sortedListingPage(objects: DataFrame, bucket: String, prefix: String,
+                        token: String, limit: Int): DataFrame = {
+    val c = graft.functions.TokenCodec.decode(token)
+    val after =
+      if (c.startAfter.isEmpty && c.sortColumnAfter.isEmpty) None
+      else Some((c.sortColumnAfter.getOrElse(""), c.startAfter))
+    sortedListing(objects, bucket, prefix, c.sortColumn, c.sortOrder, limit, after)
   }
 }

@@ -46,14 +46,35 @@ object ObjectStore {
     (objects.filter(!predicate), objects.filter(predicate))
 
   /** D5 copyObject (object.ts:301-459): re-key a source row to `destName`
-    * with a fresh version; `preserveUnspecifiedFileMetadata` keeps the
-    * destination's user metadata when the copy doesn't specify one. */
+    * with a fresh version, with the reference's metadata directives
+    * (object.ts:335-352):
+    *   - `copyMetadata = true` (x-amz-metadata-directive COPY): the copy
+    *     keeps the source's file metadata AND `user_metadata` verbatim.
+    *   - `copyMetadata = false` (REPLACE): `user_metadata` becomes the
+    *     request's `newUserMetadata` (NULL when unspecified); file metadata
+    *     (modeled by `mimetype`) takes the specified value, else falls back
+    *     to the source value only under `preserveUnspecifiedFileMetadata`.
+    */
   def copyObject(objects: DataFrame, bucket: String, srcName: String,
-                 destName: String, newVersion: String): DataFrame = {
-    val copied = objects
+                 destName: String, newVersion: String,
+                 copyMetadata: Boolean = true,
+                 newUserMetadata: Option[String] = None,
+                 newMimetype: Option[String] = None,
+                 preserveUnspecifiedFileMetadata: Boolean = false): DataFrame = {
+    val rekeyed = objects
       .filter(col("bucket_id") === bucket && col("name") === srcName)
       .withColumn("name", lit(destName))
       .withColumn("version", lit(newVersion))
+    val copied =
+      if (copyMetadata) rekeyed // COPY directive: all metadata verbatim
+      else rekeyed
+        .withColumn("user_metadata",
+          newUserMetadata.map(m => lit(m): Column)
+            .getOrElse(lit(null).cast("string")))
+        .withColumn("mimetype",
+          newMimetype.map(m => lit(m): Column).getOrElse(
+            if (preserveUnspecifiedFileMetadata) col("mimetype")
+            else lit(null).cast("string")))
     upsert(objects, copied)
   }
 

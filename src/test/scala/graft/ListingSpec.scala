@@ -110,4 +110,40 @@ class ListingSpec extends SparkTestBase {
     assert(got.toSeq == Seq(
       ("d/", "2020-01-01 00:00:00.0"), ("leaf", "2020-01-03 00:00:00.0")))
   }
+
+  test("listBuckets search: % and _ in the term match literally (escaped-LIKE)") {
+    val df = Seq("bkt_a_100%", "bkt_aX100Y", "bkt_b.media", "plain")
+      .map(n => (n, n)).toDF("id", "name")
+    // unescaped ILIKE '%_100%%' would match bkt_aX100Y ('_' as wildcard);
+    // escaped semantics match only the literal substring
+    val got = Listing.listBuckets(df, Some("_100%"))
+      .select("name").collect().map(_.getString(0))
+    assert(got.toSeq == Seq("bkt_a_100%"))
+    // case-insensitive: BKT_A lowercases and matches both bkt_a* names
+    // (byte-ordered: 'X' < '_')
+    val ci = Listing.listBuckets(df, Some("BKT_A"))
+      .select("name").collect().map(_.getString(0))
+    assert(ci.toSeq == Seq("bkt_aX100Y", "bkt_a_100%"))
+  }
+
+  test("O5 dynamic-sort cursor pages tile the DESC listing without gaps/overlap") {
+    val objects = Tables.objects(spark, sfDir)
+    val full = Listing.sortedListing(objects, "F", "N/", "updated_at", "desc", 300)
+      .select("name").collect().map(_.getString(0)).toSeq
+    val page1 = Listing.sortedListing(objects, "F", "N/", "updated_at", "desc", 100)
+      .select("name", "updated_at").collect()
+    val last = page1.last
+    val lastTs = (last.getAs[Any]("updated_at") match {
+      case t: java.sql.Timestamp => t.toLocalDateTime
+      case d: java.time.LocalDateTime => d
+      case i: java.time.Instant => java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+    }).format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val token = graft.functions.TokenCodec.encode(graft.functions.TokenCodec.Cursor(
+      startAfter = last.getAs[String]("name"), sortColumn = "updated_at",
+      sortOrder = "desc", sortColumnAfter = Some(lastTs)))
+    val page2 = Listing.sortedListingPage(objects, "F", "N/", token, 100)
+      .select("name").collect().map(_.getString(0)).toSeq
+    assert(page1.map(_.getString(0)).toSeq == full.take(100))
+    assert(page2 == full.slice(100, 200))
+  }
 }

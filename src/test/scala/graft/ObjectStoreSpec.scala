@@ -56,6 +56,35 @@ class ObjectStoreSpec extends SparkTestBase {
     assert(cut.count() == 2)
   }
 
+  test("D5 copyObject metadata directives: COPY / REPLACE / preserve") {
+    val withMeta = Seq(
+      ("b1", "src", "v1", "text/plain", """{"k":"v"}"""),
+      ("b1", "other", "v1", "image/png", null)
+    ).toDF("bucket_id", "name", "version", "mimetype", "user_metadata")
+    def row(df: org.apache.spark.sql.DataFrame, n: String) =
+      df.filter(col("name") === n)
+        .select("version", "mimetype", "user_metadata").collect().map(r =>
+          (r.getString(0), Option(r.getString(1)), Option(r.getString(2)))).head
+    // COPY directive: everything verbatim
+    val copy = ObjectStore.copyObject(withMeta, "b1", "src", "dst", "v2")
+    assert(row(copy, "dst") == ("v2", Some("text/plain"), Some("""{"k":"v"}""")))
+    // REPLACE without preserve: unspecified file metadata cleared, new user md
+    val repl = ObjectStore.copyObject(withMeta, "b1", "src", "dst", "v2",
+      copyMetadata = false, newUserMetadata = Some("""{"n":"1"}"""))
+    assert(row(repl, "dst") == ("v2", None, Some("""{"n":"1"}""")))
+    // REPLACE with preserve: unspecified mimetype kept from source
+    val pres = ObjectStore.copyObject(withMeta, "b1", "src", "dst", "v2",
+      copyMetadata = false, preserveUnspecifiedFileMetadata = true)
+    assert(row(pres, "dst") == ("v2", Some("text/plain"), None))
+    // specified file metadata always wins
+    val spec = ObjectStore.copyObject(withMeta, "b1", "src", "dst", "v2",
+      copyMetadata = false, newMimetype = Some("text/csv"),
+      preserveUnspecifiedFileMetadata = true)
+    assert(row(spec, "dst") == ("v2", Some("text/csv"), None))
+    // source row untouched in every variant
+    assert(row(pres, "src") == ("v1", Some("text/plain"), Some("""{"k":"v"}""")))
+  }
+
   test("RLS policy matrix: service_role / authenticated / anon") {
     val buckets = Seq(("b1", true), ("b2", false)).toDF("id", "public")
     def visible(ctx: Rls.Context): Set[String] =
