@@ -129,6 +129,30 @@ object QueriesDml {
           |WHERE namespace_id = '5' ORDER BY name LIMIT 100""".stripMargin),
       doc = "I3 catalog listing (tenant-catalog.ts:287-326)"),
 
+    // I4 drop + async cleanup: dropping the bkt-1 namespaces emits one
+    // delete-iceberg-resources job per dropped table, singleton-keyed.
+    "i4_drop_cleanup_events" -> Q(
+      fn = (s, dir) => {
+        val (_, _, events) = IcebergCatalog.dropNamespaces(
+          IcebergCatalog.namespaces(s, dir), IcebergCatalog.tables(s, dir),
+          col("bucket_id") === "bkt-1")
+        events.orderBy(col("singleton_key"))
+      },
+      oracle = Some(
+        """WITH namespaces AS (SELECT CAST(n_nationkey AS VARCHAR) AS id,
+          |  concat('bkt-', n_regionkey) AS bucket_id FROM nation),
+          |tables AS (SELECT concat('tbl-', s_suppkey) AS id,
+          |  CAST(s_nationkey AS VARCHAR) AS namespace_id,
+          |  concat('s3://warehouse/', s_nationkey, '/', s_suppkey, '/metadata.json') AS location
+          |  FROM supplier),
+          |dropped AS (SELECT t.* FROM tables t
+          |  JOIN namespaces n ON t.namespace_id = n.id WHERE n.bucket_id = 'bkt-1')
+          |SELECT 'delete-iceberg-resources' AS queue,
+          |       concat('delete_', id) AS singleton_key,
+          |       concat('{"tableId":"', id, '","location":"', location, '"}') AS payload
+          |FROM dropped ORDER BY singleton_key""".stripMargin),
+      doc = "I4 drop lifecycle event emission (tenant-catalog.ts:550-662, delete-iceberg-resources.ts:23)"),
+
     // I2 per-bucket quota usage.
     "i2_quota_usage" -> Q(
       fn = (s, dir) => IcebergCatalog.quotaUsage(

@@ -40,6 +40,43 @@ object Validators {
       array_contains(allowed, mime) ||
       array_contains(allowed, concat(split(mime, "/").getItem(0), lit("/*")))
 
+  /** V2 putVectors metadata caps (vector-store.ts:46-48): ≤50 keys, ≤40 KiB
+    * total JSON, ≤2 KiB filterable JSON (entries not in the index's
+    * nonFilterableMetadataKeys, vector-store.ts:94-125). Returns the first
+    * violation message (reference error text) or None when valid. */
+  val MaxMetadataKeys = 50
+  val MaxTotalMetadataBytes = 40 * 1024
+  val MaxFilterableMetadataBytes = 2048
+
+  def validateVectorMetadata(key: String, metadataJson: String,
+                             nonFilterableKeys: Set[String] = Set.empty): Option[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(metadataJson)
+    if (node == null || !node.isObject) None // non-object metadata: only the filterable check applies, and it reads 0 bytes
+    else {
+      if (node.size() > MaxMetadataKeys)
+        Some(s"Invalid record for key '$key': Metadata must have at most $MaxMetadataKeys keys")
+      else if (mapper.writeValueAsString(node).getBytes("UTF-8").length > MaxTotalMetadataBytes)
+        Some(s"Invalid record for key '$key': Total metadata must have at most $MaxTotalMetadataBytes bytes")
+      else {
+        val filterable = node.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+        nonFilterableKeys.foreach(filterable.remove)
+        if (mapper.writeValueAsString(filterable).getBytes("UTF-8").length > MaxFilterableMetadataBytes)
+          Some(s"Invalid record for key '$key': Filterable metadata must have at most $MaxFilterableMetadataBytes bytes")
+        else None
+      }
+    }
+  }
+
+  /** Batch (column) form of the V2 caps for upsert pipelines: key-count and
+    * total-byte checks pushed into the scan (the filterable-bytes check needs
+    * key-wise re-serialization → scalar path / a pre-serialized filterable
+    * column). Assumes `m` holds the canonical serialized metadata — the form
+    * the engine stores. */
+  def vectorMetadataWithinCaps(m: Column): Column =
+    m.isNull || (size(json_object_keys(m)) <= MaxMetadataKeys &&
+      octet_length(m) <= MaxTotalMetadataBytes)
+
   /** S4 range math (reference src/storage/range.ts:9-56): parse an HTTP
     * `bytes=a-b` / `bytes=a-` / `bytes=-suffix` header against a known size →
     * (start, end) inclusive, or None when unsatisfiable. */

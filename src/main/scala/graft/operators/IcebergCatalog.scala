@@ -65,6 +65,30 @@ object IcebergCatalog {
     (updated, outcomes)
   }
 
+  /** I4 dropNamespace + async cleanup (tenant-catalog.ts:550-662): the drop
+    * removes catalog rows AND enqueues one `delete-iceberg-resources` job per
+    * dropped table (events/iceberg/delete-iceberg-resources.ts:23) so the
+    * warehouse files are reclaimed asynchronously. Batch form: one predicate
+    * over namespaces → (surviving namespaces, surviving tables, cleanup-event
+    * rows). Event rows carry the queue name and a location-keyed singleton
+    * key, so re-running the drop is idempotent (pg-boss `exactly_once`). */
+  def dropNamespaces(namespaces: DataFrame, tables: DataFrame,
+                     dropPred: org.apache.spark.sql.Column):
+      (DataFrame, DataFrame, DataFrame) = {
+    val droppedNs = namespaces.filter(dropPred).select(col("id").as("namespace_id"))
+    val survivingNs = namespaces.filter(!dropPred)
+    // dropped-namespace set is tiny vs the catalog: broadcast semi/anti joins
+    val survivingTables = tables.join(broadcast(droppedNs), Seq("namespace_id"), "left_anti")
+    val cleanupEvents = tables
+      .join(broadcast(droppedNs), Seq("namespace_id"), "left_semi")
+      .select(
+        lit("delete-iceberg-resources").as("queue"),
+        concat(lit("delete_"), col("id")).as("singleton_key"),
+        concat(lit("{\"tableId\":\""), col("id"),
+          lit("\",\"location\":\""), col("location"), lit("\"}")).as("payload"))
+    (survivingNs, survivingTables, cleanupEvents)
+  }
+
   /** I5 reconciler: diff desired vs actual remote-catalog state
     * (catalog/reconciler.ts) — both directions, J2/J3 anti-join pattern. */
   def reconcilerDiff(desired: DataFrame, actual: DataFrame): DataFrame = {

@@ -52,7 +52,9 @@ object EventStream {
 
   /** E4/E6: consume with a handler; failures route to a dead-letter sink —
     * `<queue>-dead-letter` (event.ts:60-62). The handler runs per micro-batch
-    * (at-least-once, idempotent handlers required, same as pg-boss). */
+    * (at-least-once, idempotent handlers required, same as pg-boss). The
+    * driver-side buffer variant is test scaffolding; [[withDlqSink]] is the
+    * production shape (distributed write, no driver collect). */
   def withDlq(events: DataFrame, handle: DataFrame => Unit,
               dlqSink: mutable.Buffer[String]): DataStreamWriter[org.apache.spark.sql.Row] =
     events.writeStream
@@ -66,6 +68,42 @@ object EventStream {
               .foreach(r => dlqSink += s"${r.getString(0)}:${e.getMessage}")
         }
       }
+
+  /** E4 production DLQ: a failed batch is WRITTEN to the dead-letter store
+    * (append-mode parquet here; any sink format works) with the error and
+    * batch id attached — no rows ever pass through the driver. */
+  def withDlqSink(events: DataFrame, handle: DataFrame => Unit,
+                  dlqPath: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        try handle(batch)
+        catch {
+          case e: Throwable =>
+            batch
+              .withColumn("dlq_error", lit(String.valueOf(e.getMessage)))
+              .withColumn("dlq_batch_id", lit(batchId))
+              .write.mode("append").parquet(dlqPath)
+        }
+      }
+
+  /** E6 move-jobs worker (events/pgboss/move-jobs.ts:14-120): re-queue every
+    * pending job from `fromQueue` onto `toQueue` in one transaction (the
+    * reference takes an advisory lock + INSERT…SELECT + DELETE). Batch twin:
+    * a single relation rewrite — `deleteFromOriginal = false` keeps the
+    * originals alongside the moved copies, mirroring
+    * `deleteJobsFromOriginalQueue`. Idempotent under the reference's
+    * singleton key (`move_<from>_to_<to>`) because re-running on the
+    * rewritten relation finds no `fromQueue` rows left. */
+  def moveJobs(jobs: DataFrame, fromQueue: String, toQueue: String,
+               deleteFromOriginal: Boolean = true): DataFrame = {
+    val moved = jobs.filter(col("queue") === fromQueue)
+      .withColumn("queue", lit(toQueue))
+    if (deleteFromOriginal)
+      jobs.filter(col("queue") =!= fromQueue).unionByName(moved)
+    else jobs.unionByName(moved)
+  }
 
   /** E6 dispatch input/outcome rows (webhook.ts:102-195). */
   final case class DispatchEvent(event_id: String, queue: String, payload: String)

@@ -27,6 +27,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(f1.toSeq == f2.toSeq, "features must not depend on partitioning")
   }
 
+  test("stub kernel output matches a local recompute exactly (mm_extract_features check)") {
+    // the decode stub is deterministic: rolling byte hash folded into featDim
+    // floats — recompute it here from the same source bytes and demand
+    // bit-equality, which pins the full mapPartitions pipeline (row order,
+    // encoders, batch boundaries) not just "some rows came back"
+    def localStub(bytes: Array[Byte], featDim: Int): Array[Float] = {
+      val feats = new Array[Float](featDim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) {
+        h = 31 * h + bytes(i)
+        feats(i % featDim) += (h & 0xffff) / 65535.0f
+        i += 1
+      }
+      feats
+    }
+    val docs = Tables.documents(spark, sfDir).limit(5)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val media = Multimodal.syntheticMedia(spark, sfDir)
+      .filter(col("media_id").isin(docs.keys.toSeq: _*))
+    val got = Multimodal.extractFeatures(media, 16)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](2).toSeq).toMap
+    assert(got.keySet == docs.keySet)
+    docs.foreach { case (id, text) =>
+      assert(got(id) == localStub(text.getBytes("UTF-8"), 16).toSeq,
+        s"feature mismatch for media $id")
+    }
+  }
+
   test("metadata-only aggregation prunes the binary column from the scan") {
     val dir = java.nio.file.Files.createTempDirectory("media").toString
     Multimodal.syntheticMedia(spark, sfDir).write.mode("overwrite").parquet(dir)

@@ -66,6 +66,52 @@ class StreamingSpec extends SparkTestBase {
     assert(dlq.map(_.split(":")(0)).toSet == Set("e4", "e5"))
   }
 
+  test("E4: production DLQ sink writes the failed batch distributed (no driver collect)") {
+    val dir = writeEventLog()
+    val dlqPath = Files.createTempDirectory("dlq").toString + "/dead-letter"
+    val events = EventStream.readEventLog(spark, dir)
+      .filter(col("queue") === "object:deleted")
+    val q = EventStream.withDlqSink(events,
+      _ => throw new RuntimeException("webhook 500"), dlqPath).start()
+    q.awaitTermination(60000)
+    val dead = spark.read.parquet(dlqPath)
+    assert(dead.select("event_id").collect().map(_.getString(0)).toSet == Set("e4", "e5"))
+    assert(dead.select("dlq_error").head.getString(0) == "webhook 500")
+  }
+
+  test("E6: moveJobs re-queues pending jobs; idempotent; optional keep-original") {
+    val jobs = Seq(("j1", "webhooks"), ("j2", "webhooks"), ("j3", "other"))
+      .toDF("event_id", "queue")
+    val moved = EventStream.moveJobs(jobs, "webhooks", "webhooks-v2")
+    val got = moved.collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(("j1", "webhooks-v2"), ("j2", "webhooks-v2"), ("j3", "other")))
+    // idempotent: a second run finds no source-queue rows
+    assert(EventStream.moveJobs(moved, "webhooks", "webhooks-v2")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet == got)
+    // deleteFromOriginal = false keeps the originals alongside copies
+    assert(EventStream.moveJobs(jobs, "webhooks", "webhooks-v2",
+      deleteFromOriginal = false).count() == 5)
+  }
+
+  test("V2 putVectors metadata caps (vector-store.ts:46-48)") {
+    import graft.functions.Validators._
+    assert(validateVectorMetadata("k1", """{"a":1,"b":"x"}""").isEmpty)
+    // >50 keys
+    val manyKeys = (1 to 51).map(i => s""""k$i":$i""").mkString("{", ",", "}")
+    assert(validateVectorMetadata("k1", manyKeys).exists(_.contains("at most 50 keys")))
+    // >40 KiB total
+    val big = s"""{"a":"${"x" * (40 * 1024)}"}"""
+    assert(validateVectorMetadata("k1", big).exists(_.contains("40960 bytes")))
+    // >2 KiB filterable, but fine once the big key is non-filterable
+    val bigFilterable = s"""{"blob":"${"x" * 3000}","tag":"t"}"""
+    assert(validateVectorMetadata("k1", bigFilterable).exists(_.contains("2048 bytes")))
+    assert(validateVectorMetadata("k1", bigFilterable, Set("blob")).isEmpty)
+    // column form
+    val df = Seq(("ok", """{"a":1}"""), ("null-md", null))
+      .toDF("key", "metadata")
+    assert(df.filter(vectorMetadataWithinCaps(col("metadata"))).count() == 2)
+  }
+
   test("E6: dispatch retries accumulate in keyed state; exhaustion dead-letters") {
     import graft.streaming.EventStream.{DispatchEvent, DispatchOutcome}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
