@@ -254,6 +254,94 @@ object QueriesText {
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
       doc = "language-ID stopword heuristic"),
 
+    // BM25 keyword retrieval over the corpus (quality-filter / search
+    // primitive). The tf relation holds only (doc, query-term) rows; df/idf
+    // are a ≤3-row broadcast; DECIMAL-cast sum keeps the score order-stable.
+    "text_bm25" -> Q(
+      fn = (s, dir) => TextAnalysis.bm25(Tables.documents(s, dir),
+        "doc_id", "text", Seq("vector", "hash", "merge"), 20)
+        .withColumnRenamed("id", "doc_id"),
+      oracle = Some(
+        s"""WITH docs AS (SELECT doc_id AS id, $wordsSql AS w FROM documents),
+           |d2 AS (SELECT id, w, len(w) AS dl FROM docs),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+           |tf AS (SELECT id, dl, t, len(list_filter(w, x -> x = t)) AS tf
+           |       FROM d2, (SELECT unnest(['vector', 'hash', 'merge']) AS t)
+           |       WHERE list_contains(w, t)),
+           |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+           |idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dft, stats),
+           |scored AS (SELECT id, sum(CAST(
+           |    idf * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           |    AS DECIMAL(28,10))) AS s
+           |  FROM tf JOIN idf USING (t), stats GROUP BY id)
+           |SELECT id AS doc_id, round(CAST(s AS DOUBLE), 6) AS score
+           |FROM scored ORDER BY score DESC, id LIMIT 20""".stripMargin),
+      doc = "BM25 keyword scoring, top-k (Robertson-Spärck Jones)"),
+
+    // Near-dup pairs → connected components → canonical keeper per cluster.
+    // Spark side: min-label propagation to fixpoint (Pregel shape); oracle:
+    // recursive-CTE reachability closure + min label — same fixpoint.
+    "dedup_resolve_clusters" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
+        Dedup.resolveClusters(pairs).orderBy(col("id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $nearDupCte,
+           |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
+           |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
+           |e0 AS (SELECT id, unnest(shl) AS s FROM sh),
+           |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 8),
+           |f AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
+           |e AS (SELECT f.id, s, n_sh FROM f
+           |      JOIN (SELECT id, count(*) AS n_sh FROM f GROUP BY id) n USING (id)),
+           |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           |             count(*) AS inter
+           |      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2, 3, 4),
+           |pairs AS (SELECT id_a, id_b FROM p
+           |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |          UNION ALL SELECT id_b, id_a FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS id FROM edges),
+           |reach AS (SELECT id, id AS label FROM nodes
+           |          UNION
+           |          SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+           |SELECT id, min(label) AS cluster FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin),
+      doc = "near-dup cluster resolution: connected components, min-id canonical"),
+
+    // Deterministic stratified sampling — the training-mix step. Hash-based
+    // (md5 bucket), so the kept set is identical in any engine/partitioning.
+    "sample_stratified" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir).withColumn("stratum",
+          when(col("doc_id") % 3 === 0, "web")
+            .when(col("doc_id") % 3 === 1, "code").otherwise("reference"))
+        graft.operators.Sampling.stratifiedHashSample(d, "stratum", "doc_id",
+          Map("web" -> 0.1, "code" -> 0.8), defaultFraction = 0.0, salt = "mix1")
+          .groupBy(col("stratum"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("stratum"))
+      },
+      oracle = Some(
+        """WITH d AS (SELECT doc_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'web'
+          |       WHEN doc_id % 3 = 1 THEN 'code' ELSE 'reference' END AS stratum
+          |  FROM documents),
+          |kept AS (SELECT * FROM d WHERE
+          |  CAST('0x' || substr(md5(concat('mix1', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+          |    % 10000 <
+          |  CASE stratum WHEN 'web' THEN 1000 WHEN 'code' THEN 8000 ELSE 0 END)
+          |SELECT stratum, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+          |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin),
+      doc = "deterministic stratified hash sampling (training-mix weights)"),
+
     // Document fingerprint (order-insensitive content hash).
     "text_fingerprint" -> Q(
       fn = (s, dir) => Tables.documents(s, dir)

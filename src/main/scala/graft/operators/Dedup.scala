@@ -200,6 +200,49 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
   }
 
+  /** Duplicate-cluster resolution: near-dup PAIRS → connected components →
+    * one canonical keeper per cluster (the min id — the rule every dedup
+    * pipeline needs after pair generation, since near-dup is transitive in
+    * practice: a~b, b~c ⇒ keep one of {a,b,c}).
+    *
+    * Min-label propagation (the Pregel/GraphX connected-components algorithm
+    * without the GraphX dependency): every node starts labeled with itself;
+    * each round, a node adopts the min label in its neighborhood; fixpoint ⇒
+    * labels = component minima. The driver loop is the standard shape for
+    * iterative graph algorithms on DataFrames — each round is ONE
+    * shuffle-join bounded by the edge count, rounds needed = graph diameter
+    * (near-dup clusters are shallow: a handful of rounds). Each round's
+    * result persists and the previous unpersists, so lineage stays O(1).
+    *
+    * Returns (id, cluster) — cluster is the component's min id. */
+  def resolveClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                      maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // undirected: materialize both directions once
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .unionByName(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .persist(lvl)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).persist(lvl)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+          (col("nbr") < col("label")).as("chg"))
+        .persist(lvl)
+      changed = next.filter(col("chg")).count()
+      labels.unpersist()
+      labels = next.drop("chg")
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ simThreshold. Candidates are bucketed
     * by LSH sign-bit pattern ([[Vectors.lshBuckets]]) when `lshPlanes` > 0;
     * 0 = exact all-pairs (correctness baseline, test scale only). */

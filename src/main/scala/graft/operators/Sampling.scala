@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data mixes (north-star ops): the
+  * "take 10% of web text but 100% of reference code" step of corpus
+  * assembly. Hash-based, not RNG-based — every engine, every run, every
+  * partitioning picks the SAME rows, so mixes are reproducible and
+  * incremental reruns are stable (the property `df.sample()` cannot give).
+  */
+object Sampling {
+
+  /** Portable per-row sampling bucket in [0, 10000): the first 60 bits of
+    * md5(salt ‖ key) mod 10⁴ — reproducible in any engine with md5
+    * (DuckDB: `CAST('0x'||substr(md5(...),1,15) AS BIGINT) % 10000`). The
+    * salt decorrelates independent sampling stages over the same keys. */
+  def sampleBucket(key: Column, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(10000L))
+
+  /** Uniform deterministic sample: keep rows whose bucket < fraction·10⁴.
+    * Basis-point granularity; a pure narrow filter — no shuffle, pushes
+    * into the scan alongside any other predicate. */
+  def hashSample(df: DataFrame, keyCol: String, fraction: Double,
+                 salt: String = ""): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(sampleBucket(col(keyCol), salt) < (fraction * 10000).round)
+  }
+
+  /** Stratified deterministic sample: per-stratum keep rates (training-mix
+    * weights). The rate table is a handful of rows — it rides into the plan
+    * as a broadcast join; strata absent from the map keep `defaultFraction`.
+    * One narrow filter after the broadcast: no shuffle of the corpus. */
+  def stratifiedHashSample(df: DataFrame, stratumCol: String, keyCol: String,
+                           fractions: Map[String, Double],
+                           defaultFraction: Double = 0.0,
+                           salt: String = ""): DataFrame = {
+    require((defaultFraction +: fractions.values.toSeq)
+      .forall(f => f >= 0 && f <= 1), "fractions must be in [0,1]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = fractions.toSeq.toDF(stratumCol, "_keep_fraction")
+    df.join(broadcast(rates), Seq(stratumCol), "left")
+      .withColumn("_keep_bp",
+        round(coalesce(col("_keep_fraction"), lit(defaultFraction)) * 10000)
+          .cast("long"))
+      .filter(sampleBucket(col(keyCol), salt) < col("_keep_bp"))
+      .drop("_keep_fraction", "_keep_bp")
+  }
+}

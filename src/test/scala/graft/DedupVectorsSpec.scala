@@ -93,6 +93,44 @@ class DedupVectorsSpec extends SparkTestBase {
     multi.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
   }
 
+  test("resolveClusters: components labeled by min id, chains included") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.resolveClusters(pairs).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // {1,2,3,7} is a chain (diameter 3) → all label 1; {10,11} → 10
+    assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
+      (10L, 10L), (11L, 10L)))
+  }
+
+  test("bm25: higher tf ranks higher; absent terms score nothing") {
+    val docs = Seq(
+      (1L, "vector vector vector table row"),
+      (2L, "vector table row scan join"),
+      (3L, "table row scan join merge")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text",
+      Seq("vector"), 10).collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3 has no query term
+    assert(got(0)._2 > got(1)._2)
+  }
+
+  test("stratified hash sampling is deterministic and respects rates") {
+    val d = Tables.documents(spark, sfDir)
+      .withColumn("stratum", when($"doc_id" % 2 === 0, "a").otherwise("b"))
+    def keptIds(parts: Int) = graft.operators.Sampling.stratifiedHashSample(
+      d.repartition(parts), "stratum", "doc_id",
+      Map("a" -> 0.5), defaultFraction = 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val k4 = keptIds(4)
+    assert(k4 == keptIds(13), "sample must not depend on partitioning")
+    val nA = d.filter($"stratum" === "a").count()
+    val keptA = k4.count(_ % 2 == 0)
+    assert(math.abs(keptA.toDouble / nA - 0.5) < 0.15, s"a-rate off: $keptA/$nA")
+    // default fraction applies to strata absent from the map
+    val keptB = k4.count(_ % 2 == 1)
+    assert(keptB > 0 && keptB < nA * 0.3)
+  }
+
   test("upsert is last-wins by priority and deterministic") {
     val batches = Seq((1L, "v1", 1), (1L, "v2", 2), (2L, "w1", 1))
       .toDF("key", "value", "priority")
