@@ -65,11 +65,17 @@ object TextAnalysis {
     * retrieval/quality-filter primitive of a training-data pipeline
     * (Robertson-Spärck Jones; the same scoring Lucene/ES defaults to).
     *
-    * Scale shape: per-doc term frequencies are restricted to the QUERY terms
-    * before anything shuffles (an array_intersect-style membership filter on
-    * the exploded tokens), so the tf relation is |docs-containing-a-term|
-    * rows, not corpus-token rows; df/avgdl reduce to a handful of scalars
-    * that ride into the scoring projection as a broadcast (literal) join.
+    * Scale shape: ONE tokenization pass per doc. Per-term tf comes from the
+    * codegen'd multi-set membership kernel ([[graft.functions.StopwordCounts]]
+    * with one singleton set per query term), so the corpus collapses to a
+    * compact (id, dl, tfs) projection — no explode, no per-(doc,term) HOF
+    * filter. Corpus stats (N, avgdl) and per-term df reduce in a single tiny
+    * aggregation to driver scalars; idf then rides into the scoring
+    * projection as literals, so scoring is a row-local expression with a
+    * top-k (TakeOrderedAndProject) on top — zero shuffles beyond the scalar
+    * agg. Per-term contributions DECIMAL-cast before the row-local sum so
+    * the score is exact regardless of term order (matches the oracle's
+    * decimal-sum semantics); a term with tf=0 contributes exactly 0.
     * Scores round to 6 dp (cross-engine double math), doc id tiebreaks.
     *
     * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
@@ -77,34 +83,35 @@ object TextAnalysis {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
            topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = df.sparkSession
     val qTerms = query.map(_.toLowerCase).distinct
-    val docs = df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
-      .withColumn("dl", size(col("w")))
-    // corpus stats: one tiny agg (2 scalars), read driver-side like any
-    // query parameter
-    val stats = docs.agg(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")).head()
-    val nDocs = stats.getLong(0)
-    val avgdl = stats.getDouble(1)
-    // (doc, query-term) tf — tokens filtered to query terms BEFORE exploding
-    val tf = docs.select(col("id"), col("dl"),
-        explode(array_intersect(col("w"), typedLit(qTerms))).as("t"),
-        col("w"))
-      .withColumn("tf", size(filter(col("w"), x => x === col("t"))))
-      .drop("w")
-    // df per query term (≤ |query| rows) → idf, joined back broadcast
-    val dfPerTerm = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
-      .withColumn("idf",
-        log((lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5) + 1.0))
-    tf.join(broadcast(dfPerTerm), Seq("t"))
-      .withColumn("contrib",
-        col("idf") * (col("tf") * lit(k1 + 1)) /
-          (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
-      .groupBy(col("id"))
-      // DECIMAL-cast before summing: per-term contribs are deterministic
-      // scalars, but double += is order-dependent across partitions
-      .agg(round(sum(col("contrib").cast("decimal(28,10)")).cast("double"), 6)
-        .as("score"))
+    // compact projection: a few ints per doc (at 100 TB this is the written
+    // doc-stats table; persist is its single-job equivalent) — the stats agg
+    // and the scoring pass both read it instead of re-tokenizing the corpus
+    val proj = df.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .select(col("id"), size(col("w")).as("dl"),
+        graft.functions.VectorExprs.stopwordCounts(col("w"),
+          qTerms.map(Seq(_))).as("tfs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // N, avgdl, df per term — one aggregation, |query|+2 driver scalars
+    val aggs = Seq(count(lit(1)).as("n"), avg(col("dl")).as("avgdl")) ++
+      qTerms.indices.map(i =>
+        sum(when(col("tfs").getItem(i) > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val st = proj.agg(aggs.head, aggs.tail: _*).head()
+    val nDocs = st.getLong(0).toDouble
+    val avgdl = st.getDouble(1)
+    val idf = qTerms.indices.map { i =>
+      val dfi = st.getLong(2 + i).toDouble
+      math.log((nDocs - dfi + 0.5) / (dfi + 0.5) + 1.0)
+    }
+    val contribs = qTerms.indices.map { i =>
+      val tf = col("tfs").getItem(i).cast("double")
+      (lit(idf(i)) * (tf * lit(k1 + 1)) /
+        (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
+        .cast("decimal(28,10)")
+    }
+    proj.filter(qTerms.indices.map(i => col("tfs").getItem(i) > 0).reduce(_ || _))
+      .select(col("id"),
+        round(contribs.reduce(_ + _).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
