@@ -101,6 +101,10 @@ class DedupVectorsSpec extends SparkTestBase {
     // {1,2,3,7} is a chain (diameter 3) → all label 1; {10,11} → 10
     assert(got.toSeq == Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 1L),
       (10L, 10L), (11L, 10L)))
+    // distributed pointer-jump path (threshold 0 forces it) agrees exactly
+    val dist = Dedup.resolveClusters(pairs, localEdgeThreshold = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dist.toSeq == got.toSeq)
   }
 
   test("bm25: higher tf ranks higher; absent terms score nothing") {
