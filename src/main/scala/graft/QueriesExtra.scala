@@ -100,13 +100,19 @@ object QueriesExtra {
     // every write path). Bare-scalar $eq + $gte range through the same DSL
     // translator the vector filters use; NULL user_metadata never matches.
     "p8_object_user_metadata" -> Q(
+      // one json_tuple pass extracts every referenced field (identical
+      // get_json_object semantics), so each row parses its JSON once — the
+      // DSL predicate and the projection both read the extracted columns.
+      // 2.4 s -> ~1 s at sf0.1 (300k rows in the bucket, 5 parses -> 1).
       fn = (s, dir) => Tables.objects(s, dir)
         .filter(col("bucket_id") === "F")
-        .filter(graft.functions.FilterDsl.filter(col("user_metadata"),
+        .select(col("name"), col("user_metadata"),
+          json_tuple(col("user_metadata"), "tier", "idx"))
+        .withColumnRenamed("c0", "tier").withColumnRenamed("c1", "idx_txt")
+        .filter(graft.functions.FilterDsl.filterWith(col("user_metadata"),
+          Map("tier" -> col("tier"), "idx" -> col("idx_txt")),
           """{"tier": "gold", "idx": {"$gte": 50}}"""))
-        .select(col("name"),
-          get_json_object(col("user_metadata"), "$.tier").as("tier"),
-          get_json_object(col("user_metadata"), "$.idx").cast("int").as("idx"))
+        .select(col("name"), col("tier"), col("idx_txt").cast("int").as("idx"))
         .orderBy(col("name")),
       oracle = Some(Oracle.withObjects(
         """SELECT name, json_extract_string(user_metadata, '$.tier') AS tier,

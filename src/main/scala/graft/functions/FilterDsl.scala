@@ -31,9 +31,19 @@ object FilterDsl {
   /** Parse a JSON filter document and translate it into a predicate over the
     * given JSON-string metadata column. */
   def filter(metadata: Column, filterJson: String): Column =
-    translate(metadata, mapper.readTree(filterJson))
+    filterWith(metadata, Map.empty, filterJson)
 
-  private def translate(m: Column, node: JsonNode): Column = {
+  /** Same DSL, but fields present in `extracted` resolve to the given
+    * pre-extracted JSON-text columns instead of a per-reference
+    * `get_json_object` full-document parse. The scale path: a caller that
+    * filters AND projects several fields extracts them all in ONE
+    * `json_tuple` pass (identical extraction semantics) and hands them here,
+    * so each row's JSON is parsed once, not once per field reference. */
+  def filterWith(metadata: Column, extracted: Map[String, Column],
+                 filterJson: String): Column =
+    translate(m = metadata, ex = extracted, node = mapper.readTree(filterJson))
+
+  private def translate(m: Column, ex: Map[String, Column], node: JsonNode): Column = {
     require(node.isObject && !node.isEmpty,
       s"filter node must be a non-empty object: $node")
     val keys = node.fieldNames.asScala.toSeq
@@ -47,37 +57,46 @@ object FilterDsl {
       (e.getKey, e.getValue) match {
         case (k @ ("$and" | "$or"), v) =>
           require(v.isArray && v.size > 0, s"$k requires a non-empty array")
-          val parts = v.elements.asScala.map(translate(m, _))
+          val parts = v.elements.asScala.map(translate(m, ex, _))
           if (k == "$and") parts.reduce(_ && _) else parts.reduce(_ || _)
         case (field, v) if v.isObject =>
           require(!v.isEmpty, s"empty operator object for field $field")
-          v.fields.asScala.map { op => condition(m, field, op.getKey, op.getValue) }
+          v.fields.asScala.map { op => condition(m, ex, field, op.getKey, op.getValue) }
             .reduce(_ && _)
-        case (field, v) => condition(m, field, "$eq", v) // bare scalar = $eq
+        case (field, v) => condition(m, ex, field, "$eq", v) // bare scalar = $eq
       }
     }
     conds.reduce(_ && _)
   }
 
-  /** Extract field as JSON text (NULL when missing). */
-  private def fieldText(m: Column, field: String): Column =
-    get_json_object(m, s"$$.$field")
+  /** Field as JSON text (NULL when missing): the pre-extracted column when
+    * provided, else a get_json_object parse. */
+  private def fieldText(m: Column, ex: Map[String, Column], field: String): Column =
+    ex.getOrElse(field, get_json_object(m, s"$$.$field"))
 
   private def scalarLit(v: JsonNode): Column =
     if (v.isNumber) lit(v.asDouble) else if (v.isBoolean) lit(v.asBoolean.toString)
     else lit(v.asText)
 
+  /** JSON-array parse of the field text, attempted only when the text CAN be
+    * an array (leading '['): skips a per-row Jackson invocation for every
+    * scalar field the array bridge probes. Texts failing the guard yield
+    * NULL — exactly what from_json returns on them anyway. */
+  private def asArray(f: Column, t: org.apache.spark.sql.types.DataType): Column =
+    when(f.startsWith("["), from_json(f, ArrayType(t)))
+
   /** Scalar equality with the array-contains bridge (filter.ts:94-120). */
-  private def eqExpr(m: Column, field: String, v: JsonNode): Column = {
-    val f = fieldText(m, field)
+  private def eqExpr(m: Column, ex: Map[String, Column], field: String,
+                     v: JsonNode): Column = {
+    val f = fieldText(m, ex, field)
     val scalarEq =
       if (v.isNumber) f.try_cast(DoubleType) === v.asDouble
       else f === scalarLit(v)
     val arrEq =
       if (v.isNumber)
-        array_contains(from_json(f, ArrayType(DoubleType)), v.asDouble)
+        array_contains(asArray(f, DoubleType), v.asDouble)
       else
-        array_contains(from_json(f, ArrayType(StringType)), scalarLit(v))
+        array_contains(asArray(f, StringType), scalarLit(v))
     coalesce(scalarEq, lit(false)) || coalesce(arrEq, lit(false))
   }
 
@@ -86,12 +105,12 @@ object FilterDsl {
   private def inExpr(f: Column, vs: Seq[JsonNode]): Column =
     if (vs.forall(_.isNumber)) {
       val scalarIn = f.try_cast(DoubleType).isin(vs.map(_.asDouble): _*)
-      val arrIn = arrays_overlap(from_json(f, ArrayType(DoubleType)),
+      val arrIn = arrays_overlap(asArray(f, DoubleType),
         typedLit(vs.map(_.asDouble)))
       coalesce(scalarIn, lit(false)) || coalesce(arrIn, lit(false))
     } else {
       val scalarIn = f.isin(vs.map(_.asText): _*)
-      val arrIn = arrays_overlap(from_json(f, ArrayType(StringType)),
+      val arrIn = arrays_overlap(asArray(f, StringType),
         typedLit(vs.map(_.asText)))
       coalesce(scalarIn, lit(false)) || coalesce(arrIn, lit(false))
     }
@@ -102,8 +121,9 @@ object FilterDsl {
     require(!d.isNaN && !d.isInfinity, s"$op requires a finite number, got $v")
   }
 
-  private def condition(m: Column, field: String, op: String, v: JsonNode): Column = {
-    val f = fieldText(m, field)
+  private def condition(m: Column, ex: Map[String, Column], field: String,
+                        op: String, v: JsonNode): Column = {
+    val f = fieldText(m, ex, field)
     def num = f.try_cast(DoubleType)
     if (v.isNumber) requireFiniteNumber(op, v)
     // numeric comparisons go through try_cast: non-numeric → NULL → filtered
@@ -111,8 +131,8 @@ object FilterDsl {
     // accept only numeric comparands (filter.test.ts:274-276).
     def cmp(c: Column => Column): Column = { requireFiniteNumber(op, v); c(num) }
     op match {
-      case "$eq" => eqExpr(m, field, v)
-      case "$ne" => f.isNotNull && !eqExpr(m, field, v)
+      case "$eq" => eqExpr(m, ex, field, v)
+      case "$ne" => f.isNotNull && !eqExpr(m, ex, field, v)
       case "$gt" => cmp(_ > scalarLit(v))
       case "$gte" => cmp(_ >= scalarLit(v))
       case "$lt" => cmp(_ < scalarLit(v))

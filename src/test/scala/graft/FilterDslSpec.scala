@@ -132,4 +132,24 @@ class FilterDslSpec extends SparkTestBase {
   test("range operator with non-number rejected") {
     intercept[IllegalArgumentException](ids("""{"a": {"$gt": "x"}}"""))
   }
+
+  test("filterWith on json_tuple-extracted fields matches the parse-per-field path") {
+    import org.apache.spark.sql.functions.json_tuple
+    val df = rows.toDF("id", "m")
+      .select(col("id"), col("m"), json_tuple(col("m"), "genre", "year"))
+      .withColumnRenamed("c0", "g").withColumnRenamed("c1", "y")
+    // every DSL shape the extracted columns participate in: eq + array
+    // bridge, range over try_cast, $ne/$nin null semantics
+    for (f <- Seq(
+        """{"genre": "rock", "year": {"$gte": 1990}}""",
+        """{"genre": {"$ne": "rock"}}""",
+        """{"year": {"$in": [1970, 2001]}}""",
+        """{"$or": [{"genre": "pop"}, {"year": {"$lt": 1980}}]}""")) {
+      val expect = ids(f)
+      val got = df.filter(FilterDsl.filterWith(col("m"),
+          Map("genre" -> col("g"), "year" -> col("y")), f))
+        .select("id").collect().map(_.getLong(0)).toSeq.sorted
+      assert(got == expect, s"filterWith mismatch for $f")
+    }
+  }
 }
