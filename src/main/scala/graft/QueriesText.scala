@@ -254,6 +254,74 @@ object QueriesText {
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
       doc = "language-ID stopword heuristic"),
 
+    // Gopher-style repetition signals: row-local sorted-run multiplicities,
+    // oracle via explode+group (the oracle may shuffle; the operator may not).
+    // Fractions are single int/int IEEE divisions — bit-identical engines.
+    "text_repetition" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.repetitionSignals(Tables.documents(s, dir), "doc_id", "text")
+          .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |wr AS (SELECT doc_id, unnest(w) AS word FROM d),
+           |wc AS (SELECT doc_id, word, count(*) AS c FROM wr GROUP BY 1, 2),
+           |ws AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           |              count(*) AS n_distinct_words, max(c) AS top_word_count
+           |       FROM wc GROUP BY 1),
+           |br AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(w) - 1),
+           |              i -> array_to_string(w[i:i+1], ' '))) AS gram
+           |       FROM d WHERE len(w) >= 2),
+           |bc AS (SELECT doc_id, gram, count(*) AS c FROM br GROUP BY 1, 2),
+           |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           |              count(*) AS n_distinct_bigrams, max(c) AS top_bigram_count
+           |       FROM bc GROUP BY 1)
+           |SELECT ws.doc_id, n_words, n_distinct_words, top_word_count,
+           |       coalesce(n_bigrams, 0) AS n_bigrams,
+           |       coalesce(n_distinct_bigrams, 0) AS n_distinct_bigrams,
+           |       coalesce(top_bigram_count, 0) AS top_bigram_count,
+           |       CASE WHEN n_words = 0 THEN CAST(0.0 AS DOUBLE)
+           |            ELSE (n_words - n_distinct_words) / n_words END AS dup_word_frac,
+           |       CASE WHEN coalesce(n_bigrams, 0) = 0 THEN CAST(0.0 AS DOUBLE)
+           |            ELSE top_bigram_count / n_bigrams END AS top_bigram_frac
+           |FROM ws LEFT JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin),
+      doc = "Gopher repetition quality signals (dup/top word & 2-gram)"),
+
+    // PII redaction: the corpus carries no natural PII, so deterministic
+    // synthetic contacts are spliced in (same CASE in the oracle — the dedup
+    // queries' construction). Patterns are Java-regex/RE2-identical.
+    "text_pii_redaction" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val spiked = d.select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+            concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+              lit("@example.com now")))
+          .when(col("doc_id") % 11 === 0,
+            concat(col("text"), lit(" call 555-867-5309 or ping 10.0."),
+              (col("doc_id") % 256).cast("string"), lit(".1")))
+          .otherwise(col("text")).as("text"))
+        TextAnalysis.redactPii(spiked, "doc_id", "text")
+          .filter(col("n_emails") + col("n_phones") + col("n_ips") > 0)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        """WITH spiked AS (SELECT doc_id, CASE
+          |    WHEN doc_id % 7 = 0 THEN concat(text, ' contact user', doc_id, '@example.com now')
+          |    WHEN doc_id % 11 = 0 THEN concat(text, ' call 555-867-5309 or ping 10.0.', doc_id % 256, '.1')
+          |    ELSE text END AS text FROM documents),
+          |r AS (SELECT doc_id,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+          |  CAST(len(regexp_extract_all(text, '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_phones,
+          |  CAST(len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+          |  regexp_replace(regexp_replace(regexp_replace(text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g'),
+          |      '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS text_redacted
+          |  FROM spiked)
+          |SELECT doc_id, n_emails, n_phones, n_ips, text_redacted FROM r
+          |WHERE n_emails + n_phones + n_ips > 0 ORDER BY doc_id""".stripMargin),
+      doc = "PII redaction (email/phone/IP counts + placeholder rewrite)"),
+
     // BM25 keyword retrieval over the corpus (quality-filter / search
     // primitive). The tf relation holds only (doc, query-term) rows; df/idf
     // are a ≤3-row broadcast; DECIMAL-cast sum keeps the score order-stable.

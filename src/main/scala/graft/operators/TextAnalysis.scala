@@ -61,6 +61,79 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(array_join(array_sort(array_distinct(words(text))), " "))
 
+  /** Longest run of equal adjacent elements in a SORTED array == the max
+    * multiplicity of any value — one O(n) aggregate pass, no explode. */
+  private def maxRun(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"), greatest(acc("best"), run).as("best"))
+      },
+      acc => acc("best"))
+
+  /** Word 2-grams (non-distinct, order-preserving); empty below 2 words. */
+  private def bigrams(w: Column): Column =
+    when(size(w) >= 2,
+      transform(sequence(lit(1), size(w) - 1), i => array_join(slice(w, i, lit(2)), " ")))
+      .otherwise(typedLit(Seq.empty[String]))
+
+  /** Repetition-based quality signals (the Gopher/MassiveText repetition
+    * rules, re-expressed row-locally): word and 2-gram multiplicities plus
+    * the duplicate/top-fraction ratios a filtering pipeline thresholds on.
+    *
+    * Scale shape: pure column expressions over each row's token array — one
+    * scan, zero shuffles at any corpus size. Multiplicity counts come from
+    * sorted-run scans ([[maxRun]]), not explode+groupBy, so nothing leaves
+    * the row. Fractions are single int/int IEEE divisions (bit-identical
+    * across engines — no rounding needed, unlike order-dependent sums). */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol), words(col(textCol)).as("w"))
+      .select(col(idCol),
+        size(col("w")).cast("long").as("n_words"),
+        size(array_distinct(col("w"))).cast("long").as("n_distinct_words"),
+        maxRun(array_sort(col("w"))).as("top_word_count"),
+        bigrams(col("w")).as("bi"))
+      .select(col(idCol), col("n_words"), col("n_distinct_words"),
+        col("top_word_count"),
+        size(col("bi")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bi"))).cast("long").as("n_distinct_bigrams"),
+        maxRun(array_sort(col("bi"))).as("top_bigram_count"))
+    base.select(col(idCol), col("n_words"), col("n_distinct_words"),
+      col("top_word_count"), col("n_bigrams"), col("n_distinct_bigrams"),
+      col("top_bigram_count"),
+      when(col("n_words") === 0, lit(0.0))
+        .otherwise((col("n_words") - col("n_distinct_words")) / col("n_words"))
+        .as("dup_word_frac"),
+      when(col("n_bigrams") === 0, lit(0.0))
+        .otherwise(col("top_bigram_count") / col("n_bigrams"))
+        .as("top_bigram_frac"))
+  }
+
+  /** PII patterns shared by [[redactPii]]: kept to syntax with identical
+    * semantics in Java regex and RE2 (no lookaround, no backreferences) so
+    * the DuckDB oracle twin matches byte for byte. */
+  val piiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}", "<PHONE>"),
+    ("ip", "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"))
+
+  /** PII redaction for training corpora: per-category match counts (on the
+    * original text) plus the text with every match replaced by its
+    * placeholder, categories applied in [[piiPatterns]] order.
+    *
+    * Scale shape: pure regexp column expressions — one scan, no shuffle, no
+    * UDF; the regex state machines compile once per task via codegen. */
+  def redactPii(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val redacted = piiPatterns.foldLeft(col(textCol)) {
+      case (c, (_, pat, tag)) => regexp_replace(c, pat, tag)
+    }
+    val counts = piiPatterns.map { case (name, pat, _) =>
+      regexp_count(col(textCol), lit(pat)).cast("int").as(s"n_${name}s")
+    }
+    df.select(col(idCol) +: counts :+ redacted.as("text_redacted"): _*)
+  }
+
   /** BM25 relevance scoring of a keyword query over the corpus — the
     * retrieval/quality-filter primitive of a training-data pipeline
     * (Robertson-Spärck Jones; the same scoring Lucene/ES defaults to).

@@ -118,6 +118,28 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got(0)._2 > got(1)._2)
   }
 
+  test("repetition signals: multiplicities and fractions, 1-word edge") {
+    val docs = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    // doc 1: words [a,b,a,b,c] → 5/3 distinct, 'a' ×2; bigrams
+    // [a b, b a, a b, b c] → 4/3 distinct, 'a b' ×2
+    assert(got(0).toSeq == Seq(1L, 5L, 3L, 2L, 4L, 3L, 2L, 0.4, 0.5))
+    // doc 2: single word → no bigrams, zero fractions
+    assert(got(1).toSeq == Seq(2L, 1L, 1L, 1L, 0L, 0L, 0L, 0.0, 0.0))
+  }
+
+  test("PII redaction: per-category counts and placeholder rewrite") {
+    val docs = Seq(
+      (1L, "mail a.b@x.io or c@y.org, call 555-123-4567, host 192.168.0.1"),
+      (2L, "clean text")).toDF("doc_id", "text")
+    val got = graft.operators.TextAnalysis.redactPii(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(got(0).toSeq == Seq(1L, 2, 1, 1,
+      "mail <EMAIL> or <EMAIL>, call <PHONE>, host <IP>"))
+    assert(got(1).toSeq == Seq(2L, 0, 0, 0, "clean text"))
+  }
+
   test("stratified hash sampling is deterministic and respects rates") {
     val d = Tables.documents(spark, sfDir)
       .withColumn("stratum", when($"doc_id" % 2 === 0, "a").otherwise("b"))
