@@ -194,6 +194,41 @@ object QueriesVector {
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (IVF-flat, nProbe=4/16) — partition-pruned scale path"),
 
+    // V3 ANN product quantization: 8 subspaces × 16 data-sampled codebook
+    // entries (the IVF sample rows), ADC ranking off an m×16 driver-side
+    // lookup table — the memory-scale path (vector → 8 small ints).
+    "v3_ann_pq" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val codebooks = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("embedding")).collect()
+          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+        Vectors.pqSearch(emb, "vec_id", "embedding", codebooks, 8,
+          queryVec(s, dir), 10)
+      },
+      oracle = Some(
+        """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |cl AS (SELECT list(cv ORDER BY cid) AS cbs FROM cents),
+          |ds AS (SELECT vec_id, label, list_transform(generate_series(1, 8), s ->
+          |    list_transform(generate_series(1, 16), c ->
+          |      list_sum(list_transform(generate_series(1, 8), j ->
+          |        (ev[(s-1)*8+j] - cbs[c][(s-1)*8+j]) * (ev[(s-1)*8+j] - cbs[c][(s-1)*8+j])))))
+          |  AS dmat FROM base, cl),
+          |codes AS (SELECT vec_id, label,
+          |    list_transform(dmat, dl -> array_position(dl, list_min(dl))) AS code FROM ds),
+          |scored AS (SELECT vec_id, label,
+          |    round(list_sum(list_transform(generate_series(1, 8), s ->
+          |      list_sum(list_transform(generate_series(1, 8), j ->
+          |        (qv[(s-1)*8+j] - cbs[code[s]][(s-1)*8+j])
+          |      * (qv[(s-1)*8+j] - cbs[code[s]][(s-1)*8+j]))))), 9) + 0.0 AS adc
+          |  FROM codes, cl, q)
+          |SELECT vec_id, label, adc FROM scored ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 ANN (product quantization, 8×16 ADC) — memory-scale path"),
+
     // V3 ANN multi-probe LSH: probe the exact bucket + the 2 buckets across
     // the boundaries the query sits closest to (recall recovery).
     "v3_ann_lsh_multiprobe" -> Q(

@@ -124,6 +124,66 @@ object Vectors {
       keyCol, embCol, query, "euclidean", topK)
   }
 
+  /** Product-quantization encode: split each vector into `m` subspaces and
+    * store, per subspace, the index (1-based) of the nearest codebook entry —
+    * the memory-scale ANN path (a 64-float vector compresses to m bytes, so
+    * the codes relation for 10^11 vectors fits a fraction of the raw data;
+    * at 100 TB the codes table is what the search scans). Codebook entries
+    * are deterministic data samples (like [[ivfAssign]]'s centroids), so the
+    * DuckDB oracle reproduces the exact assignment: per-subspace L2² uses the
+    * codegen'd left-fold kernel ([[graft.functions.VectorExprs.l2Sq]]) whose
+    * bit-for-bit parity with `list_sum(list_transform(...))` is already
+    * established by the LSH/IVF oracles, and argmin is the lexicographic
+    * struct-min (first index on ties) == `array_position(d, list_min(d))`. */
+  def pqEncode(vectors: DataFrame, embCol: String,
+               codebooks: Seq[Seq[Double]], m: Int): DataFrame = {
+    val dim = codebooks.head.size
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val subDim = dim / m
+    val ev = col(embCol).cast("array<double>")
+    val codes = (0 until m).map { s =>
+      val sub = slice(ev, s * subDim + 1, subDim)
+      val cands = codebooks.zipWithIndex.map { case (cb, c) =>
+        struct(graft.functions.VectorExprs
+          .l2Sq(sub, typedLit(cb.slice(s * subDim, (s + 1) * subDim))).as("d"),
+          lit(c + 1).as("c"))
+      }
+      array_min(array(cands: _*)).getField("c")
+    }
+    vectors.withColumn("pq_code", array(codes: _*))
+  }
+
+  /** PQ asymmetric-distance search: rank by the ADC estimate — the query's
+    * L2² to each codebook entry is computed ONCE driver-side (an m×|codebook|
+    * lookup table, the PQ trick), so scoring a row is m array lookups + a
+    * fixed-order m-term sum, no per-row vector math. Scala's left-fold table
+    * construction matches the oracle's `list_sum` fold bit for bit. */
+  def pqSearch(vectors: DataFrame, keyCol: String, embCol: String,
+               codebooks: Seq[Seq[Double]], m: Int, query: Seq[Double],
+               topK: Int = 10): DataFrame = {
+    val dim = codebooks.head.size
+    val subDim = dim / m
+    val table: Seq[Seq[Double]] = (0 until m).map { s =>
+      codebooks.map { cb =>
+        var acc = 0.0
+        var j = 0
+        while (j < subDim) { // explicit left fold: IEEE order == list_sum
+          val d = query(s * subDim + j) - cb(s * subDim + j)
+          acc += d * d
+          j += 1
+        }
+        acc
+      }
+    }
+    val adc = (0 until m)
+      .map(s => element_at(typedLit(table(s)), col("pq_code").getItem(s)))
+      .reduceLeft(_ + _)
+    pqEncode(vectors, embCol, codebooks, m)
+      .select(col(keyCol), col("label"), (round(adc, 9) + 0.0).as("adc"))
+      .orderBy(col("adc"), col(keyCol))
+      .limit(topK)
+  }
+
   /** V4 getVectors: key lookup, ≤100 keys (limits.ts:9). */
   def getByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
     vectors.filter(col(keyCol).isin(keys.take(100): _*))

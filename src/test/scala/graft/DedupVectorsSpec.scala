@@ -69,6 +69,28 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(ivf.head == 0L)
   }
 
+  test("PQ: codebook rows self-encode; ADC top-k is deterministic") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val samples = emb.filter(col("vec_id") % 97 === 3)
+      .orderBy(col("vec_id")).limit(16)
+      .select(col("vec_id"), col("embedding")).collect()
+    val codebooks = samples.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+    val firstId = samples.head.getLong(0)
+    // the row the first codebook entry was sampled from has all-zero
+    // subspace distances to entry 1 → codes all 1
+    val codes = Vectors.pqEncode(emb.filter(col("vec_id") === firstId),
+        "embedding", codebooks, 8)
+      .select(col("pq_code")).head.getSeq[Int](0)
+    assert(codes == Seq.fill(8)(1))
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+    val run = () => Vectors.pqSearch(emb, "vec_id", "embedding", codebooks, 8, q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val r1 = run()
+    assert(r1.size == 10 && r1.forall(_._2 >= 0.0))
+    assert(r1 == run())
+  }
+
   test("ANN kNN results are a subset of the exact scan, same ordering") {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding")
