@@ -31,6 +31,31 @@ object QueriesText {
 
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** Shared cluster-resolution CTE chain (over a `corpus` CTE): df-capped
+    * shared-shingle Jaccard pairs → undirected edges → recursive
+    * reachability. Twin of `Dedup.jaccardPairs(n=3, 0.5, maxDf=8)` +
+    * `Dedup.resolveClusters`. Compose after a `WITH RECURSIVE corpus...`. */
+  private val clusterCtes =
+    s"""sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
+       |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
+       |e0 AS (SELECT id, unnest(shl) AS s FROM sh),
+       |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 8),
+       |f AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
+       |e AS (SELECT f.id, s, n_sh FROM f
+       |      JOIN (SELECT id, count(*) AS n_sh FROM f GROUP BY id) n USING (id)),
+       |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+       |             count(*) AS inter
+       |      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2, 3, 4),
+       |pairs AS (SELECT id_a, id_b FROM p
+       |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |          UNION ALL SELECT id_b, id_a FROM pairs),
+       |nodes AS (SELECT DISTINCT src AS id FROM edges),
+       |reach AS (SELECT id, id AS label FROM nodes
+       |          UNION
+       |          SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
+
   /** DuckDB twin of [[graft.operators.Dedup.minhashLshPairs]] (16 bands × 4
     * rows): portable md5-derived double hashing h_i = h1 + i·h2m, band join on
     * slice equality (Spark joins on xxhash64 of the same slice — equality-
@@ -361,28 +386,39 @@ object QueriesText {
       },
       oracle = Some(
         s"""WITH RECURSIVE $nearDupCte,
-           |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
-           |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
-           |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
-           |e0 AS (SELECT id, unnest(shl) AS s FROM sh),
-           |hot AS (SELECT s FROM e0 GROUP BY s HAVING count(*) > 8),
-           |f AS (SELECT * FROM e0 WHERE s NOT IN (SELECT s FROM hot)),
-           |e AS (SELECT f.id, s, n_sh FROM f
-           |      JOIN (SELECT id, count(*) AS n_sh FROM f GROUP BY id) n USING (id)),
-           |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
-           |             count(*) AS inter
-           |      FROM e a JOIN e b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2, 3, 4),
-           |pairs AS (SELECT id_a, id_b FROM p
-           |          WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5),
-           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-           |          UNION ALL SELECT id_b, id_a FROM pairs),
-           |nodes AS (SELECT DISTINCT src AS id FROM edges),
-           |reach AS (SELECT id, id AS label FROM nodes
-           |          UNION
-           |          SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)
+           |$clusterCtes
            |SELECT id, min(label) AS cluster FROM reach GROUP BY id
            |ORDER BY id""".stripMargin),
       doc = "near-dup cluster resolution: connected components, min-id canonical"),
+
+    // End-to-end dedup: same pair generation + clustering, then the corpus
+    // with losers anti-joined away and per-keeper absorption counts — the
+    // call a pipeline user actually makes.
+    "dedup_survivors" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
+        Dedup.dedupCorpus(corpus, "doc_id", pairs)
+          .select(col("doc_id"), col("n_absorbed"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $nearDupCte,
+           |$clusterCtes,
+           |clusters AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+           |absorbed AS (SELECT cluster, count(*) - 1 AS n_absorbed
+           |             FROM clusters GROUP BY cluster)
+           |SELECT c.doc_id, coalesce(a.n_absorbed, 0) AS n_absorbed
+           |FROM corpus c
+           |LEFT JOIN clusters l ON l.id = c.doc_id AND l.id != l.cluster
+           |LEFT JOIN absorbed a ON a.cluster = c.doc_id
+           |WHERE l.id IS NULL
+           |ORDER BY c.doc_id""".stripMargin),
+      doc = "end-to-end near-dup dedup: survivors + absorption counts"),
 
     // Deterministic stratified sampling — the training-mix step. Hash-based
     // (md5 bucket), so the kept set is identical in any engine/partitioning.

@@ -274,6 +274,29 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster"))
   }
 
+  /** End-to-end dedup: given near-dup PAIRS over `corpus`, resolve duplicate
+    * clusters and return the deduplicated corpus — every non-canonical
+    * member dropped (min-id keeps), each keeper annotated with how many
+    * duplicates it absorbed (0 for docs with no near-dup).
+    *
+    * Scale shape: the loser list is the duplicate set — potentially huge at
+    * 100 TB, so it anti-joins (sort-merge) rather than broadcasting; AQE
+    * downgrades both joins to broadcast when the cluster relation is small.
+    * One resolveClusters pass feeds both the anti-join and the absorption
+    * counts (persisted — it is the output of an iterative computation whose
+    * lineage must not re-run). */
+  def dedupCorpus(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val clusters = resolveClusters(pairs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val losers = clusters.filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val absorbed = clusters.groupBy(col("cluster").as(idCol))
+      .agg((count(lit(1)) - 1).as("n_absorbed"))
+    corpus.join(losers, Seq(idCol), "left_anti")
+      .join(absorbed, Seq(idCol), "left")
+      .withColumn("n_absorbed", coalesce(col("n_absorbed"), lit(0L)))
+  }
+
   /** Small-graph path: union-find (union by rank + path compression) over the
     * edge list in a single executor task. coalesce(1) moves the edges to one
     * partition WITHOUT a shuffle; the task is O(E α(E)) time and O(V+E)

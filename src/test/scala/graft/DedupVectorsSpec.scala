@@ -129,6 +129,17 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(dist.toSeq == got.toSeq)
   }
 
+  test("dedupCorpus drops losers, keeps min-id, counts absorption") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val corpus = Seq((1L, "a"), (2L, "b"), (3L, "c"), (10L, "d"), (11L, "e"),
+      (20L, "f")).toDF("doc_id", "text")
+    val got = Dedup.dedupCorpus(corpus, "doc_id", pairs).orderBy("doc_id")
+      .select("doc_id", "n_absorbed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // {1,2,3} → keeper 1 absorbs 2; {10,11} → keeper 10 absorbs 1; 20 alone
+    assert(got.toSeq == Seq((1L, 2L), (10L, 1L), (20L, 0L)))
+  }
+
   test("bm25: higher tf ranks higher; absent terms score nothing") {
     val docs = Seq(
       (1L, "vector vector vector table row"),
