@@ -14,12 +14,28 @@ object Bench {
     // their stored layout — the reference's baseline equally assumes rows
     // already resident in Postgres, not re-derived per query.
     Seq(Tables.objects(spark, sfDir), Tables.s3Keys(spark, sfDir),
-      Tables.multipartParts(spark, sfDir)).foreach(_.count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+      Tables.multipartParts(spark, sfDir), Tables.buckets(spark, sfDir))
+      .foreach(_.count())
+    // Untimed engine warmup: whole-stage codegen compilation, shuffle and
+    // sort machinery JIT (~5-7 s on a cold JVM) otherwise lands on whichever
+    // query happens to run first and distorts its number.
+    locally {
+      import org.apache.spark.sql.functions._
+      val w = spark.range(100000)
+        .select(col("id"), md5(col("id").cast("string")).as("h"))
+        .withColumn("b", pmod(col("id"), lit(97)))
+      w.groupBy(col("b")).agg(count(lit(1)), min(col("h"))).count()
+      w.join(w.select(col("b"), col("h").as("h2")).limit(1000), Seq("b")).count()
+      w.orderBy(col("h")).limit(10).count()
+    }
+    // Sorted execution order: Map iteration order moves whenever an entry is
+    // added, silently reassigning which query pays the JIT/codegen warmup —
+    // sorted names keep per-query timings comparable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
     // The driver captures only the last 2000 chars of sbt output; round-1's
     // full-precision 71-query line (~3 KB) overflowed that and the bench went
     // ungraded ("parsed": null). So: print a compact line — total + a fixed

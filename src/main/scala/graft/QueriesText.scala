@@ -446,6 +446,124 @@ object QueriesText {
           |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin),
       doc = "deterministic stratified hash sampling (training-mix weights)"),
 
+    // C4/Gopher heuristic filter battery. The synthetic corpus is clean
+    // (no punctuation/braces/placeholders), so deterministic contamination
+    // is spliced in — the PII query's construction: first-matching CASE
+    // appends a lorem-ipsum placeholder / code fragment / symbol run, or
+    // truncates to 5 words. Every flag is integer-compared row-local logic.
+    "text_c4_filters" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val spiked = d.select(col("doc_id"),
+          when(col("doc_id") % 13 === 0,
+            concat(col("text"), lit(" lorem ipsum dolor sit")))
+          .when(col("doc_id") % 17 === 0,
+            concat(col("text"), lit(" function() { javascript }")))
+          .when(col("doc_id") % 19 === 0,
+            array_join(slice(split(trim(col("text")), "\\s+"), 1, 5), " "))
+          .when(col("doc_id") % 23 === 0,
+            concat(col("text"), lit(" # # # # # # # #")))
+          .otherwise(col("text")).as("text"))
+        TextAnalysis.c4GopherFilters(spiked, "doc_id", "text")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH spiked AS (SELECT doc_id, CASE
+           |    WHEN doc_id % 13 = 0 THEN concat(text, ' lorem ipsum dolor sit')
+           |    WHEN doc_id % 17 = 0 THEN concat(text, ' function() { javascript }')
+           |    WHEN doc_id % 19 = 0 THEN array_to_string((string_split_regex(trim(text), '\\s+'))[1:5], ' ')
+           |    WHEN doc_id % 23 = 0 THEN concat(text, ' # # # # # # # #')
+           |    ELSE text END AS text FROM documents),
+           |d AS (SELECT doc_id, text, $wordsSql AS w FROM spiked),
+           |f AS (SELECT doc_id,
+           |  CAST(len(w) AS INT) AS n_words,
+           |  len(w) BETWEEN 10 AND 100000 AS f_words,
+           |  CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len(w)
+           |    BETWEEN 3.0 AND 10.0 AS f_word_len,
+           |  NOT contains(lower(text), 'lorem ipsum') AS f_lorem,
+           |  NOT contains(text, '{') AS f_brace,
+           |  NOT list_contains(w, 'javascript') AS f_policy,
+           |  (length(text) - length(replace(text, '#', ''))) * 20 <= len(w) AS f_symbol,
+           |  len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) * 5 >= len(w) * 4 AS f_alpha,
+           |  len(list_filter(w, x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) >= 2 AS f_stopword
+           |  FROM d)
+           |SELECT doc_id, n_words, f_words, f_word_len, f_lorem, f_brace,
+           |       f_policy, f_symbol, f_alpha, f_stopword,
+           |       f_words AND f_word_len AND f_lorem AND f_brace AND f_policy
+           |         AND f_symbol AND f_alpha AND f_stopword AS keep
+           |FROM f ORDER BY doc_id""".stripMargin),
+      doc = "C4/Gopher heuristic quality filters (8 rules + keep conjunction)"),
+
+    // Unigram-LM self-surprisal (perplexity proxy): LM trained on the corpus
+    // itself; per-word surprisal rounds to 6 dp BEFORE the decimal per-doc
+    // sum, so scores are order-independent and ulp-safe across engines.
+    "text_perplexity" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""WITH tok AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents),
+           |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+           |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm),
+           |s AS (SELECT w, CAST(round(ln(n / c), 6) AS DECIMAL(18,6)) AS surp FROM lm, n),
+           |d AS (SELECT id, count(*) AS n_tokens, sum(surp) AS ssum
+           |      FROM tok JOIN s USING (w) GROUP BY id)
+           |SELECT id AS doc_id, n_tokens,
+           |       round(CAST(ssum AS DOUBLE) / n_tokens, 6) AS mean_surprisal
+           |FROM d ORDER BY doc_id""".stripMargin),
+      doc = "unigram-LM surprisal scoring (perplexity-proxy quality signal)"),
+
+    // Importance-weighted deterministic sampling: keep probability scales
+    // with doc length (min(1, n_chars/500)) — the per-row generalization of
+    // the stratified mix. Integer-derived weights never land on .5 bp.
+    "sample_importance" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        graft.operators.Sampling.weightedHashSample(d, "doc_id",
+          least(lit(1.0), col("n_chars").cast("double") / 500.0), salt = "imp1")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"),
+            sum(col("n_chars")).as("chars_sum"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        """WITH kept AS (SELECT * FROM documents WHERE
+          |  CAST('0x' || substr(md5(concat('imp1', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+          |    % 10000 < round(least(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 10000))
+          |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum,
+          |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "importance-weighted deterministic sampling (length-prior keep prob)"),
+
+    // Token-budget sequence packing: shard by portable id-hash, fill
+    // 512-token bins per shard in id order. All integer arithmetic (the one
+    // division is exact); the window parallelizes across shards — no global
+    // sort at any scale.
+    "pack_sequences" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        val assigned = graft.operators.Packing.assignBins(
+          d, "doc_id", "toks", budget = 512, shards = 8, salt = "pack1")
+        graft.operators.Packing.packStats(assigned, "doc_id", "toks", 512)
+          .orderBy(col("shard"), col("seq_id"))
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, CAST(len($wordsSql) AS INT) AS toks,
+           |  CAST('0x' || substr(md5(concat('pack1', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+           |    % 10000 % 8 AS shard FROM documents),
+           |c AS (SELECT doc_id, shard, toks,
+           |  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM d),
+           |b AS (SELECT shard, CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_id,
+           |             doc_id, toks FROM c)
+           |SELECT shard, seq_id, count(*) AS n_docs,
+           |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |       min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+           |       CAST(sum(toks) AS DOUBLE) / 512 AS fill_ratio
+           |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin),
+      doc = "token-budget sequence packing (sharded cumulative-fill bins)"),
+
     // Document fingerprint (order-insensitive content hash).
     "text_fingerprint" -> Q(
       fn = (s, dir) => Tables.documents(s, dir)

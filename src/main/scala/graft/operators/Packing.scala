@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training pipelines: assign documents to
+  * fixed-token-budget training sequences ("pack 512-token context windows").
+  * This is the chunk-boundary formulation (every doc lands in the bin where
+  * its cumulative token span ends; an oversized doc spans bins but is
+  * ASSIGNED to one) — the deterministic, engine-portable variant of greedy
+  * first-fit, which is inherently sequential and order-sensitive.
+  *
+  * Scale shape: packing is sharded by a portable hash of the id
+  * ([[Sampling.sampleBucket]]), so the only wide ops are one hash-partition
+  * by shard and a per-shard sort — `shards` independent window tasks, no
+  * global order. At 1000 executors set `shards` to a few × total cores;
+  * each task streams its shard once (cumulative sum is O(n) per shard).
+  * A single global window (no shard column) would serialize the corpus
+  * through one task — the classic window-function scale killer this
+  * construction exists to avoid.
+  */
+object Packing {
+
+  /** Adds `shard`, `cum_tokens`, `seq_id` to `df`: shard = portable hash of
+    * the id mod `shards`; within a shard (ordered by id) docs fill
+    * consecutive `budget`-token bins; `seq_id` = bin index of each doc's
+    * cumulative END token ((cum−1) div budget — integer-exact in any engine
+    * below 2^53 total tokens per shard). */
+  def assignBins(df: DataFrame, idCol: String, tokenCol: String,
+                 budget: Int, shards: Int, salt: String = ""): DataFrame = {
+    require(budget > 0, s"budget $budget must be positive")
+    require(shards > 0, s"shards $shards must be positive")
+    val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
+    df.withColumn("shard", pmod(Sampling.sampleBucket(col(idCol), salt), lit(shards)))
+      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+      // exact double division of integers (< 2^53), then floor — identical
+      // in every IEEE engine, unlike `/` whose int-vs-float semantics differ
+      .withColumn("seq_id", floor((col("cum_tokens") - 1) / lit(budget)).cast("long"))
+  }
+
+  /** Per-bin packing stats: doc count, token total, id span, fill ratio
+    * (single exact int/int double division — no rounding needed). Bins other
+    * than a shard's last have fill ≥ 1 − (maxDocTokens−1)/budget; oversized
+    * docs push fill above 1 (they span into following bins). */
+  def packStats(assigned: DataFrame, idCol: String, tokenCol: String,
+                budget: Int): DataFrame =
+    assigned.groupBy(col("shard"), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCol)).cast("long").as("n_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+      .withColumn("fill_ratio", col("n_tokens").cast("double") / lit(budget.toDouble))
+}

@@ -28,6 +28,20 @@ object Sampling {
     df.filter(sampleBucket(col(keyCol), salt) < (fraction * 10000).round)
   }
 
+  /** Importance-weighted deterministic sample: per-ROW keep probability from
+    * a weight column (clamped to [0,1] — e.g. a quality score, a length
+    * prior, a DoReMi-style domain weight). Same portable bucket, so reruns
+    * and engines agree row for row; still a pure narrow filter — the weight
+    * expression rides into the scan, no shuffle, no RNG state.
+    *
+    * Weight expressions should avoid exact .5 basis-point boundaries
+    * (round-half behavior is the one FP edge engines could disagree on);
+    * integer-derived weights like n/500.0 never land there. */
+  def weightedHashSample(df: DataFrame, keyCol: String,
+                         weight: Column, salt: String = ""): DataFrame =
+    df.filter(sampleBucket(col(keyCol), salt) <
+      round(least(greatest(weight, lit(0.0)), lit(1.0)) * 10000).cast("long"))
+
   /** Stratified deterministic sample: per-stratum keep rates (training-mix
     * weights). The rate table is a handful of rows — it rides into the plan
     * as a broadcast join; strata absent from the map keep `defaultFraction`.

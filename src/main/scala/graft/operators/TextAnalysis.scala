@@ -134,6 +134,80 @@ object TextAnalysis {
     df.select(col(idCol) +: counts :+ redacted.as("text_redacted"): _*)
   }
 
+  /** C4/Gopher-style heuristic document filters — the standard pretraining
+    * quality battery (C4's boilerplate/placeholder rules + Gopher's
+    * symbol/alpha/stopword rules), re-expressed as one row-local flag per
+    * rule plus the conjunction `keep`.
+    *
+    * Flags (true = document PASSES the rule):
+    *   - f_words:    word count in [minWords, maxWords]
+    *   - f_word_len: mean word length in [3, 10]
+    *   - f_lorem:    no 'lorem ipsum' placeholder
+    *   - f_brace:    no '{' (code/markup leakage)
+    *   - f_policy:   no 'javascript' token (C4's boilerplate-line analog)
+    *   - f_symbol:   '#' symbols ≤ 1/20 of words (Gopher symbol-to-word)
+    *   - f_alpha:    ≥ 4/5 of words contain a letter (Gopher alpha-word)
+    *   - f_stopword: ≥ 2 hits from the English stopword set (Gopher)
+    *
+    * Ratio rules compare as cross-multiplied INTEGERS (20·symbols ≤ words),
+    * so no float leaves the row; the two genuine ratios (mean word length)
+    * are single exact int/int divisions. Pure column expressions — one scan,
+    * zero shuffles at any corpus size, codegen'd end to end. */
+  def c4GopherFilters(df: DataFrame, idCol: String, textCol: String,
+                      minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
+    val t = col(textCol)
+    val w = words(t)
+    val nWords = size(w)
+    val nonSpace = length(regexp_replace(t, "\\s", ""))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    val alphaWords = size(filter(w, x => x.rlike("[a-z]")))
+    val stops = graft.functions.VectorExprs.stopwordCounts(w, Seq(stopwordsEn))
+      .getItem(0)
+    val meanLen = nonSpace.cast("double") / nWords
+    df.select(col(idCol), t.as("_t"), nWords.as("n_words"), w.as("_w"),
+        meanLen.as("_ml"), hashes.as("_h"), alphaWords.as("_aw"), stops.as("_st"))
+      .select(col(idCol), col("n_words"),
+        col("n_words").between(minWords, maxWords).as("f_words"),
+        (col("_ml") >= 3.0 && col("_ml") <= 10.0).as("f_word_len"),
+        (!lower(col("_t")).contains("lorem ipsum")).as("f_lorem"),
+        (!col("_t").contains("{")).as("f_brace"),
+        (!array_contains(col("_w"), "javascript")).as("f_policy"),
+        (col("_h") * 20 <= col("n_words")).as("f_symbol"),
+        (col("_aw") * 5 >= col("n_words") * 4).as("f_alpha"),
+        (col("_st") >= 2).as("f_stopword"))
+      .withColumn("keep",
+        col("f_words") && col("f_word_len") && col("f_lorem") && col("f_brace") &&
+          col("f_policy") && col("f_symbol") && col("f_alpha") && col("f_stopword"))
+  }
+
+  /** Unigram-LM surprisal scoring — the perplexity-proxy quality signal
+    * (Wenzek et al.'s CCNet uses a KenLM; the unigram self-LM is its
+    * engine-portable analog): train word frequencies on the corpus itself,
+    * then score each doc by its mean per-token surprisal ln(N/c). High mean
+    * ⇒ rare-word-heavy (gibberish or niche); low ⇒ boilerplate-common.
+    *
+    * Scale shape: two shuffles, both inherent — one groupBy(word) to train
+    * the LM (map-side combined), one groupBy(doc) to score. N reduces to a
+    * driver scalar that rides into the plan as a literal; the token→LM join
+    * is left to AQE, which broadcasts while the vocabulary is small and
+    * shuffle-joins (the 100 TB shape, where the LM is a written table) when
+    * it is not. Per-word surprisal rounds to 6 dp BEFORE the per-doc sum and
+    * sums as DECIMAL, so doc scores are order-independent and any last-ulp
+    * ln() disagreement between engines is absorbed ahead of aggregation. */
+  def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val lm = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = lm.agg(sum(col("c"))).head().getLong(0).toDouble
+    val scored = lm.select(col("w"),
+      round(log(lit(n) / col("c")), 6).cast("decimal(18,6)").as("surp"))
+    tok.join(scored, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("_ssum"))
+      .select(col("id"), col("n_tokens"),
+        round(col("_ssum").cast("double") / col("n_tokens"), 6).as("mean_surprisal"))
+  }
+
   /** BM25 relevance scoring of a keyword query over the corpus — the
     * retrieval/quality-filter primitive of a training-data pipeline
     * (Robertson-Spärck Jones; the same scoring Lucene/ES defaults to).

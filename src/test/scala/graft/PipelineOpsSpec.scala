@@ -1,0 +1,115 @@
+package graft
+
+import graft.operators.{Packing, Sampling, TextAnalysis}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** Round-3 pipeline additions: C4/Gopher filter battery, importance-weighted
+  * sampling, unigram-LM surprisal, token-budget sequence packing. */
+class PipelineOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val cleanDoc =
+    "the cat and the dog sat down on a mat with some other good words here"
+
+  test("c4GopherFilters: clean doc passes every rule") {
+    val df = Seq((1L, cleanDoc)).toDF("doc_id", "text")
+    val r = TextAnalysis.c4GopherFilters(df, "doc_id", "text").head()
+    val flags = Seq("f_words", "f_word_len", "f_lorem", "f_brace", "f_policy",
+      "f_symbol", "f_alpha", "f_stopword", "keep")
+    flags.foreach(f => assert(r.getAs[Boolean](f), s"$f should pass"))
+  }
+
+  test("c4GopherFilters: each contamination trips exactly its rule") {
+    val cases = Seq(
+      (1L, cleanDoc + " lorem ipsum dolor", "f_lorem"),
+      (2L, cleanDoc + " function() { return }", "f_brace"),
+      (3L, cleanDoc + " enable javascript now", "f_policy"),
+      (4L, cleanDoc + " # # # # # # # # # # # #", "f_symbol"),
+      (5L, "the a " + (1 to 20).map(_.toString).mkString(" "), "f_alpha"),
+      (6L, "short doc here", "f_words"),
+      (7L, "value table merge scan filter hash join sort spill batch", "f_stopword"))
+    val df = cases.map { case (id, t, _) => (id, t) }.toDF("doc_id", "text")
+    val rows = TextAnalysis.c4GopherFilters(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    cases.foreach { case (id, _, failFlag) =>
+      assert(!rows(id).getAs[Boolean](failFlag), s"doc $id should fail $failFlag")
+      assert(!rows(id).getAs[Boolean]("keep"), s"doc $id should not be kept")
+    }
+  }
+
+  test("weightedHashSample: clamped extremes, monotone in weight, partition-stable") {
+    val df = Tables.documents(spark, sfDir).select(col("doc_id"))
+    val n = df.count()
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(1.0), "s").count() == n)
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(2.5), "s").count() == n)
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(0.0), "s").count() == 0)
+    assert(Sampling.weightedHashSample(df, "doc_id", lit(-1.0), "s").count() == 0)
+    // same salt ⇒ the kept set is monotone in the weight (same bucket per row)
+    val lo = Sampling.weightedHashSample(df, "doc_id", lit(0.3), "s")
+      .collect().map(_.getLong(0)).toSet
+    val hi = Sampling.weightedHashSample(df, "doc_id", lit(0.7), "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(lo.subsetOf(hi))
+    // physical layout never changes the kept set
+    val re = Sampling.weightedHashSample(df.repartition(7), "doc_id", lit(0.3), "s")
+      .collect().map(_.getLong(0)).toSet
+    assert(re == lo)
+  }
+
+  test("unigramSurprisal: rare-word docs score above boilerplate docs") {
+    val docs = Seq(
+      (1L, "alpha beta alpha beta alpha beta alpha beta"),
+      (2L, "alpha beta xylophone quixotic zephyr jackdaw"),
+      (3L, "alpha beta alpha beta")).toDF("doc_id", "text")
+    val r = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .collect().map(x => x.getAs[Long]("id") ->
+        (x.getAs[Long]("n_tokens"), x.getAs[Double]("mean_surprisal"))).toMap
+    assert(r(1L)._1 == 8 && r(2L)._1 == 6 && r(3L)._1 == 4)
+    // doc 2 holds four corpus-unique words ⇒ strictly higher mean surprisal
+    assert(r(2L)._2 > r(1L)._2)
+    // docs 1 and 3 are all common words with identical mix ⇒ equal scores
+    assert(r(1L)._2 == r(3L)._2)
+  }
+
+  test("packing: exhaustive assignment, bin bound, matches local recompute") {
+    val budget = 128
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("toks"))
+    val assigned = Packing.assignBins(d, "doc_id", "toks", budget, 4, "t")
+      .select("doc_id", "toks", "shard", "seq_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // every doc assigned exactly once
+    assert(assigned.map(_._1).distinct.length == d.count())
+    // local reference: same shard hash, cumulative fill per shard in id order
+    val maxDoc = assigned.map(_._2).max
+    assigned.groupBy(_._3).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, toks, _, seq) =>
+        cum += toks
+        assert(seq == (cum - 1) / budget, "bin must be the cumulative-end bin")
+      }
+    }
+    // with all docs under budget, a bin never exceeds budget + maxDoc − 1
+    val binTotals = assigned.groupBy(r => (r._3, r._4)).map(_._2.map(_._2.toLong).sum)
+    assert(binTotals.forall(_ <= budget + maxDoc - 1))
+    // layout-independent: repartition changes nothing
+    val re = Packing.assignBins(d.repartition(5), "doc_id", "toks", budget, 4, "t")
+      .select("doc_id", "seq_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(re == assigned.map(r => (r._1, r._4)).toSet)
+  }
+
+  test("packStats: totals and fill ratios are consistent") {
+    val d = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 100), (5L, 100))
+      .toDF("doc_id", "toks")
+    // single shard makes the packing sequential: 512-budget fits docs 1-5
+    // at cum 100..500 into seq 0
+    val stats = Packing.packStats(
+      Packing.assignBins(d, "doc_id", "toks", 512, 1, "z"), "doc_id", "toks", 512)
+      .collect()
+    assert(stats.length == 1)
+    val r = stats.head
+    assert(r.getAs[Long]("n_docs") == 5 && r.getAs[Long]("n_tokens") == 500)
+    assert(r.getAs[Double]("fill_ratio") == 500.0 / 512)
+  }
+}
