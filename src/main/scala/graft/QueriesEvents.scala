@@ -74,5 +74,28 @@ object QueriesEvents {
         """SELECT event_type, count(*) AS deliverable FROM events
           |WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-05'
           |GROUP BY event_type ORDER BY event_type""".stripMargin),
-      doc = "E3 startAfter visibility cutoff (event.ts:117-120)"))
+      doc = "E3 startAfter visibility cutoff (event.ts:117-120)"),
+
+    // E6 object-admin-delete worker in batch form: every doomed object fans
+    // out to (key, key.info) backend deletions, 500 objects per batch — half
+    // the 1000-key S3 delete cap (object-admin-delete.ts:74-100,
+    // limits.ts:19-21, adapter.ts:255-257).
+    "e6_admin_delete_batches" -> Q(
+      fn = (s, dir) =>
+        graft.operators.ObjectStore.adminDeleteBatches(
+          Tables.objects(s, dir), "F",
+          to_timestamp(lit("1996-06-01 00:00:00")), 500)
+          .orderBy(col("bucket_id"), col("batch")),
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, batch, count(*) AS n_objects,
+          |       count(*) * 2 AS n_keys,
+          |       min(concat_ws('/', bucket_id, name, version)) AS first_key,
+          |       max(concat_ws('/', bucket_id, name, version)) AS last_key
+          |FROM (SELECT bucket_id, name, version,
+          |        CAST(floor((row_number() OVER (PARTITION BY bucket_id ORDER BY name) - 1) / 500)
+          |          AS BIGINT) AS batch
+          |      FROM objects
+          |      WHERE bucket_id = 'F' AND created_at < TIMESTAMP '1996-06-01')
+          |GROUP BY 1, 2 ORDER BY bucket_id, batch""".stripMargin)),
+      doc = "E6 admin-delete worker batches (object-admin-delete.ts, limits.ts:19-21)"))
 }

@@ -194,6 +194,36 @@ object QueriesVector {
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (IVF-flat, nProbe=4/16) — partition-pruned scale path"),
 
+    // Distributed Lloyd step refining the IVF centroids: assignment via the
+    // same argmin-L2 subquery as v3_ann_ivf, then per-(centroid, dim) decimal
+    // means — k·dim partial sums per task is the whole shuffle. The refined
+    // centroids feed Vectors.kmeansRefine (spec-verified loop).
+    "v3_ivf_kmeans_step" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        Vectors.kmeansStep(emb, "embedding", centroids)
+          .orderBy(col("cid"), col("dim"))
+      },
+      oracle = Some(
+        """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |assigned AS (SELECT CAST(e.embedding AS DOUBLE[]) AS emb,
+          |    (SELECT c.cid FROM cents c
+          |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+          |  FROM embeddings e),
+          |ex AS (SELECT cid, unnest(list_transform(generate_series(1, 64),
+          |         i -> struct_pack(dim := i, v := emb[i]))) AS u FROM assigned),
+          |g AS (SELECT cid, CAST(u.dim AS INT) AS dim, count(*) AS n,
+          |        sum(CAST(u.v AS DECIMAL(30,10))) AS s FROM ex GROUP BY 1, 2)
+          |SELECT cid, dim, n, round(CAST(s AS DOUBLE) / n, 6) AS c_new
+          |FROM g ORDER BY cid, dim""".stripMargin),
+      doc = "IVF k-means refinement step (distributed Lloyd iteration, decimal-exact)"),
+
     // V3 ANN product quantization: 8 subspaces × 16 data-sampled codebook
     // entries (the IVF sample rows), ADC ranking off an m×16 driver-side
     // lookup table — the memory-scale path (vector → 8 small ints).

@@ -91,4 +91,36 @@ object ObjectStore {
   def deleteAllBefore(objects: DataFrame, bucket: String,
                       before: Column): (DataFrame, DataFrame) =
     deleteWhere(objects, col("bucket_id") === bucket && col("created_at") < before)
+
+  /** E6 object-admin-delete worker, batch form
+    * (object-admin-delete.ts:74-100): each doomed object expands to TWO
+    * backend keys — `bucket/name/version` (adapter.ts:255-257 joins with the
+    * path separator) plus its `.info` sidecar — and deletions go out in
+    * batches of `batchSize` objects = 2·batchSize keys, half the S3 1000-key
+    * delete cap (limits.ts:19-21). Returns one row per batch with the key
+    * payload aggregated to (n_objects, n_keys, name span).
+    *
+    * Scale shape: batch numbering is a row_number window PER BUCKET (name
+    * order — the reference pages the same way), so buckets batch in
+    * parallel; within one bucket the numbering is a single sorted task,
+    * matching the reference's own serial paging. A corpus-wide admin sweep
+    * over ONE giant bucket would pre-shard by name range first (the
+    * [[Packing]] construction). */
+  def adminDeleteBatches(objects: DataFrame, bucket: String, before: Column,
+                         batchSize: Int = 500): DataFrame = {
+    val doomed = objects
+      .filter(col("bucket_id") === bucket && col("created_at") < before)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_id")).orderBy(col("name"))
+    doomed
+      .withColumn("batch",
+        floor((row_number().over(w) - 1) / lit(batchSize)).cast("long"))
+      .groupBy(col("bucket_id"), col("batch"))
+      .agg(count(lit(1)).as("n_objects"),
+        (count(lit(1)) * 2).as("n_keys"),
+        min(concat_ws("/", col("bucket_id"), col("name"), col("version")))
+          .as("first_key"),
+        max(concat_ws("/", col("bucket_id"), col("name"), col("version")))
+          .as("last_key"))
+  }
 }

@@ -124,6 +124,50 @@ object Vectors {
       keyCol, embCol, query, "euclidean", topK)
   }
 
+  /** One distributed Lloyd (k-means) step over the IVF centroids: assign
+    * every vector to its nearest centroid ([[ivfAssign]]), then emit the
+    * per-(centroid, dimension) mean as the refined coordinate. This is the
+    * classic distributed k-means shape — posexplode to (cid, dim, value)
+    * and ONE groupBy(cid, dim) with map-side combine, so the shuffle carries
+    * k·dim partial sums per task regardless of corpus size.
+    *
+    * Determinism: values cast to DECIMAL(30,10) before summing (exact,
+    * order-free) and the mean rounds to 6 dp off a single double division —
+    * the refined centroids are bit-identical on any engine/partitioning,
+    * which keeps refined-IVF assignments oracle-reproducible. Empty
+    * clusters simply emit no rows (the standard drop-empty-cluster rule). */
+  def kmeansStep(vectors: DataFrame, embCol: String,
+                 centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    ivfAssign(vectors, embCol, centroids)
+      .select(col("ivf_cid").as("cid"), col(embCol).cast("array<double>").as("emb"))
+      .select(col("cid"), posexplode(col("emb")))
+      .select(col("cid"), (col("pos") + 1).as("dim"),
+        col("col").cast("decimal(30,10)").as("v"))
+      .groupBy(col("cid"), col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .select(col("cid"), col("dim"), col("n"),
+        round(col("s").cast("double") / col("n"), 6).as("c_new"))
+
+  /** IVF centroid refinement: `iters` Lloyd steps from `init`. Each step is
+    * one distributed job ([[kmeansStep]]); the k·dim result (a few KB) comes
+    * back to the driver as the next step's centroid literals — centroids are
+    * query parameters here exactly as in [[ivfKnn]]. Returns the refined
+    * centroid seq for [[ivfAssign]]/[[ivfKnn]]. */
+  def kmeansRefine(vectors: DataFrame, embCol: String,
+                   init: Seq[(Long, Seq[Double])], iters: Int): Seq[(Long, Seq[Double])] = {
+    var cents = init
+    for (_ <- 1 to iters) {
+      cents = kmeansStep(vectors, embCol, cents)
+        .orderBy(col("cid"), col("dim")).collect()
+        .groupBy(_.getLong(0)).toSeq
+        .map { case (cid, rows) =>
+          (cid, rows.sortBy(_.getInt(1)).map(_.getDouble(3)).toSeq)
+        }
+        .sortBy(_._1)
+    }
+    cents
+  }
+
   /** Product-quantization encode: split each vector into `m` subspaces and
     * store, per subspace, the index (1-based) of the nearest codebook entry —
     * the memory-scale ANN path (a 64-float vector compresses to m bytes, so

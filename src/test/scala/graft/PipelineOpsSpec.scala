@@ -99,6 +99,41 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(re == assigned.map(r => (r._1, r._4)).toSet)
   }
 
+  test("kmeansRefine: matches local Lloyd reference and lowers distortion") {
+    import graft.operators.Vectors
+    val emb = Tables.embeddings(spark, sfDir)
+    val data = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val init = data.filter(_._1 % 7 == 3).sortBy(_._1).take(4)
+      .map { case (id, v) => (id, v.toSeq) }.toSeq
+
+    def assign(cents: Seq[(Long, Seq[Double])]) = data.map { case (_, v) =>
+      cents.map { case (cid, cv) =>
+        (cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, cid)
+      }.min
+    }
+    def distortion(cents: Seq[(Long, Seq[Double])]) = assign(cents).map(_._1).sum
+
+    val refined = Vectors.kmeansRefine(emb, "embedding", init, 2)
+    assert(refined.map(_._1).toSet.subsetOf(init.map(_._1).toSet))
+    assert(distortion(refined) < distortion(init), "refinement must lower distortion")
+
+    // one step agrees with a local reference mean (6 dp rounding)
+    val step1 = Vectors.kmeansRefine(emb, "embedding", init, 1).toMap
+    val members = data.map { case (id, v) =>
+      val cid = init.map { case (c, cv) =>
+        (cv.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum, c)
+      }.min._2
+      (cid, v)
+    }.groupBy(_._1)
+    members.foreach { case (cid, rows) =>
+      val mean = rows.map(_._2).transpose.map(ds => ds.sum / ds.length)
+      step1(cid).zip(mean).foreach { case (got, want) =>
+        assert(math.abs(got - want) < 2e-6, s"centroid $cid mean drift")
+      }
+    }
+  }
+
   test("packStats: totals and fill ratios are consistent") {
     val d = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 100), (5L, 100))
       .toDF("doc_id", "toks")
