@@ -224,6 +224,51 @@ object QueriesVector {
           |FROM g ORDER BY cid, dim""".stripMargin),
       doc = "IVF k-means refinement step (distributed Lloyd iteration, decimal-exact)"),
 
+    // End-to-end refined-IVF ANN: one Lloyd step over the seeded-sample
+    // centroids, then nProbe search against the REFINED lists — the full
+    // IVF train+query pipeline in one oracle-checked query. Works because
+    // the refined coordinates are decimal-exact + 6 dp-rounded (kmeansStep),
+    // so both engines re-derive identical centroid literals before the
+    // (bit-parity-established) distance folds.
+    "v3_ann_ivf_refined" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val init = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val refined = Vectors.kmeansRefine(emb, "embedding", init, 1)
+        Vectors.ivfKnn(emb, "vec_id", "embedding", refined, queryVec(s, dir), 10, 4)
+          .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+           |a0 AS (SELECT CAST(e.embedding AS DOUBLE[]) AS emb,
+           |    (SELECT c.cid FROM cents c
+           |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+           |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+           |  FROM embeddings e),
+           |ex AS (SELECT cid, unnest(list_transform(generate_series(1, 64),
+           |         i -> struct_pack(dim := i, v := emb[i]))) AS u FROM a0),
+           |g AS (SELECT cid, u.dim AS dim, count(*) AS n,
+           |        sum(CAST(u.v AS DECIMAL(30,10))) AS s FROM ex GROUP BY 1, 2),
+           |rc AS (SELECT cid, list(round(CAST(s AS DOUBLE) / n, 6) ORDER BY dim) AS cv
+           |       FROM g GROUP BY cid),
+           |probes AS (SELECT rc.cid FROM rc, q
+           |  ORDER BY list_sum(list_transform(list_zip(q.qv, rc.cv),
+           |    z -> (z[1]-z[2])*(z[1]-z[2]))), rc.cid LIMIT 4),
+           |assigned AS (SELECT e.vec_id, e.label, e.embedding,
+           |    (SELECT rc.cid FROM rc
+           |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), rc.cv),
+           |       z -> (z[1]-z[2])*(z[1]-z[2]))), rc.cid LIMIT 1) AS cid
+           |  FROM embeddings e)
+           |SELECT vec_id, label, ${l2Sql("embedding")} AS distance
+           |FROM assigned, q WHERE cid IN (SELECT cid FROM probes)
+           |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "refined-IVF ANN end-to-end (Lloyd step + nProbe search, oracle-checked)"),
+
     // V3 ANN product quantization: 8 subspaces × 16 data-sampled codebook
     // entries (the IVF sample rows), ADC ranking off an m×16 driver-side
     // lookup table — the memory-scale path (vector → 8 small ints).
