@@ -564,6 +564,27 @@ object QueriesText {
            |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin),
       doc = "token-budget sequence packing (sharded cumulative-fill bins)"),
 
+    // Document chunking: 64-token sliding windows, 16-token overlap
+    // (stride 48) — the context-window preprocessing step upstream of
+    // pack_sequences. Chunk text compares by md5 so the output stays narrow.
+    "text_chunking" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.chunkDocuments(Tables.documents(s, dir), "doc_id", "text",
+          chunkTokens = 64, overlap = 16)
+          .orderBy(col("doc_id"), col("chunk_id")),
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |c AS (SELECT doc_id, w,
+           |        greatest(1, CAST(floor((len(w) - 16 + 47) / 48.0) AS INT)) AS nc FROM d),
+           |ex AS (SELECT doc_id, w, unnest(generate_series(0, nc - 1)) AS i FROM c),
+           |ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_id,
+           |         CAST(i * 48 + 1 AS INT) AS tok_start,
+           |         w[(i * 48 + 1):(i * 48 + 64)] AS cw FROM ex)
+           |SELECT doc_id, chunk_id, tok_start, CAST(len(cw) AS INT) AS n_tokens,
+           |       md5(array_to_string(cw, ' ')) AS chunk_hash
+           |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
+      doc = "document chunking (sliding context windows, overlap carry-over)"),
+
     // Document fingerprint (order-insensitive content hash).
     "text_fingerprint" -> Q(
       fn = (s, dir) => Tables.documents(s, dir)

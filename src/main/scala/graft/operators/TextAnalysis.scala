@@ -134,6 +134,34 @@ object TextAnalysis {
     df.select(col(idCol) +: counts :+ redacted.as("text_redacted"): _*)
   }
 
+  /** Document chunking — the preprocessing twin of [[Packing]]: split each
+    * document into `chunkTokens`-token sliding windows with `overlap` tokens
+    * of context carry-over (stride = chunkTokens − overlap; every doc yields
+    * ≥ 1 chunk, the last one short). Emits (chunk_id, tok_start, n_tokens,
+    * chunk_hash) per window.
+    *
+    * Scale shape: row-local transform + posexplode — one scan, zero
+    * shuffles; output rows ≈ corpus tokens / stride regardless of document
+    * skew, so no hot keys exist to salt. All window arithmetic is integer. */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     chunkTokens: Int = 64, overlap: Int = 16): DataFrame = {
+    require(overlap >= 0 && overlap < chunkTokens,
+      s"overlap $overlap must be in [0, $chunkTokens)")
+    val stride = chunkTokens - overlap
+    val w = words(col(textCol))
+    // ceil((n − overlap) / stride) via integer arithmetic, min 1
+    val nChunks = greatest(lit(1),
+      floor((size(w) - lit(overlap) + lit(stride - 1)).cast("double") / lit(stride))
+        .cast("int"))
+    df.select(col(idCol), w.as("_w"), nChunks.as("_nc"))
+      .select(col(idCol), posexplode(transform(sequence(lit(0), col("_nc") - 1),
+        i => slice(col("_w"), i * stride + 1, lit(chunkTokens)))))
+      .select(col(idCol), col("pos").as("chunk_id"),
+        (col("pos") * stride + 1).as("tok_start"),
+        size(col("col")).as("n_tokens"),
+        md5(array_join(col("col"), " ")).as("chunk_hash"))
+  }
+
   /** C4/Gopher-style heuristic document filters — the standard pretraining
     * quality battery (C4's boilerplate/placeholder rules + Gopher's
     * symbol/alpha/stopword rules), re-expressed as one row-local flag per

@@ -134,6 +134,28 @@ class PipelineOpsSpec extends SparkTestBase {
     }
   }
 
+  test("chunkDocuments: full coverage, overlap carry-over, short-doc floor") {
+    val df = Seq(
+      (1L, (1 to 100).map(i => s"w$i").mkString(" ")), // 100 words → 2 chunks
+      (2L, "a b c")).toDF("doc_id", "text")             // < overlap → 1 chunk
+    val rows = TextAnalysis.chunkDocuments(df, "doc_id", "text", 10, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val doc1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    // stride 6: ceil((100-4)/6) = 16 chunks; starts 1, 7, 13, …
+    assert(doc1.length == 16)
+    assert(doc1.map(_._3).toSeq == (0 until 16).map(_ * 6 + 1))
+    // all full except the tail (tokens 91..100 = 10 exactly here)
+    assert(doc1.forall(_._4 == 10))
+    // consecutive chunks overlap by exactly `overlap` token positions
+    doc1.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 == a._3 + 6)
+    }
+    // every token position 1..100 is covered by some chunk
+    val covered = doc1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert((1 to 100).forall(covered.contains))
+    assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 3)))
+  }
+
   test("packStats: totals and fill ratios are consistent") {
     val d = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 100), (5L, 100))
       .toDF("doc_id", "toks")
