@@ -97,5 +97,23 @@ object QueriesEvents {
           |      FROM objects
           |      WHERE bucket_id = 'F' AND created_at < TIMESTAMP '1996-06-01')
           |GROUP BY 1, 2 ORDER BY bucket_id, batch""".stripMargin)),
-      doc = "E6 admin-delete worker batches (object-admin-delete.ts, limits.ts:19-21)"))
+      doc = "E6 admin-delete worker batches (object-admin-delete.ts, limits.ts:19-21)"),
+
+    // Skew-proof exact top-k per key (Skew.topKPerKey): partial top-k per
+    // (key, salt) → merge — reducer state O(salts·k) on any hot key. The
+    // oracle is the window/row_number formulation the salted plan must equal
+    // (top-k VALUES are a deterministic multiset even with duplicates).
+    "skew_topk_per_key" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Skew.topKPerKey(Tables.events(s, dir),
+          col("event_type"), col("value"), 3)
+          .withColumnRenamed("key", "event_type")
+          .orderBy(col("event_type")),
+      oracle = Some(
+        """WITH r AS (SELECT event_type, value,
+          |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn
+          |  FROM events)
+          |SELECT event_type, list(value ORDER BY value DESC) AS top_k
+          |FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "skew-proof per-key top-k (salted partial merge == window top-k)"))
 }

@@ -61,7 +61,7 @@ object QueriesText {
     * slice equality (Spark joins on xxhash64 of the same slice — equality-
     * equivalent), signature-agreement estimate. The 64 min-aggregates are
     * generated here rather than hand-written. */
-  private def minhashOracle(corpus: String): String = {
+  private def minhashOracle(corpus: String, pairFilter: String = ""): String = {
     val minExprs = (0 until 64).map(i => s"min(h1 + $i*h2m) AS s$i").mkString(", ")
     val sigArr = (0 until 64).map(i => s"s$i").mkString("[", ", ", "]")
     val bandArr = (0 until 16).map(b =>
@@ -78,7 +78,7 @@ object QueriesText {
        |bands AS (SELECT id, bb.band AS band, bb.bucket AS bucket
        |          FROM (SELECT id, unnest($bandArr) AS bb FROM sig)),
        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands a
-       |         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+       |         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id$pairFilter),
        |est AS (SELECT c.id_a, c.id_b,
        |        round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0, 6) AS est_jaccard
        |        FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
@@ -175,6 +175,26 @@ object QueriesText {
       },
       oracle = Some(minhashOracle(nearDupCte)),
       doc = "MinHash+LSH near-dup (banded, sub-quadratic)"),
+
+    // Incremental MinHash-LSH: the daily-batch shape — new docs (the %5
+    // near-dup variants) dedup against the BASE corpus's persisted signature
+    // table + within the batch; existing×existing pairs are never touched.
+    // Oracle: the full-corpus pass restricted to pairs involving a new id —
+    // provably the same set, which is exactly the incremental contract.
+    "dedup_minhash_incremental" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val newDocs = d.filter(col("doc_id") % 5 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" quality data pipeline tail marker")).as("text"))
+        val baseSigs = Dedup.minhashSignatures(
+          d.select(col("doc_id"), col("text")), "doc_id", "text", 16, 4)
+        Dedup.minhashLshIncremental(newDocs, "doc_id", "text", baseSigs, 16, 4, 0.5)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(minhashOracle(nearDupCte,
+        " AND (a.id >= 1000000 OR b.id >= 1000000)")),
+      doc = "incremental MinHash-LSH (new batch vs persisted signature table)"),
 
     // SimHash near-dup pairs — hash-checked (portable 60-bit fingerprints).
     "dedup_simhash" -> Q(

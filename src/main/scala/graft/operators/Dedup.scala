@@ -146,6 +146,63 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
+  /** Incremental MinHash-LSH: near-dup pairs for a NEW document batch
+    * against an EXISTING signature table, plus within the batch — the shape
+    * every production dedup pipeline actually runs daily. Existing×existing
+    * pairs are never re-examined: the corpus-sized relation contributes one
+    * banded probe-side join, so incremental cost scales with the batch, not
+    * the corpus. `existingSigs` is the persisted (id, sig) table
+    * [[minhashLshPairs]] materializes (ids must be disjoint from the batch).
+    *
+    * Same banded candidate generation, first-matching-band dedup, and
+    * signature-agreement scoring as the full pass; output pairs are
+    * (least, greatest)-ordered, so the result equals the FULL pass over
+    * old ∪ new restricted to pairs touching a new doc (the oracle twin). */
+  def minhashLshIncremental(newDocs: DataFrame, idCol: String, textCol: String,
+                            existingSigs: DataFrame,
+                            bands: Int = 16, rows: Int = 4,
+                            estThreshold: Double = 0.5): DataFrame = {
+    val numHashes = bands * rows
+    val newSig = newDocs.select(col(idCol).as("id"),
+        graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, numHashes).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def banded(sig: DataFrame) = sig.select(col("id"),
+        graft.functions.VectorExprs.lshBandBuckets(col("sig"), bands, rows).as("buckets"))
+      .select(col("id"), col("buckets"), posexplode(col("buckets")))
+      .select(col("id"), col("buckets"), col("pos").as("band"), col("col").as("bucket"))
+    val bNew = banded(newSig)
+    // new×existing collisions + new×new ordered self-join; the probe side
+    // (bNew) is batch-sized, so AQE broadcasts it against the corpus bands
+    def pairs(j: DataFrame) = j
+      .filter(graft.functions.VectorExprs.firstEqIndex(
+        col("a.buckets"), col("b.buckets")) === col("a.band"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+    val no = pairs(bNew.as("a").join(banded(existingSigs).as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")))
+    val nn = pairs(bNew.as("a").join(bNew.as("b"),
+      col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+        col("a.id") < col("b.id")))
+    val cand = no.unionByName(nn)
+    val allSigs = existingSigs.select(col("id"), col("sig"))
+      .unionByName(newSig)
+    cand
+      .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+      .withColumn("est_jaccard",
+        graft.functions.VectorExprs.sigAgreement(col("sig_a"), col("sig_b"))
+          .cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+  }
+
+  /** Convenience: the persisted signature-table side of the incremental
+    * contract — identical kernel to [[minhashLshPairs]]'s signature stage. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        bands: Int = 16, rows: Int = 4): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, bands * rows).as("sig"))
+
   /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign of
     * Σ_words (bit j of xxh64(word) ? +1 : -1). One codegen'd pass per row
     * ([[graft.functions.SimHash64]]) — the per-row kernel; [[simhashPairs]]
