@@ -1,7 +1,11 @@
 #!/usr/bin/env python3
 """Local replica of the driver's t2 correctness gate.
 
-Usage: python3 tools/check.py [sfDir] [outDir]
+Usage: python3 tools/check.py [sfDir] [outDir] [perOracleTimeoutSec]
+
+With a timeout, each oracle runs under a watchdog (duckdb interrupt); a
+query whose ORACLE cannot finish (DuckDB lacks the bucketed-join shapes
+the engine uses) reports ORACLE-TIMEOUT instead of hanging the gate.
 
 Reads outDir/<name>/ parquet (written by graft.Verify) and
 outDir/oracle_sql.json, runs each oracle SQL in DuckDB against views over
@@ -9,8 +13,19 @@ sfDir/*.parquet, and compares: schema (column names), row count, and values
 (rows sorted, columns sorted by name). Reports exact mismatches plus float
 drift so ulp-level risk is visible before the real driver runs.
 """
-import sys, os, json, math
+import sys, os, json, math, threading
 import duckdb
+
+
+def run_oracle(con, sql, timeout):
+    if not timeout:
+        return con.execute(sql).fetchdf()
+    t = threading.Timer(timeout, con.interrupt)
+    t.start()
+    try:
+        return con.execute(sql).fetchdf()
+    finally:
+        t.cancel()
 
 TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
@@ -38,6 +53,7 @@ def canon(val):
 def main():
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    timeout = float(sys.argv[3]) if len(sys.argv) > 3 else 0
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf}/{t}.parquet"
@@ -58,8 +74,14 @@ def main():
             results[name] = f"rows-only: {len(got)} rows (no oracle)"
             continue
         try:
-            exp = con.execute(oracle[name]).fetchdf()
+            exp = run_oracle(con, oracle[name], timeout)
+        except duckdb.InterruptException:
+            results[name] = f"ORACLE-TIMEOUT (>{timeout:.0f}s, oracle-side only)"
+            continue
         except Exception as e:
+            if "INTERRUPT" in str(e).upper():
+                results[name] = f"ORACLE-TIMEOUT (>{timeout:.0f}s, oracle-side only)"
+                continue
             results[name] = f"ORACLE-FAIL: {e}"
             continue
         gc, ec = sorted(got.columns), sorted(exp.columns)
@@ -106,12 +128,17 @@ def main():
                              f"duck={first[2]}")
     width = max(len(k) for k in results) if results else 10
     fails = 0
+    skips = 0
     for k, v in sorted(results.items()):
-        flag = "PASS" if v.startswith(("OK", "rows-only")) else "FAIL"
+        flag = "PASS" if v.startswith(("OK", "rows-only")) else (
+            "SKIP" if v.startswith("ORACLE-TIMEOUT") else "FAIL")
         if flag == "FAIL":
             fails += 1
+        if flag == "SKIP":
+            skips += 1
         print(f"{flag}  {k:<{width}}  {v}")
-    print(f"\n{len(results) - fails}/{len(results)} pass")
+    tail = f" ({skips} oracle-timeout skips)" if skips else ""
+    print(f"\n{len(results) - fails - skips}/{len(results) - skips} pass{tail}")
     sys.exit(1 if fails else 0)
 
 
