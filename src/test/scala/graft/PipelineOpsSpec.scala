@@ -156,6 +156,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(rows.filter(_._1 == 2L).toSeq == Seq((2L, 0, 1, 3)))
   }
 
+  test("incremental minhash == full pass restricted to pairs touching the batch") {
+    import graft.operators.Dedup
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val newDocs = d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" tail words appended here")).as("text"))
+    val baseSigs = Dedup.minhashSignatures(d, "doc_id", "text")
+
+    val inc = Dedup.minhashLshIncremental(newDocs, "doc_id", "text", baseSigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    val full = Dedup.minhashLshPairs(d.unionByName(newDocs), "doc_id", "text")
+      .filter(col("id_a") >= 500000 || col("id_b") >= 500000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(inc == full, "incremental contract: same pairs, same estimates")
+    assert(inc.nonEmpty, "fixture must produce near-dup pairs")
+  }
+
   test("packStats: totals and fill ratios are consistent") {
     val d = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 100), (5L, 100))
       .toDF("doc_id", "toks")
