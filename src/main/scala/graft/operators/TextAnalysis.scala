@@ -184,29 +184,39 @@ object TextAnalysis {
   def c4GopherFilters(df: DataFrame, idCol: String, textCol: String,
                       minWords: Int = 10, maxWords: Int = 100000): DataFrame = {
     val t = col(textCol)
+    val flags = c4FlagColumns(t, minWords, maxWords)
+    df.select(col(idCol) +: size(words(t)).as("n_words") +:
+      flags.map { case (n, c) => c.as(n) } :+
+      flags.map(_._2).reduce(_ && _).as("keep"): _*)
+  }
+
+  /** The 8 rules as named predicate columns over a text column — shared by
+    * the batch operator and the streaming ingest gate. Catalyst's
+    * subexpression elimination collapses the repeated tokenizations in the
+    * generated code. */
+  def c4FlagColumns(t: Column, minWords: Int = 10,
+                    maxWords: Int = 100000): Seq[(String, Column)] = {
     val w = words(t)
     val nWords = size(w)
-    val nonSpace = length(regexp_replace(t, "\\s", ""))
+    val meanLen = length(regexp_replace(t, "\\s", "")).cast("double") / nWords
     val hashes = length(t) - length(regexp_replace(t, "#", ""))
     val alphaWords = size(filter(w, x => x.rlike("[a-z]")))
     val stops = graft.functions.VectorExprs.stopwordCounts(w, Seq(stopwordsEn))
       .getItem(0)
-    val meanLen = nonSpace.cast("double") / nWords
-    df.select(col(idCol), t.as("_t"), nWords.as("n_words"), w.as("_w"),
-        meanLen.as("_ml"), hashes.as("_h"), alphaWords.as("_aw"), stops.as("_st"))
-      .select(col(idCol), col("n_words"),
-        col("n_words").between(minWords, maxWords).as("f_words"),
-        (col("_ml") >= 3.0 && col("_ml") <= 10.0).as("f_word_len"),
-        (!lower(col("_t")).contains("lorem ipsum")).as("f_lorem"),
-        (!col("_t").contains("{")).as("f_brace"),
-        (!array_contains(col("_w"), "javascript")).as("f_policy"),
-        (col("_h") * 20 <= col("n_words")).as("f_symbol"),
-        (col("_aw") * 5 >= col("n_words") * 4).as("f_alpha"),
-        (col("_st") >= 2).as("f_stopword"))
-      .withColumn("keep",
-        col("f_words") && col("f_word_len") && col("f_lorem") && col("f_brace") &&
-          col("f_policy") && col("f_symbol") && col("f_alpha") && col("f_stopword"))
+    Seq(
+      "f_words" -> nWords.between(minWords, maxWords),
+      "f_word_len" -> (meanLen >= 3.0 && meanLen <= 10.0),
+      "f_lorem" -> not(lower(t).contains("lorem ipsum")),
+      "f_brace" -> not(t.contains("{")),
+      "f_policy" -> not(array_contains(w, "javascript")),
+      "f_symbol" -> (hashes * 20 <= nWords),
+      "f_alpha" -> (alphaWords * 5 >= nWords * 4),
+      "f_stopword" -> (stops >= 2))
   }
+
+  /** The conjunction of all 8 rules — the keep gate as one predicate. */
+  def c4Keep(t: Column, minWords: Int = 10, maxWords: Int = 100000): Column =
+    c4FlagColumns(t, minWords, maxWords).map(_._2).reduce(_ && _)
 
   /** Unigram-LM surprisal scoring — the perplexity-proxy quality signal
     * (Wenzek et al.'s CCNet uses a KenLM; the unigram self-LM is its

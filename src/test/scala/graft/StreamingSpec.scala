@@ -1,6 +1,6 @@
 package graft
 
-import graft.streaming.EventStream
+import graft.streaming.{CorpusIngest, EventStream}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -223,5 +223,29 @@ class StreamingSpec extends SparkTestBase {
     // Re-run with complete-mode semantics via a fresh query on the same
     // stream is out of scope; assert the plan runs and state is bounded.
     assert(spark.table("win_out").schema.fieldNames.contains("n"))
+  }
+
+  test("corpus ingest: quality gate + watermarked exact dedup on a doc stream") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val clean =
+      "the cat and the dog sat down on a mat with some other good words here"
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData(
+      (1L, t0, clean),                                   // kept
+      (2L, t0, clean),                                   // exact dup → dropped
+      (3L, t0, clean + " lorem ipsum dolor"),            // gate-fail → dropped
+      (4L, t0, clean + " plus distinct tail content"))   // kept
+    val out = CorpusIngest.ingest(
+      input.toDF.toDF("doc_id", "event_time", "text"))
+    val q = out.writeStream.format("memory").queryName("ingest_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val kept = spark.table("ingest_out").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L),
+      "one survivor per content hash, gate-failing docs never enter state")
   }
 }
