@@ -605,6 +605,84 @@ object QueriesText {
            |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
       doc = "document chunking (sliding context windows, overlap carry-over)"),
 
+    // THE end-to-end corpus build: near-dup dedup (survivors + absorption)
+    // → C4/Gopher quality gate → stratified training-mix sampling →
+    // token-budget packing, one composed pipeline, hash-checked — every
+    // stage is a previously-proven oracle piece chained into one CTE tree.
+    "pipeline_corpus_build" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.{Packing, Sampling}
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"), col("lang"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text"),
+              col("lang")))
+        val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
+        val survivors = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+        val gated = survivors.filter(TextAnalysis.c4Keep(col("text")))
+        val sampled = Sampling.stratifiedHashSample(gated, "lang", "doc_id",
+          Map("en" -> 0.6, "de" -> 1.0, "fr" -> 1.0, "es" -> 1.0, "zh" -> 0.3),
+          defaultFraction = 0.0, salt = "mix2")
+        val toks = sampled.select(col("doc_id"), col("n_absorbed"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        Packing.assignBins(toks, "doc_id", "toks", budget = 256, shards = 4,
+            salt = "packE2E")
+          .groupBy(col("shard"), col("seq_id"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("toks")).cast("long").as("n_tokens"),
+            sum(col("n_absorbed")).as("absorbed_total"),
+            min(col("doc_id")).as("first_doc"))
+          .withColumn("fill_ratio", col("n_tokens").cast("double") / 256.0)
+          .orderBy(col("shard"), col("seq_id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE corpus AS (
+           |  SELECT doc_id, text, lang FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         concat(text, ' quality data pipeline tail marker') AS text, lang
+           |  FROM documents WHERE doc_id % 5 = 0),
+           |$clusterCtes,
+           |clusters AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+           |absorbed AS (SELECT cluster, count(*) - 1 AS n_absorbed
+           |             FROM clusters GROUP BY cluster),
+           |survivors AS (SELECT c.doc_id, c.text, c.lang,
+           |         coalesce(a.n_absorbed, 0) AS n_absorbed
+           |  FROM corpus c
+           |  LEFT JOIN clusters l ON l.id = c.doc_id AND l.id != l.cluster
+           |  LEFT JOIN absorbed a ON a.cluster = c.doc_id
+           |  WHERE l.id IS NULL),
+           |gated AS (SELECT * FROM survivors WHERE
+           |  len($wordsSql) BETWEEN 10 AND 100000
+           |  AND CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+           |      / len($wordsSql) BETWEEN 3.0 AND 10.0
+           |  AND NOT contains(lower(text), 'lorem ipsum')
+           |  AND NOT contains(text, '{')
+           |  AND NOT list_contains($wordsSql, 'javascript')
+           |  AND (length(text) - length(replace(text, '#', ''))) * 20 <= len($wordsSql)
+           |  AND len(list_filter($wordsSql, x -> regexp_matches(x, '[a-z]'))) * 5
+           |      >= len($wordsSql) * 4
+           |  AND len(list_filter($wordsSql,
+           |      x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) >= 2),
+           |sampled AS (SELECT * FROM gated WHERE
+           |  CAST('0x' || substr(md5(concat('mix2', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+           |    % 10000 < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 3000 ELSE 10000 END),
+           |toks AS (SELECT doc_id, n_absorbed, CAST(len($wordsSql) AS INT) AS toks,
+           |  CAST('0x' || substr(md5(concat('packE2E', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+           |    % 10000 % 4 AS shard FROM sampled),
+           |cum AS (SELECT doc_id, n_absorbed, toks, shard,
+           |  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS c FROM toks),
+           |bins AS (SELECT shard, CAST(floor((c - 1) / 256) AS BIGINT) AS seq_id,
+           |                doc_id, n_absorbed, toks FROM cum)
+           |SELECT shard, seq_id, count(*) AS n_docs,
+           |       CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |       CAST(sum(n_absorbed) AS BIGINT) AS absorbed_total,
+           |       min(doc_id) AS first_doc,
+           |       CAST(sum(toks) AS DOUBLE) / 256 AS fill_ratio
+           |FROM bins GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin),
+      doc = "end-to-end corpus build: dedup → quality gate → mix sample → packing"),
+
     // Document fingerprint (order-insensitive content hash).
     "text_fingerprint" -> Q(
       fn = (s, dir) => Tables.documents(s, dir)
