@@ -175,6 +175,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(inc.nonEmpty, "fixture must produce near-dup pairs")
   }
 
+  test("minhash-LSH recall against exact Jaccard pairs on the near-dup fixture") {
+    import graft.operators.Dedup
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val corpus = d.unionByName(d.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 500000).as("doc_id"),
+        concat(col("text"), lit(" small tail appended")).as("text")))
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "fixture must contain exact near-dup pairs")
+    val recall = (approx & exact).size.toDouble / exact.size
+    // 16 bands × 4 rows puts the s-curve midpoint near 0.5; fixture pairs
+    // sit well above it, so banding should recover the large majority
+    assert(recall >= 0.7, f"LSH recall $recall%.2f below floor")
+  }
+
   test("packStats: totals and fill ratios are consistent") {
     val d = Seq((1L, 100), (2L, 100), (3L, 100), (4L, 100), (5L, 100))
       .toDF("doc_id", "toks")
