@@ -605,6 +605,29 @@ object QueriesText {
            |FROM ch ORDER BY doc_id, chunk_id""".stripMargin),
       doc = "document chunking (sliding context windows, overlap carry-over)"),
 
+    // TF-IDF top-3 keyword extraction per doc: idf rounds to 6 dp before
+    // the decimal tf·idf product, so scores — and the top-k selection they
+    // drive — are engine-exact; term asc tiebreaks equal scores.
+    "text_tfidf_topterms" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.tfidfTopTerms(Tables.documents(s, dir), "doc_id", "text", 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"), col("rank")),
+      oracle = Some(
+        s"""WITH tok AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents),
+           |tf AS (SELECT id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           |dfr AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+           |scored AS (SELECT id, w, tf,
+           |    round(CAST(tf * CAST(round(ln(n / df), 6) AS DECIMAL(18,6)) AS DOUBLE), 6) AS score
+           |  FROM tf JOIN dfr USING (w), n),
+           |ranked AS (SELECT id, w, tf, score,
+           |    row_number() OVER (PARTITION BY id ORDER BY score DESC, w) AS rn
+           |  FROM scored)
+           |SELECT id AS doc_id, CAST(rn AS INT) AS rank, w AS term, tf, score
+           |FROM ranked WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin),
+      doc = "TF-IDF top-k keyword extraction (decimal-exact scores, bounded window)"),
+
     // THE end-to-end corpus build: near-dup dedup (survivors + absorption)
     // → C4/Gopher quality gate → stratified training-mix sampling →
     // token-budget packing, one composed pipeline, hash-checked — every

@@ -246,6 +246,35 @@ object TextAnalysis {
         round(col("_ssum").cast("double") / col("n_tokens"), 6).as("mean_surprisal"))
   }
 
+  /** TF-IDF top-k keyword extraction per document — the per-doc companion
+    * of [[bm25]] (which scores docs for one query; this surfaces each doc's
+    * most distinctive terms, the classic tagging/feature step).
+    *
+    * Scale shape: explode → groupBy(doc, term) with map-side combine for tf;
+    * df reduces off that relation; the tf→idf join is vocabulary-sized (AQE
+    * broadcasts it while small, shuffle-joins when the vocabulary is a real
+    * table). The final top-k window partitions by DOCUMENT — per-doc
+    * distinct-term counts are bounded, so no hot key exists regardless of
+    * corpus size. idf rounds to 6 dp and multiplies tf as DECIMAL, making
+    * scores and therefore the top-k selection engine-exact (term tiebreak). */
+  def tfidfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val tf = tok.groupBy(col("id"), col("w")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = df.select(col(idCol)).distinct().count().toDouble
+    val dfRel = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfRel, Seq("w"))
+      .withColumn("score",
+        round((col("tf") * round(log(lit(n) / col("df")), 6).cast("decimal(18,6)"))
+          .cast("double"), 6))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("score").desc, col("w"))
+    scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+      .select(col("id"), col("rn").as("rank"), col("w").as("term"),
+        col("tf"), col("score"))
+  }
+
   /** BM25 relevance scoring of a keyword query over the corpus — the
     * retrieval/quality-filter primitive of a training-data pipeline
     * (Robertson-Spärck Jones; the same scoring Lucene/ES defaults to).
