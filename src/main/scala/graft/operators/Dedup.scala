@@ -153,6 +153,12 @@ object Dedup {
     * banded probe-side join, so incremental cost scales with the batch, not
     * the corpus. `existingSigs` is the persisted (id, sig) table
     * [[minhashLshPairs]] materializes (ids must be disjoint from the batch).
+    * At 100 TB the corpus side's banding is itself a stored artifact: write
+    * the banded relation bucketed by (band, bucket) once and the
+    * incremental join co-locates with no corpus-side shuffle — this method
+    * bands the signature table inline, which re-shuffles the corpus bands
+    * per run (correct, one wide pass; the bucketed layout is the
+    * production refinement).
     *
     * Same banded candidate generation, first-matching-band dedup, and
     * signature-agreement scoring as the full pass; output pairs are

@@ -227,9 +227,13 @@ object TextAnalysis {
     * Scale shape: two shuffles, both inherent — one groupBy(word) to train
     * the LM (map-side combined), one groupBy(doc) to score. N reduces to a
     * driver scalar that rides into the plan as a literal; the token→LM join
-    * is left to AQE, which broadcasts while the vocabulary is small and
-    * shuffle-joins (the 100 TB shape, where the LM is a written table) when
-    * it is not. Per-word surprisal rounds to 6 dp BEFORE the per-doc sum and
+    * is left to AQE, which broadcasts while the vocabulary is small — and a
+    * broadcast join has no skew surface, so Zipf-hot words ("the") cost
+    * nothing extra. If the vocabulary ever outgrows broadcast, the join
+    * falls to sort-merge and AQE's skew-join split handles the hot-word
+    * partitions (the head of the vocabulary would then be broadcast
+    * separately in a production two-tier lookup). Per-word surprisal
+    * rounds to 6 dp BEFORE the per-doc sum and
     * sums as DECIMAL, so doc scores are order-independent and any last-ulp
     * ln() disagreement between engines is absorbed ahead of aggregation. */
   def unigramSurprisal(df: DataFrame, idCol: String, textCol: String): DataFrame = {
