@@ -223,6 +223,33 @@ object QueriesRel {
           |LIMIT 120""".stripMargin)),
       doc = "O2/O3 dynamic sort (0023:22-42, pg.ts:616-625)"),
 
+    // O2/O3 + U1: the sorted list-v2 WITH delimiter collapse (0050:694-790
+    // search_v2 sorted variant): folders aggregate MIN(child created_at) as
+    // both timestamps (0050:726) and rtrim the delimiter; combined relation
+    // sorts on the epoch-coalesced ms-truncated key, byte-order tiebreak.
+    "o2_sorted_v2_delimiter" -> Q(
+      fn = (s, dir) =>
+        Listing.sortedListingV2(Tables.objects(s, dir), "F", "N/",
+          "updated_at", "desc", 120),
+      oracle = Some(Oracle.withObjects(
+        """, raw AS (
+          |  SELECT name, created_at, updated_at,
+          |    CASE WHEN strpos(substr(name, 3), '/') > 0
+          |      THEN concat('N/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |      ELSE NULL END AS cp
+          |  FROM objects WHERE bucket_id = 'F' AND name LIKE 'N/%'),
+          |folders AS (SELECT rtrim(cp, '/') AS name, TRUE AS is_prefix,
+          |    min(created_at) AS updated_at, min(created_at) AS created_at
+          |  FROM raw WHERE cp IS NOT NULL GROUP BY cp),
+          |files AS (SELECT name, FALSE AS is_prefix, updated_at, created_at
+          |  FROM raw WHERE cp IS NULL),
+          |combined AS (SELECT * FROM folders UNION ALL SELECT * FROM files)
+          |SELECT name, is_prefix, updated_at, created_at FROM combined
+          |ORDER BY coalesce(date_trunc('millisecond', updated_at),
+          |                  TIMESTAMP '1970-01-01') DESC, name DESC
+          |LIMIT 120""".stripMargin)),
+      doc = "sorted list-v2 with delimiter (0050:694-790, folders MIN(created))"),
+
     // O5: keyset cursor on a DYNAMIC sort column, DESC — "sort by modified,
     // page 2". The continuation token (F14 codec) carries the row-value
     // cursor (sortColumnAfter, name); sortedListingPage decodes and applies

@@ -140,6 +140,53 @@ object Listing {
     paged.orderBy(k1, k2).limit(math.min(limit, 1500))
   }
 
+  /** Sorted list-v2 WITH delimiter collapse (0050:694-790 `search_v2` sorted
+    * variant): folders aggregate MIN(child created_at) as BOTH timestamps
+    * ("to match the old prefixes table behavior", 0050:726) and are rtrim'd
+    * of the delimiter; the combined relation sorts on
+    * `COALESCE(date_trunc(ms, sortCol), epoch)` with byte-ordered name
+    * tiebreak, and the O5 cursor is the same row-value predicate as
+    * [[sortedListing]]. One partial-agg shuffle (folders) + top-k — the
+    * listObjectsV2 plan shape with a sort key swapped in. */
+  def sortedListingV2(objects: DataFrame, bucket: String, prefix: String,
+                      sortColumn: String, sortOrder: String, limit: Int,
+                      after: Option[(String, String)] = None): DataFrame = {
+    val colName = sortColumn match {
+      case "updated_at" | "created_at" | "last_accessed_at" => sortColumn
+      case _ => "name"
+    }
+    val scoped = objects
+      .filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
+      .withColumn("cp", commonPrefix(col("name"), prefix, "/"))
+    val folders = scoped.filter(col("cp").isNotNull)
+      .groupBy(rtrim(col("cp"), "/").as("name"))
+      .agg(min(col("created_at")).as("created_at"))
+      .select(col("name"), lit(true).as("is_prefix"),
+        col("created_at").as("updated_at"), col("created_at"))
+    val files = scoped.filter(col("cp").isNull)
+      .select(col("name"), lit(false).as("is_prefix"),
+        col("updated_at"), col("created_at"))
+    val combined = folders.unionByName(files)
+    val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
+    val key: Column =
+      if (colName == "name") col("name")
+      else coalesce(truncMs(col(colName)), epoch)
+    val desc = sortOrder.toLowerCase == "desc"
+    val paged = after match {
+      case Some((av, tok)) if colName != "name" =>
+        val aTs = to_timestamp(lit(if (av.isEmpty) "1970-01-01 00:00:00" else av))
+        combined.filter(
+          if (desc) keysetBefore(coalesce(col(colName), epoch), col("name"), aTs, lit(tok))
+          else keysetAfter(coalesce(col(colName), epoch), col("name"), aTs, lit(tok)))
+      case Some((_, tok)) =>
+        combined.filter(if (desc) col("name") < tok else col("name") > tok)
+      case None => combined
+    }
+    val (k1, k2) =
+      if (desc) (key.desc, col("name").desc) else (key.asc, col("name").asc)
+    paged.orderBy(k1, k2).limit(math.min(limit, 1500))
+  }
+
   /** listBuckets (pg.ts:746-789): optional contains-search on `name` with
     * escaped-LIKE semantics — the reference wraps the user term in
     * `%escapeLike(term)%` (pg.ts:753-756), so `%`/`_` inside the term match
