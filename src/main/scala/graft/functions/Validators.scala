@@ -77,6 +77,85 @@ object Validators {
     m.isNull || (size(json_object_keys(m)) <= MaxMetadataKeys &&
       octet_length(m) <= MaxTotalMetadataBytes)
 
+  /** S3Vectors request limits (vector/limits.ts:4-11) — validated BEFORE any
+    * query executes, exactly as the reference store does (pgvector-adapter
+    * tests assert the executor is never called on invalid input). */
+  val MinVectorDimensions = 1
+  val MaxQueryTopK = 100
+  val MaxListResults = 1000
+  val MaxSegmentCount = 16
+  val MaxPutVectors = 500
+  val MaxGetVectorKeys = 100
+  val MaxDeleteVectorKeys = 500
+  val MaxVectorKeyLength = 1024
+  val DefaultListPageSize = 500
+
+  /** limits.ts:13-19: 1..1024 characters. */
+  def validateVectorKey(key: String, parameterName: String = "key"): Option[String] =
+    if (key == null || key.isEmpty || key.length > MaxVectorKeyLength)
+      Some(s"$parameterName must be between 1 and $MaxVectorKeyLength characters")
+    else None
+
+  /** limits.ts:21-33: 1..max entries, each key length-valid. */
+  def validateVectorKeys(keys: Seq[String], max: Int): Option[String] =
+    if (keys == null || keys.isEmpty || keys.length > max)
+      Some(s"keys must contain between 1 and $max entries")
+    else keys.iterator.map(validateVectorKey(_, "keys")).collectFirst {
+      case Some(err) => err
+    }
+
+  /** listVectors maxResults ∈ [1, 1000], default 500 (the S3Vectors page
+    * size — the adapter queries default+1 for hasMore). */
+  def validateListMaxResults(maxResults: Option[Int]): Either[String, Int] =
+    maxResults match {
+      case None => Right(DefaultListPageSize)
+      case Some(m) if m >= 1 && m <= MaxListResults => Right(m)
+      case Some(_) =>
+        Left(s"maxResults must be between 1 and $MaxListResults")
+    }
+
+  /** vector-store.ts validatePutVectors + metadata shape rules: 1..500
+    * vectors, no duplicate keys, every key length-valid, and metadata values
+    * limited to scalars or flat scalar lists — nested objects and nested
+    * arrays are rejected (pgvector-adapter tests), list values allowed. */
+  def validatePutVectorsBatch(vectors: Seq[(String, String)]): Option[String] = {
+    if (vectors == null || vectors.isEmpty || vectors.length > MaxPutVectors)
+      return Some(s"vectors must contain between 1 and $MaxPutVectors entries")
+    val dup = vectors.groupBy(_._1).collectFirst { case (k, vs) if vs.size > 1 => k }
+    if (dup.isDefined)
+      return Some(s"Duplicate vector key '${dup.get}' in request")
+    vectors.iterator.map { case (k, meta) =>
+      validateVectorKey(k, "key").orElse(
+        Option(meta).flatMap(m => validateMetadataShape(k, m)))
+    }.collectFirst { case Some(err) => err }
+  }
+
+  /** Metadata shape: top-level values must be scalars or arrays of scalars. */
+  def validateMetadataShape(key: String, metadataJson: String): Option[String] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val node = mapper.readTree(metadataJson)
+    if (node == null || !node.isObject) None
+    else {
+      val it = node.properties().iterator()
+      var err: Option[String] = None
+      while (it.hasNext && err.isEmpty) {
+        val e = it.next()
+        val v = e.getValue
+        if (v.isObject)
+          err = Some(s"Invalid record for key '$key': Metadata values must not be nested objects")
+        else if (v.isArray) {
+          val elems = v.elements()
+          while (elems.hasNext && err.isEmpty) {
+            val el = elems.next()
+            if (el.isObject || el.isArray)
+              err = Some(s"Invalid record for key '$key': Metadata lists must contain only scalar values")
+          }
+        }
+      }
+      err
+    }
+  }
+
   /** S4 range math (reference src/storage/range.ts:9-56): parse an HTTP
     * `bytes=a-b` / `bytes=a-` / `bytes=-suffix` header against a known size →
     * (start, end) inclusive, or None when unsatisfiable. */

@@ -228,13 +228,22 @@ object Vectors {
       .limit(topK)
   }
 
-  /** V4 getVectors: key lookup, ≤100 keys (limits.ts:9). */
-  def getByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
-    vectors.filter(col(keyCol).isin(keys.take(100): _*))
+  /** V4 getVectors: key lookup. The reference REJECTS over-limit requests
+    * before querying (limits.ts:9, validateVectorKeys) — it never silently
+    * truncates, and neither do we. */
+  def getByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty && keys.length <= graft.functions.Validators.MaxGetVectorKeys,
+      s"keys must contain between 1 and ${graft.functions.Validators.MaxGetVectorKeys} entries")
+    vectors.filter(col(keyCol).isin(keys: _*))
+  }
 
-  /** V5 deleteVectors as a batch rewrite: everything except the keys. */
-  def deleteByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame =
-    vectors.filter(!col(keyCol).isin(keys.take(500): _*))
+  /** V5 deleteVectors as a batch rewrite: everything except the keys; the
+    * ≤500-key bound rejects rather than truncates (limits.ts:10). */
+  def deleteByKeys(vectors: DataFrame, keyCol: String, keys: Seq[Long]): DataFrame = {
+    require(keys.nonEmpty && keys.length <= graft.functions.Validators.MaxDeleteVectorKeys,
+      s"keys must contain between 1 and ${graft.functions.Validators.MaxDeleteVectorKeys} entries")
+    vectors.filter(!col(keyCol).isin(keys: _*))
+  }
 
   /** V6 listVectors: keyset pagination + segmented parallel scan
     * (`mod(abs(hashtext(key)), segCount) = segIdx`, index.ts:860-886). The
