@@ -227,6 +227,46 @@ object QueriesDml {
           |GROUP BY mimetype ORDER BY mimetype""".stripMargin)),
       doc = "P10 allowed_mime_types incl. type/* wildcards (uploader.ts:305-332)"),
 
+    // P9+P10+size-limit upload admission battery in one row-local pass —
+    // the uploader's pre-write checks (uploader.ts:305-332, limits.ts:93-118,
+    // 146-170) as bulk flags. Per-bucket size limits come from the
+    // reference's "<n><unit>" config strings, parsed driver-side by
+    // parseFileSizeToBytes (3-significant-digit semantics spec-tested) and
+    // embedded as literals — exactly how the reference resolves config
+    // before the row loop.
+    "p9_upload_admission" -> Q(
+      fn = (s, dir) => {
+        val limitF = Validators.parseFileSizeToBytes("60.5kb").get
+        val limitO = Validators.parseFileSizeToBytes("0.058mb").get
+        val limit = when(col("bucket_id") === "F", lit(limitF)).otherwise(lit(limitO))
+        Tables.objects(s, dir)
+          .withColumn("f_key", Validators.isValidKey(col("name")))
+          .withColumn("f_mime", Validators.mimeAllowedCol(col("mimetype"),
+            typedLit(Seq("text/*", "image/png"))))
+          .withColumn("f_size", col("size") <= limit)
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("f_key") && col("f_mime") && col("f_size"), 1L)
+              .otherwise(0L)).as("n_admitted"),
+            sum(when(!col("f_mime"), 1L).otherwise(0L)).as("n_bad_mime"),
+            sum(when(!col("f_size"), 1L).otherwise(0L)).as("n_oversize"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, flags AS (SELECT bucket_id,
+          |    name != '.' AND name != '..' AND length(name) BETWEEN 1 AND 1024
+          |      AND NOT regexp_matches(name, '[\x00-\x1f]')
+          |      AND NOT starts_with(name, '/') AND NOT contains(name, '//') AS f_key,
+          |    mimetype LIKE 'text/%' OR mimetype = 'image/png' AS f_mime,
+          |    size <= CASE WHEN bucket_id = 'F' THEN 60500 ELSE 58000 END AS f_size
+          |  FROM objects)
+          |SELECT bucket_id, count(*) AS n,
+          |  CAST(sum(CASE WHEN f_key AND f_mime AND f_size THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+          |  CAST(sum(CASE WHEN NOT f_mime THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_mime,
+          |  CAST(sum(CASE WHEN NOT f_size THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+          |FROM flags GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "P9/P10/size upload admission battery (uploader.ts pre-write checks)"),
+
     // S3 wire shape: ListBucketResult projection over the delimiter listing.
     "s3_list_bucket_result" -> Q(
       fn = (s, dir) => S3Response.listBucketResult(

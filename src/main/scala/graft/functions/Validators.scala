@@ -77,6 +77,26 @@ object Validators {
     m.isNull || (size(json_object_keys(m)) <= MaxMetadataKeys &&
       octet_length(m) <= MaxTotalMetadataBytes)
 
+  /** Bucket `file_size_limit` strings (limits.ts:146-170): "<number><unit>",
+    * units gb/mb/kb/b case-insensitive with DECIMAL multipliers, and the
+    * value keeps 3 significant digits (the reference's `toPrecision(3)` —
+    * so "1024b" parses to 1020). None ⇔ the reference's
+    * InvalidFileSizeLimit. */
+  def parseFileSizeToBytes(valueWithUnit: String): Option[Double] = {
+    val re = "(?i)^([0-9]+(?:\\.[0-9]+)?)(gb|mb|kb|b)$".r
+    Option(valueWithUnit).collect {
+      case re(v, unit) =>
+        val value = BigDecimal(v).round(new java.math.MathContext(3)).toDouble
+        val mult = unit.toLowerCase match {
+          case "gb" => 1e9
+          case "mb" => 1e6
+          case "kb" => 1000.0
+          case "b"  => 1.0
+        }
+        value * mult
+    }
+  }
+
   /** S3Vectors request limits (vector/limits.ts:4-11) — validated BEFORE any
     * query executes, exactly as the reference store does (pgvector-adapter
     * tests assert the executor is never called on invalid input). */

@@ -116,6 +116,20 @@ class ObjectStoreSpec extends SparkTestBase {
     assert(Validators.mimeAllowed("anything/else", Nil))
   }
 
+  test("file_size_limit parsing (limits.ts:146-170, 3-sig-digit semantics)") {
+    assert(Validators.parseFileSizeToBytes("10mb").contains(1e7))
+    assert(Validators.parseFileSizeToBytes("1.5GB").contains(1.5e9))
+    assert(Validators.parseFileSizeToBytes("500kb").contains(500000.0))
+    assert(Validators.parseFileSizeToBytes("12b").contains(12.0))
+    // toPrecision(3): 1024 rounds to 1020 — the reference's exact behavior
+    assert(Validators.parseFileSizeToBytes("1024b").contains(1020.0))
+    assert(Validators.parseFileSizeToBytes("10.56mb").contains(1.06e7))
+    assert(Validators.parseFileSizeToBytes("10 mb").isEmpty)
+    assert(Validators.parseFileSizeToBytes("mb").isEmpty)
+    assert(Validators.parseFileSizeToBytes("-5mb").isEmpty)
+    assert(Validators.parseFileSizeToBytes("10tb").isEmpty)
+  }
+
   test("S4 range math (range.ts:9-56)") {
     assert(Validators.parseRangeHeader("bytes=0-99", 1000).contains((0L, 99L)))
     assert(Validators.parseRangeHeader("bytes=500-", 1000).contains((500L, 999L)))
