@@ -13,13 +13,13 @@ object QueriesCore {
   /** Oracle SQL for [[Listing.listObjectsV2]] — kept as a builder so every
     * parameterization stays in sync with the Spark pipeline. */
   def listV2Sql(bucket: String, prefix: String, cap: Int,
-                startAfter: Option[String]): String = {
+                startAfter: Option[String], delimiter: String = "/"): String = {
     val p = prefix.length + 1
     val after = startAfter.map(t => s" AND name > '$t'").getOrElse("")
     s"""WITH ${Oracle.objectsCte},
 scoped AS (SELECT * FROM objects WHERE bucket_id = '$bucket' AND name LIKE '$prefix%'$after),
-wcp AS (SELECT *, CASE WHEN strpos(substr(name, $p), '/') > 0
-  THEN concat('$prefix', substr(substr(name, $p), 1, strpos(substr(name, $p), '/')))
+wcp AS (SELECT *, CASE WHEN strpos(substr(name, $p), '$delimiter') > 0
+  THEN concat('$prefix', substr(substr(name, $p), 1, strpos(substr(name, $p), '$delimiter')))
   ELSE NULL END AS cp FROM scoped)
 SELECT name, is_folder, size, created_at FROM (
   SELECT cp AS name, TRUE AS is_folder, CAST(NULL AS BIGINT) AS size,
@@ -76,6 +76,15 @@ SELECT name, is_folder, size, created_at FROM (
         Listing.listObjectsV2(Tables.objects(s, dir), "O", "", Some("/"), None, 50),
       oracle = Some(listV2Sql("O", "", 50, None)),
       doc = "root-level delimiter listing"),
+
+    // S3 allows ANY delimiter, not only '/' (ListObjectsV2 `delimiter` is a
+    // free parameter): grouping 'R/123/item-2-…' keys by '-' collapses at
+    // the first dash after the prefix — same operator, different delimiter.
+    "list_v2_custom_delimiter" -> Q(
+      fn = (s, dir) =>
+        Listing.listObjectsV2(Tables.objects(s, dir), "F", "R/", Some("-"), None, 150),
+      oracle = Some(listV2Sql("F", "R/", 150, None, delimiter = "-")),
+      doc = "custom (non-slash) delimiter collapse (S3 ListObjectsV2 semantics)"),
 
     "list_v2_start_after" -> Q(
       fn = (s, dir) =>
