@@ -572,7 +572,7 @@ object QueriesText {
       oracle = Some(
         s"""WITH d AS (SELECT doc_id, CAST(len($wordsSql) AS INT) AS toks,
            |  CAST('0x' || substr(md5(concat('pack1', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
-           |    % 10000 % 8 AS shard FROM documents),
+           |    % 8 AS shard FROM documents),
            |c AS (SELECT doc_id, shard, toks,
            |  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM d),
            |b AS (SELECT shard, CAST(floor((cum - 1) / 512) AS BIGINT) AS seq_id,
@@ -693,7 +693,7 @@ object QueriesText {
            |    % 10000 < CASE lang WHEN 'en' THEN 6000 WHEN 'zh' THEN 3000 ELSE 10000 END),
            |toks AS (SELECT doc_id, n_absorbed, CAST(len($wordsSql) AS INT) AS toks,
            |  CAST('0x' || substr(md5(concat('packE2E', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
-           |    % 10000 % 4 AS shard FROM sampled),
+           |    % 4 AS shard FROM sampled),
            |cum AS (SELECT doc_id, n_absorbed, toks, shard,
            |  sum(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS c FROM toks),
            |bins AS (SELECT shard, CAST(floor((c - 1) / 256) AS BIGINT) AS seq_id,

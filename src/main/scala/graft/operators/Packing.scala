@@ -32,11 +32,16 @@ object Packing {
     require(budget > 0, s"budget $budget must be positive")
     require(shards > 0, s"shards $shards must be positive")
     val w = Window.partitionBy(col("shard")).orderBy(col(idCol))
-    df.withColumn("shard", pmod(Sampling.sampleBucket(col(idCol), salt), lit(shards)))
-      .withColumn("cum_tokens", sum(col(tokenCol)).over(w))
+    // full-width hash shard (NOT the mod-10⁴ sampling bucket — that would cap
+    // shards at 10⁴ and correlate with same-salt sampling stages)
+    df.withColumn("shard", Sampling.hashShard(col(idCol), shards, salt))
+      // null-token docs count as 0 so they never poison the cumulative sum
+      .withColumn("cum_tokens", sum(coalesce(col(tokenCol), lit(0))).over(w))
       // exact double division of integers (< 2^53), then floor — identical
-      // in every IEEE engine, unlike `/` whose int-vs-float semantics differ
-      .withColumn("seq_id", floor((col("cum_tokens") - 1) / lit(budget)).cast("long"))
+      // in every IEEE engine, unlike `/` whose int-vs-float semantics differ;
+      // greatest(…, 0) pins zero-token leading docs to bin 0, not bin −1
+      .withColumn("seq_id",
+        floor(greatest(col("cum_tokens") - 1, lit(0L)) / lit(budget)).cast("long"))
   }
 
   /** Per-bin packing stats: doc count, token total, id span, fill ratio

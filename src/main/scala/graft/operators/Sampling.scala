@@ -19,6 +19,14 @@ object Sampling {
     pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
       .cast("long"), lit(10000L))
 
+  /** Portable shard assignment in [0, shards): the full 60-bit md5 value mod
+    * `shards` — NOT [[sampleBucket]]'s mod-10⁴ (which would cap effective
+    * shards at 10000 and correlate shard with any same-salt sampling stage).
+    * DuckDB twin: `CAST('0x'||substr(md5(...),1,15) AS BIGINT) % shards`. */
+  def hashShard(key: Column, shards: Int, salt: String = ""): Column =
+    pmod(conv(substring(md5(concat(lit(salt), key.cast("string"))), 1, 15), 16, 10)
+      .cast("long"), lit(shards.toLong))
+
   /** Uniform deterministic sample: keep rows whose bucket < fraction·10⁴.
     * Basis-point granularity; a pure narrow filter — no shuffle, pushes
     * into the scan alongside any other predicate. */

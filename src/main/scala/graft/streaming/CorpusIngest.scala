@@ -24,10 +24,12 @@ object CorpusIngest {
     * watermark window. Gate BEFORE dedup: rejected docs must not occupy
     * dedup state. */
   def ingest(docs: DataFrame, eventTimeCol: String = "event_time",
+             textCol: String = "text",
              watermarkDelay: String = "10 minutes"): DataFrame =
     docs
-      .filter(TextAnalysis.c4Keep(col("text")))
-      .withColumn("content_hash", md5(col("text")))
+      .filter(TextAnalysis.c4Keep(col(textCol)))
+      .withColumn("content_hash", md5(col(textCol)))
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
 }
