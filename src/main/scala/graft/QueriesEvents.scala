@@ -89,8 +89,8 @@ object QueriesEvents {
       oracle = Some(Oracle.withObjects(
         """SELECT bucket_id, batch, count(*) AS n_objects,
           |       count(*) * 2 AS n_keys,
-          |       min(concat_ws('/', bucket_id, name, version)) AS first_key,
-          |       max(concat_ws('/', bucket_id, name, version)) AS last_key
+          |       min_by(concat_ws('/', bucket_id, name, version), name) AS first_key,
+          |       max_by(concat_ws('/', bucket_id, name, version), name) AS last_key
           |FROM (SELECT bucket_id, name, version,
           |        CAST(floor((row_number() OVER (PARTITION BY bucket_id ORDER BY name) - 1) / 500)
           |          AS BIGINT) AS batch

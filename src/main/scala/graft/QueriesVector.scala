@@ -280,7 +280,7 @@ object QueriesVector {
           .select(col("embedding")).collect()
           .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
         Vectors.pqSearch(emb, "vec_id", "embedding", codebooks, 8,
-          queryVec(s, dir), 10)
+          queryVec(s, dir), 10, payloadCols = Seq("label"))
       },
       oracle = Some(
         """WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),

@@ -158,14 +158,21 @@ object Listing {
     val scoped = objects
       .filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
       .withColumn("cp", commonPrefix(col("name"), prefix, "/"))
+    // the sort column must survive the projection: folders carry NULL
+    // last_accessed_at (0050:733 — epoch-coalesced by the sort key), files
+    // carry theirs when the relation has one
+    val hasLaa = objects.columns.contains("last_accessed_at")
+    val fileLaa: Column =
+      if (hasLaa) col("last_accessed_at") else lit(null).cast("timestamp")
     val folders = scoped.filter(col("cp").isNotNull)
       .groupBy(rtrim(col("cp"), "/").as("name"))
       .agg(min(col("created_at")).as("created_at"))
       .select(col("name"), lit(true).as("is_prefix"),
-        col("created_at").as("updated_at"), col("created_at"))
+        col("created_at").as("updated_at"), col("created_at"),
+        lit(null).cast("timestamp").as("last_accessed_at"))
     val files = scoped.filter(col("cp").isNull)
       .select(col("name"), lit(false).as("is_prefix"),
-        col("updated_at"), col("created_at"))
+        col("updated_at"), col("created_at"), fileLaa.as("last_accessed_at"))
     val combined = folders.unionByName(files)
     val epoch = to_timestamp(lit("1970-01-01 00:00:00"))
     val key: Column =
@@ -185,6 +192,7 @@ object Listing {
     val (k1, k2) =
       if (desc) (key.desc, col("name").desc) else (key.asc, col("name").asc)
     paged.orderBy(k1, k2).limit(math.min(limit, 1500))
+      .select(col("name"), col("is_prefix"), col("updated_at"), col("created_at"))
   }
 
   /** listBuckets (pg.ts:746-789): optional contains-search on `name` with

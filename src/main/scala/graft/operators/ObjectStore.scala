@@ -80,9 +80,13 @@ object ObjectStore {
 
   /** D6 moveObject = copy + delete source in one rewrite (object.ts:461-608). */
   def moveObject(objects: DataFrame, bucket: String, srcName: String,
-                 destName: String, newVersion: String): DataFrame =
+                 destName: String, newVersion: String): DataFrame = {
+    // same-key move would otherwise copy-then-delete the SAME row — data
+    // loss from a degenerate input the reference rejects at the route layer
+    require(srcName != destName, "moveObject requires srcName != destName")
     copyObject(objects, bucket, srcName, destName, newVersion)
       .filter(!(col("bucket_id") === bucket && col("name") === srcName))
+  }
 
   /** D7 emptyBucket / delete-all-before: cutoff delete (storage.ts:326-343,
     * object-admin-delete-all-before.ts:21). The reference batches ≤500 rows
@@ -118,9 +122,11 @@ object ObjectStore {
       .groupBy(col("bucket_id"), col("batch"))
       .agg(count(lit(1)).as("n_objects"),
         (count(lit(1)) * 2).as("n_keys"),
-        min(concat_ws("/", col("bucket_id"), col("name"), col("version")))
-          .as("first_key"),
-        max(concat_ws("/", col("bucket_id"), col("name"), col("version")))
-          .as("last_key"))
+        // span by NAME order (the batch order) — min/max of the concatenated
+        // key string can disagree with it when a name contains a byte < '/'
+        min_by(concat_ws("/", col("bucket_id"), col("name"), col("version")),
+          col("name")).as("first_key"),
+        max_by(concat_ws("/", col("bucket_id"), col("name"), col("version")),
+          col("name")).as("last_key"))
   }
 }

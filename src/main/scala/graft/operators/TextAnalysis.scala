@@ -301,6 +301,7 @@ object TextAnalysis {
     */
   def bm25(df: DataFrame, idCol: String, textCol: String, query: Seq[String],
            topK: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 requires at least one query term")
     val qTerms = query.map(_.toLowerCase).distinct
     // compact projection: a few ints per doc (at 100 TB this is the written
     // doc-stats table; persist is its single-job equivalent) — the stats agg

@@ -46,10 +46,12 @@ object Vectors {
       case "euclidean" => l2Distance(emb, q)
       case _ => cosineDistance(emb, q)
     }
+    require(topK >= 1 && topK <= graft.functions.Validators.MaxQueryTopK,
+      s"topK must be between 1 and ${graft.functions.Validators.MaxQueryTopK}")
     vectors
       .withColumn("distance", round(dist, 9))
       .orderBy(col("distance"), col(keyCol))
-      .limit(math.min(topK, 100))
+      .limit(topK)
   }
 
   /** Scale path: hyperplane-LSH bucketing. `nPlanes` seeded pseudo-random
@@ -204,7 +206,7 @@ object Vectors {
     * construction matches the oracle's `list_sum` fold bit for bit. */
   def pqSearch(vectors: DataFrame, keyCol: String, embCol: String,
                codebooks: Seq[Seq[Double]], m: Int, query: Seq[Double],
-               topK: Int = 10): DataFrame = {
+               topK: Int = 10, payloadCols: Seq[String] = Seq.empty): DataFrame = {
     val dim = codebooks.head.size
     val subDim = dim / m
     val table: Seq[Seq[Double]] = (0 until m).map { s =>
@@ -223,7 +225,8 @@ object Vectors {
       .map(s => element_at(typedLit(table(s)), col("pq_code").getItem(s)))
       .reduceLeft(_ + _)
     pqEncode(vectors, embCol, codebooks, m)
-      .select(col(keyCol), col("label"), (round(adc, 9) + 0.0).as("adc"))
+      .select(col(keyCol) +: payloadCols.map(col) :+
+        ((round(adc, 9) + 0.0).as("adc")): _*)
       .orderBy(col("adc"), col(keyCol))
       .limit(topK)
   }
@@ -250,11 +253,15 @@ object Vectors {
     * segment hash is engine-defined (Spark hash ≠ pg hashtext by design). */
   def listSegment(vectors: DataFrame, keyCol: String, segCount: Int, segIdx: Int,
                   after: Option[Long] = None, maxResults: Int = 1000): DataFrame = {
-    require(segCount <= 16, "parallel segments capped at 16 (limits.ts:7)")
+    require(segCount >= 1 && segCount <= graft.functions.Validators.MaxSegmentCount,
+      s"parallel segments capped at ${graft.functions.Validators.MaxSegmentCount} (limits.ts:7)")
+    val pageSize = graft.functions.Validators
+      .validateListMaxResults(Some(maxResults))
+      .fold(err => throw new IllegalArgumentException(err), identity)
     vectors.filter(pmod(col(keyCol), lit(segCount)) === segIdx)
       .filter(after.map(col(keyCol) > _).getOrElse(lit(true)))
       .orderBy(col(keyCol))
-      .limit(math.min(maxResults, 1000))
+      .limit(pageSize)
   }
 
   /** V2 putVectors upsert: last-wins by key over prioritized batches

@@ -85,7 +85,7 @@ class DedupVectorsSpec extends SparkTestBase {
     val q = emb.filter(col("vec_id") === 0)
       .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
     val run = () => Vectors.pqSearch(emb, "vec_id", "embedding", codebooks, 8, q, 10)
-      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val r1 = run()
     assert(r1.size == 10 && r1.forall(_._2 >= 0.0))
     assert(r1 == run())
@@ -95,7 +95,7 @@ class DedupVectorsSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sfDir)
     val q = emb.filter($"vec_id" === 0).select($"embedding")
       .head.getSeq[Float](0).map(_.toDouble)
-    val exact = Vectors.knn(emb, "vec_id", "embedding", q, "cosine", 200)
+    val exact = Vectors.knn(emb, "vec_id", "embedding", q, "cosine", 100)
       .select("vec_id", "distance").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val ann = Vectors.annKnn(emb, "vec_id", "embedding", 64, q, 10, nPlanes = 4)
