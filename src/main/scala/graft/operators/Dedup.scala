@@ -9,6 +9,13 @@ import org.apache.spark.sql.functions._
   * only shuffles are the groupBys/joins that the algorithms inherently need,
   * and candidate generation is always bucketed (LSH bands / shared shingles /
   * sign buckets) so no O(n²) all-pairs materializes at 100 TB.
+  *
+  * Ownership note on `persist`: intermediates cached inside these methods
+  * (signature tables, exploded shingle sets) live until the session ends or
+  * the caller clears them — the single-job batch model this library targets.
+  * A long-lived driver looping over corpora should `spark.catalog.clearCache()`
+  * between runs; at 100 TB those intermediates are WRITTEN tables anyway and
+  * the persists become no-ops of the stored layout.
   */
 object Dedup {
 
@@ -51,11 +58,15 @@ object Dedup {
     // ~2^-16 per pair-count — below float-round noise)
     val sh = df.select(col(idCol).as("id"),
       graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
-    val all = sh.select(col("id"), size(col("hs")).as("n_full"),
+    val allBase = sh.select(col("id"), size(col("hs")).as("n_full"),
       explode(col("hs")).as("s"))
     val surviving =
-      if (maxDf <= 0) all.withColumnRenamed("n_full", "n_sh")
+      if (maxDf <= 0) allBase.withColumnRenamed("n_full", "n_sh")
       else {
+        // the df-cap path reads this relation three times (hot set,
+        // anti-join, set-size recount) — persist it once; the uncapped path
+        // reads it once and skips the cache
+        val all = allBase.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
           .filter(col("df") > maxDf).select(col("s"))
         val kept = all.drop("n_full").join(broadcast(hot), Seq("s"), "left_anti")
@@ -113,8 +124,7 @@ object Dedup {
     // materialize signatures once — both the band join and the scoring join
     // would otherwise recompute shingling+MinHash (at 100 TB this is a
     // written signature table; persist is its single-job equivalent)
-    val sig = df.select(col(idCol).as("id"),
-        graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, numHashes).as("sig"))
+    val sig = minhashSignatures(df, idCol, textCol, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the band self-join shuffles (id, buckets, band, bucket) — the
     // bands-long bucket array rides along (8·bands bytes) so each matched
@@ -123,10 +133,7 @@ object Dedup {
     // outnumber the banded rows ~20× on dup-dense corpora. The
     // 8·numHashes-byte signatures still never shuffle here; they rejoin from
     // the (tiny relative to the corpus) signature table for scoring.
-    val banded = sig.select(col("id"),
-        graft.functions.VectorExprs.lshBandBuckets(col("sig"), bands, rows).as("buckets"))
-      .select(col("id"), col("buckets"), posexplode(col("buckets")))
-      .select(col("id"), col("buckets"), col("pos").as("band"), col("col").as("bucket"))
+    val banded = bandSignatures(sig, bands, rows)
     val a = banded.as("a")
     val b = banded.as("b")
     val cand = a.join(b, col("a.band") === col("b.band") &&
@@ -169,14 +176,9 @@ object Dedup {
                             bands: Int = 16, rows: Int = 4,
                             estThreshold: Double = 0.5): DataFrame = {
     val numHashes = bands * rows
-    val newSig = newDocs.select(col(idCol).as("id"),
-        graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, numHashes).as("sig"))
+    val newSig = minhashSignatures(newDocs, idCol, textCol, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    def banded(sig: DataFrame) = sig.select(col("id"),
-        graft.functions.VectorExprs.lshBandBuckets(col("sig"), bands, rows).as("buckets"))
-      .select(col("id"), col("buckets"), posexplode(col("buckets")))
-      .select(col("id"), col("buckets"), col("pos").as("band"), col("col").as("bucket"))
-    val bNew = banded(newSig)
+    val bNew = bandSignatures(newSig, bands, rows)
     // new×existing collisions + new×new ordered self-join; the probe side
     // (bNew) is batch-sized, so AQE broadcasts it against the corpus bands
     def pairs(j: DataFrame) = j
@@ -184,7 +186,7 @@ object Dedup {
         col("a.buckets"), col("b.buckets")) === col("a.band"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
-    val no = pairs(bNew.as("a").join(banded(existingSigs).as("b"),
+    val no = pairs(bNew.as("a").join(bandSignatures(existingSigs, bands, rows).as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")))
     val nn = pairs(bNew.as("a").join(bNew.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -202,12 +204,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
   }
 
-  /** Convenience: the persisted signature-table side of the incremental
-    * contract — identical kernel to [[minhashLshPairs]]'s signature stage. */
+  /** The persisted signature-table side of the incremental contract — the
+    * ONE signature derivation every LSH entry point shares (changing the
+    * shingle size or kernel here changes them all together). */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         bands: Int = 16, rows: Int = 4): DataFrame =
     docs.select(col(idCol).as("id"),
       graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, bands * rows).as("sig"))
+
+  /** Shared banding projection: (id, buckets, band, bucket) rows, the
+    * buckets array riding along for the first-matching-band dedup. */
+  private def bandSignatures(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    sig.select(col("id"),
+        graft.functions.VectorExprs.lshBandBuckets(col("sig"), bands, rows).as("buckets"))
+      .select(col("id"), col("buckets"), posexplode(col("buckets")))
+      .select(col("id"), col("buckets"), col("pos").as("band"), col("col").as("bucket"))
 
   /** 64-bit SimHash over word hashes: bit j of the fingerprint is the sign of
     * Σ_words (bit j of xxh64(word) ? +1 : -1). One codegen'd pass per row
@@ -220,14 +231,17 @@ object Dedup {
   private val SimHashBlocks = 4     // 4 blocks × 15 bits
   private val SimHashBlockBits = 15
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates bucketed
-    * by multi-block permutation — a pair is a candidate when ANY of the 4
-    * 15-bit blocks matches exactly (the standard Charikar/Manku blocking:
-    * near-identical fingerprints agree on at least one block unless their
-    * diffs spread across every block). Versus the single high-16-bit block
-    * this replaced, candidates are ~4× but each block's buckets are a valid
-    * partition key at scale, and recall no longer depends on WHERE the
-    * differing bits fall.
+  /** SimHash near-dup pairs under the Charikar/Manku BLOCKED-candidate
+    * contract: a pair surfaces when ≥1 of the 4 15-bit blocks matches
+    * exactly AND hamming ≤ maxDist. By pigeonhole this is EXHAUSTIVE for
+    * hamming ≤ 3 (blocks − 1); beyond that it is the standard probabilistic
+    * recall trade every blocked simhash deployment makes — pairs whose
+    * diffs spread across all four blocks are not candidates (Manku's full
+    * construction uses C(blocks, diffs) permuted tables to close the gap;
+    * that is the production refinement, not the default). Versus the single
+    * high-16-bit block this replaced, candidates are ~4× but each block's
+    * buckets are a valid partition key at scale, and recall no longer
+    * depends on WHERE the differing bits fall.
     *
     * 60-bit fingerprints from portable md5-derived word hashes, computed
     * row-locally ([[graft.functions.SimHashMd5]]) — no explode, no 60-way
@@ -405,8 +419,12 @@ object Dedup {
       else df.withColumn("lsh_bucket", lit(0L))
     // norms are per-ROW (computed once below the join), so each of the O(n²/b)
     // candidate pairs costs exactly one codegen'd dot product
+    // zero-norm embeddings have no defined cosine: 0/0 = NaN, and BOTH
+    // engines order NaN above every threshold — exclude them up front or one
+    // zero vector pairs with the whole corpus
     val v = base.select(col(idCol).as("id"), col("lsh_bucket"), col(embCol).as("emb"))
       .withColumn("nrm", sqrt(Vectors.norm2(col("emb"))))
+      .filter(col("nrm") > 0)
     val a = v.as("a")
     val b = v.as("b")
     a.join(b, col("a.lsh_bucket") === col("b.lsh_bucket") && col("a.id") < col("b.id"))
