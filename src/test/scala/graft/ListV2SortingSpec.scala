@@ -88,6 +88,16 @@ class ListV2SortingSpec extends SparkTestBase {
     assert(objsDesc == updateOrderObjects.reverse)
   }
 
+  test("last_accessed_at sort works without the column (epoch-coalesced)") {
+    // regression: the whitelist accepted last_accessed_at but the projection
+    // dropped it — the sort now resolves, with every key coalescing to epoch
+    // (folders are NULL by 0050:733; this fixture has no column at all), so
+    // the order degrades to the byte-ordered name tiebreak
+    val rows = Listing.sortedListingV2(objects, "LV2", "", "last_accessed_at",
+      "asc", 1500).select("name").collect().map(_.getString(0)).toSeq
+    assert(rows == (folderNames ++ sortedObjects).sorted)
+  }
+
   test("O5 cursor pages tile the updated_at desc listing without gaps") {
     val full = Listing.sortedListingV2(objects, "LV2", "", "updated_at", "desc", 1500)
       .select("name").collect().map(_.getString(0)).toSeq
