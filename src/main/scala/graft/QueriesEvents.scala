@@ -99,6 +99,28 @@ object QueriesEvents {
           |GROUP BY 1, 2 ORDER BY bucket_id, batch""".stripMargin)),
       doc = "E6 admin-delete worker batches (object-admin-delete.ts, limits.ts:19-21)"),
 
+    // E6 backup-object worker feed: the scanner's orphan set (J2 anti-join)
+    // projected to backup jobs — __internal/ destination keys, per-key
+    // singleton dedup keys, optional delete-original
+    // (events/objects/backup-object.ts:34-77, scanner.ts:323-363).
+    "e6_backup_orphans" -> Q(
+      fn = (s, dir) => {
+        val db = Tables.objects(s, dir).filter(col("mimetype") =!= "image/png")
+        val orphans = graft.operators.Scanner.orphanedS3Keys(
+          Tables.s3Keys(s, dir), db)
+        graft.operators.Scanner.backupJobs(orphans, "tenant-a", deleteOriginal = true)
+          .orderBy(col("source_key"))
+      },
+      oracle = Some(Oracle.withS3(
+        """SELECT concat_ws('/', 'tenant-a', key) AS singleton_key,
+          |       key AS source_key,
+          |       concat('__internal/', key) AS destination_key,
+          |       size, TRUE AS delete_original
+          |FROM s3_keys
+          |WHERE key NOT IN (SELECT name FROM objects WHERE mimetype <> 'image/png')
+          |ORDER BY source_key""".stripMargin)),
+      doc = "E6 backup-object jobs from the orphan scan (backup-object.ts:34-77)"),
+
     // Skew-proof exact top-k per key (Skew.topKPerKey): partial top-k per
     // (key, salt) → merge — reducer state O(salts·k) on any hot key. The
     // oracle is the window/row_number formulation the salted plan must equal

@@ -26,6 +26,21 @@ object Scanner {
     objects.join(s3Listing.select(col("key")),
       col("name") === col("key"), "left_anti")
 
+  /** E6 backup-object worker feed (events/objects/backup-object.ts:34-77):
+    * every orphaned blob becomes one `backup-object` job — the key copies to
+    * the `__internal/` prefix and the original is optionally deleted; the
+    * singleton key dedups retries per (tenant, key) exactly as pg-boss does.
+    * A pure projection over the J2 anti-join — the whole reconciliation
+    * (list ∖ metadata → backup queue) stays one distributed job. */
+  def backupJobs(orphans: DataFrame, tenantRef: String,
+                 deleteOriginal: Boolean = true): DataFrame =
+    orphans.select(
+      concat_ws("/", lit(tenantRef), col("key")).as("singleton_key"),
+      col("key").as("source_key"),
+      concat(lit("__internal/"), col("key")).as("destination_key"),
+      col("size"),
+      lit(deleteOriginal).as("delete_original"))
+
   /** Batch multi-key lookup (J5, pg.ts:1203-1228 `name = ANY($2)`): semi-join
     * against a (small, broadcast) key set. */
   def findObjects(objects: DataFrame, keys: DataFrame): DataFrame =
