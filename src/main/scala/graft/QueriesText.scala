@@ -556,6 +556,36 @@ object QueriesText {
           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
       doc = "importance-weighted deterministic sampling (length-prior keep prob)"),
 
+    // Quality-weighted sampling: keep probability from a TEXT-derived
+    // signal (4× the stopword ratio, clamped) — the quality-curation
+    // composition of text_quality + weightedHashSample. Weight arithmetic
+    // is identical double math on both engines (single divisions + rounds).
+    "sample_quality_weighted" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val w = TextAnalysis.words(col("text"))
+        val stopFrac = round(
+          graft.functions.VectorExprs.stopwordCounts(w,
+            Seq(Seq("the", "a", "and", "of", "to", "in", "is", "for", "on", "with")))
+            .getItem(0).cast("double") / size(w), 6)
+        graft.operators.Sampling.weightedHashSample(d, "doc_id",
+          least(lit(1.0), stopFrac * 4), salt = "qw1")
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        s"""WITH scored AS (SELECT doc_id, lang,
+           |  round(CAST(len(list_filter($wordsSql,
+           |    x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) AS DOUBLE)
+           |    / len($wordsSql), 6) AS stop_frac FROM documents),
+           |kept AS (SELECT * FROM scored WHERE
+           |  CAST('0x' || substr(md5(concat('qw1', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+           |    % 10000 < round(least(1.0, stop_frac * 4) * 10000))
+           |SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS id_sum
+           |FROM kept GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "quality-weighted sampling (stopword-signal keep probability)"),
+
     // Token-budget sequence packing: shard by portable id-hash, fill
     // 512-token bins per shard in id order. All integer arithmetic (the one
     // division is exact); the window parallelizes across shards — no global
