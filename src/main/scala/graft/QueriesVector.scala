@@ -304,6 +304,59 @@ object QueriesVector {
           |SELECT vec_id, label, adc FROM scored ORDER BY adc, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (product quantization, 8×16 ADC) — memory-scale path"),
 
+    // IVF+PQ combined — the FAISS-IVFPQ shape: coarse quantizer prunes to
+    // the nProbe nearest lists (the written partition key at 100 TB), then
+    // ADC ranks only the pruned lists' PQ codes. Both stages reuse the
+    // already-proven oracle pieces verbatim.
+    "v3_ann_ivfpq" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sample = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+        val centroids = sample.map(r =>
+          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val codebooks = centroids.map(_._2)
+        val q = queryVec(s, dir)
+        val probes = centroids.map { case (cid, cv) =>
+          (cid, cv.zip(q).map { case (a, b) => (a - b) * (a - b) }.sum)
+        }.sortBy { case (cid, d) => (d, cid) }.take(4).map(_._1)
+        val pruned = Vectors.ivfAssign(emb, "embedding", centroids)
+          .filter(col("ivf_cid").isin(probes: _*))
+        Vectors.pqSearch(pruned, "vec_id", "embedding", codebooks, 8, q, 10,
+          payloadCols = Seq("label"))
+      },
+      oracle = Some(
+        """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+          |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |cl AS (SELECT list(cv ORDER BY cid) AS cbs FROM cents),
+          |assigned AS (SELECT e.vec_id, e.label, CAST(e.embedding AS DOUBLE[]) AS ev,
+          |    (SELECT c.cid FROM cents c
+          |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+          |  FROM embeddings e),
+          |probes AS (SELECT c.cid FROM cents c, q
+          |  ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+          |    z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 4),
+          |base AS (SELECT vec_id, label, ev FROM assigned
+          |  WHERE cid IN (SELECT cid FROM probes)),
+          |ds AS (SELECT vec_id, label, list_transform(generate_series(1, 8), s ->
+          |    list_transform(generate_series(1, 16), c ->
+          |      list_sum(list_transform(generate_series(1, 8), j ->
+          |        (ev[(s-1)*8+j] - cbs[c][(s-1)*8+j]) * (ev[(s-1)*8+j] - cbs[c][(s-1)*8+j])))))
+          |  AS dmat FROM base, cl),
+          |codes AS (SELECT vec_id, label,
+          |    list_transform(dmat, dl -> array_position(dl, list_min(dl))) AS code FROM ds),
+          |scored AS (SELECT vec_id, label,
+          |    round(list_sum(list_transform(generate_series(1, 8), s ->
+          |      list_sum(list_transform(generate_series(1, 8), j ->
+          |        (qv[(s-1)*8+j] - cbs[code[s]][(s-1)*8+j])
+          |      * (qv[(s-1)*8+j] - cbs[code[s]][(s-1)*8+j]))))), 9) + 0.0 AS adc
+          |  FROM codes, cl, q)
+          |SELECT vec_id, label, adc FROM scored ORDER BY adc, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 ANN IVF+PQ combined (coarse prune + ADC rank — the FAISS-IVFPQ shape)"),
+
     // V3 ANN multi-probe LSH: probe the exact bucket + the 2 buckets across
     // the boundaries the query sits closest to (recall recovery).
     "v3_ann_lsh_multiprobe" -> Q(
