@@ -123,19 +123,25 @@ object QueriesEvents {
 
     // Skew-proof exact top-k per key (Skew.topKPerKey): partial top-k per
     // (key, salt) → merge — reducer state O(salts·k) on any hot key. The
-    // oracle is the window/row_number formulation the salted plan must equal
-    // (top-k VALUES are a deterministic multiset even with duplicates).
+    // oracle is the window/row_number formulation the salted plan must equal.
+    // Output is exploded to scalar (event_type, rnk, value) rows — the merged
+    // array posexplodes — because the driver's pandas canonicalization cannot
+    // hash array cells (the round-3 red row). Deterministic under value ties:
+    // the sorted top-k VALUE at each rank is a fixed multiset element even
+    // though row_number's tiebreak is arbitrary.
     "skew_topk_per_key" -> Q(
       fn = (s, dir) =>
         graft.operators.Skew.topKPerKey(Tables.events(s, dir),
           col("event_type"), col("value"), 3)
-          .withColumnRenamed("key", "event_type")
-          .orderBy(col("event_type")),
+          .select(col("key").as("event_type"), posexplode(col("top_k")))
+          .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+            col("col").as("value"))
+          .orderBy(col("event_type"), col("rnk")),
       oracle = Some(
         """WITH r AS (SELECT event_type, value,
           |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC) AS rn
           |  FROM events)
-          |SELECT event_type, list(value ORDER BY value DESC) AS top_k
-          |FROM r WHERE rn <= 3 GROUP BY event_type ORDER BY event_type""".stripMargin),
+          |SELECT event_type, rn AS rnk, value FROM r WHERE rn <= 3
+          |ORDER BY event_type, rnk""".stripMargin),
       doc = "skew-proof per-key top-k (salted partial merge == window top-k)"))
 }

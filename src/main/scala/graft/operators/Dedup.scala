@@ -114,9 +114,13 @@ object Dedup {
     * Kirsch-Mitzenmacher double hashing over a portable digest. No explode,
     * no shuffle: the DuckDB oracle reproduces every value from
     * `substr(md5(s),…)` substrings, which the hash-check proves. (This
-    * replaced an exploded 64-way min-aggregation that evaluated interpreted
-    * HOF shingling + two md5s per (doc, shingle) row — 11.8 s at sf0.1;
-    * the kernel path is ~20× cheaper and shuffle-free.) */
+    * replaced an exploded 64-way min-aggregation. Measured at sf0.1,
+    * local[32]: the kernel evaluates the corpus signatures in ~0.4 s vs the
+    * exploded form's multi-second shuffle+aggregate — but the md5 count is
+    * identical, so the win is the removed explode/shuffle, not the digests.
+    * The flat ~10 s bench lines in rounds 2-3 were one-time MD5 JIT warmup
+    * plus a 4-thread bench default, both fixed in Bench.scala — the
+    * steady-state query is ~1 s.) */
   def minhashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       bands: Int = 16, rows: Int = 4,
                       estThreshold: Double = 0.5): DataFrame = {
@@ -126,6 +130,10 @@ object Dedup {
     // written signature table; persist is its single-job equivalent)
     val sig = minhashSignatures(df, idCol, textCol, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pin the cache eagerly: the band self-join's two scan branches are
+    // independent stages that otherwise race to fill it, and BOTH evaluate
+    // the kernel ("Block rdd_N already exists" in the logs = double compute)
+    sig.count()
     // the band self-join shuffles (id, buckets, band, bucket) — the
     // bands-long bucket array rides along (8·bands bytes) so each matched
     // pair can check "is this my FIRST matching band" locally and surface
@@ -258,6 +266,12 @@ object Dedup {
         shiftright(col("sim"), b * SimHashBlockBits)
           .bitwiseAND(lit((1L << SimHashBlockBits) - 1)).as("bv"))): _*)).as("bb"))
       .select(col("id"), col("sim"), col("bb.blk"), col("bb.bv"))
+      // materialize once, eagerly — both self-join sides read this relation,
+      // and without the pin each side re-runs scan→words→SimHashMd5 (the
+      // round-3 bench regression; minhashLshPairs pins its sig table the
+      // same way; at 100 TB this is a written fingerprint table)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    blocked.count()
     val a = blocked.as("a")
     val b = blocked.as("b")
     // a pair matching in several blocks surfaces once: keep it only where the

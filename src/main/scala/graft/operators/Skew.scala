@@ -19,11 +19,17 @@ object Skew {
 
   /** Exact top-k values per key, skew-proof: partial top-k per (key, salt) →
     * merged top-k per key. Result-identical to the window/row_number
-    * formulation because max-k of a union = max-k of per-part max-k's. */
+    * formulation because max-k of a union = max-k of per-part max-k's.
+    *
+    * The salt must be ROW-unique, not value-derived: a hot key flooded with
+    * one repeated value would send its whole group to a single salt under
+    * `hash(value)`. `monotonically_increasing_id` spreads rows evenly and is
+    * safe here because partial top-k is order- and placement-insensitive —
+    * any row-to-salt assignment yields the same merged result. */
   def topKPerKey(df: DataFrame, key: Column, value: Column,
                  k: Int, salts: Int = 16): DataFrame = {
     val partial = df
-      .withColumn("_salt", pmod(hash(value), lit(salts)))
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts)))
       .groupBy(key.as("key"), col("_salt"))
       .agg(slice(sort_array(collect_list(value), asc = false), 1, k).as("_part"))
     partial

@@ -27,4 +27,25 @@ class SkewSpec extends SparkTestBase {
     assert(salted == direct)
     assert(salted("hot") == List(10000L, 9999L, 9998L))
   }
+
+  test("single-value hot key: result exact and rows spread across salts") {
+    // the worst case for a value-derived salt: the hot key's flood is ONE
+    // repeated value, which hash(value) would send to a single reducer.
+    val df = ((1 to 20000).map(_ => ("hot", 7L)) ++
+      Seq(("hot", 9L), ("hot", 8L), ("cold", 1L))).toDF("key", "v")
+
+    val salted = Skew.topKPerKey(df, col("key"), col("v"), 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(salted("hot") == List(9L, 8L, 7L))
+    assert(salted("cold") == List(1L))
+
+    // the row-unique salt must spread the single-value flood: mirror of the
+    // internal salt expression (Skew.topKPerKey) over the same data
+    val spread = df.filter(col("key") === "hot")
+      .withColumn("_salt", pmod(monotonically_increasing_id(), lit(16)))
+      .groupBy("_salt").count().collect()
+    assert(spread.length == 16, "all 16 salts should receive rows")
+    assert(spread.map(_.getLong(1)).max < 20002L / 4,
+      "no salt should concentrate the hot key's rows")
+  }
 }
