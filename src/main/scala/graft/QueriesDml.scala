@@ -214,6 +214,34 @@ object QueriesDml {
           |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
       doc = "RLS parameterized view (pg-connection.ts:65-74, rls_tests.yaml)"),
 
+    // RLS, second policy×role×operation combination (rls_tests.yaml matrix):
+    // UPDATE visibility for an authenticated user through the declarative
+    // Policy engine — owner-scoped everywhere, plus an operation-gated policy
+    // (storage.allow_only_operation = 'upload', rls_tests.yaml:70-82) that
+    // opens bucket F during uploads. The OR-of-policies grant compiles to one
+    // pushed-down filter; rows the user may update, censused per bucket.
+    "rls_owner_scoped" -> Q(
+      fn = (s, dir) => {
+        val policies = Seq(
+          Rls.Policy("owner_update", Set("authenticated"), "update",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false))),
+          Rls.Policy("upload_window_F", Set("authenticated"), "update",
+            _ => col("bucket_id") === "F", operations = Set("upload")))
+        Rls.visible(Tables.objects(s, dir), policies,
+          Rls.Context("authenticated", Some("user-7"), "upload"), "update")
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_updatable"),
+            sum(when(col("owner_id") === "user-7", 1L).otherwise(0L)).as("n_own"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, count(*) AS n_updatable,
+          |       sum(CASE WHEN owner_id = 'user-7' THEN 1 ELSE 0 END) AS n_own
+          |FROM objects
+          |WHERE owner_id = 'user-7' OR bucket_id = 'F'
+          |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "RLS owner-scoped UPDATE + operation-gated policy (rls_tests.yaml:70-82)"),
+
     // P10 MIME wildcard validation as a bulk predicate.
     "p10_mime_validation" -> Q(
       fn = (s, dir) => Tables.objects(s, dir)

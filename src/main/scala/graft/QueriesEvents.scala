@@ -121,6 +121,55 @@ object QueriesEvents {
           |ORDER BY source_key""".stripMargin)),
       doc = "E6 backup-object jobs from the orphan scan (backup-object.ts:34-77)"),
 
+    // E6 move-jobs worker in batch form (events/pgboss/move-jobs.ts:14-126):
+    // relocate every PENDING job from one queue to another — copies land with
+    // state='created', singleton keys ride along untouched, completed history
+    // stays behind. Jobs synthesized from events (queue=event_type, state from
+    // id mod 4 so every pending/terminal state is exercised); output is the
+    // post-move per-(queue, state) census with singleton-key preservation
+    // checked via count(DISTINCT singleton_key).
+    "e6_move_jobs" -> Q(
+      fn = (s, dir) => {
+        val jobs = Tables.events(s, dir).select(
+          col("event_id").as("id"),
+          col("event_type").as("queue"),
+          concat(col("event_type"), lit(":"), col("user_id")).as("singleton_key"),
+          when(col("event_id") % 4 === 0, "completed")
+            .when(col("event_id") % 4 === 1, "created")
+            .when(col("event_id") % 4 === 2, "active")
+            .otherwise("retry").as("state"))
+        graft.streaming.EventStream.moveJobs(jobs, "error", "error-retry",
+          deleteFromOriginal = true,
+          pendingStates = Seq("created", "active", "retry"))
+          .groupBy(col("queue"), col("state"))
+          .agg(count(lit(1)).as("n"),
+            countDistinct(col("singleton_key")).as("n_singletons"),
+            min(col("id")).as("first_id"), max(col("id")).as("last_id"))
+          .orderBy(col("queue"), col("state"))
+      },
+      oracle = Some(
+        """WITH jobs AS (
+          |  SELECT event_id AS id, event_type AS queue,
+          |         concat(event_type, ':', user_id) AS singleton_key,
+          |         CASE WHEN event_id % 4 = 0 THEN 'completed'
+          |              WHEN event_id % 4 = 1 THEN 'created'
+          |              WHEN event_id % 4 = 2 THEN 'active'
+          |              ELSE 'retry' END AS state
+          |  FROM events),
+          |moved AS (
+          |  SELECT id, 'error-retry' AS queue, singleton_key, 'created' AS state
+          |  FROM jobs
+          |  WHERE queue = 'error' AND state IN ('created', 'active', 'retry')),
+          |after AS (
+          |  SELECT * FROM jobs
+          |  WHERE NOT (queue = 'error' AND state IN ('created', 'active', 'retry'))
+          |  UNION ALL SELECT * FROM moved)
+          |SELECT queue, state, count(*) AS n,
+          |       count(DISTINCT singleton_key) AS n_singletons,
+          |       min(id) AS first_id, max(id) AS last_id
+          |FROM after GROUP BY 1, 2 ORDER BY queue, state""".stripMargin),
+      doc = "E6 move-jobs worker: pending-state queue relocation (move-jobs.ts:14-126)"),
+
     // Skew-proof exact top-k per key (Skew.topKPerKey): partial top-k per
     // (key, salt) → merge — reducer state O(salts·k) on any hot key. The
     // oracle is the window/row_number formulation the salted plan must equal.

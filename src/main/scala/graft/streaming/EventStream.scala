@@ -95,13 +95,27 @@ object EventStream {
     * originals alongside the moved copies, mirroring
     * `deleteJobsFromOriginalQueue`. Idempotent under the reference's
     * singleton key (`move_<from>_to_<to>`) because re-running on the
-    * rewritten relation finds no `fromQueue` rows left. */
+    * rewritten relation finds no movable `fromQueue` rows left.
+    *
+    * `pendingStates` mirrors the reference's `state IN ('created', 'active',
+    * 'retry')` guard (move-jobs.ts:110-126): only pending jobs move (copies
+    * land with `state = 'created'`, move-jobs.ts:109) and only pending jobs
+    * delete — completed/failed history stays on the original queue. Empty =
+    * no state column required, every `fromQueue` row moves. All columns
+    * (singleton_key, priority, payload, …) ride along untouched, exactly the
+    * reference's column-for-column INSERT…SELECT. */
   def moveJobs(jobs: DataFrame, fromQueue: String, toQueue: String,
-               deleteFromOriginal: Boolean = true): DataFrame = {
-    val moved = jobs.filter(col("queue") === fromQueue)
-      .withColumn("queue", lit(toQueue))
+               deleteFromOriginal: Boolean = true,
+               pendingStates: Seq[String] = Nil): DataFrame = {
+    val movable =
+      if (pendingStates.isEmpty) col("queue") === fromQueue
+      else col("queue") === fromQueue && col("state").isin(pendingStates: _*)
+    val moved0 = jobs.filter(movable).withColumn("queue", lit(toQueue))
+    val moved =
+      if (pendingStates.isEmpty) moved0
+      else moved0.withColumn("state", lit("created"))
     if (deleteFromOriginal)
-      jobs.filter(col("queue") =!= fromQueue).unionByName(moved)
+      jobs.filter(!movable).unionByName(moved)
     else jobs.unionByName(moved)
   }
 

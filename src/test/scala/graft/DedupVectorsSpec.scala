@@ -49,6 +49,32 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 0)))
   }
 
+  test("simhashPairsExhaustive equals brute-force all-pairs at the graded distance") {
+    val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
+    val corpus = docs.unionByName(docs.filter($"doc_id" % 5 === 0)
+      .select(($"doc_id" + 1000000).as("doc_id"),
+        concat($"text", lit(" tail")).as("text")))
+    val maxDist = 5
+    // brute force: every pair, no candidate structure
+    val fp = corpus.select($"doc_id".as("id"),
+      graft.functions.VectorExprs.simhashMd5(Dedup.words($"text")).as("sim"))
+    val brute = fp.as("a").join(fp.as("b"), $"a.id" < $"b.id")
+      .withColumn("hamming", bit_count($"a.sim".bitwiseXOR($"b.sim")))
+      .filter($"hamming" <= maxDist)
+      .select($"a.id", $"b.id", $"hamming")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blocked = Dedup.simhashPairsExhaustive(corpus, "doc_id", "text", maxDist)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(brute.nonEmpty, "fixture should contain close fingerprints")
+    assert(blocked == brute,
+      s"blocked candidates missed ${(brute -- blocked).size} / extra ${(blocked -- brute).size}")
+    // and the fixed 4-block scheme is also exhaustive at <= 3 (pigeonhole)
+    val brute3 = brute.filter(_._3 <= 3)
+    val four = Dedup.simhashPairs(corpus, "doc_id", "text", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(four == brute3)
+  }
+
   test("IVF kNN results are a subset of the exact L2 scan, same ordering") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)

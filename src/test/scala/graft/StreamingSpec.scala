@@ -93,6 +93,23 @@ class StreamingSpec extends SparkTestBase {
       deleteFromOriginal = false).count() == 5)
   }
 
+  test("E6: moveJobs pending-state guard (move-jobs.ts:110-126)") {
+    val jobs = Seq(
+      ("j1", "webhooks", "created"), ("j2", "webhooks", "active"),
+      ("j3", "webhooks", "completed"), ("j4", "webhooks", "retry"),
+      ("j5", "other", "created"))
+      .toDF("event_id", "queue", "state")
+    val moved = EventStream.moveJobs(jobs, "webhooks", "webhooks-v2",
+      pendingStates = Seq("created", "active", "retry"))
+    val got = moved.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // pending jobs move and land as 'created'; completed history stays put
+    assert(got == Set(
+      ("j1", "webhooks-v2", "created"), ("j2", "webhooks-v2", "created"),
+      ("j4", "webhooks-v2", "created"),
+      ("j3", "webhooks", "completed"), ("j5", "other", "created")))
+  }
+
   test("V2 putVectors metadata caps (vector-store.ts:46-48)") {
     import graft.functions.Validators._
     assert(validateVectorMetadata("k1", """{"a":1,"b":"x"}""").isEmpty)
