@@ -125,6 +125,20 @@ object QueriesText {
        |WHERE bit_count(xor(a.sim, b.sim)) <= $maxDist
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Shared by `text_perplexity` (single LM join) and
+    * `text_perplexity_tiered` (head-broadcast + tail join) — one oracle,
+    * two topologies, identical results. */
+  private val perplexityOracle: String =
+    s"""WITH tok AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents),
+       |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+       |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm),
+       |s AS (SELECT w, CAST(round(ln(n / c), 6) AS DECIMAL(18,6)) AS surp FROM lm, n),
+       |d AS (SELECT id, count(*) AS n_tokens, sum(surp) AS ssum
+       |      FROM tok JOIN s USING (w) GROUP BY id)
+       |SELECT id AS doc_id, n_tokens,
+       |       round(CAST(ssum AS DOUBLE) / n_tokens, 6) AS mean_surprisal
+       |FROM d ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy, min-id winner.
@@ -264,6 +278,64 @@ object QueriesText {
       },
       oracle = Some(simhashExhaustiveOracle(nearDupCte, 5)),
       doc = "SimHash exhaustive blocked candidates (Manku WWW'07 §3) vs brute-force oracle"),
+
+    // Benchmark decontamination (GPT-3 appendix C): training docs sharing
+    // any 13-gram with the eval benchmark. Benchmark = 20-word middle slices
+    // of every 17th doc, so overlap is partial and synthesized from the
+    // corpus itself. Spark joins 64-bit shingle hashes (codegen, broadcast
+    // benchmark); the oracle joins the strings — counts agree because both
+    // sides count DISTINCT shared grams.
+    "text_contamination" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val bench = d.filter(col("doc_id") % 17 === 0)
+          .select(col("doc_id").as("bench_id"),
+            array_join(slice(Dedup.words(col("text")), 3, 20), " ").as("text"))
+        Dedup.contamination(d, "doc_id", "text", bench, "bench_id", "text", 13)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH bench AS (SELECT doc_id AS bench_id,
+           |    array_to_string(($wordsSql)[3:22], ' ') AS btext
+           |  FROM documents WHERE doc_id % 17 = 0),
+           |tsh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, greatest(len($wordsSql) - 12, 1)),
+           |    i -> array_to_string(($wordsSql)[i:i+12], ' ')))) AS s FROM documents),
+           |bw AS (SELECT bench_id,
+           |    string_split_regex(lower(trim(btext)), '\\s+') AS w2 FROM bench),
+           |bsh AS (SELECT bench_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(w2) - 12, 1)),
+           |    i -> array_to_string(w2[i:i+12], ' ')))) AS s FROM bw)
+           |SELECT doc_id, count(DISTINCT t.s) AS n_shared_ngrams,
+           |       count(DISTINCT bench_id) AS n_bench_docs
+           |FROM tsh t JOIN bsh b ON t.s = b.s
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "benchmark decontamination: 13-gram overlap vs eval set (broadcast probe)"),
+
+    // C4-style cross-document line dedup: duplicated lines keep only their
+    // first occurrence; per-doc census of total/kept/duplicated lines. The
+    // arg-min keeper is a single int64 aggregate — skew-proof for
+    // boilerplate lines repeated millions of times.
+    "text_line_dedup" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.lineDedupStats(Tables.documents(s, dir), "doc_id", "text", 4)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id AS id, $wordsSql AS ws FROM documents),
+           |l0 AS (SELECT id, unnest(list_transform(
+           |    generate_series(0, CAST(floor((len(ws) + 3) / 4) AS INT) - 1),
+           |    i -> struct_pack(line_no := i, line := array_to_string(ws[i*4+1 : i*4+4], ' ')))) AS u
+           |  FROM d),
+           |l AS (SELECT id, CAST(u.line_no AS BIGINT) AS line_no, u.line AS line FROM l0),
+           |w AS (SELECT line, min(id * 1000000 + line_no) AS keep_key, count(*) AS occ
+           |      FROM l GROUP BY line)
+           |SELECT id AS doc_id, count(*) AS n_lines,
+           |       sum(CASE WHEN id * 1000000 + line_no = keep_key THEN 1 ELSE 0 END) AS n_kept,
+           |       sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_in_dup_group
+           |FROM l JOIN w USING (line)
+           |GROUP BY id ORDER BY doc_id""".stripMargin),
+      doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
 
     // Embedding-cosine near-dup: exact duplicates spliced in at vec_id+100000.
     // LSH-bucketed (4 seeded hyperplanes → 16 sign buckets): the self-join key
@@ -577,17 +649,22 @@ object QueriesText {
         TextAnalysis.unigramSurprisal(Tables.documents(s, dir), "doc_id", "text")
           .withColumnRenamed("id", "doc_id")
           .orderBy(col("doc_id")),
-      oracle = Some(
-        s"""WITH tok AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents),
-           |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
-           |n AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm),
-           |s AS (SELECT w, CAST(round(ln(n / c), 6) AS DECIMAL(18,6)) AS surp FROM lm, n),
-           |d AS (SELECT id, count(*) AS n_tokens, sum(surp) AS ssum
-           |      FROM tok JOIN s USING (w) GROUP BY id)
-           |SELECT id AS doc_id, n_tokens,
-           |       round(CAST(ssum AS DOUBLE) / n_tokens, 6) AS mean_surprisal
-           |FROM d ORDER BY doc_id""".stripMargin),
+      oracle = Some(perplexityOracle),
       doc = "unigram-LM surprisal scoring (perplexity-proxy quality signal)"),
+
+    // Two-tier LM lookup: Zipf head broadcast + skew-free tail join — the
+    // production topology for a vocabulary that outgrows one broadcast.
+    // headSize=16 vs the fixture's ~30-word vocabulary forces BOTH tiers to
+    // carry tokens; graded against the SAME oracle as text_perplexity, so
+    // the hash-match proves the topology change is result-invariant.
+    "text_perplexity_tiered" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.unigramSurprisalTiered(Tables.documents(s, dir),
+          "doc_id", "text", headSize = 16)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(perplexityOracle),
+      doc = "two-tier (head-broadcast) unigram-LM surprisal — result-invariant refinement"),
 
     // Importance-weighted deterministic sampling: keep probability scales
     // with doc length (min(1, n_chars/500)) — the per-row generalization of

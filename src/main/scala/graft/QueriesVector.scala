@@ -357,6 +357,46 @@ object QueriesVector {
           |SELECT vec_id, label, adc FROM scored ORDER BY adc, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN IVF+PQ combined (coarse prune + ADC rank — the FAISS-IVFPQ shape)"),
 
+    // Batch similarity join: top-5 neighbors for EVERY query vector (vec_id
+    // % 41 sample) via the IVF topology — join key is the centroid id, no
+    // all-pairs. The north-star retrieval/kNN-LM shape; oracle recomputes
+    // probe sets and assignments per query with LATERAL argmin.
+    "v3_knn_join" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val queries = emb.filter(col("vec_id") % 41 === 0)
+        Vectors.knnJoin(queries, "vec_id", emb, "vec_id", "embedding",
+          centroids, topK = 5, nProbe = 2)
+          .orderBy(col("q_key"), col("rnk"))
+      },
+      oracle = Some(
+        """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |assigned AS (SELECT e.vec_id AS c_key, CAST(e.embedding AS DOUBLE[]) AS ev,
+          |    (SELECT c.cid FROM cents c
+          |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+          |  FROM embeddings e),
+          |qs AS (SELECT vec_id AS q_key, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id % 41 = 0),
+          |qprobe AS (SELECT q.q_key, q.qv, p.cid
+          |  FROM qs q, LATERAL (SELECT c.cid FROM cents c
+          |     ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 2) p),
+          |scored AS (SELECT qp.q_key, a.c_key,
+          |    round(sqrt(list_sum(list_transform(list_zip(qp.qv, a.ev),
+          |      z -> (z[1]-z[2])*(z[1]-z[2])))), 9) + 0.0 AS distance
+          |  FROM qprobe qp JOIN assigned a ON qp.cid = a.cid),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY q_key
+          |        ORDER BY distance, c_key) AS rnk FROM scored)
+          |SELECT q_key, CAST(rnk AS BIGINT) AS rnk, c_key, distance
+          |FROM r WHERE rnk <= 5 ORDER BY q_key, rnk""".stripMargin),
+      doc = "batch kNN similarity join (IVF-co-partitioned, per-query top-k)"),
+
     // V3 ANN multi-probe LSH: probe the exact bucket + the 2 buckets across
     // the boundaries the query sits closest to (recall recovery).
     "v3_ann_lsh_multiprobe" -> Q(

@@ -511,6 +511,34 @@ object Dedup {
       .toDF("id", "cluster")
   }
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / PaLM check every
+    * training run needs): a training doc is CONTAMINATED if it shares any
+    * word n-gram (n = 13 canonically) with the evaluation benchmark.
+    *
+    * Scale shape: the training side never materializes string n-grams —
+    * [[graft.functions.ShingleHashes]] emits the distinct 64-bit window
+    * hashes in one codegen pass, so the probe is an 8-byte-key join. The
+    * benchmark is tiny relative to any training corpus, so its distinct
+    * n-gram set BROADCASTS and the whole check is map-side: one pass over
+    * 100 TB, no shuffle until the per-doc count aggregate (map-side
+    * combined, bounded by matches — normally a vanishing fraction).
+    * Returns one row per contaminated doc: distinct shared n-grams +
+    * distinct benchmark docs hit — the drop/flag decision inputs. */
+  def contamination(train: DataFrame, trainId: String, trainText: String,
+                    benchmark: DataFrame, benchId: String, benchText: String,
+                    n: Int = 13): DataFrame = {
+    val tsh = train.select(col(trainId).as("doc_id"),
+      explode(graft.functions.VectorExprs.shingleHashes(
+        words(col(trainText)), n)).as("s"))
+    val bsh = benchmark.select(col(benchId).as("bench_id"),
+      explode(graft.functions.VectorExprs.shingleHashes(
+        words(col(benchText)), n)).as("s"))
+    tsh.join(broadcast(bsh), Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("s")).as("n_shared_ngrams"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ simThreshold. Candidates are bucketed
     * by LSH sign-bit pattern ([[Vectors.lshBuckets]]) when `lshPlanes` > 0;
     * 0 = exact all-pairs (correctness baseline, test scale only). */

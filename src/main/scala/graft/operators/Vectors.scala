@@ -126,6 +126,45 @@ object Vectors {
       keyCol, embCol, query, "euclidean", topK)
   }
 
+  /** Batch similarity join (kNN JOIN): top-k nearest corpus vectors for
+    * EVERY query vector — the "one query vector" of [[ivfKnn]] becomes a
+    * query RELATION, which is the retrieval-corpus / kNN-LM / semantic-dedup
+    * shape a training pipeline actually runs. IVF topology: corpus rows key
+    * by their assigned centroid list, query rows explode to their nProbe
+    * nearest lists, and the join key is the centroid id — at 100 TB the
+    * corpus is written partitioned by `ivf_cid`, so this is a co-located
+    * join with NO all-pairs anywhere; candidate volume per query is the
+    * probed lists' size, not the corpus. Within probed lists the distance
+    * is exact; per-query ranking is a window over a bounded candidate set
+    * (queries are the partition key — no hot key, every query holds
+    * nProbe lists' worth of rows). Exactly reproducible: probe selection
+    * orders by (L2², cid), ranking by (distance, c_key). */
+  def knnJoin(queries: DataFrame, qKeyCol: String, corpus: DataFrame,
+              cKeyCol: String, embCol: String,
+              centroids: Seq[(Long, Seq[Double])],
+              topK: Int = 5, nProbe: Int = 2): DataFrame = {
+    val c = ivfAssign(corpus, embCol, centroids)
+      .select(col(cKeyCol).as("c_key"), col("ivf_cid").as("cid"),
+        col(embCol).cast("array<double>").as("c_emb"))
+    val probeCands = centroids.map { case (cid, cv) =>
+      struct(graft.functions.VectorExprs.l2Sq(col(embCol), typedLit(cv)).as("d"),
+        lit(cid).as("c"))
+    }
+    val q = queries.select(col(qKeyCol).as("q_key"),
+        col(embCol).cast("array<double>").as("q_emb"),
+        slice(array_sort(array(probeCands: _*)), 1, nProbe).as("probes"))
+      .select(col("q_key"), col("q_emb"), explode(col("probes")).as("p"))
+      .select(col("q_key"), col("q_emb"), col("p.c").as("cid"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+    q.join(c, Seq("cid"))
+      .withColumn("distance",
+        round(sqrt(graft.functions.VectorExprs.l2Sq(col("q_emb"), col("c_emb"))), 9) + 0.0)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("q_key"), col("rnk"), col("c_key"), col("distance"))
+  }
+
   /** One distributed Lloyd (k-means) step over the IVF centroids: assign
     * every vector to its nearest centroid ([[ivfAssign]]), then emit the
     * per-(centroid, dimension) mean as the refined coordinate. This is the

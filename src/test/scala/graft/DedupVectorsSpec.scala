@@ -141,6 +141,34 @@ class DedupVectorsSpec extends SparkTestBase {
     multi.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
   }
 
+  test("knnJoin with nProbe = all lists equals brute-force per-query top-k") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val centroids = emb.filter(col("vec_id") % 97 === 3)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val queries = emb.filter(col("vec_id") % 41 === 0)
+    // probing every list removes the approximation: result must be exact
+    val got = Vectors.knnJoin(queries, "vec_id", emb, "vec_id", "embedding",
+        centroids, topK = 3, nProbe = centroids.size)
+      .orderBy(col("q_key"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+    val brute = queries.select(col("vec_id").as("q_key"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      .crossJoin(emb.select(col("vec_id").as("c_key"),
+        col("embedding").cast("array<double>").as("c_emb")))
+      .withColumn("distance", round(sqrt(
+        graft.functions.VectorExprs.l2Sq(col("q_emb"), col("c_emb"))), 9) + 0.0)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .select(col("q_key"), col("rnk"), col("c_key"))
+      .orderBy(col("q_key"), col("rnk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+
   test("resolveClusters: components labeled by min id, chains included") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L))
       .toDF("id_a", "id_b")

@@ -72,6 +72,52 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r(1L)._2 == r(3L)._2)
   }
 
+  test("unigramSurprisalTiered is bit-identical to the single-join form at any head size") {
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val base = TextAnalysis.unigramSurprisal(docs, "doc_id", "text")
+      .orderBy(col("id")).collect().toSeq
+    for (headSize <- Seq(1, 16, 100000)) {
+      val tiered = TextAnalysis.unigramSurprisalTiered(docs, "doc_id", "text", headSize)
+        .orderBy(col("id")).collect().toSeq
+      assert(tiered == base, s"headSize=$headSize diverged")
+    }
+  }
+
+  test("docLines segments deterministically; lineDedupStats keeps first occurrence") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e f g h"),        // lines: "a b c d", "e f g h"
+      (2L, "a b c d x y z"),          // lines: "a b c d" (dup), "x y z"
+      (3L, "p q r")                   // lines: "p q r"
+    ).toDF("doc_id", "text")
+    val lines = TextAnalysis.docLines(df, "doc_id", "text", 4)
+      .orderBy(col("id"), col("line_no"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(lines == Seq((1L, 0L, "a b c d"), (1L, 1L, "e f g h"),
+      (2L, 0L, "a b c d"), (2L, 1L, "x y z"), (3L, 0L, "p q r")))
+    val stats = TextAnalysis.lineDedupStats(df, "doc_id", "text", 4)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // doc 1 keeps both lines (owns the first "a b c d"); doc 2 drops its copy
+    assert(stats == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
+  }
+
+  test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "one two three four five six seven"),
+      (2L, "completely unrelated words in this document"),
+      (3L, "zzz one two three four five qqq")).toDF("doc_id", "text")
+    val bench = Seq((100L, "one two three four five")).toDF("bench_id", "text")
+    val got = graft.operators.Dedup.contamination(
+      train, "doc_id", "text", bench, "bench_id", "text", n = 5)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // docs 1 and 3 contain the benchmark 5-gram as a contiguous window
+    // (doc 3 at positions 2-6); doc 2 shares no 5-gram
+    assert(got == Seq((1L, 1L, 1L), (3L, 1L, 1L)))
+  }
+
   test("packing: exhaustive assignment, bin bound, matches local recompute") {
     val budget = 128
     val d = Tables.documents(spark, sfDir).select(col("doc_id"),
