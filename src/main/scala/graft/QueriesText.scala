@@ -370,6 +370,46 @@ object QueriesText {
            |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding-cosine near-dup pairs (LSH-bucketed scale path)"),
 
+    // Semantic dedup (SemDeDup): candidate buckets are LEARNED k-means
+    // clusters (the IVF assignment) rather than random hyperplanes —
+    // paraphrase-level duplicates co-locate by meaning. Oracle recomputes
+    // the argmin assignment per corpus row (LATERAL) + within-cluster
+    // cosine; the spliced exact dups must all surface.
+    "dedup_semantic" -> Q(
+      fn = (s, dir) => {
+        val e = Tables.embeddings(s, dir)
+        val corpus = e.select(col("vec_id"), col("embedding"))
+          .unionByName(e.filter(col("vec_id") % 10 === 0)
+            .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+        val centroids = e.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        Dedup.semanticNearDupPairs(corpus, "vec_id", "embedding", centroids, 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(
+        """WITH corpus AS (
+          |  SELECT vec_id, embedding FROM embeddings
+          |  UNION ALL
+          |  SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0),
+          |cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |v AS (SELECT c.vec_id AS id, CAST(c.embedding AS DOUBLE[]) AS emb,
+          |    (SELECT ct.cid FROM cents ct
+          |     ORDER BY list_sum(list_transform(list_zip(CAST(c.embedding AS DOUBLE[]), ct.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), ct.cid LIMIT 1) AS cid,
+          |    sqrt(list_sum(list_transform(CAST(c.embedding AS DOUBLE[]), x -> x*x))) AS nrm
+          |  FROM corpus c),
+          |f AS (SELECT * FROM v WHERE nrm > 0),
+          |p AS (SELECT a.id AS id_a, b.id AS id_b,
+          |  round(list_sum(list_transform(list_zip(a.emb, b.emb), z -> z[1]*z[2]))
+          |   / (a.nrm * b.nrm), 6) AS cos_sim
+          |  FROM f a JOIN f b ON a.cid = b.cid AND a.id < b.id)
+          |SELECT id_a, id_b, cos_sim FROM p WHERE cos_sim >= 0.9
+          |ORDER BY id_a, id_b""".stripMargin),
+      doc = "semantic dedup: k-means-clustered cosine pairs (SemDeDup shape)"),
+
     // Token counting (whitespace + subword-regex proxy).
     "text_token_counts" -> Q(
       fn = (s, dir) => Tables.documents(s, dir)
@@ -665,6 +705,47 @@ object QueriesText {
           .orderBy(col("doc_id")),
       oracle = Some(perplexityOracle),
       doc = "two-tier (head-broadcast) unigram-LM surprisal — result-invariant refinement"),
+
+    // Bigram LM training: pair counts, context counts, conditional
+    // probabilities — top 20 bigrams by count (unique tiebreak w1, w2).
+    "text_bigram_lm" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.bigramLm(Tables.documents(s, dir), "text")
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(20),
+      oracle = Some(
+        s"""WITH d AS (SELECT $wordsSql AS ws FROM documents),
+           |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS u
+           |  FROM d WHERE len(ws) >= 2),
+           |bg AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c FROM bg0 GROUP BY 1, 2),
+           |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx FROM bg GROUP BY w1)
+           |SELECT w1, w2, c, c_ctx, round(CAST(c AS DOUBLE) / c_ctx, 6) AS cond_p
+           |FROM bg JOIN ctx USING (w1)
+           |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin),
+      doc = "bigram LM training: p(w2|w1) from one explode pass (KenLM building block)"),
+
+    // Vocabulary coverage cutoffs: smallest head-vocab reaching 50/90/99%
+    // cumulative token share — the tokenizer/vocab sizing query. The window
+    // runs over the corpus-reduced LM relation, not the corpus.
+    "text_vocab_coverage" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text", Seq(50, 90, 99))
+          .orderBy(col("threshold_pct")),
+      oracle = Some(
+        s"""WITH tok AS (SELECT unnest($wordsSql) AS w FROM documents),
+           |lm AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM lm),
+           |r AS (SELECT w, c, row_number() OVER (ORDER BY c DESC, w) AS rnk,
+           |        CAST(sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+           |      FROM lm)
+           |SELECT t.threshold_pct,
+           |       CAST(min(r.rnk) AS BIGINT) AS vocab_size,
+           |       CAST(min_by(r.cum, r.rnk) AS BIGINT) AS covered_tokens,
+           |       min(n.n) AS total_tokens
+           |FROM r CROSS JOIN (VALUES (50), (90), (99)) t(threshold_pct) CROSS JOIN n
+           |WHERE r.cum * 100 >= n.n * t.threshold_pct
+           |GROUP BY t.threshold_pct ORDER BY t.threshold_pct""".stripMargin),
+      doc = "vocab coverage cutoffs (head-vocabulary sizing for tokenizers/tiered LM)"),
 
     // Importance-weighted deterministic sampling: keep probability scales
     // with doc length (min(1, n_chars/500)) — the per-row generalization of

@@ -564,4 +564,36 @@ object Dedup {
       .filter(col("cos_sim") >= simThreshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
   }
+
+  /** Semantic dedup (the SemDeDup shape, Abbas et al. 2023): candidate
+    * buckets are LEARNED k-means clusters instead of [[embeddingNearDupPairs]]'s
+    * random hyperplanes — embeddings cluster by MEANING, so semantically-close
+    * pairs co-locate far more often than under random signs, and the
+    * within-cluster cosine scan catches paraphrase-level duplicates that
+    * shingle methods miss entirely. Same scale spine as every bucketed
+    * near-dup here: assignment is one codegen'd pass ([[Vectors.ivfAssign]] —
+    * at 100 TB the corpus is written partitioned by cluster), the self-join
+    * keys on the cluster id, no all-pairs anywhere. Centroids arrive as
+    * literals (query parameters, typically [[Vectors.kmeansRefine]] output). */
+  def semanticNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                           centroids: Seq[(Long, Seq[Double])],
+                           simThreshold: Double = 0.95): DataFrame = {
+    val v = Vectors.ivfAssign(df, embCol, centroids)
+      .select(col(idCol).as("id"), col("ivf_cid").as("cid"),
+        col(embCol).cast("array<double>").as("emb"))
+      .withColumn("nrm", sqrt(Vectors.norm2(col("emb"))))
+      .filter(col("nrm") > 0)
+      // pin eagerly: both self-join sides read this relation — without it
+      // each side re-runs the k-centroid argmin per row (the simhash lesson;
+      // at 100 TB the assignment is the written cluster partitioning)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    v.count()
+    val a = v.as("a")
+    val b = v.as("b")
+    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+      .withColumn("cos_sim", round(
+        Vectors.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
+      .filter(col("cos_sim") >= simThreshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+  }
 }

@@ -320,6 +320,55 @@ object TextAnalysis {
         sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_in_dup_group"))
   }
 
+  /** Bigram LM training: adjacent-word pair counts + context counts +
+    * conditional probability p(w2|w1) = c(w1,w2)/c(w1) — the n-gram step up
+    * from [[unigramSurprisal]]'s LM and the building block of KenLM-style
+    * scoring. Scale shape: ONE explode pass emits the (w1, w2) stream (no
+    * per-doc state), groupBy with map-side combine counts pairs, and the
+    * context relation REDUCES off the pair counts (sum per w1) rather than
+    * re-scanning the corpus. The pair→context join is vocabulary²-bounded,
+    * AQE broadcasts while small. Single long/long division is IEEE-exact
+    * cross-engine; no decimal cast needed. */
+  def bigramLm(df: DataFrame, textCol: String): DataFrame = {
+    val bg = df.select(words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+    val ctx = bg.groupBy(col("w1")).agg(sum(col("c")).as("c_ctx"))
+    bg.join(ctx, Seq("w1"))
+      .withColumn("cond_p", round(col("c").cast("double") / col("c_ctx"), 6))
+      .select(col("w1"), col("w2"), col("c"), col("c_ctx"), col("cond_p"))
+  }
+
+  /** Vocabulary coverage cutoffs: the smallest head-vocabulary size whose
+    * cumulative token share reaches each threshold (the number every
+    * tokenizer/vocab decision starts from, and the principled way to size
+    * [[unigramSurprisalTiered]]'s broadcast head). The global window runs
+    * over the VOCABULARY relation (corpus-reduced, orders of magnitude
+    * smaller than the data — a single-task sort of the LM, not of the
+    * corpus), so the one-partition window is bounded by distinct words. */
+  def vocabCoverage(df: DataFrame, textCol: String,
+                    thresholds: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val lm = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = lm.agg(sum(col("c"))).head().getLong(0)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))
+    val cum = lm.withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    thresholds.map { t =>
+      cum.filter(col("cum") * 100 >= lit(n) * t)
+        .agg(min(col("rnk")).cast("long").as("vocab_size"),
+          min_by(col("cum"), col("rnk")).as("covered_tokens"))
+        .select(lit(t).as("threshold_pct"), col("vocab_size"),
+          col("covered_tokens"), lit(n).as("total_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
   /** TF-IDF top-k keyword extraction per document — the per-doc companion
     * of [[bm25]] (which scores docs for one query; this surfaces each doc's
     * most distinctive terms, the classic tagging/feature step).

@@ -118,6 +118,49 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq((1L, 1L, 1L), (3L, 1L, 1L)))
   }
 
+  test("bigramLm: pair counts, context totals, conditional probabilities") {
+    import spark.implicits._
+    val df = Seq("a b a b c", "a b").toDF("text")
+    val got = TextAnalysis.bigramLm(df, "text")
+      .orderBy(col("w1"), col("w2"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    // bigrams: (a,b)x3, (b,a)x1, (b,c)x1 → p(b|a)=1.0, p(a|b)=0.5, p(c|b)=0.5
+    assert(got == Seq(("a", "b", 3L, 3L, 1.0),
+      ("b", "a", 1L, 2L, 0.5), ("b", "c", 1L, 2L, 0.5)))
+  }
+
+  test("vocabCoverage: smallest head reaching each cumulative share") {
+    import spark.implicits._
+    // counts: x=6, y=3, z=1 → total 10; cum: 6 (60%), 9 (90%), 10 (100%)
+    val df = Seq("x x x x x x y y y z").toDF("text")
+    val got = TextAnalysis.vocabCoverage(df, "text", Seq(50, 90, 99))
+      .orderBy(col("threshold_pct"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((50, 1L, 6L, 10L), (90, 2L, 9L, 10L), (99, 3L, 10L, 10L)))
+  }
+
+  test("semanticNearDupPairs finds spliced exact copies inside their cluster") {
+    val e = Tables.embeddings(spark, sfDir)
+    val corpus = e.select(col("vec_id"), col("embedding"))
+      .unionByName(e.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
+    val centroids = e.filter(col("vec_id") % 97 === 3)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+    val pairs = graft.operators.Dedup.semanticNearDupPairs(
+      corpus, "vec_id", "embedding", centroids, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // identical vectors always share a cluster (same argmin), so every
+    // spliced copy must surface at cos_sim 1.0
+    val expected = e.filter(col("vec_id") % 10 === 0)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val found = pairs.filter(_._3 == 1.0)
+      .map { case (a, b, _) => (a, b - 100000) }.filter(p => p._1 == p._2).map(_._1).toSet
+    assert(expected.nonEmpty && expected.subsetOf(found))
+  }
+
   test("packing: exhaustive assignment, bin bound, matches local recompute") {
     val budget = 128
     val d = Tables.documents(spark, sfDir).select(col("doc_id"),
