@@ -170,6 +170,64 @@ object QueriesEvents {
           |FROM after GROUP BY 1, 2 ORDER BY queue, state""".stripMargin),
       doc = "E6 move-jobs worker: pending-state queue relocation (move-jobs.ts:14-126)"),
 
+    // As-of join (an operator Spark lacks natively): every purchase picks
+    // the LATEST click by the same user at or before its timestamp —
+    // "most recent state at event time", the feature-lookup shape. The
+    // Spark side is the union+keyed-window merge formulation (one shuffle,
+    // O(1) window state); the oracle is the explicit correlated argmax with
+    // (ts, event_id) tiebreak, so tie handling is pinned, not engine-luck.
+    "t_asof_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Temporal.asOfJoin(purchases, clicks,
+          key = "user_id", ts = "ts", tiebreak = "event_id",
+          payloadCols = Seq("event_id", "ts"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |      FROM events WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id, p.ts,
+          |  (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_event_id,
+          |  (SELECT c.ts FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_ts
+          |FROM p ORDER BY p.event_id""".stripMargin),
+      doc = "as-of join: latest prior state per key (union + keyed window, merge-join shape)"),
+
+    // Bounded range join: clicks in the hour before each purchase, same
+    // user. Join key is (user, time bucket) — two bucket probes per left
+    // row, candidates bounded by the window length; no cross join exists
+    // in the plan at any scale.
+    "t_range_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"))
+        graft.operators.Temporal.rangeJoinCount(purchases, clicks,
+          key = "user_id", ts = "ts", windowSeconds = 3600L, leftId = "event_id")
+          .select(col("event_id"), col("user_id"), col("n_in_window"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+          |      FROM events WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id,
+          |  (SELECT count(*) FROM c WHERE c.user_id = p.user_id
+          |     AND c.ts <= p.ts AND c.ts > p.ts - INTERVAL 3600 SECONDS) AS n_in_window
+          |FROM p ORDER BY p.event_id""".stripMargin),
+      doc = "bounded range join: per-event trailing-window count (time-bucket equi-join)"),
+
     // Skew-proof exact top-k per key (Skew.topKPerKey): partial top-k per
     // (key, salt) → merge — reducer state O(salts·k) on any hot key. The
     // oracle is the window/row_number formulation the salted plan must equal.

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark has no native operator for — as-of and bounded
+  * range — built from the shapes that DO scale on a cluster: one union +
+  * one keyed window for as-of (the sorted-merge formulation), and a
+  * time-bucket equi-join for range (candidates bounded by the window
+  * length, never a cross join). Event sessionization, feature lookup
+  * ("latest state at event time"), and windowed-context extraction are
+  * the training-pipeline consumers.
+  */
+object Temporal {
+
+  /** As-of join: every left row picks the LATEST right row with
+    * `right.ts <= left.ts` for the same key — "most recent state at event
+    * time". Among right ties on ts, the greatest `tiebreak` wins, making
+    * the result total-order deterministic.
+    *
+    * Scale shape: NOT a per-row lookup — the two relations UNION (right
+    * rows sort before left rows on equal ts via the source tag) and ONE
+    * window per key carries the last-seen right payload forward
+    * (`last(ignoreNulls)` over rows-unbounded-preceding). One shuffle on
+    * the key, one sort — the distributed merge-join formulation of as-of;
+    * per-key state during the scan is a single payload struct. Skew note:
+    * a hot key serializes its own timeline (inherent to as-of semantics);
+    * the window carries O(1) state so the hot task is scan-bound, not
+    * memory-bound. Returns every left row + `<prefix><col>` for each
+    * right payload column (NULL when no right row precedes). */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               tiebreak: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val payT = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
+    val rowT = org.apache.spark.sql.types.StructType(
+      left.schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType)))
+    val r = right.select(col(key).as("_k"), col(ts).as("_ts"),
+      col(tiebreak).as("_tb"), lit(0).as("_src"),
+      struct(payloadCols.map(col): _*).as("_pay"),
+      lit(null).cast(rowT).as("_row"))
+    val l = left.select(col(key).as("_k"), col(ts).as("_ts"),
+      col(tiebreak).as("_tb"), lit(1).as("_src"),
+      lit(null).cast(payT).as("_pay"),
+      struct(left.columns.map(col): _*).as("_row"))
+    val w = Window.partitionBy(col("_k"))
+      .orderBy(col("_ts"), col("_src"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = r.unionByName(l)
+      .withColumn("_asof", last(col("_pay"), ignoreNulls = true).over(w))
+      .filter(col("_src") === 1)
+    joined.select(
+      left.columns.map(c => col("_row").getField(c).as(c)) ++
+        payloadCols.map(c => col("_asof").getField(c).as(prefix + c)): _*)
+  }
+
+  /** Bounded range join: for every left row, aggregate the right rows in
+    * `(left.ts - window, left.ts]` for the same key — "how much happened
+    * just before this event". `agg` maps the right-payload column to the
+    * aggregate expressions evaluated over each left row's matches.
+    *
+    * Scale shape: the join key is (key, time bucket) with bucket length =
+    * the window length — each left row probes exactly TWO buckets
+    * (its own + the previous), so candidates are bounded by per-bucket
+    * density and the exact range predicate filters locally. No cross
+    * join, no unbounded window state, and the shuffle key (key × bucket)
+    * is finer than the key alone — time-bucketing is itself the skew
+    * mitigation for hot keys. Left rows with no match keep count 0 via
+    * the left join. */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, key: String, ts: String,
+                     windowSeconds: Long, leftId: String): DataFrame = {
+    val bucket: Column => Column = t =>
+      floor(unix_micros(t) / (windowSeconds * 1000000L)).cast("long")
+    val l = left.select(col(leftId).as("_lid"), col(key).as("_k"),
+        col(ts).as("_lts"), bucket(col(ts)).as("_b"))
+      .withColumn("_probe", explode(array(col("_b"), col("_b") - 1)))
+    val r = right.select(col(key).as("_k"), col(ts).as("_rts"),
+      bucket(col(ts)).as("_probe"))
+    val matches = l.join(r, Seq("_k", "_probe"))
+      .filter(col("_rts") <= col("_lts") &&
+        col("_rts") > col("_lts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .groupBy(col("_lid")).agg(count(lit(1)).as("_n"))
+    left.join(matches.withColumnRenamed("_lid", leftId), Seq(leftId), "left")
+      .withColumn("n_in_window", coalesce(col("_n"), lit(0L)))
+      .drop("_n")
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+
+/** As-of and bounded-range join semantics: tie handling, empty lookback,
+  * window boundary inclusivity, and agreement with a brute-force recompute.
+  */
+class TemporalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asOfJoin picks latest prior right row; ties resolve by tiebreak; no-match is NULL") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")),
+      (11L, 1L, ts("2024-01-01 12:00:00")),
+      (12L, 2L, ts("2024-01-01 09:00:00"))) // user 2 has no prior click
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 09:00:00")),
+      (2L, 1L, ts("2024-01-01 10:00:00")), // equal to left@10:00 → "at or before" includes it
+      (3L, 1L, ts("2024-01-01 10:00:00")), // same ts: greater event_id wins the tie
+      (4L, 2L, ts("2024-01-01 23:00:00"))) // after left@09:00 → ignored
+      .toDF("event_id", "user_id", "ts")
+    val got = Temporal.asOfJoin(left, right, "user_id", "ts", "event_id",
+        Seq("event_id", "ts"))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq((10L, 3L), (11L, 3L), (12L, -1L)))
+  }
+
+  test("rangeJoinCount: boundary inclusivity (ts], exclusive lower, zero for no match") {
+    val left = Seq((10L, 1L, ts("2024-01-01 12:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00")), // == left ts → counted
+      (1L, ts("2024-01-01 11:00:00")), // exactly window start → EXCLUDED (open lower bound)
+      (1L, ts("2024-01-01 11:00:01")), // inside
+      (1L, ts("2024-01-01 12:00:01")), // after → excluded
+      (2L, ts("2024-01-01 11:59:59"))) // other key
+      .toDF("user_id", "ts")
+    val got = Temporal.rangeJoinCount(left, right, "user_id", "ts", 3600L, "event_id")
+      .select(col("event_id"), col("n_in_window")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((10L, 2L)))
+  }
+
+  test("rangeJoinCount agrees with brute-force on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+    val got = Temporal.rangeJoinCount(purchases, clicks, "user_id", "ts", 3600L, "event_id")
+      .select(col("event_id"), col("n_in_window"))
+      .orderBy(col("event_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val brute = purchases.as("p").join(clicks.as("c"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.ts") <= col("p.ts") &&
+          col("c.ts") > col("p.ts") - expr("INTERVAL 3600 SECONDS"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(sum(when(col("c.user_id").isNotNull, 1L).otherwise(0L)).as("n"))
+      .orderBy(col("event_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+}
