@@ -724,6 +724,23 @@ object QueriesText {
            |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin),
       doc = "bigram LM training: p(w2|w1) from one explode pass (KenLM building block)"),
 
+    // BPE training step: adjacent symbol-pair counts over the word
+    // histogram — the top pair is the next merge. Word-frequency reduction
+    // first, so per-character work happens on a vocabulary-sized relation.
+    "text_bpe_step" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.bpePairCounts(Tables.documents(s, dir), "text")
+          .orderBy(col("n").desc, col("pair")).limit(20),
+      oracle = Some(
+        s"""WITH tok AS (SELECT unnest($wordsSql) AS w FROM documents),
+           |wf AS (SELECT w, count(*) AS wc FROM tok GROUP BY w),
+           |p AS (SELECT wc, unnest(list_transform(generate_series(1, len(w) - 1),
+           |        i -> substr(w, i, 2))) AS pair
+           |      FROM wf WHERE len(w) >= 2)
+           |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+           |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
+      doc = "BPE merge-candidate statistics (one training iteration over the word histogram)"),
+
     // Vocabulary coverage cutoffs: smallest head-vocab reaching 50/90/99%
     // cumulative token share — the tokenizer/vocab sizing query. The window
     // runs over the corpus-reduced LM relation, not the corpus.

@@ -343,6 +343,25 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c"), col("c_ctx"), col("cond_p"))
   }
 
+  /** One BPE training iteration's pair statistics (Sennrich et al. 2016):
+    * count adjacent symbol pairs over the WORD HISTOGRAM (BPE trains on
+    * word frequencies, not the token stream — that reduction is the first
+    * groupBy and shrinks 100 TB of text to a vocabulary-sized relation
+    * before any per-character work happens). The top pair is the next
+    * merge; the driver loop applying merges repeatedly is [[bpePairCounts]]
+    * per iteration over a progressively merged symbol column. Initial
+    * symbol vocabulary = characters (ASCII corpus; a production tokenizer
+    * byte-fallbacks first). */
+  def bpePairCounts(df: DataFrame, textCol: String): DataFrame = {
+    val wf = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val chars = split(col("w"), "")
+    wf.filter(length(col("w")) >= 2)
+      .select(col("wc"), explode(transform(sequence(lit(0), length(col("w")) - 2),
+        i => concat(element_at(chars, i + 1), element_at(chars, i + 2)))).as("pair"))
+      .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+  }
+
   /** Vocabulary coverage cutoffs: the smallest head-vocabulary size whose
     * cumulative token share reaches each threshold (the number every
     * tokenizer/vocab decision starts from, and the principled way to size

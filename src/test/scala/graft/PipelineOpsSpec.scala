@@ -130,6 +130,16 @@ class PipelineOpsSpec extends SparkTestBase {
       ("b", "a", 1L, 2L, 0.5), ("b", "c", 1L, 2L, 0.5)))
   }
 
+  test("bpePairCounts: histogram-weighted adjacent pairs; 1-char words excluded") {
+    import spark.implicits._
+    val df = Seq("ab ab cd a", "ab x").toDF("text")
+    val got = TextAnalysis.bpePairCounts(df, "text")
+      .orderBy(col("n").desc, col("pair"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    // word histogram: ab=3, cd=1, a=1, x=1 → pairs: "ab"x3, "cd"x1
+    assert(got == Seq(("ab", 3L), ("cd", 1L)))
+  }
+
   test("vocabCoverage: smallest head reaching each cumulative share") {
     import spark.implicits._
     // counts: x=6, y=3, z=1 → total 10; cum: 6 (60%), 9 (90%), 10 (100%)
