@@ -370,6 +370,34 @@ object QueriesText {
            |ORDER BY id_a, id_b""".stripMargin),
       doc = "embedding-cosine near-dup pairs (LSH-bucketed scale path)"),
 
+    // Duplicated n-gram spans (Lee et al. exact-substring-dedup signal):
+    // per-doc fraction of distinct 20-grams that also appear elsewhere in
+    // the corpus. The %5-spliced near-dups are caught with dup_ratio near
+    // 1.0 even though no whole-doc hash matches.
+    "dedup_ngram_spans" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        Dedup.duplicatedNgramSpans(corpus, "doc_id", "text", 20)
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH $nearDupCte,
+           |g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+           |    generate_series(1, greatest(len($wordsSql) - 19, 1)),
+           |    i -> array_to_string(($wordsSql)[i:i+19], ' ')))) AS s FROM corpus),
+           |df AS (SELECT s, count(*) AS df FROM g GROUP BY s)
+           |SELECT doc_id, count(*) AS n_grams,
+           |       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+           |       round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |         / count(*), 6) AS dup_ratio
+           |FROM g JOIN df USING (s)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "duplicated n-gram span fractions (Lee et al. exact-substring-dedup signal)"),
+
     // Semantic dedup (SemDeDup): candidate buckets are LEARNED k-means
     // clusters (the IVF assignment) rather than random hyperplanes —
     // paraphrase-level duplicates co-locate by meaning. Oracle recomputes

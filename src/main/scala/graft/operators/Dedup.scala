@@ -539,6 +539,32 @@ object Dedup {
         countDistinct(col("bench_id")).as("n_bench_docs"))
   }
 
+  /** Duplicated n-gram span analysis (the signal behind Lee et al. 2022's
+    * "Deduplicating Training Data Makes Language Models Better" exact
+    * substring dedup): for each doc, what fraction of its distinct n-grams
+    * (n = 20 canonically — long enough that natural re-use is negligible)
+    * also appears elsewhere in the corpus. High fraction ⇒ the doc is
+    * largely copied material even when no single whole-doc match exists.
+    *
+    * Scale shape: the same two bounded shuffles as every shingle op here —
+    * distinct hashed windows per doc (codegen, no string n-grams), ONE
+    * groupBy(gram) for document frequency, rejoin + per-doc aggregate.
+    * The df relation reduces to distinct grams; no pair set, no self-join. */
+  def duplicatedNgramSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 20): DataFrame = {
+    val grams = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.VectorExprs.shingleHashes(
+        words(col(textCol)), n)).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val gdf = grams.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    grams.join(gdf, Seq("s"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
+      .withColumn("dup_ratio",
+        round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
   /** Embedding-cosine near-dup pairs ≥ simThreshold. Candidates are bucketed
     * by LSH sign-bit pattern ([[Vectors.lshBuckets]]) when `lshPlanes` > 0;
     * 0 = exact all-pairs (correctness baseline, test scale only). */

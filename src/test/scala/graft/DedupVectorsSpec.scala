@@ -169,6 +169,18 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got.nonEmpty && got == brute)
   }
 
+  test("duplicatedNgramSpans: copies near 1.0, unique docs at 0.0") {
+    val df = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6"),
+      (2L, "w1 w2 w3 w4 w5 w6"),          // exact copy of 1 → every 4-gram duplicated
+      (3L, "q1 q2 q3 q4 q5 q6 q7"))       // unique
+      .toDF("doc_id", "text")
+    val got = graft.operators.Dedup.duplicatedNgramSpans(df, "doc_id", "text", 4)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got == Seq((1L, 3L, 3L, 1.0), (2L, 3L, 3L, 1.0), (3L, 4L, 0L, 0.0)))
+  }
+
   test("resolveClusters: components labeled by min id, chains included") {
     val pairs = Seq((2L, 1L), (2L, 3L), (3L, 7L), (10L, 11L))
       .toDF("id_a", "id_b")
