@@ -139,6 +139,31 @@ object QueriesText {
        |       round(CAST(ssum AS DOUBLE) / n_tokens, 6) AS mean_surprisal
        |FROM d ORDER BY doc_id""".stripMargin
 
+  /** Generated CTE chain replaying [[TextAnalysis.bpeTrain]]'s loop: per
+    * iteration k, pair counts over w{k-1}, argmax t{k} (count desc, pair
+    * tiebreak), and the padded left-to-right replace producing w{k}. */
+  private def bpeTrainOracle(nMerges: Int): String = {
+    val init =
+      s"""tok AS (SELECT unnest($wordsSql) AS w FROM documents),
+         |w0 AS (SELECT array_to_string(string_split_regex(w, ''), ' ') AS sym,
+         |       count(*) AS wc FROM tok GROUP BY w)""".stripMargin
+    val iters = (1 to nMerges).map { k =>
+      s"""p$k AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
+         |  SELECT wc, unnest(list_transform(generate_series(1, len(string_split(sym, ' ')) - 1),
+         |    i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i+1])) AS pair
+         |  FROM w${k - 1} WHERE len(string_split(sym, ' ')) >= 2) GROUP BY pair),
+         |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |w$k AS (SELECT trim(replace(' ' || sym || ' ',
+         |    ' ' || (SELECT pair FROM t$k) || ' ',
+         |    ' ' || (SELECT replace(pair, ' ', '') FROM t$k) || ' ')) AS sym, wc
+         |  FROM w${k - 1})""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to nMerges).map(k =>
+      s"SELECT $k AS iter, pair, replace(pair, ' ', '') AS merged, n FROM t$k")
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n$iters\n$out\nORDER BY iter"
+  }
+
   def queries: Map[String, Q] = Map(
 
     // Exact dedup: content-hash groupBy, min-id winner.
@@ -768,6 +793,17 @@ object QueriesText {
            |SELECT pair, CAST(sum(wc) AS BIGINT) AS n
            |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
       doc = "BPE merge-candidate statistics (one training iteration over the word histogram)"),
+
+    // Full BPE training, 3 merges: the oracle REPLAYS the whole loop as a
+    // generated CTE chain (pair counts → argmax → replace, per iteration),
+    // so the hash-match certifies the merge SEQUENCE — argmax ties, replace
+    // scan order and all — not just one iteration's counts.
+    "text_bpe_train" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.bpeTrain(Tables.documents(s, dir), "text", 3)
+          .orderBy(col("iter")),
+      oracle = Some(bpeTrainOracle(3)),
+      doc = "BPE training loop (3 merges), oracle replays the full merge sequence"),
 
     // Vocabulary coverage cutoffs: smallest head-vocab reaching 50/90/99%
     // cumulative token share — the tokenizer/vocab sizing query. The window

@@ -362,6 +362,50 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
   }
 
+  /** Full BPE training (Sennrich et al. 2016 Algorithm 1): `nMerges`
+    * iterations of count-pairs → pick argmax → merge everywhere. The state
+    * is the WORD HISTOGRAM with each word as a space-joined symbol string —
+    * corpus-reduced before the loop, so every iteration runs over a
+    * vocabulary-sized relation regardless of corpus size. The winning pair
+    * per iteration is ONE collected row (a query parameter, exactly like
+    * [[Vectors.kmeansRefine]]'s centroids); the merge applies as a
+    * left-to-right non-overlapping string replace on the padded symbol
+    * string — Java and DuckDB `replace` share that scan order, which is
+    * what makes the whole training loop oracle-hash-checkable. Ties on
+    * count break by pair text, so the merge sequence is total-order
+    * deterministic. Returns the merge table (iter, pair, merged, n). */
+  def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    var wf = df.select(explode(words(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .select(array_join(filter(split(col("w"), ""), x => x =!= lit("")), " ").as("sym"),
+        col("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (it <- 1 to nMerges) {
+      val syms = split(col("sym"), " ")
+      val top = wf.filter(size(syms) >= 2)
+        .select(col("wc"), explode(transform(sequence(lit(0), size(syms) - 2),
+          i => concat(element_at(syms, i + 1), lit(" "), element_at(syms, i + 2)))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.nonEmpty) {
+        val pair = top(0).getString(0)
+        val merged = pair.replace(" ", "")
+        merges += ((it, pair, merged, top(0).getLong(1)))
+        val old = wf
+        wf = wf.select(trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $pair "), lit(s" $merged "))).as("sym"), col("wc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wf.count()
+        old.unpersist()
+      }
+    }
+    wf.unpersist()
+    merges.toSeq.toDF("iter", "pair", "merged", "n")
+  }
+
   /** Vocabulary coverage cutoffs: the smallest head-vocabulary size whose
     * cumulative token share reaches each threshold (the number every
     * tokenizer/vocab decision starts from, and the principled way to size

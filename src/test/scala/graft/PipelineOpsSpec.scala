@@ -140,6 +140,21 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("cd", 1L)))
   }
 
+  test("bpeTrain: merge sequence with run overlap and count ties") {
+    import spark.implicits._
+    // histogram: aaab x2, ab x1. aaab = (a,a),(a,a),(a,b) weighted 2 →
+    // iter1: "a a"=4 beats "a b"=3; left-to-right non-overlap merge turns
+    // "a a a b" into "aa a b" (third a survives — the run-overlap case).
+    // iter2: ("aa","a")=2 < ("a","b")=3 → merge "a b".
+    // iter3: only pair left is ("aa","ab")=2 ("ab" is word 2 entire).
+    val df = Seq("aaab aaab ab").toDF("text")
+    val got = TextAnalysis.bpeTrain(df, "text", 3)
+      .orderBy(col("iter"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got == Seq((1, "a a", "aa", 4L), (2, "a b", "ab", 3L),
+      (3, "aa ab", "aaab", 2L)))
+  }
+
   test("vocabCoverage: smallest head reaching each cumulative share") {
     import spark.implicits._
     // counts: x=6, y=3, z=1 → total 10; cum: 6 (60%), 9 (90%), 10 (100%)

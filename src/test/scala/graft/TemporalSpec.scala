@@ -47,6 +47,26 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Seq((10L, 2L)))
   }
 
+  test("asOfJoin agrees with brute-force argmax on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val got = Temporal.asOfJoin(purchases, clicks, "user_id", "ts", "event_id",
+        Seq("event_id"))
+      .select(col("event_id"), col("asof_event_id"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    val brute = purchases.as("p").join(clicks.as("c"),
+        col("c.user_id") === col("p.user_id") && col("c.ts") <= col("p.ts"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(max_by(col("c.event_id"), struct(col("c.ts"), col("c.event_id"))).as("asof"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+
   test("rangeJoinCount agrees with brute-force on the events fixture") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
