@@ -794,6 +794,35 @@ object QueriesText {
            |FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin),
       doc = "BPE merge-candidate statistics (one training iteration over the word histogram)"),
 
+    // Model-based quality filter: linear bag-of-hashed-words classifier
+    // inference (the fasttext stage). Seeded weights as literals on both
+    // sides; portable md5-60-bit feature hash; per-word 6 dp rounding
+    // before the decimal sum keeps scores engine-exact.
+    "text_quality_classifier" -> Q(
+      fn = (s, dir) => {
+        val rnd = new scala.util.Random(7L)
+        val weights = Seq.fill(64)(rnd.nextGaussian())
+        TextAnalysis.qualityClassifierScore(Tables.documents(s, dir),
+          "doc_id", "text", weights, bias = 0.05)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some {
+        val rnd = new scala.util.Random(7L)
+        val weights = Seq.fill(64)(rnd.nextGaussian())
+        val wlit = "[" + weights.map(_.toString).mkString(", ") + "]::DOUBLE[]"
+        s"""WITH tok AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents),
+           |wh AS (SELECT id, CAST(round(($wlit)[
+           |    CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 64 AS INT) + 1], 6)
+           |    AS DECIMAL(18,6)) AS wt FROM tok),
+           |d AS (SELECT id, count(*) AS n_tokens, sum(wt) AS s FROM wh GROUP BY id)
+           |SELECT id AS doc_id, n_tokens,
+           |       round(0.05 + CAST(s AS DOUBLE) / n_tokens, 6) AS score,
+           |       round(0.05 + CAST(s AS DOUBLE) / n_tokens, 6) >= 0 AS keep
+           |FROM d ORDER BY doc_id""".stripMargin
+      },
+      doc = "fasttext-style quality classifier inference (hashed linear model, literal weights)"),
+
     // Full BPE training, 3 merges: the oracle REPLAYS the whole loop as a
     // generated CTE chain (pair counts → argmax → replace, per iteration),
     // so the hash-match certifies the merge SEQUENCE — argmax ties, replace

@@ -362,6 +362,30 @@ object TextAnalysis {
       .groupBy(col("pair")).agg(sum(col("wc")).as("n"))
   }
 
+  /** Model-based quality filtering (the fasttext-classifier stage of the
+    * GPT-3/CCNet pipelines): INFERENCE of a linear bag-of-hashed-words
+    * model — each word hashes into a D-dimensional weight table, the doc
+    * scores bias + mean(weight), keep ⇔ score ≥ 0. The weights are a
+    * trained artifact and arrive as literals (query parameters, exactly
+    * like IVF centroids); the hash is the portable md5-60-bit kernel used
+    * everywhere else, so scores are engine-reproducible. Row-local until
+    * the per-doc aggregate — ONE scan at any corpus size; per-word weights
+    * round to 6 dp before the DECIMAL sum (order-independent). */
+  def qualityClassifierScore(df: DataFrame, idCol: String, textCol: String,
+                             weights: Seq[Double], bias: Double): DataFrame = {
+    val d = weights.size
+    val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    val h = expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
+    val wt = round(element_at(typedLit(weights), (h % d).cast("int") + 1), 6)
+      .cast("decimal(18,6)")
+    tok.select(col("id"), wt.as("wt"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("_s"))
+      .select(col("id"), col("n_tokens"),
+        round(lit(bias) + col("_s").cast("double") / col("n_tokens"), 6).as("score"))
+      .withColumn("keep", col("score") >= 0)
+  }
+
   /** Full BPE training (Sennrich et al. 2016 Algorithm 1): `nMerges`
     * iterations of count-pairs → pick argmax → merge everywhere. The state
     * is the WORD HISTOGRAM with each word as a space-joined symbol string —

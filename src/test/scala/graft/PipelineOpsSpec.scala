@@ -140,6 +140,18 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("cd", 1L)))
   }
 
+  test("qualityClassifierScore: mean-weight scoring, bias shifts the keep gate") {
+    import spark.implicits._
+    val df = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon")).toDF("doc_id", "text")
+    val weights = Seq.fill(64)(0.5) // uniform weights → score = bias + 0.5 exactly
+    val hi = TextAnalysis.qualityClassifierScore(df, "doc_id", "text", weights, 0.1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(hi.size == 2 && hi.values.forall { case (s, k) => s == 0.6 && k })
+    val lo = TextAnalysis.qualityClassifierScore(df, "doc_id", "text", weights, -0.6)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    assert(lo.size == 2 && lo.values.forall { case (s, k) => s == -0.1 && !k })
+  }
+
   test("bpeTrain: merge sequence with run overlap and count ties") {
     import spark.implicits._
     // histogram: aaab x2, ab x1. aaab = (a,a),(a,a),(a,b) weighted 2 →
