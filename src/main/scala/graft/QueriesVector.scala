@@ -49,6 +49,27 @@ object QueriesVector {
     s"planes(i, p) AS (VALUES\n  $vals)"
   }
 
+  /** Generated CTE chain replaying [[Vectors.farthestPointInit]]: round j
+    * picks argmax(d, id-tiebreak) from d{j-1}, then d{j} folds the new
+    * centroid into the running min-distance. */
+  private def kcenterOracle(k: Int): String = {
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    val init =
+      s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |c1 AS (SELECT id, e, CAST(0 AS DOUBLE) AS r FROM v ORDER BY id LIMIT 1),
+         |d1 AS (SELECT v.id, v.e, ${l2("v.e", "c1.e")} AS d FROM v, c1)""".stripMargin
+    val rounds = (2 to k).map { j =>
+      s"""c$j AS (SELECT id, e, d AS r FROM d${j - 1} ORDER BY d DESC, id LIMIT 1),
+         |d$j AS (SELECT p.id, p.e, least(p.d, ${l2("p.e", s"c$j.e")}) AS d
+         |  FROM d${j - 1} p, c$j)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to k).map(j =>
+      s"SELECT $j AS k, id AS cid, round(r, 6) AS radius FROM c$j")
+      .mkString("\nUNION ALL\n")
+    s"WITH $init,\n$rounds\n$out\nORDER BY k"
+  }
+
   def queries: Map[String, Q] = Map(
 
     // V3 exact kNN, cosine (pgvector `<=>`, index.ts:740-805).
@@ -396,6 +417,17 @@ object QueriesVector {
           |SELECT q_key, CAST(rnk AS BIGINT) AS rnk, c_key, distance
           |FROM r WHERE rnk <= 5 ORDER BY q_key, rnk""".stripMargin),
       doc = "batch kNN similarity join (IVF-co-partitioned, per-query top-k)"),
+
+    // Farthest-point (Gonzalez k-center) IVF init, 6 rounds: the oracle
+    // REPLAYS the whole selection loop as a generated CTE chain (argmax →
+    // fold min-distance → next argmax), so the hash-match certifies the
+    // entire centroid sequence and its coverage radii.
+    "v3_kcenter_init" -> Q(
+      fn = (s, dir) =>
+        Vectors.farthestPointInit(Tables.embeddings(s, dir), "vec_id", "embedding", 6)
+          .orderBy(col("k")),
+      oracle = Some(kcenterOracle(6)),
+      doc = "farthest-point k-center IVF init (6 rounds), oracle replays the selection loop"),
 
     // V3 ANN multi-probe LSH: probe the exact bucket + the 2 buckets across
     // the boundaries the query sits closest to (recall recovery).

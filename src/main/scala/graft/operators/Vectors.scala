@@ -209,6 +209,50 @@ object Vectors {
     cents
   }
 
+  /** Farthest-point (Gonzalez k-center) centroid initialization — the
+    * deterministic init refinement for [[ivfKnn]]/[[kmeansRefine]] over the
+    * seeded row sample: start from the min-key vector, then repeatedly add
+    * the vector FARTHEST from the chosen set (max min-distance, key
+    * tiebreak). 2-approximates the optimal k-center cover, so IVF lists
+    * start balanced instead of wherever the sample fell.
+    *
+    * Scale shape: each of the k rounds is ONE scan — the running
+    * min-distance column folds in the newest centroid (`least`), and the
+    * argmax is a TakeOrderedAndProject top-1. Chosen centroids come back
+    * to the driver one row per round (query parameters, like
+    * [[kmeansRefine]]). Distances stay un-rounded doubles internally
+    * (the l2Sq kernel's bit-parity makes every comparison
+    * engine-identical); the reported radius rounds only at output.
+    * Returns (k, cid, radius) — radius = the selected vector's distance²
+    * to the prior set (0 for the seed row). */
+  def farthestPointInit(vectors: DataFrame, keyCol: String, embCol: String,
+                        k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val v0 = vectors.select(col(keyCol).as("id"),
+      col(embCol).cast("array<double>").as("e"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val first = v0.orderBy(col("id")).limit(1)
+      .collect()(0)
+    var chosen = List((first.getLong(0), first.getSeq[Double](1).toSeq, 0.0))
+    var d = v0.withColumn("d",
+      graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)))
+    for (_ <- 2 to k) {
+      val next = d.orderBy(col("d").desc, col("id")).limit(1).collect()(0)
+      val (nid, ne, nd) = (next.getLong(0), next.getSeq[Double](1).toSeq, next.getDouble(2))
+      chosen = (nid, ne, nd) :: chosen
+      d = d.withColumn("d", least(col("d"),
+        graft.functions.VectorExprs.l2Sq(col("e"), typedLit(ne))))
+    }
+    v0.unpersist()
+    chosen.reverse.zipWithIndex
+      .map { case ((cid, _, rad), i) =>
+        (i + 1, cid, BigDecimal(rad)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("k", "cid", "radius")
+  }
+
   /** Product-quantization encode: split each vector into `m` subspaces and
     * store, per subspace, the index (1-based) of the nearest codebook entry —
     * the memory-scale ANN path (a 64-float vector compresses to m bytes, so

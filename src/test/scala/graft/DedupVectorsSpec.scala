@@ -141,6 +141,36 @@ class DedupVectorsSpec extends SparkTestBase {
     multi.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
   }
 
+  test("farthestPointInit matches a local Gonzalez recompute; radii non-increasing") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Vectors.farthestPointInit(emb, "vec_id", "embedding", 5)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    // local reference
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    var chosen = List((all.head._1, all.head._2, 0.0))
+    val dist = scala.collection.mutable.Map(all.map(v => v._1 -> l2(v._2, all.head._2)): _*)
+    for (_ <- 2 to 5) {
+      val (nid, nd) = dist.toSeq.maxBy { case (id, d) => (d, -id) }
+      val ne = all.find(_._1 == nid).get._2
+      chosen = (nid, ne, nd) :: chosen
+      all.foreach { case (id, e) => dist(id) = math.min(dist(id), l2(e, ne)) }
+    }
+    val expected = chosen.reverse.zipWithIndex.map { case ((cid, _, r), i) =>
+      (i + 1, cid, BigDecimal(r).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got == expected)
+    // coverage radius never grows as centers are added
+    val radii = got.drop(1).map(_._3)
+    assert(radii == radii.sorted.reverse)
+  }
+
   test("knnJoin with nProbe = all lists equals brute-force per-query top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)
