@@ -32,4 +32,48 @@ object CorpusIngest {
       .withWatermark(eventTimeCol, watermarkDelay)
       .dropDuplicatesWithinWatermark("content_hash")
       .drop("content_hash")
+
+  /** [[ingest]] plus the two model/benchmark gates the batch pipeline has
+    * (`text_quality_classifier`, `text_contamination`), applied at the
+    * stream boundary:
+    *   - classifier gate: row-local linear scoring
+    *     ([[TextAnalysis.qualityClassifierScore]]'s expression, inlined so
+    *     the stream stays stateless here) — keep ⇔ bias + mean weight ≥ 0;
+    *   - decontamination gate: a stream-STATIC join against the benchmark's
+    *     distinct n-gram hashes (broadcast — benchmarks are tiny), dropping
+    *     any doc sharing a 13-gram with the eval set BEFORE it can land.
+    * Order: cheap row-local gates first, then the contamination semi-join,
+    * then the stateful dedup last — rejected docs never occupy state. */
+  def ingestGated(docs: DataFrame, benchmarkGrams: DataFrame,
+                  weights: Seq[Double], bias: Double,
+                  eventTimeCol: String = "event_time",
+                  textCol: String = "text",
+                  watermarkDelay: String = "10 minutes",
+                  contaminationN: Int = 13): DataFrame = {
+    val d = weights.size
+    // per-word hashed weight, same portable md5-60-bit kernel as the batch
+    // classifier — built from Column functions so it composes inside HOF
+    // lambdas (expr() strings cannot see lambda variables)
+    val wt: org.apache.spark.sql.Column => org.apache.spark.sql.Column = w =>
+      round(element_at(typedLit(weights),
+        (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % d).cast("int") + 1), 6)
+    val ws = graft.operators.Dedup.words(col(textCol))
+    // score via a row-local fold over the words array — stateless in-stream
+    val score = lit(bias) +
+      aggregate(ws, lit(0.0).cast("decimal(18,6)"),
+        (acc, w) => (acc + wt(w)).cast("decimal(18,6)")).cast("double") / size(ws)
+    docs
+      .filter(TextAnalysis.c4Keep(col(textCol)))
+      .filter(score >= 0)
+      .withColumn("_grams", graft.functions.VectorExprs.shingleHashes(
+        graft.operators.Dedup.words(col(textCol)), contaminationN))
+      .join(broadcast(benchmarkGrams.select(col("s")).distinct()
+        .agg(collect_set(col("s")).as("_bench"))))
+      .filter(!arrays_overlap(col("_grams"), col("_bench")))
+      .drop("_grams", "_bench")
+      .withColumn("content_hash", md5(col(textCol)))
+      .withWatermark(eventTimeCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("content_hash")
+      .drop("content_hash")
+  }
 }
