@@ -141,11 +141,13 @@ object QueriesText {
 
   /** Generated CTE chain replaying [[TextAnalysis.bpeTrain]]'s loop: per
     * iteration k, pair counts over w{k-1}, argmax t{k} (count desc, pair
-    * tiebreak), and the padded left-to-right replace producing w{k}. */
-  private def bpeTrainOracle(nMerges: Int): String = {
+    * tiebreak), and the padded left-to-right replace producing w{k}.
+    * The chain carries (w, sym, wc) so [[bpeTokenizeOracle]] can join the
+    * final segmenter back to the corpus. */
+  private def bpeChainCtes(nMerges: Int): String = {
     val init =
       s"""tok AS (SELECT unnest($wordsSql) AS w FROM documents),
-         |w0 AS (SELECT array_to_string(string_split_regex(w, ''), ' ') AS sym,
+         |w0 AS (SELECT w, array_to_string(string_split_regex(w, ''), ' ') AS sym,
          |       count(*) AS wc FROM tok GROUP BY w)""".stripMargin
     val iters = (1 to nMerges).map { k =>
       s"""p$k AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
@@ -153,16 +155,31 @@ object QueriesText {
          |    i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i+1])) AS pair
          |  FROM w${k - 1} WHERE len(string_split(sym, ' ')) >= 2) GROUP BY pair),
          |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
-         |w$k AS (SELECT trim(replace(' ' || sym || ' ',
+         |w$k AS (SELECT w, trim(replace(' ' || sym || ' ',
          |    ' ' || (SELECT pair FROM t$k) || ' ',
          |    ' ' || (SELECT replace(pair, ' ', '') FROM t$k) || ' ')) AS sym, wc
          |  FROM w${k - 1})""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$iters"
+  }
+
+  private def bpeTrainOracle(nMerges: Int): String = {
     val out = (1 to nMerges).map(k =>
       s"SELECT $k AS iter, pair, replace(pair, ' ', '') AS merged, n FROM t$k")
       .mkString("\nUNION ALL\n")
-    s"WITH $init,\n$iters\n$out\nORDER BY iter"
+    s"WITH ${bpeChainCtes(nMerges)}\n$out\nORDER BY iter"
   }
+
+  /** Per-doc token counts after applying the trained merges: the final
+    * histogram is the segmenter, joined back to the corpus by word. */
+  private def bpeTokenizeOracle(nMerges: Int): String =
+    s"""WITH ${bpeChainCtes(nMerges)},
+       |seg AS (SELECT w, len(string_split(sym, ' ')) AS nt FROM w$nMerges),
+       |td AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents)
+       |SELECT id AS doc_id, count(*) AS n_words,
+       |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
+       |FROM td JOIN seg USING (w)
+       |GROUP BY id ORDER BY doc_id""".stripMargin
 
   def queries: Map[String, Q] = Map(
 
@@ -833,6 +850,17 @@ object QueriesText {
           .orderBy(col("iter")),
       oracle = Some(bpeTrainOracle(3)),
       doc = "BPE training loop (3 merges), oracle replays the full merge sequence"),
+
+    // BPE applied: per-doc token counts under the 3 trained merges — the
+    // train→tokenize round trip. Segmenter = the merged word histogram,
+    // joined back to the corpus by word (broadcast-sized vocabulary).
+    "text_bpe_tokenize" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.bpeTokenCounts(Tables.documents(s, dir), "doc_id", "text", 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id")),
+      oracle = Some(bpeTokenizeOracle(3)),
+      doc = "BPE tokenization: per-doc token counts under the trained merges"),
 
     // Vocabulary coverage cutoffs: smallest head-vocab reaching 50/90/99%
     // cumulative token share — the tokenizer/vocab sizing query. The window

@@ -49,26 +49,48 @@ object QueriesVector {
     s"planes(i, p) AS (VALUES\n  $vals)"
   }
 
+  private def l2Fold(a: String, b: String) =
+    s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+
   /** Generated CTE chain replaying [[Vectors.farthestPointInit]]: round j
     * picks argmax(d, id-tiebreak) from d{j-1}, then d{j} folds the new
     * centroid into the running min-distance. */
-  private def kcenterOracle(k: Int): String = {
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+  private def kcenterChainCtes(k: Int): String = {
     val init =
       s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |c1 AS (SELECT id, e, CAST(0 AS DOUBLE) AS r FROM v ORDER BY id LIMIT 1),
-         |d1 AS (SELECT v.id, v.e, ${l2("v.e", "c1.e")} AS d FROM v, c1)""".stripMargin
+         |d1 AS (SELECT v.id, v.e, ${l2Fold("v.e", "c1.e")} AS d FROM v, c1)""".stripMargin
     val rounds = (2 to k).map { j =>
       s"""c$j AS (SELECT id, e, d AS r FROM d${j - 1} ORDER BY d DESC, id LIMIT 1),
-         |d$j AS (SELECT p.id, p.e, least(p.d, ${l2("p.e", s"c$j.e")}) AS d
+         |d$j AS (SELECT p.id, p.e, least(p.d, ${l2Fold("p.e", s"c$j.e")}) AS d
          |  FROM d${j - 1} p, c$j)""".stripMargin
     }.mkString(",\n")
+    s"$init,\n$rounds"
+  }
+
+  private def kcenterOracle(k: Int): String = {
     val out = (1 to k).map(j =>
       s"SELECT $j AS k, id AS cid, round(r, 6) AS radius FROM c$j")
       .mkString("\nUNION ALL\n")
-    s"WITH $init,\n$rounds\n$out\nORDER BY k"
+    s"WITH ${kcenterChainCtes(k)}\n$out\nORDER BY k"
   }
+
+  /** List-size census under both inits: the seeded row sample vs the
+    * k-center chain's centroids, assignments recomputed per row. */
+  private def ivfBalanceOracle(k: Int): String =
+    s"""WITH ${kcenterChainCtes(k)},
+       |kc AS (${(1 to k).map(j => s"SELECT id AS cid, e AS cv FROM c$j")
+          .mkString("\nUNION ALL\n")}),
+       |sc AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+       |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT $k),
+       |a_s AS (SELECT (SELECT c.cid FROM sc c
+       |    ORDER BY ${l2Fold("v.e", "c.cv")}, c.cid LIMIT 1) AS cid FROM v),
+       |a_k AS (SELECT (SELECT c.cid FROM kc c
+       |    ORDER BY ${l2Fold("v.e", "c.cv")}, c.cid LIMIT 1) AS cid FROM v)
+       |SELECT 'kcenter' AS init, cid, count(*) AS n FROM a_k GROUP BY cid
+       |UNION ALL
+       |SELECT 'sample' AS init, cid, count(*) AS n FROM a_s GROUP BY cid
+       |ORDER BY init, cid""".stripMargin
 
   def queries: Map[String, Q] = Map(
 
@@ -428,6 +450,33 @@ object QueriesVector {
           .orderBy(col("k")),
       oracle = Some(kcenterOracle(6)),
       doc = "farthest-point k-center IVF init (6 rounds), oracle replays the selection loop"),
+
+    // IVF list-balance census: per-centroid assignment counts under the
+    // seeded row sample vs the k-center init — the diagnostic that says
+    // whether lists start balanced. Composes farthestPointInit + ivfAssign;
+    // oracle replays the selection chain then recomputes both assignments.
+    "v3_ivf_balance" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val sample = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(8)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val kcIds = Vectors.farthestPointInit(emb, "vec_id", "embedding", 8)
+          .select(col("cid")).collect().map(_.getLong(0))
+        val kc = emb.filter(col("vec_id").isin(kcIds: _*))
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .sortBy(_._1)
+        def census(cents: Seq[(Long, Seq[Double])], tag: String) =
+          Vectors.ivfAssign(emb, "embedding", cents)
+            .groupBy(col("ivf_cid").as("cid")).agg(count(lit(1)).as("n"))
+            .select(lit(tag).as("init"), col("cid"), col("n"))
+        census(kc, "kcenter").unionByName(census(sample, "sample"))
+          .orderBy(col("init"), col("cid"))
+      },
+      oracle = Some(ivfBalanceOracle(8)),
+      doc = "IVF list-balance census: sample vs k-center init assignment counts"),
 
     // V3 ANN multi-probe LSH: probe the exact bucket + the 2 buckets across
     // the boundaries the query sits closest to (recall recovery).

@@ -401,9 +401,36 @@ object TextAnalysis {
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    val (merges, wf) = bpeTrainState(df, textCol, nMerges)
+    wf.unpersist()
+    merges.toDF("iter", "pair", "merged", "n")
+  }
+
+  /** BPE APPLIED: train `nMerges` merges, segment every word with them, and
+    * report per-doc token counts — the train→tokenize round trip, and the
+    * number a token-budget planner actually consumes. The merged segmenter
+    * is the (word → symbol string) HISTOGRAM relation, so tokenizing the
+    * corpus is one word-keyed join (broadcast while the vocabulary is
+    * small), not a per-doc reapplication of the merge loop. */
+  def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
+                     nMerges: Int): DataFrame = {
+    val (_, wf) = bpeTrainState(df, textCol, nMerges)
+    val segmenter = wf.select(col("w"), size(split(col("sym"), " ")).as("nt"))
+    val out = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+      .join(segmenter, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nt")).cast("long").as("n_bpe_tokens"))
+    out
+  }
+
+  /** Shared BPE loop state: the merge list and the final (w, sym, wc)
+    * histogram (left persisted — callers unpersist). */
+  private def bpeTrainState(df: DataFrame, textCol: String, nMerges: Int)
+      : (Seq[(Int, String, String, Long)], DataFrame) = {
     var wf = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .select(array_join(filter(split(col("w"), ""), x => x =!= lit("")), " ").as("sym"),
+      .select(col("w"),
+        array_join(filter(split(col("w"), ""), x => x =!= lit("")), " ").as("sym"),
         col("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
@@ -419,15 +446,14 @@ object TextAnalysis {
         val merged = pair.replace(" ", "")
         merges += ((it, pair, merged, top(0).getLong(1)))
         val old = wf
-        wf = wf.select(trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+        wf = wf.select(col("w"), trim(replace(concat(lit(" "), col("sym"), lit(" ")),
             lit(s" $pair "), lit(s" $merged "))).as("sym"), col("wc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         wf.count()
         old.unpersist()
       }
     }
-    wf.unpersist()
-    merges.toSeq.toDF("iter", "pair", "merged", "n")
+    (merges.toSeq, wf)
   }
 
   /** Vocabulary coverage cutoffs: the smallest head-vocabulary size whose
