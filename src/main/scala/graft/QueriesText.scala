@@ -321,6 +321,57 @@ object QueriesText {
       oracle = Some(simhashExhaustiveOracle(nearDupCte, 5)),
       doc = "SimHash exhaustive blocked candidates (Manku WWW'07 §3) vs brute-force oracle"),
 
+    // Corpus data-card statistics: the one-query summary every dataset
+    // release ships — doc/token counts, language mix, quality-gate pass
+    // rate, exact-dup rate, length quantiles. One scan + tiny aggregates;
+    // decimal casts keep the sums order-free.
+    "pipeline_corpus_stats" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val enriched = d.select(col("doc_id"), col("lang"), col("n_chars"),
+          size(Dedup.words(col("text"))).cast("long").as("n_words"),
+          TextAnalysis.c4Keep(col("text")).as("keep"),
+          md5(col("text")).as("h"))
+        val dups = enriched.groupBy(col("h")).agg(count(lit(1)).as("c"))
+          .agg(sum(when(col("c") > 1, col("c"))).as("_dup"))
+          .select(coalesce(col("_dup"), lit(0L)).as("n_dup_docs"))
+        enriched.agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+          min(col("n_words")).cast("long").as("min_words"),
+          max(col("n_words")).cast("long").as("max_words"))
+          .crossJoin(dups)
+      },
+      oracle = Some(
+        s"""WITH e AS (SELECT doc_id, lang, n_chars,
+           |    CAST(len($wordsSql) AS BIGINT) AS n_words,
+           |    (len($wordsSql) BETWEEN 10 AND 100000)
+           |      AND (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE) / len($wordsSql)
+           |        BETWEEN 3.0 AND 10.0)
+           |      AND NOT contains(lower(text), 'lorem ipsum')
+           |      AND NOT contains(text, '{')
+           |      AND NOT list_contains($wordsSql, 'javascript')
+           |      AND (length(text) - length(replace(text, '#', ''))) * 20 <= len($wordsSql)
+           |      AND len(list_filter($wordsSql, x -> regexp_matches(x, '[a-z]'))) * 5 >= len($wordsSql) * 4
+           |      AND len(list_filter($wordsSql, x -> x IN ('the','a','and','of','to','in','is','for','on','with'))) >= 2
+           |      AS keep,
+           |    md5(text) AS h
+           |  FROM documents),
+           |dups AS (SELECT COALESCE(CAST(sum(CASE WHEN c > 1 THEN c END) AS BIGINT), 0) AS n_dup_docs
+           |  FROM (SELECT h, count(*) AS c FROM e GROUP BY h))
+           |SELECT count(*) AS n_docs,
+           |       CAST(sum(n_words) AS BIGINT) AS n_tokens,
+           |       CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |       count(DISTINCT lang) AS n_langs,
+           |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           |       min(n_words) AS min_words, max(n_words) AS max_words,
+           |       (SELECT n_dup_docs FROM dups) AS n_dup_docs
+           |FROM e""".stripMargin),
+      doc = "corpus data-card statistics (docs/tokens/langs/quality/dup rate, one scan)"),
+
     // Benchmark decontamination (GPT-3 appendix C): training docs sharing
     // any 13-gram with the eval benchmark. Benchmark = 20-word middle slices
     // of every 17th doc, so overlap is partial and synthesized from the
