@@ -865,7 +865,9 @@ object QueriesText {
     // Model-based quality filter: linear bag-of-hashed-words classifier
     // inference (the fasttext stage). Seeded weights as literals on both
     // sides; portable md5-60-bit feature hash; per-word 6 dp rounding
-    // before the decimal sum keeps scores engine-exact.
+    // before the decimal sum, and the keep gate compares sum + bias·n ≥ 0
+    // in EXACT decimals — no divide-then-round boundary (the sf0.1 run
+    // caught one row drifting 1e-6 under the mean-score formulation).
     "text_quality_classifier" -> Q(
       fn = (s, dir) => {
         val rnd = new scala.util.Random(7L)
@@ -885,11 +887,11 @@ object QueriesText {
            |    AS DECIMAL(18,6)) AS wt FROM tok),
            |d AS (SELECT id, count(*) AS n_tokens, sum(wt) AS s FROM wh GROUP BY id)
            |SELECT id AS doc_id, n_tokens,
-           |       round(0.05 + CAST(s AS DOUBLE) / n_tokens, 6) AS score,
-           |       round(0.05 + CAST(s AS DOUBLE) / n_tokens, 6) >= 0 AS keep
+           |       CAST(s AS DOUBLE) AS weight_sum,
+           |       s + CAST(0.05 AS DECIMAL(18,6)) * n_tokens >= 0 AS keep
            |FROM d ORDER BY doc_id""".stripMargin
       },
-      doc = "fasttext-style quality classifier inference (hashed linear model, literal weights)"),
+      doc = "fasttext-style quality classifier inference (hashed linear model, exact decimal gate)"),
 
     // Full BPE training, 3 merges: the oracle REPLAYS the whole loop as a
     // generated CTE chain (pair counts → argmax → replace, per iteration),

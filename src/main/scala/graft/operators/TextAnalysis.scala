@@ -370,10 +370,21 @@ object TextAnalysis {
     * like IVF centroids); the hash is the portable md5-60-bit kernel used
     * everywhere else, so scores are engine-reproducible. Row-local until
     * the per-doc aggregate — ONE scan at any corpus size; per-word weights
-    * round to 6 dp before the DECIMAL sum (order-independent). */
+    * round to 6 dp before the DECIMAL sum (order-independent).
+    *
+    * The output stays in EXACT arithmetic: `weight_sum` is the decimal sum
+    * (its double cast is deterministic — one correctly-rounded conversion
+    * of the same decimal on any engine) and the keep gate compares
+    * `sum + bias·n ≥ 0` as decimals — the mean-score formulation
+    * (`round(bias + sum/n, 6)`) puts a rounding boundary after a double
+    * division, and the sf0.1 oracle run caught exactly one row landing on
+    * it (1e-6 drift). Divide-then-round is for humans; gates compare
+    * exact. */
   def qualityClassifierScore(df: DataFrame, idCol: String, textCol: String,
                              weights: Seq[Double], bias: Double): DataFrame = {
     val d = weights.size
+    val biasDec = lit(BigDecimal(bias).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .cast("decimal(18,6)")
     val tok = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
     val h = expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
     val wt = round(element_at(typedLit(weights), (h % d).cast("int") + 1), 6)
@@ -382,8 +393,8 @@ object TextAnalysis {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("wt")).as("_s"))
       .select(col("id"), col("n_tokens"),
-        round(lit(bias) + col("_s").cast("double") / col("n_tokens"), 6).as("score"))
-      .withColumn("keep", col("score") >= 0)
+        col("_s").cast("double").as("weight_sum"),
+        (col("_s") + biasDec * col("n_tokens") >= 0).as("keep"))
   }
 
   /** Full BPE training (Sennrich et al. 2016 Algorithm 1): `nMerges`

@@ -58,13 +58,16 @@ object CorpusIngest {
       round(element_at(typedLit(weights),
         (conv(substring(md5(w), 1, 15), 16, 10).cast("long") % d).cast("int") + 1), 6)
     val ws = graft.operators.Dedup.words(col(textCol))
-    // score via a row-local fold over the words array — stateless in-stream
-    val score = lit(bias) +
-      aggregate(ws, lit(0.0).cast("decimal(18,6)"),
-        (acc, w) => (acc + wt(w)).cast("decimal(18,6)")).cast("double") / size(ws)
+    // row-local fold over the words array — stateless in-stream; the keep
+    // gate compares sum + bias·n >= 0 in exact decimals (same contract as
+    // the batch classifier: no divide-then-round boundary)
+    val wsum = aggregate(ws, lit(0.0).cast("decimal(18,6)"),
+      (acc, w) => (acc + wt(w)).cast("decimal(18,6)"))
+    val biasDec = lit(BigDecimal(bias).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+      .cast("decimal(18,6)")
     docs
       .filter(TextAnalysis.c4Keep(col(textCol)))
-      .filter(score >= 0)
+      .filter(wsum + biasDec * size(ws) >= 0)
       .withColumn("_grams", graft.functions.VectorExprs.shingleHashes(
         graft.operators.Dedup.words(col(textCol)), contaminationN))
       .join(broadcast(benchmarkGrams.select(col("s")).distinct()

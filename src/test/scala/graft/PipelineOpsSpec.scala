@@ -140,16 +140,17 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(got == Seq(("ab", 3L), ("cd", 1L)))
   }
 
-  test("qualityClassifierScore: mean-weight scoring, bias shifts the keep gate") {
+  test("qualityClassifierScore: exact weight sums, bias shifts the keep gate") {
     import spark.implicits._
     val df = Seq((1L, "alpha beta"), (2L, "gamma delta epsilon")).toDF("doc_id", "text")
-    val weights = Seq.fill(64)(0.5) // uniform weights → score = bias + 0.5 exactly
+    val weights = Seq.fill(64)(0.5) // uniform → weight_sum = 0.5 * n_words exactly
     val hi = TextAnalysis.qualityClassifierScore(df, "doc_id", "text", weights, 0.1)
       .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(hi.size == 2 && hi.values.forall { case (s, k) => s == 0.6 && k })
+    assert(hi == Map(1L -> (1.0, true), 2L -> (1.5, true)))
+    // bias -0.6: doc 1 gate = 1.0 - 1.2 < 0, doc 2 = 1.5 - 1.8 < 0
     val lo = TextAnalysis.qualityClassifierScore(df, "doc_id", "text", weights, -0.6)
       .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
-    assert(lo.size == 2 && lo.values.forall { case (s, k) => s == -0.1 && !k })
+    assert(lo == Map(1L -> (1.0, false), 2L -> (1.5, false)))
   }
 
   test("bpeTrain: merge sequence with run overlap and count ties") {
