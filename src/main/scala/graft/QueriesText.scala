@@ -332,6 +332,9 @@ object QueriesText {
           size(Dedup.words(col("text"))).cast("long").as("n_words"),
           TextAnalysis.c4Keep(col("text")).as("keep"),
           md5(col("text")).as("h"))
+        // combining two SINGLE-ROW aggregates: the nested-loop join this
+        // compiles to is 1x1 by construction — the one shape where a
+        // cartesian is the correct plan (constant keys fold away anyway)
         val dups = enriched.groupBy(col("h")).agg(count(lit(1)).as("c"))
           .agg(sum(when(col("c") > 1, col("c"))).as("_dup"))
           .select(coalesce(col("_dup"), lit(0L)).as("n_dup_docs"))

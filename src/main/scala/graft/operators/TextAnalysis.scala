@@ -309,11 +309,16 @@ object TextAnalysis {
     * by line (sort-merge at corpus scale, broadcast when small). */
   def lineDedupStats(df: DataFrame, idCol: String, textCol: String,
                      wordsPerLine: Int = 4): DataFrame = {
+    // lines reduce to 8-byte hashes immediately: the groupBy and the
+    // winners rejoin shuffle fixed-width keys instead of line strings
+    // (the counts the operator emits are hash-invariant; at 100 TB the
+    // line text never leaves the scan)
     val lines = docLines(df, idCol, textCol, wordsPerLine)
+      .select(col("id"), col("line_no"), xxhash64(col("line")).as("lh"))
     val key = col("id") * 1000000L + col("line_no")
-    val winners = lines.groupBy(col("line"))
+    val winners = lines.groupBy(col("lh"))
       .agg(min(key).as("keep_key"), count(lit(1)).as("occ"))
-    lines.join(winners, Seq("line"))
+    lines.join(winners, Seq("lh"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_lines"),
         sum(when(key === col("keep_key"), 1L).otherwise(0L)).as("n_kept"),
