@@ -141,24 +141,41 @@ object QueriesText {
 
   /** Generated CTE chain replaying [[TextAnalysis.bpeTrain]]'s loop: per
     * iteration k, pair counts over w{k-1}, argmax t{k} (count desc, pair
-    * tiebreak), and the padded left-to-right replace producing w{k}.
-    * The chain carries (w, sym, wc) so [[bpeTokenizeOracle]] can join the
-    * final segmenter back to the corpus. */
+    * tiebreak), and the GREEDY left-to-right pairwise merge producing
+    * w{k} — the same positional formulation as
+    * [[TextAnalysis.mergePairGreedy]] (a match merges iff its offset in
+    * its run of consecutive matches is even, derived from the last
+    * non-match position below it). The chain carries (w, syms, wc) so
+    * [[bpeTokenizeOracle]] can join the final segmenter back to the
+    * corpus. */
   private def bpeChainCtes(nMerges: Int): String = {
+    // positional-merge SQL over a symbol LIST column named `syms`, with
+    // p1/p2/m in scope from the joined argmax row
+    def matchAt(k: String) =
+      s"($k >= 1 AND $k <= len(syms) - 1 AND syms[$k] = p1 AND syms[$k + 1] = p2)"
+    def mergeAt(k: String) =
+      s"""(${matchAt(k)} AND ($k - list_max(list_filter(generate_series(0, greatest($k, 0)),
+         |      j -> j <= $k - 1 AND NOT ${matchAt("j")}))) % 2 = 1)""".stripMargin
+    val mergeExpr =
+      s"""CASE WHEN len(syms) < 2 THEN syms ELSE
+         |  flatten(list_transform(generate_series(1, len(syms)), i ->
+         |    CASE WHEN ${mergeAt("i")} THEN [m]
+         |         WHEN ${mergeAt("(i - 1)")} THEN []
+         |         ELSE [syms[i]] END))
+         |END""".stripMargin
     val init =
       s"""tok AS (SELECT unnest($wordsSql) AS w FROM documents),
-         |w0 AS (SELECT w, array_to_string(string_split_regex(w, ''), ' ') AS sym,
+         |w0 AS (SELECT w, string_split_regex(w, '') AS syms,
          |       count(*) AS wc FROM tok GROUP BY w)""".stripMargin
     val iters = (1 to nMerges).map { k =>
       s"""p$k AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n FROM (
-         |  SELECT wc, unnest(list_transform(generate_series(1, len(string_split(sym, ' ')) - 1),
-         |    i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i+1])) AS pair
-         |  FROM w${k - 1} WHERE len(string_split(sym, ' ')) >= 2) GROUP BY pair),
-         |t$k AS (SELECT pair, n FROM p$k ORDER BY n DESC, pair LIMIT 1),
-         |w$k AS (SELECT w, trim(replace(' ' || sym || ' ',
-         |    ' ' || (SELECT pair FROM t$k) || ' ',
-         |    ' ' || (SELECT replace(pair, ' ', '') FROM t$k) || ' ')) AS sym, wc
-         |  FROM w${k - 1})""".stripMargin
+         |  SELECT wc, unnest(list_transform(generate_series(1, len(syms) - 1),
+         |    i -> syms[i] || ' ' || syms[i+1])) AS pair
+         |  FROM w${k - 1} WHERE len(syms) >= 2) GROUP BY pair),
+         |t$k AS (SELECT pair, n, string_split(pair, ' ')[1] AS p1,
+         |        string_split(pair, ' ')[2] AS p2, replace(pair, ' ', '') AS m
+         |        FROM p$k ORDER BY n DESC, pair LIMIT 1),
+         |w$k AS (SELECT w, $mergeExpr AS syms, wc FROM w${k - 1}, t$k)""".stripMargin
     }.mkString(",\n")
     s"$init,\n$iters"
   }
@@ -174,7 +191,7 @@ object QueriesText {
     * histogram is the segmenter, joined back to the corpus by word. */
   private def bpeTokenizeOracle(nMerges: Int): String =
     s"""WITH ${bpeChainCtes(nMerges)},
-       |seg AS (SELECT w, len(string_split(sym, ' ')) AS nt FROM w$nMerges),
+       |seg AS (SELECT w, len(syms) AS nt FROM w$nMerges),
        |td AS (SELECT doc_id AS id, unnest($wordsSql) AS w FROM documents)
        |SELECT id AS doc_id, count(*) AS n_words,
        |       CAST(sum(nt) AS BIGINT) AS n_bpe_tokens
@@ -424,10 +441,10 @@ object QueriesText {
            |    i -> struct_pack(line_no := i, line := array_to_string(ws[i*4+1 : i*4+4], ' ')))) AS u
            |  FROM d),
            |l AS (SELECT id, CAST(u.line_no AS BIGINT) AS line_no, u.line AS line FROM l0),
-           |w AS (SELECT line, min(id * 1000000 + line_no) AS keep_key, count(*) AS occ
+           |w AS (SELECT line, min(id * 4294967296 + line_no) AS keep_key, count(*) AS occ
            |      FROM l GROUP BY line)
            |SELECT id AS doc_id, count(*) AS n_lines,
-           |       sum(CASE WHEN id * 1000000 + line_no = keep_key THEN 1 ELSE 0 END) AS n_kept,
+           |       sum(CASE WHEN id * 4294967296 + line_no = keep_key THEN 1 ELSE 0 END) AS n_kept,
            |       sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_in_dup_group
            |FROM l JOIN w USING (line)
            |GROUP BY id ORDER BY doc_id""".stripMargin),

@@ -12,7 +12,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      // per-process path: concurrent Verify/Bench runs would otherwise race
+      // on the drop-and-recreate of the bucketed signature tables
+      .config("spark.sql.warehouse.dir",
+        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

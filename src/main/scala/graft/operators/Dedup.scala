@@ -229,9 +229,16 @@ object Dedup {
                                     bands: Int = 16, rows: Int = 4,
                                     estThreshold: Double = 0.5): DataFrame = {
     val spark = newDocs.sparkSession
+    val banded = spark.table(s"${name}_banded")
+    // the stored banding is baked into the table; a caller passing a
+    // different (bands, rows) would band the batch incompatibly and the
+    // equi-join would silently return wrong pairs — the buckets array
+    // length records the stored band count, so mismatches fail loudly
+    val storedBands = banded.select(size(col("buckets"))).head.getInt(0)
+    require(storedBands == bands,
+      s"stored table ${name}_banded has $storedBands bands, caller requested $bands")
     minhashIncrementalCore(newDocs, idCol, textCol,
-      spark.table(s"${name}_banded"), spark.table(s"${name}_sigs"),
-      bands, rows, estThreshold)
+      banded, spark.table(s"${name}_sigs"), bands, rows, estThreshold)
   }
 
   private def minhashIncrementalCore(newDocs: DataFrame, idCol: String,

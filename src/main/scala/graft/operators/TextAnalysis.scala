@@ -315,7 +315,10 @@ object TextAnalysis {
     // line text never leaves the scan)
     val lines = docLines(df, idCol, textCol, wordsPerLine)
       .select(col("id"), col("line_no"), xxhash64(col("line")).as("lh"))
-    val key = col("id") * 1000000L + col("line_no")
+    // arg-min key packs (id, line_no) into one int64: 2^32 line slots per
+    // doc (a 4-billion-line doc exceeds any storable text cell), ids below
+    // 2^31 — both bounds hold for any realistic corpus keying scheme
+    val key = col("id") * 4294967296L + col("line_no")
     val winners = lines.groupBy(col("lh"))
       .agg(min(key).as("keep_key"), count(lit(1)).as("occ"))
     lines.join(winners, Seq("lh"))
@@ -404,16 +407,16 @@ object TextAnalysis {
 
   /** Full BPE training (Sennrich et al. 2016 Algorithm 1): `nMerges`
     * iterations of count-pairs → pick argmax → merge everywhere. The state
-    * is the WORD HISTOGRAM with each word as a space-joined symbol string —
-    * corpus-reduced before the loop, so every iteration runs over a
-    * vocabulary-sized relation regardless of corpus size. The winning pair
-    * per iteration is ONE collected row (a query parameter, exactly like
-    * [[Vectors.kmeansRefine]]'s centroids); the merge applies as a
-    * left-to-right non-overlapping string replace on the padded symbol
-    * string — Java and DuckDB `replace` share that scan order, which is
-    * what makes the whole training loop oracle-hash-checkable. Ties on
-    * count break by pair text, so the merge sequence is total-order
-    * deterministic. Returns the merge table (iter, pair, merged, n). */
+    * is the WORD HISTOGRAM with each word as a symbol array — corpus-reduced
+    * before the loop, so every iteration runs over a vocabulary-sized
+    * relation regardless of corpus size. The winning pair per iteration is
+    * ONE collected row (a query parameter, exactly like
+    * [[Vectors.kmeansRefine]]'s centroids); the merge applies via
+    * [[mergePairGreedy]] — Sennrich's greedy left-to-right pairwise
+    * semantics, expressed positionally so the identical formulation runs
+    * in the DuckDB oracle. Ties on count break by pair text, so the merge
+    * sequence is total-order deterministic. Returns the merge table
+    * (iter, pair, merged, n). */
   def bpeTrain(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -431,27 +434,61 @@ object TextAnalysis {
   def bpeTokenCounts(df: DataFrame, idCol: String, textCol: String,
                      nMerges: Int): DataFrame = {
     val (_, wf) = bpeTrainState(df, textCol, nMerges)
-    val segmenter = wf.select(col("w"), size(split(col("sym"), " ")).as("nt"))
-    val out = df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
+    // localCheckpoint materializes the (vocabulary-sized) segmenter eagerly,
+    // so the loop's persisted histogram can release immediately instead of
+    // leaking for the session lifetime
+    val segmenter = wf.select(col("w"), size(col("syms")).as("nt")).localCheckpoint()
+    wf.unpersist()
+    df.select(col(idCol).as("id"), explode(words(col(textCol))).as("w"))
       .join(segmenter, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_words"), sum(col("nt")).cast("long").as("n_bpe_tokens"))
-    out
   }
 
-  /** Shared BPE loop state: the merge list and the final (w, sym, wc)
-    * histogram (left persisted — callers unpersist). */
+  /** Greedy left-to-right non-overlapping merge of adjacent (p1, p2)
+    * symbol pairs — Sennrich's reference semantics: within a homogeneous
+    * run, pairs (1,2), (3,4), … merge (NOT the separator-consuming string
+    * replace, which skips the (3,4) merge in runs ≥ 4). Sequential
+    * greediness is captured positionally: a match at position k MERGES iff
+    * its offset inside its run of consecutive matches is even — computed
+    * per position from the last non-match below it (match[0] is a false
+    * sentinel, so the lookback set is never empty). O(n²) per word, run on
+    * the vocabulary-sized histogram, never the corpus. */
+  private[graft] def mergePairGreedy(syms: Column, p1: String, p2: String): Column = {
+    val n = size(syms)
+    def matchAt(k: Column): Column =
+      when(k >= 1 && k <= n - 1,
+        element_at(syms, k) === lit(p1) &&
+          element_at(syms, k + 1) === lit(p2))
+        .otherwise(lit(false))
+    def mergeAt(k: Column): Column = {
+      // last non-match at or below k-1; match[0] is a false sentinel, so
+      // the set is non-empty for every k >= 1
+      val prevFalse = array_max(filter(sequence(lit(0), greatest(k, lit(0))),
+        j => j <= k - 1 && !matchAt(j)))
+      matchAt(k) && pmod(k - prevFalse, lit(2)) === 1
+    }
+    when(n < 2, syms).otherwise(
+      flatten(transform(sequence(lit(1), n),
+        i => when(mergeAt(i), array(lit(p1 + p2)))
+          .when(mergeAt(i - 1), array().cast("array<string>"))
+          .otherwise(array(element_at(syms, i))))))
+  }
+
+  /** Shared BPE loop state: the merge list and the final (w, syms, wc)
+    * histogram — `syms` an array of current symbols (left persisted —
+    * callers unpersist). */
   private def bpeTrainState(df: DataFrame, textCol: String, nMerges: Int)
       : (Seq[(Int, String, String, Long)], DataFrame) = {
     var wf = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .select(col("w"),
-        array_join(filter(split(col("w"), ""), x => x =!= lit("")), " ").as("sym"),
+        filter(split(col("w"), ""), x => x =!= lit("")).as("syms"),
         col("wc"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     for (it <- 1 to nMerges) {
-      val syms = split(col("sym"), " ")
+      val syms = col("syms")
       val top = wf.filter(size(syms) >= 2)
         .select(col("wc"), explode(transform(sequence(lit(0), size(syms) - 2),
           i => concat(element_at(syms, i + 1), lit(" "), element_at(syms, i + 2)))).as("pair"))
@@ -459,11 +496,11 @@ object TextAnalysis {
         .orderBy(col("n").desc, col("pair")).limit(1).collect()
       if (top.nonEmpty) {
         val pair = top(0).getString(0)
-        val merged = pair.replace(" ", "")
-        merges += ((it, pair, merged, top(0).getLong(1)))
+        val Array(p1, p2) = pair.split(" ", 2)
+        merges += ((it, pair, p1 + p2, top(0).getLong(1)))
         val old = wf
-        wf = wf.select(col("w"), trim(replace(concat(lit(" "), col("sym"), lit(" ")),
-            lit(s" $pair "), lit(s" $merged "))).as("sym"), col("wc"))
+        wf = wf.select(col("w"), mergePairGreedy(col("syms"), p1, p2).as("syms"),
+            col("wc"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         wf.count()
         old.unpersist()

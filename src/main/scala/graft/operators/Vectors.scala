@@ -235,15 +235,24 @@ object Vectors {
     val first = v0.orderBy(col("id")).limit(1)
       .collect()(0)
     var chosen = List((first.getLong(0), first.getSeq[Double](1).toSeq, 0.0))
+    // materialize the running min-distance each round — a lazily chained
+    // least(l2Sq, least(l2Sq, ...)) would re-evaluate every prior
+    // centroid's kernel per row on each round's top-1 (O(k²·n·dim))
     var d = v0.withColumn("d",
       graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (_ <- 2 to k) {
       val next = d.orderBy(col("d").desc, col("id")).limit(1).collect()(0)
       val (nid, ne, nd) = (next.getLong(0), next.getSeq[Double](1).toSeq, next.getDouble(2))
       chosen = (nid, ne, nd) :: chosen
+      val old = d
       d = d.withColumn("d", least(col("d"),
         graft.functions.VectorExprs.l2Sq(col("e"), typedLit(ne))))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d.count()
+      old.unpersist()
     }
+    d.unpersist()
     v0.unpersist()
     chosen.reverse.zipWithIndex
       .map { case ((cid, _, rad), i) =>

@@ -61,8 +61,11 @@ object CorpusIngest {
     // row-local fold over the words array — stateless in-stream; the keep
     // gate compares sum + bias·n >= 0 in exact decimals (same contract as
     // the batch classifier: no divide-then-round boundary)
+    // wt(w) is a double; cast it to decimal BEFORE adding, or Spark
+    // promotes the whole step to double arithmetic and the gate loses the
+    // exactness contract it shares with the batch classifier
     val wsum = aggregate(ws, lit(0.0).cast("decimal(18,6)"),
-      (acc, w) => (acc + wt(w)).cast("decimal(18,6)"))
+      (acc, w) => (acc + wt(w).cast("decimal(18,6)")).cast("decimal(18,6)"))
     val biasDec = lit(BigDecimal(bias).setScale(6, BigDecimal.RoundingMode.HALF_UP))
       .cast("decimal(18,6)")
     docs

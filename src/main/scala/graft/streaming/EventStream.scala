@@ -107,9 +107,13 @@ object EventStream {
   def moveJobs(jobs: DataFrame, fromQueue: String, toQueue: String,
                deleteFromOriginal: Boolean = true,
                pendingStates: Seq[String] = Nil): DataFrame = {
+    // coalesce: a NULL state must read "not pending" — without it the row
+    // satisfies neither movable nor !movable (three-valued logic) and
+    // silently vanishes from the rewrite
     val movable =
       if (pendingStates.isEmpty) col("queue") === fromQueue
-      else col("queue") === fromQueue && col("state").isin(pendingStates: _*)
+      else col("queue") === fromQueue &&
+        coalesce(col("state").isin(pendingStates: _*), lit(false))
     val moved0 = jobs.filter(movable).withColumn("queue", lit(toQueue))
     val moved =
       if (pendingStates.isEmpty) moved0

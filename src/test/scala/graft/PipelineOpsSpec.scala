@@ -156,7 +156,7 @@ class PipelineOpsSpec extends SparkTestBase {
   test("bpeTrain: merge sequence with run overlap and count ties") {
     import spark.implicits._
     // histogram: aaab x2, ab x1. aaab = (a,a),(a,a),(a,b) weighted 2 →
-    // iter1: "a a"=4 beats "a b"=3; left-to-right non-overlap merge turns
+    // iter1: "a a"=4 beats "a b"=3; greedy left-to-right merge turns
     // "a a a b" into "aa a b" (third a survives — the run-overlap case).
     // iter2: ("aa","a")=2 < ("a","b")=3 → merge "a b".
     // iter3: only pair left is ("aa","ab")=2 ("ab" is word 2 entire).
@@ -166,6 +166,23 @@ class PipelineOpsSpec extends SparkTestBase {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
     assert(got == Seq((1, "a a", "aa", 4L), (2, "a b", "ab", 3L),
       (3, "aa ab", "aaab", 2L)))
+  }
+
+  test("mergePairGreedy: Sennrich semantics on homogeneous runs (pairs 1-2, 3-4, ...)") {
+    import spark.implicits._
+    val cases = Seq(
+      ("a a",       Seq("aa")),
+      ("a a a",     Seq("aa", "a")),
+      ("a a a a",   Seq("aa", "aa")),        // the separator-consuming replace got this wrong
+      ("a a a a a", Seq("aa", "aa", "a")),
+      ("b a a b",   Seq("b", "aa", "b")),
+      ("b",         Seq("b")))
+    for ((in, want) <- cases) {
+      val got = Seq(in).toDF("s")
+        .select(TextAnalysis.mergePairGreedy(split(col("s"), " "), "a", "a").as("m"))
+        .head.getSeq[String](0).toSeq
+      assert(got == want, s"input '$in'")
+    }
   }
 
   test("vocabCoverage: smallest head reaching each cumulative share") {
