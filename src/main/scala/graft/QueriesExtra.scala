@@ -12,6 +12,38 @@ object QueriesExtra {
 
   def queries: Map[String, Q] = Map(
 
+    // CDN purge coverage (cdn/cdn-cache-manager.ts purge scopes: tenant ⊃
+    // bucket ⊃ object/transforms): given a mixed-scope purge batch, the
+    // effective invalidation set per bucket, plus the object-level requests
+    // a wider bucket purge made REDUNDANT — the dedup a purge queue consumer
+    // runs before fanning requests to the CDN. Cache entries = objects; the
+    // object-request set broadcasts (API-capped batch) against the entry
+    // relation.
+    "cdn_purge_coverage" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val objReqs = objects.filter(col("size") % 100 === 0)
+          .select(col("bucket_id"), col("name"), lit(true).as("obj_purged"))
+        val bucketReqs = Seq("F")
+        objects.select(col("bucket_id"), col("name"))
+          .join(broadcast(objReqs), Seq("bucket_id", "name"), "left")
+          .withColumn("obj_purged", coalesce(col("obj_purged"), lit(false)))
+          .withColumn("bucket_purged", col("bucket_id").isin(bucketReqs: _*))
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_entries"),
+            sum(when(col("bucket_purged") || col("obj_purged"), 1L).otherwise(0L))
+              .as("n_invalidated"),
+            sum(when(col("bucket_purged") && col("obj_purged"), 1L).otherwise(0L))
+              .as("n_redundant_requests"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, count(*) AS n_entries,
+          |  sum(CASE WHEN bucket_id = 'F' OR size % 100 = 0 THEN 1 ELSE 0 END) AS n_invalidated,
+          |  sum(CASE WHEN bucket_id = 'F' AND size % 100 = 0 THEN 1 ELSE 0 END) AS n_redundant_requests
+          |FROM objects GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "CDN purge-scope coverage + redundant-request dedup (cdn-cache-manager.ts:23-62)"),
+
     // J4 semi-join existence: which candidate prefixes have ≥1 child below
     // them. The reference probes EXISTS ... LIKE 'p/%' per prefix row
     // (0026:81-104); the batch form derives every object's ancestor set once
