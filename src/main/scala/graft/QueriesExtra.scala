@@ -44,6 +44,63 @@ object QueriesExtra {
           |FROM objects GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
       doc = "CDN purge-scope coverage + redundant-request dedup (cdn-cache-manager.ts:23-62)"),
 
+    // Render-transform dedup (renderer/image.ts applyTransformation): raw
+    // transform requests normalize to the canonical imgproxy key — clamped
+    // dimensions, fixed segment order, JS-truthiness skips, resize mapping
+    // — and requests sharing a key hit one rendered artifact. Top canonical
+    // transforms by request count = the render-cache working set.
+    "render_transform_dedup" -> Q(
+      fn = (s, dir) => {
+        val reqs = Tables.events(s, dir).select(
+          concat(lit("obj-"), col("user_id") % 200).as("obj"),
+          when(col("event_id") % 3 === 0, lit(null).cast("long"))
+            .otherwise(col("event_id") % 4000).as("width"),
+          when(col("event_id") % 5 === 0, lit(null).cast("long"))
+            .otherwise((col("event_id") * 7) % 3000).as("height"),
+          when(col("user_id") % 4 === 0, "cover")
+            .when(col("user_id") % 4 === 1, "contain")
+            .when(col("user_id") % 4 === 2, "fill")
+            .otherwise(lit(null).cast("string")).as("resize"),
+          when(col("event_id") % 7 === 0, lit(80L)).as("quality"),
+          when(col("user_id") % 11 === 0, "webp")
+            .when(col("user_id") % 11 === 1, "avif")
+            .when(col("user_id") % 11 === 2, "origin")
+            .otherwise(lit(null).cast("string")).as("format"))
+        reqs.select(col("obj"), Multimodal.transformCanonical(
+            col("width"), col("height"), col("resize"),
+            col("quality"), col("format")).as("transform"))
+          .groupBy(col("transform"))
+          .agg(count(lit(1)).as("n_requests"),
+            countDistinct(col("obj")).as("n_objects"))
+          .orderBy(col("n_requests").desc, col("transform")).limit(20)
+      },
+      oracle = Some(
+        """WITH req AS (SELECT
+          |    concat('obj-', user_id % 200) AS obj,
+          |    CASE WHEN event_id % 3 = 0 THEN NULL ELSE event_id % 4000 END AS width,
+          |    CASE WHEN event_id % 5 = 0 THEN NULL ELSE (event_id * 7) % 3000 END AS height,
+          |    CASE user_id % 4 WHEN 0 THEN 'cover' WHEN 1 THEN 'contain'
+          |         WHEN 2 THEN 'fill' ELSE NULL END AS resize,
+          |    CASE WHEN event_id % 7 = 0 THEN 80 ELSE NULL END AS quality,
+          |    CASE user_id % 11 WHEN 0 THEN 'webp' WHEN 1 THEN 'avif'
+          |         WHEN 2 THEN 'origin' ELSE NULL END AS format
+          |  FROM events),
+          |c AS (SELECT obj, concat_ws('/',
+          |    CASE WHEN height IS NOT NULL AND height != 0
+          |         THEN 'height:' || least(greatest(height, 1), 2560) END,
+          |    CASE WHEN width IS NOT NULL AND width != 0
+          |         THEN 'width:' || least(greatest(width, 1), 2560) END,
+          |    CASE WHEN (width IS NOT NULL AND width != 0) OR (height IS NOT NULL AND height != 0)
+          |         THEN 'resizing_type:' || CASE WHEN resize = 'contain' THEN 'fit'
+          |              WHEN resize = 'fill' THEN 'force' ELSE 'fill' END END,
+          |    CASE WHEN quality IS NOT NULL AND quality != 0 THEN 'quality:' || quality END,
+          |    CASE WHEN format IS NOT NULL AND format != 'origin' THEN 'format:' || format END
+          |  ) AS transform FROM req)
+          |SELECT transform, count(*) AS n_requests, count(DISTINCT obj) AS n_objects
+          |FROM c GROUP BY transform
+          |ORDER BY n_requests DESC, transform LIMIT 20""".stripMargin),
+      doc = "render-transform canonicalization + dedup (renderer/image.ts:298-349)"),
+
     // J4 semi-join existence: which candidate prefixes have ≥1 child below
     // them. The reference probes EXISTS ... LIKE 'p/%' per prefix row
     // (0026:81-104); the batch form derives every object's ancestor set once

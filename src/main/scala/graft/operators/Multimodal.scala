@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -98,4 +98,32 @@ object Multimodal {
     media.select(col("media_id"),
       slice(sequence(lit(0L), greatest(col("duration_ms") - 1, lit(0L)), lit(everyMs)),
         1, maxFrames).as("frame_ts_ms"))
+
+  /** Canonical imgproxy transform key (renderer/image.ts:298-349,
+    * `applyTransformation` with keepOriginal = false): fixed segment order
+    * height → width → resizing_type → quality → format, dimensions clamped
+    * to the configured limits, zero/absent options skipped (the reference's
+    * JS truthiness), `resize` mapped cover→fill / contain→fit / fill→force
+    * with 'fill' default, `format:origin` elided. Two raw requests with the
+    * same canonical key hit the same rendered artifact — this key IS the
+    * render-cache identity, so request dedup / hit-rate analytics group on
+    * it. */
+  def transformCanonical(width: Column, height: Column, resize: Column,
+                         quality: Column, format: Column,
+                         minSize: Int = 1, maxSize: Int = 2560): Column = {
+    def dim(name: String, c: Column) =
+      when(c.isNotNull && c =!= 0, concat(lit(name + ":"),
+        least(greatest(c, lit(minSize)), lit(maxSize)).cast("string")))
+    val rt = when(
+      (width.isNotNull && width =!= 0) || (height.isNotNull && height =!= 0),
+      concat(lit("resizing_type:"),
+        when(resize === "contain", lit("fit"))
+          .when(resize === "fill", lit("force"))
+          .otherwise(lit("fill"))))
+    val q = when(quality.isNotNull && quality =!= 0,
+      concat(lit("quality:"), quality.cast("string")))
+    val f = when(format.isNotNull && format =!= "origin",
+      concat(lit("format:"), format))
+    concat_ws("/", dim("height", height), dim("width", width), rt, q, f)
+  }
 }
