@@ -114,17 +114,42 @@ object Vectors {
   def ivfKnn(vectors: DataFrame, keyCol: String, embCol: String,
              centroids: Seq[(Long, Seq[Double])], query: Seq[Double],
              topK: Int = 10, nProbe: Int = 4): DataFrame = {
-    val probes = centroids
+    knn(ivfAssign(vectors, embCol, centroids)
+      .filter(col("ivf_cid").isin(probeList(centroids, query, nProbe): _*)),
+      keyCol, embCol, query, "euclidean", topK)
+  }
+
+  /** The nProbe nearest centroid ids for a query — (L2², cid) order. */
+  def probeList(centroids: Seq[(Long, Seq[Double])], query: Seq[Double],
+                nProbe: Int): Seq[Long] =
+    centroids
       .map { case (cid, cv) =>
-        val d = cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum
-        (cid, d)
+        (cid, cv.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum)
       }
       .sortBy { case (cid, d) => (d, cid) }
       .take(nProbe).map(_._1)
-    knn(ivfAssign(vectors, embCol, centroids)
-      .filter(col("ivf_cid").isin(probes: _*)),
+
+  /** The STORED IVF layout the doc comments promise: assign once, WRITE the
+    * vectors partitioned by `ivf_cid`. A query then reads only its probed
+    * lists via partition pruning — directory-level skipping, zero I/O for
+    * unprobed lists — which is the mechanism that keeps nProbe search
+    * sublinear at 100 TB. `IvfLayoutSpec` asserts the pruning on the live
+    * plan (the scan's partition count equals nProbe, not k). */
+  def writeIvfPartitioned(vectors: DataFrame, embCol: String,
+                          centroids: Seq[(Long, Seq[Double])],
+                          path: String): Unit =
+    ivfAssign(vectors, embCol, centroids)
+      .write.partitionBy("ivf_cid").mode("overwrite").parquet(path)
+
+  /** kNN over the stored layout: the `ivf_cid` filter prunes partitions at
+    * planning time — no assignment recompute, no full scan. */
+  def ivfKnnStored(spark: org.apache.spark.sql.SparkSession, path: String,
+                   keyCol: String, embCol: String,
+                   centroids: Seq[(Long, Seq[Double])], query: Seq[Double],
+                   topK: Int = 10, nProbe: Int = 4): DataFrame =
+    knn(spark.read.parquet(path)
+      .filter(col("ivf_cid").isin(probeList(centroids, query, nProbe): _*)),
       keyCol, embCol, query, "euclidean", topK)
-  }
 
   /** Batch similarity join (kNN JOIN): top-k nearest corpus vectors for
     * EVERY query vector — the "one query vector" of [[ivfKnn]] becomes a
