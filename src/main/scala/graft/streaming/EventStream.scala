@@ -161,6 +161,45 @@ object EventStream {
       }
   }
 
+  /** One row of the merged state+query stream [[streamingAsOf]] consumes:
+    * `kind` = "state" (updates the per-key latest) or "query" (reads it). */
+  final case class StateEvent(key: Long, ts: java.sql.Timestamp, kind: String,
+                              event_id: Long, payload: String)
+  final case class AsOfState(tsMillis: Long, tiebreak: Long, payload: String)
+  final case class AsOfResult(key: Long, event_id: Long, asof_payload: Option[String])
+
+  /** Streaming twin of [[graft.operators.Temporal.asOfJoin]]: enrich each
+    * query event with the LATEST state event at or before it for the same
+    * key — keyed custom state (`flatMapGroupsWithState`), O(1) state per
+    * key (just the current latest), exactly the feature-lookup shape online.
+    * Within a micro-batch rows fold in (ts, state-before-query, tiebreak)
+    * order, matching the batch operator's tie contract; ACROSS batches the
+    * stream is monotone-forward — a state row arriving after a later query
+    * was already emitted cannot retro-correct it (at-least-once streaming
+    * semantics; the batch as-of remains the ground-truth backfill, the same
+    * layering as [[CorpusIngest]]'s dedup). */
+  def streamingAsOf(events: Dataset[StateEvent]): Dataset[AsOfResult] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[AsOfState, AsOfResult](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[StateEvent], state: GroupState[AsOfState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (e.ts.getTime, if (e.kind == "state") 0 else 1, e.event_id))
+          var cur = state.getOption
+          val out = Seq.newBuilder[AsOfResult]
+          sorted.foreach { e =>
+            if (e.kind == "state") {
+              if (cur.forall(c => c.tsMillis < e.ts.getTime ||
+                  (c.tsMillis == e.ts.getTime && c.tiebreak <= e.event_id)))
+                cur = Some(AsOfState(e.ts.getTime, e.event_id, e.payload))
+            } else out += AsOfResult(key, e.event_id, cur.map(_.payload))
+          }
+          cur.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Windowed event-rate aggregation with watermark — the monitoring
     * counterpart (A8) in streaming form. */
   def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",

@@ -266,6 +266,35 @@ class StreamingSpec extends SparkTestBase {
       "one survivor per content hash, gate-failing docs never enter state")
   }
 
+  test("streaming as-of enrichment matches the batch asOfJoin contract") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[EventStream.StateEvent]
+    // batch 1: state then queries, incl. the equal-ts tie (state wins) and
+    // a key with no prior state
+    input.addData(
+      EventStream.StateEvent(1L, ts("2024-01-01 09:00:00"), "state", 1L, "s1"),
+      EventStream.StateEvent(1L, ts("2024-01-01 10:00:00"), "state", 2L, "s2"),
+      EventStream.StateEvent(1L, ts("2024-01-01 10:00:00"), "state", 3L, "s3"), // tie: higher id wins
+      EventStream.StateEvent(1L, ts("2024-01-01 10:00:00"), "query", 10L, ""),
+      EventStream.StateEvent(2L, ts("2024-01-01 09:00:00"), "query", 12L, ""))
+    val q = EventStream.streamingAsOf(input.toDS())
+      .writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // batch 2 on the SAME query: the keyed state carries the latest across
+    // micro-batches
+    input.addData(
+      EventStream.StateEvent(1L, ts("2024-01-01 12:00:00"), "query", 11L, ""))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out").collect()
+      .map(r => (r.getLong(1), Option(r.getString(2)))).toMap
+    assert(got == Map(10L -> Some("s3"), 12L -> None, 11L -> Some("s3")))
+  }
+
   test("gated corpus ingest: classifier + decontamination gates before dedup state") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
