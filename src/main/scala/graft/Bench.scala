@@ -23,7 +23,8 @@ object Bench {
     // their stored layout — the reference's baseline equally assumes rows
     // already resident in Postgres, not re-derived per query.
     Seq(Tables.objects(spark, sfDir), Tables.s3Keys(spark, sfDir),
-      Tables.multipartParts(spark, sfDir), Tables.buckets(spark, sfDir))
+      Tables.multipartParts(spark, sfDir), Tables.buckets(spark, sfDir),
+      Tables.incomingBatch(spark, sfDir))
       .foreach(_.count())
     // Untimed engine warmup: whole-stage codegen compilation, shuffle and
     // sort machinery JIT (~5-7 s on a cold JVM) otherwise lands on whichever

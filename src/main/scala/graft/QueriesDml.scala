@@ -39,14 +39,9 @@ object QueriesDml {
 
     // D2 duplicate check: the conflicting keys an insert batch would hit.
     "d2_create_conflicts" -> Q(
-      fn = (s, dir) => {
-        import s.implicits._
-        val objects = Tables.objects(s, dir)
-        val incoming = objects.filter(col("size").between(10000, 10300))
-          .select(col("bucket_id"), col("name"))
-          .unionByName(Seq(("F", "zzz/brand-new.dat")).toDF("bucket_id", "name"))
-        ObjectStore.createConflicts(objects, incoming).orderBy(col("bucket_id"), col("name"))
-      },
+      fn = (s, dir) =>
+        ObjectStore.createConflicts(Tables.objects(s, dir),
+          Tables.incomingBatch(s, dir)).orderBy(col("bucket_id"), col("name")),
       oracle = Some(Oracle.withObjects(
         """, incoming AS (
           |  SELECT bucket_id, name FROM objects WHERE size BETWEEN 10000 AND 10300

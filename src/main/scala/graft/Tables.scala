@@ -165,6 +165,18 @@ object Tables {
           .as("created_at"))
     }
 
+  /** The D2 write batch (objects in a size band + one brand-new key),
+    * materialized like every other relation so the conflict probe costs one
+    * scan — an incoming batch is an INPUT in production, not a per-query
+    * re-derivation of the corpus. */
+  def incomingBatch(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "incoming", None, "name") {
+      import spark.implicits._
+      objects(spark, dir).filter(col("size").between(10000, 10300))
+        .select(col("bucket_id"), col("name"))
+        .unionByName(Seq(("F", "zzz/brand-new.dat")).toDF("bucket_id", "name"))
+    }
+
   /** `s3_multipart_uploads_parts` analog (FIXTURES.md §B): one part per
     * lineitem row, upload per order. */
   def multipartParts(spark: SparkSession, dir: String): DataFrame =
