@@ -231,7 +231,7 @@ object QueriesDml {
       },
       oracle = Some(Oracle.withObjects(
         """SELECT bucket_id, count(*) AS n_updatable,
-          |       sum(CASE WHEN owner_id = 'user-7' THEN 1 ELSE 0 END) AS n_own
+          |       CAST(sum(CASE WHEN owner_id = 'user-7' THEN 1 ELSE 0 END) AS BIGINT) AS n_own
           |FROM objects
           |WHERE owner_id = 'user-7' OR bucket_id = 'F'
           |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),

@@ -39,8 +39,8 @@ object QueriesExtra {
       },
       oracle = Some(Oracle.withObjects(
         """SELECT bucket_id, count(*) AS n_entries,
-          |  sum(CASE WHEN bucket_id = 'F' OR size % 100 = 0 THEN 1 ELSE 0 END) AS n_invalidated,
-          |  sum(CASE WHEN bucket_id = 'F' AND size % 100 = 0 THEN 1 ELSE 0 END) AS n_redundant_requests
+          |  CAST(sum(CASE WHEN bucket_id = 'F' OR size % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_invalidated,
+          |  CAST(sum(CASE WHEN bucket_id = 'F' AND size % 100 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_redundant_requests
           |FROM objects GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
       doc = "CDN purge-scope coverage + redundant-request dedup (cdn-cache-manager.ts:23-62)"),
 

@@ -444,8 +444,8 @@ object QueriesText {
            |w AS (SELECT line, min(id * 4294967296 + line_no) AS keep_key, count(*) AS occ
            |      FROM l GROUP BY line)
            |SELECT id AS doc_id, count(*) AS n_lines,
-           |       sum(CASE WHEN id * 4294967296 + line_no = keep_key THEN 1 ELSE 0 END) AS n_kept,
-           |       sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS n_in_dup_group
+           |       CAST(sum(CASE WHEN id * 4294967296 + line_no = keep_key THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           |       CAST(sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_group
            |FROM l JOIN w USING (line)
            |GROUP BY id ORDER BY doc_id""".stripMargin),
       doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
@@ -504,7 +504,7 @@ object QueriesText {
            |    i -> array_to_string(($wordsSql)[i:i+19], ' ')))) AS s FROM corpus),
            |df AS (SELECT s, count(*) AS df FROM g GROUP BY s)
            |SELECT doc_id, count(*) AS n_grams,
-           |       sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS n_dup_grams,
+           |       CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_grams,
            |       round(CAST(sum(CASE WHEN df > 1 THEN 1 ELSE 0 END) AS DOUBLE)
            |         / count(*), 6) AS dup_ratio
            |FROM g JOIN df USING (s)

@@ -31,6 +31,38 @@ TABLES = ["region", "nation", "customer", "supplier", "part",
           "orders", "lineitem", "events", "documents", "embeddings"]
 
 
+def type_token(t):
+    """Canonical type class for driver-parity comparison.
+
+    The driver's hash is VALUE-TYPE-sensitive: DuckDB typing an integer SUM
+    as HUGEINT (int128) hashes apart from Spark's BIGINT even when every
+    value is equal (cost round 4 four rows). Int widths that all surface as
+    python int across both engines collapse to one class; HUGEINT, DECIMAL
+    (scale-sensitive), FLOAT vs DOUBLE stay distinct — those are exactly
+    the classes the driver distinguishes.
+    """
+    t = t.strip().upper()
+    if t.endswith("[]"):
+        return type_token(t[:-2]) + "[]"
+    if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT"):
+        return "INT64"
+    if t == "HUGEINT":
+        return "INT128"
+    if t.startswith("DECIMAL"):
+        return t.replace(" ", "")
+    if t == "FLOAT":
+        return "FLOAT32"
+    if t == "DOUBLE":
+        return "FLOAT64"
+    return t
+
+
+def col_types(con, sql):
+    """name -> canonical type token via DESCRIBE (binds only, no execution)."""
+    return {r[0]: type_token(str(r[1]))
+            for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+
+
 def canon(val):
     import pandas as pd
     import numpy as np
@@ -87,6 +119,19 @@ def main():
         gc, ec = sorted(got.columns), sorted(exp.columns)
         if gc != ec:
             results[name] = f"SCHEMA-MISMATCH: spark={gc} duck={ec}"
+            continue
+        # Driver-parity TYPE gate: equal values in different value types
+        # (HUGEINT vs BIGINT, DECIMAL vs DOUBLE) hash apart in the driver.
+        try:
+            gt = col_types(
+                con, f"SELECT * FROM read_parquet('{out}/{name}/*.parquet')")
+            et = col_types(con, oracle[name])
+            tbad = {c: (gt[c], et[c]) for c in gc if gt.get(c) != et.get(c)}
+            if tbad:
+                results[name] = f"TYPE-MISMATCH (spark, duck): {tbad}"
+                continue
+        except Exception as e:
+            results[name] = f"TYPE-CHECK-FAIL: {e}"
             continue
         if len(got) != len(exp):
             results[name] = f"ROWCOUNT-MISMATCH: spark={len(got)} duck={len(exp)}"
