@@ -237,6 +237,75 @@ object QueriesDml {
           |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
       doc = "RLS owner-scoped UPDATE + operation-gated policy (rls_tests.yaml:70-82)"),
 
+    // RLS, third graded slice of the policy×role×operation matrix
+    // (rls_tests.yaml): one census row per (role, permission) cell under ONE
+    // shared policy set — including the DENY cells (anon has no delete
+    // policy → 0 rows; the reference's 403/empty-result path), and the
+    // service_role bypass. Each cell is the same pushed-down-filter
+    // compilation as rls_scoped_listing; the union is 4 tiny aggregates.
+    "rls_matrix_census" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val policies = Seq(
+          Rls.Policy("read_public", Set("anon", "authenticated"), "select",
+            _ => col("bucket_id") === "F"),
+          Rls.Policy("read_own", Set("authenticated"), "select",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false))),
+          Rls.Policy("delete_own", Set("authenticated"), "delete",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false))))
+        def cell(role: String, uid: Option[String], perm: String) =
+          Rls.visible(objects, policies, Rls.Context(role, uid, "storage"), perm)
+            .agg(count(lit(1)).as("n_visible"))
+            .select(lit(role).as("ctx_role"), lit(perm).as("perm"), col("n_visible"))
+        cell("anon", None, "select")
+          .unionByName(cell("anon", None, "delete"))
+          .unionByName(cell("authenticated", Some("user-7"), "delete"))
+          .unionByName(cell("service_role", None, "delete"))
+          .orderBy(col("ctx_role"), col("perm"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT 'anon' AS ctx_role, 'delete' AS perm, CAST(0 AS BIGINT) AS n_visible
+          |UNION ALL
+          |SELECT 'anon', 'select', count(*) FROM objects WHERE bucket_id = 'F'
+          |UNION ALL
+          |SELECT 'authenticated', 'delete', count(*) FROM objects WHERE owner_id = 'user-7'
+          |UNION ALL
+          |SELECT 'service_role', 'delete', count(*) FROM objects
+          |ORDER BY ctx_role, perm""".stripMargin)),
+      doc = "RLS role×permission matrix census incl. anon delete-deny + service_role bypass (rls_tests.yaml)"),
+
+    // RLS WITH CHECK in batch form (rls_tests.yaml write-violation asserts,
+    // status 400): the rows of an insert batch the policy set REJECTS for
+    // this context — owner must match the authenticated uid unless the
+    // operation-gated upload policy opens bucket F. Violations censused per
+    // bucket; `violations.nonEmpty` is the reference's "new row violates
+    // row-level security policy".
+    "rls_write_check" -> Q(
+      fn = (s, dir) => {
+        val batch = Tables.objects(s, dir)
+          .filter(col("size").between(20000, 21000))
+          .select(col("bucket_id"), col("name"), col("owner_id"))
+        val policies = Seq(
+          Rls.Policy("insert_own", Set("authenticated"), "insert",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false))),
+          Rls.Policy("upload_open_F", Set("authenticated"), "insert",
+            _ => col("bucket_id") === "F", operations = Set("upload")))
+        Rls.writeViolations(batch, policies,
+          Rls.Context("authenticated", Some("user-7"), "upload"), "insert")
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_rejected"),
+            countDistinct(col("owner_id")).as("n_owners"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, count(*) AS n_rejected,
+          |       count(DISTINCT owner_id) AS n_owners
+          |FROM objects
+          |WHERE size BETWEEN 20000 AND 21000
+          |  AND NOT (owner_id = 'user-7' OR bucket_id = 'F')
+          |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "RLS WITH CHECK write-violation batch (Rls.writeViolations, rls_tests.yaml 400-path)"),
+
     // P10 MIME wildcard validation as a bulk predicate.
     "p10_mime_validation" -> Q(
       fn = (s, dir) => Tables.objects(s, dir)

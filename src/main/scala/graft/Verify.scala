@@ -14,8 +14,7 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       // per-process path: concurrent Verify/Bench runs would otherwise race
       // on the drop-and-recreate of the bucketed signature tables
-      .config("spark.sql.warehouse.dir",
-        s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}")
+      .config("spark.sql.warehouse.dir", Warehouse.dir)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -50,5 +49,6 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    Warehouse.cleanup()
   }
 }

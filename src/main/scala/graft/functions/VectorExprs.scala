@@ -31,6 +31,11 @@ object VectorExprs {
     * to 2^-64-scale collisions. */
   def shingleHashes(words: Column, n: Int): Column = c(ShingleHashes(e(words), n))
 
+  /** Per-position window hashes (element k = hash of words[k..k+n-1]);
+    * see [[ShingleHashes]] `positional`. */
+  def positionalShingleHashes(words: Column, n: Int): Column =
+    c(ShingleHashes(e(words), n, positional = true))
+
   /** MinHash signature over an array<long> shingle-hash set: k hash functions
     * h_i(s) = xxh64(s, i); one pass over the hashes. */
   def minhashSig(shingleHashes: Column, k: Int): Column =
@@ -629,8 +634,14 @@ case class VecL2Sq(left: Expression, right: Expression)
   * n-word windows with xxh64, sort + dedup. Replaces the interpreted
   * slice/array_join/array_distinct string-shingle pipeline — no shingle
   * strings are ever built. Window semantics mirror [[graft.operators.Dedup
-  * .shingles]]: max(|words|−n+1, 1) windows, the tail windows truncated. */
-case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+  * .shingles]]: max(|words|−n+1, 1) windows, the tail windows truncated.
+  *
+  * `positional = true` keeps every window hash AT ITS START POSITION
+  * (no sort, no dedup) — element k is the hash of words[k..k+n-1], the
+  * shape span-removal needs to map a duplicated gram back to the exact
+  * word range it covers. */
+case class ShingleHashes(child: Expression, n: Int,
+                         positional: Boolean = false) extends UnaryExpression {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -654,14 +665,17 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
       out(i) = h
       i += 1
     }
-    java.util.Arrays.sort(out)
-    var uniq = 0
-    i = 0
-    while (i < out.length) {
-      if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
-      i += 1
+    if (positional) new GenericArrayData(out)
+    else {
+      java.util.Arrays.sort(out)
+      var uniq = 0
+      i = 0
+      while (i < out.length) {
+        if (i == 0 || out(i) != out(i - 1)) { out(uniq) = out(i); uniq += 1 }
+        i += 1
+      }
+      new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
     }
-    new GenericArrayData(java.util.Arrays.copyOf(out, uniq))
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -692,13 +706,16 @@ case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
          |  }
          |  $out[$i] = $h;
          |}
-         |java.util.Arrays.sort($out);
-         |int $uniq = 0;
-         |for (int $i = 0; $i < $m; $i++) {
-         |  if ($i == 0 || $out[$i] != $out[$i - 1]) { $out[$uniq] = $out[$i]; $uniq++; }
-         |}
-         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-         |  java.util.Arrays.copyOf($out, $uniq));
+         |${if (positional)
+             s"""${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);"""
+           else
+             s"""java.util.Arrays.sort($out);
+                |int $uniq = 0;
+                |for (int $i = 0; $i < $m; $i++) {
+                |  if ($i == 0 || $out[$i] != $out[$i - 1]) { $out[$uniq] = $out[$i]; $uniq++; }
+                |}
+                |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+                |  java.util.Arrays.copyOf($out, $uniq));""".stripMargin}
        """.stripMargin
     })
 

@@ -221,6 +221,20 @@ object Dedup {
       .saveAsTable(s"${name}_banded")
   }
 
+  /** [[writeSignatureTables]] only when `name` isn't already built in this
+    * session — the layout build is a ONE-TIME cost amortized over every
+    * incremental run (daily batches probe the same stored tables), so
+    * callers that may run repeatedly per process (bench, notebooks) must
+    * not pay the CTAS per call. `sig` is by-name: never computed on the
+    * skip path. Assumes a same-process build used the same parameters —
+    * the reader's stored-band/row validation still fails loudly if not. */
+  def ensureSignatureTables(spark: org.apache.spark.sql.SparkSession,
+                            sig: => DataFrame, name: String, numBuckets: Int,
+                            bands: Int = 16, rows: Int = 4): Unit =
+    if (!(spark.catalog.tableExists(s"${name}_sigs") &&
+          spark.catalog.tableExists(s"${name}_banded")))
+      writeSignatureTables(sig, name, numBuckets, bands, rows)
+
   /** Incremental pass against the bucketed tables [[writeSignatureTables]]
     * produced. Result is identical to [[minhashLshIncremental]] over the
     * same corpus signatures. */
@@ -237,6 +251,13 @@ object Dedup {
     val storedBands = banded.select(size(col("buckets"))).head.getInt(0)
     require(storedBands == bands,
       s"stored table ${name}_banded has $storedBands bands, caller requested $bands")
+    // rows is equally baked in: the signature length is bands·rows, so a
+    // rows mismatch would band the batch with incompatible bucket values
+    // and compare different-length signatures — silently wrong pairs
+    val storedRows = spark.table(s"${name}_sigs")
+      .select(size(col("sig"))).head.getInt(0) / storedBands
+    require(storedRows == rows,
+      s"stored table ${name}_sigs has $storedRows rows/band, caller requested $rows")
     minhashIncrementalCore(newDocs, idCol, textCol,
       banded, spark.table(s"${name}_sigs"), bands, rows, estThreshold)
   }
@@ -570,6 +591,46 @@ object Dedup {
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_ratio",
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Exact-substring REMOVAL (Lee et al. 2022's actual dedup action, one
+    * step past [[duplicatedNgramSpans]]'s census): every n-word span that
+    * appears anywhere else in the corpus keeps only its FIRST occurrence
+    * (min (doc, position) — the deterministic stand-in for the paper's
+    * suffix-array order) and every other occurrence's word range is cut
+    * from its document. Returns per doc: word count, words removed, and
+    * the reconstructed kept text.
+    *
+    * Scale shape: positional window hashes (codegen'd, 8 bytes/window, no
+    * n-gram strings leave the scan) → ONE groupBy(gram) for (keeper, df)
+    * → rejoin → per-doc cut-start lists (bounded by doc length) → row-local
+    * reconstruction via an indexed array filter. Two bounded shuffles, no
+    * pair relation, no self-join — the same spine as the census, plus a
+    * doc-length-bounded local pass to rebuild the text. */
+  def removeDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 20): DataFrame = {
+    val ws = df.select(col(idCol).as("doc_id"),
+      graft.operators.TextAnalysis.words(col(textCol)).as("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grams = ws.select(col("doc_id"), posexplode(
+      graft.functions.VectorExprs.positionalShingleHashes(col("ws"), n)))
+      .toDF("doc_id", "pos", "s")
+    val key = col("doc_id") * 4294967296L + col("pos")
+    val gstats = grams.groupBy(col("s"))
+      .agg(min(key).as("keep_key"), count(lit(1)).as("df"))
+    val cuts = grams.join(gstats, Seq("s"))
+      .filter(col("df") > 1 && key =!= col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("pos"))).as("cut_starts"))
+    ws.join(cuts, Seq("doc_id"), "left")
+      .withColumn("cut_starts",
+        coalesce(col("cut_starts"), lit(Array.empty[Int])))
+      .withColumn("kept", filter(col("ws"), (_, i) =>
+        !exists(col("cut_starts"), p => p <= i && i <= p + (n - 1))))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        (size(col("ws")) - size(col("kept"))).cast("long").as("n_removed"),
+        array_join(col("kept"), " ").as("kept_text"))
   }
 
   /** Embedding-cosine near-dup pairs ≥ simThreshold. Candidates are bucketed

@@ -71,20 +71,42 @@ object Temporal {
     * mitigation for hot keys. Left rows with no match keep count 0 via
     * the left join. */
   def rangeJoinCount(left: DataFrame, right: DataFrame, key: String, ts: String,
-                     windowSeconds: Long, leftId: String): DataFrame = {
-    val bucket: Column => Column = t =>
-      floor(unix_micros(t) / (windowSeconds * 1000000L)).cast("long")
+                     windowSeconds: Long, leftId: String): DataFrame =
+    rangeJoinAgg(left, right, key, ts, windowSeconds, leftId,
+      payload = Seq.empty, aggs = Seq(count(lit(1)).as("n_in_window")),
+      fill = Map("n_in_window" -> lit(0L)))
+
+  /** General form of [[rangeJoinCount]]: any aggregates over the right rows
+    * in `(left.ts - window, left.ts]` — sums, collects, min/max — not just
+    * the count. `payload` names the right columns the aggregates read (kept
+    * under their own names in the match relation); `aggs` are standard
+    * aggregate Columns over those names (each MUST be aliased — the alias
+    * becomes the output column); `fill` supplies the no-match value per
+    * output (unfilled outputs stay NULL, which IS the right answer for
+    * min/max/collect).
+    *
+    * Same scale shape as the count form: (key, time-bucket) equi-join with
+    * bucket length = window length, two probes per left row, exact range
+    * predicate applied locally — candidates bounded by per-bucket density,
+    * never a cross join. The window bound compares epoch micros (typed
+    * arithmetic, no per-plan INTERVAL parse). */
+  def rangeJoinAgg(left: DataFrame, right: DataFrame, key: String, ts: String,
+                   windowSeconds: Long, leftId: String,
+                   payload: Seq[String], aggs: Seq[Column],
+                   fill: Map[String, Column] = Map.empty): DataFrame = {
+    val winMicros = windowSeconds * 1000000L
+    val bucket: Column => Column = t => floor(unix_micros(t) / winMicros).cast("long")
     val l = left.select(col(leftId).as("_lid"), col(key).as("_k"),
-        col(ts).as("_lts"), bucket(col(ts)).as("_b"))
+        unix_micros(col(ts)).as("_lus"), bucket(col(ts)).as("_b"))
       .withColumn("_probe", explode(array(col("_b"), col("_b") - 1)))
-    val r = right.select(col(key).as("_k"), col(ts).as("_rts"),
-      bucket(col(ts)).as("_probe"))
+    val r = right.select(Seq(col(key).as("_k"), unix_micros(col(ts)).as("_rus"),
+      bucket(col(ts)).as("_probe")) ++ payload.map(col): _*)
     val matches = l.join(r, Seq("_k", "_probe"))
-      .filter(col("_rts") <= col("_lts") &&
-        col("_rts") > col("_lts") - expr(s"INTERVAL $windowSeconds SECONDS"))
-      .groupBy(col("_lid")).agg(count(lit(1)).as("_n"))
-    left.join(matches.withColumnRenamed("_lid", leftId), Seq(leftId), "left")
-      .withColumn("n_in_window", coalesce(col("_n"), lit(0L)))
-      .drop("_n")
+      .filter(col("_rus") <= col("_lus") && col("_rus") > col("_lus") - winMicros)
+      .groupBy(col("_lid")).agg(aggs.head, aggs.tail: _*)
+    val joined = left.join(matches.withColumnRenamed("_lid", leftId), Seq(leftId), "left")
+    fill.foldLeft(joined) { case (d, (c, v)) =>
+      d.withColumn(c, coalesce(col(c), v))
+    }
   }
 }

@@ -512,19 +512,47 @@ object TextAnalysis {
   /** Vocabulary coverage cutoffs: the smallest head-vocabulary size whose
     * cumulative token share reaches each threshold (the number every
     * tokenizer/vocab decision starts from, and the principled way to size
-    * [[unigramSurprisalTiered]]'s broadcast head). The global window runs
-    * over the VOCABULARY relation (corpus-reduced, orders of magnitude
-    * smaller than the data — a single-task sort of the LM, not of the
-    * corpus), so the one-partition window is bounded by distinct words. */
+    * [[unigramSurprisalTiered]]'s broadcast head).
+    *
+    * Scale shape: the cumulative sum over the frequency-sorted vocabulary is
+    * a DISTRIBUTED two-pass prefix sum, not a global window. At web scale the
+    * raw-token vocabulary (typos, numbers, URLs) runs to 10⁸–10⁹ rows, so a
+    * single-task `Window.orderBy` sort of it is a real scale-killer (r4
+    * verdict). Instead: range-partition on (count desc, word) — globally
+    * ordered across partitions — compute per-partition row/token totals (a
+    * partition-count-sized census collected to the driver, the same literal
+    * pattern as IVF centroids), broadcast the exclusive prefix offsets back,
+    * and run the running sum per PARTITION KEY. Every window in the plan is
+    * partitioned; `VocabCoverageSpec` asserts no empty-partitionSpec
+    * WindowExec survives. */
   def vocabCoverage(df: DataFrame, textCol: String,
                     thresholds: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val lm = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      // range-partition in output order; pid is stable (range i < range i+1)
+      .repartitionByRange(nPart, col("c").desc, col("w"))
+      .withColumn("pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = lm.agg(sum(col("c"))).head().getLong(0)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("c").desc, col("w"))
-    val cum = lm.withColumn("rnk", row_number().over(w))
-      .withColumn("cum", sum(col("c")).over(
+    // partition census: nPart rows to the driver (exclusive prefix offsets)
+    val census = lm.groupBy(col("pid"))
+      .agg(count(lit(1)).as("rows"), sum(col("c")).as("toks"))
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val n = census.map(_._3).sum
+    val offsets = census.scanLeft((0L, 0L)) { case ((ro, to), (_, r, t)) =>
+      (ro + r, to + t)
+    }.init
+    val offRows = map(census.map(_._1).zip(offsets)
+      .flatMap { case (p, (ro, _)) => Seq(lit(p), lit(ro)) }: _*)
+    val offToks = map(census.map(_._1).zip(offsets)
+      .flatMap { case (p, (_, to)) => Seq(lit(p), lit(to)) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("c").desc, col("w"))
+    val cum = lm
+      .withColumn("rnk", element_at(offRows, col("pid")) + row_number().over(w))
+      .withColumn("cum", element_at(offToks, col("pid")) + sum(col("c")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     thresholds.map { t =>
       cum.filter(col("cum") * 100 >= lit(n) * t)

@@ -252,13 +252,17 @@ object Vectors {
     * to the prior set (0 for the seed row). */
   def farthestPointInit(vectors: DataFrame, keyCol: String, embCol: String,
                         k: Int): DataFrame = {
+    require(k >= 1, s"k-center init needs k >= 1, got $k")
     val spark = vectors.sparkSession
     import spark.implicits._
-    val v0 = vectors.select(col(keyCol).as("id"),
+    // key cast to long like the embedding cast — a non-long key column
+    // would otherwise ClassCastException at getLong
+    val v0 = vectors.select(col(keyCol).cast("long").as("id"),
       col(embCol).cast("array<double>").as("e"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = v0.orderBy(col("id")).limit(1)
-      .collect()(0)
+    val first = v0.orderBy(col("id")).limit(1).collect().headOption
+      .getOrElse(throw new IllegalArgumentException(
+        "k-center init on an empty relation"))
     var chosen = List((first.getLong(0), first.getSeq[Double](1).toSeq, 0.0))
     // materialize the running min-distance each round — a lazily chained
     // least(l2Sq, least(l2Sq, ...)) would re-evaluate every prior
@@ -266,16 +270,23 @@ object Vectors {
     var d = v0.withColumn("d",
       graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    for (_ <- 2 to k) {
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val next = d.orderBy(col("d").desc, col("id")).limit(1).collect()(0)
       val (nid, ne, nd) = (next.getLong(0), next.getSeq[Double](1).toSeq, next.getDouble(2))
-      chosen = (nid, ne, nd) :: chosen
-      val old = d
-      d = d.withColumn("d", least(col("d"),
-        graft.functions.VectorExprs.l2Sq(col("e"), typedLit(ne))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      d.count()
-      old.unpersist()
+      // max min-distance 0 ⇒ every remaining vector coincides with a chosen
+      // centroid (distinct rows < k) — stop instead of emitting the same
+      // point again as a duplicate radius-0 centroid
+      if (nd == 0.0) exhausted = true
+      else {
+        chosen = (nid, ne, nd) :: chosen
+        val old = d
+        d = d.withColumn("d", least(col("d"),
+          graft.functions.VectorExprs.l2Sq(col("e"), typedLit(ne))))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        old.unpersist()
+      }
     }
     d.unpersist()
     v0.unpersist()

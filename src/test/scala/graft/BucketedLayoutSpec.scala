@@ -78,4 +78,23 @@ class BucketedLayoutSpec extends SparkTestBase {
         .orderBy(col("id_a"), col("id_b")).collect().toSeq
     assert(viaBucketed.nonEmpty && viaBucketed == viaInline)
   }
+
+  test("stored (bands, rows) are validated against caller parameters; ensure skips rebuild") {
+    Dedup.ensureSignatureTables(spark,
+      Dedup.minhashSignatures(docs, "doc_id", "text"), "mh_spec2", numBuckets = 4)
+    // a parameter mismatch fails loudly instead of silently mis-banding
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshIncrementalBucketed(newDocs, "doc_id", "text", "mh_spec2",
+        bands = 8, rows = 4)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshIncrementalBucketed(newDocs, "doc_id", "text", "mh_spec2",
+        bands = 16, rows = 8)
+    }
+    // second ensure is a no-op (tables exist) and the probe still works
+    Dedup.ensureSignatureTables(spark,
+      sys.error("sig must not be computed on the skip path"), "mh_spec2", numBuckets = 4)
+    assert(Dedup.minhashLshIncrementalBucketed(
+      newDocs, "doc_id", "text", "mh_spec2").count() > 0)
+  }
 }

@@ -171,6 +171,27 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(radii == radii.sorted.reverse)
   }
 
+  test("farthestPointInit edge guards: k >= 1, empty input, k > distinct rows") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfDir)
+    intercept[IllegalArgumentException] {
+      Vectors.farthestPointInit(emb, "vec_id", "embedding", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Vectors.farthestPointInit(emb.limit(0), "vec_id", "embedding", 3)
+    }
+    // 3 distinct points, k = 5: stops at 3 centroids instead of emitting
+    // duplicate radius-0 centers
+    val three = Seq(
+      (1L, Seq(0.0, 0.0)), (2L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)),
+      (4L, Seq(0.0, 0.0))) // duplicate of point 1
+      .toDF("vec_id", "embedding")
+    val got = Vectors.farthestPointInit(three, "vec_id", "embedding", 5)
+      .orderBy(col("k")).collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq(1, 2, 3))
+    assert(got.map(_._2).toSet == Set(1L, 2L, 3L))
+  }
+
   test("knnJoin with nProbe = all lists equals brute-force per-query top-k") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)

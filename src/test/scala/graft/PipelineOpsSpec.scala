@@ -102,6 +102,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
   }
 
+  test("removeDuplicateSpans: first occurrence kept, spans cut and clipped, text rebuilt") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b c d e"),       // owns the first "a b c" (pos 0)
+      (2L, "x a b c y"),       // duplicated 3-gram at pos 1 → cuts words 1-3
+      (3L, "a b c"),           // len == n: one exact window, a later copy of doc 1's pos-0 gram
+      (4L, "p q r s")          // no duplicated span
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.removeDuplicateSpans(df, "doc_id", "text", 3)
+      .orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    // doc 1: pos-0 "a b c" is the corpus keeper (min key) → nothing removed.
+    // doc 2: its "a b c" at pos 1 loses to doc 1 → words 1..3 cut → "x y".
+    // doc 3: whole doc is a later copy of the same 3-gram → fully removed.
+    // doc 4: untouched.
+    assert(got == Seq(
+      (1L, 5L, 0L, "a b c d e"),
+      (2L, 5L, 3L, "x y"),
+      (3L, 3L, 3L, ""),
+      (4L, 4L, 0L, "p q r s")))
+  }
+
   test("contamination flags exactly the docs sharing an n-gram with the benchmark") {
     import spark.implicits._
     val train = Seq(

@@ -82,6 +82,22 @@ class RlsSpec extends SparkTestBase {
     assert(Rls.visible(objects, Seq(readListOnly), get).isEmpty)
   }
 
+  test("matrix census cells: anon delete-deny, owner-scoped delete, service_role bypass") {
+    val policies = Seq(
+      Policy("read_public", Set("anon", "authenticated"), "select",
+        _ => col("department") === "engineering"),
+      Policy("delete_own", Set("authenticated"), "delete",
+        ctx => col("owner") === ctx.uid.orNull))
+    // anon has a select grant but NO delete policy → delete denies entirely
+    assert(names(Rls.visible(objects, policies, Context("anon", None, "object.list")))
+      == Seq("a.png", "c.png", "d.txt"))
+    assert(Rls.visible(objects, policies, Context("anon", None, "object.list"), "delete").isEmpty)
+    assert(names(Rls.visible(objects, policies,
+      Context("authenticated", Some("u2"), "object.list"), "delete")) == Seq("c.png", "d.txt"))
+    assert(Rls.visible(objects, policies,
+      Context("service_role", None, "object.list"), "delete").count() == 4)
+  }
+
   test("RLS predicate pushes into the scan (no post-filter barrier)") {
     val ctx = Context("authenticated", Some("u1"), "object.list")
     val plan = Rls.visible(objects, Seq(readOwn), ctx)

@@ -67,6 +67,55 @@ class TemporalSpec extends SparkTestBase {
     assert(got.nonEmpty && got == brute)
   }
 
+  test("rangeJoinAgg: sum/max/collect over the lookback window; NULL vs filled no-match") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 12:00:00")),
+      (11L, 2L, ts("2024-01-01 12:00:00"))) // key 2: no right rows at all
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, ts("2024-01-01 12:00:00"), 5L),
+      (1L, ts("2024-01-01 11:00:00"), 100L), // window start → excluded
+      (1L, ts("2024-01-01 11:30:00"), 7L),
+      (3L, ts("2024-01-01 11:59:00"), 9L)) // other key
+      .toDF("user_id", "ts", "amount")
+    val got = Temporal.rangeJoinAgg(left, right, "user_id", "ts", 3600L, "event_id",
+        payload = Seq("amount"),
+        aggs = Seq(sum(col("amount")).as("amt_sum"), max(col("amount")).as("amt_max"),
+          sort_array(collect_list(col("amount"))).as("amts")),
+        fill = Map("amt_sum" -> lit(0L)))
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) Nil else r.getSeq[Long](5).toList)).toSeq
+    // no-match row: unfilled aggregates stay NULL (read back as Nil/-1 here)
+    assert(got == Seq((10L, 12L, 7L, List(5L, 7L)), (11L, 0L, -1L, Nil)))
+  }
+
+  test("rangeJoinAgg sum agrees with brute-force on the events fixture") {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    val got = Temporal.rangeJoinAgg(purchases, clicks, "user_id", "ts", 3600L,
+        "event_id", payload = Seq("event_id"),
+        aggs = Seq(sum(col("event_id")).as("s"), count(lit(1)).as("n")),
+        fill = Map("s" -> lit(0L), "n" -> lit(0L)))
+      .select(col("event_id"), col("s"), col("n"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val brute = purchases.as("p").join(clicks.as("c"),
+        col("c.user_id") === col("p.user_id") &&
+          col("c.ts") <= col("p.ts") &&
+          col("c.ts") > col("p.ts") - expr("INTERVAL 3600 SECONDS"), "left")
+      .groupBy(col("p.event_id").as("event_id"))
+      .agg(coalesce(sum(col("c.event_id")), lit(0L)).as("s"),
+        sum(when(col("c.user_id").isNotNull, 1L).otherwise(0L)).as("n"))
+      .orderBy(col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty && got == brute)
+  }
+
   test("rangeJoinCount agrees with brute-force on the events fixture") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
