@@ -75,6 +75,43 @@ object QueriesVector {
     s"WITH ${kcenterChainCtes(k)}\n$out\nORDER BY k"
   }
 
+  /** Generated CTE chain replaying [[Vectors.kmeansPlusPlusInit]]: round j
+    * draws τ = frac_j · ΣD² (seeded scale-6 decimal fractions as literals —
+    * exact decimal arithmetic end to end) and selects the first id whose
+    * cumulative D² reaches τ. The oracle's single global window is fine at
+    * oracle scale; the ENGINE does the partition-census crossing search. */
+  private def kppChainCtes(k: Int): String = {
+    val fracs = Vectors.kppFracs(k)
+    val init =
+      s"""v AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |k1 AS (SELECT id, e, CAST(0 AS DECIMAL(38,6)) AS d FROM (
+         |    SELECT id, e, row_number() OVER (ORDER BY id) AS rn,
+         |           count(*) OVER () AS n FROM v)
+         |  WHERE rn >= ${fracs(0)} * n ORDER BY id LIMIT 1),
+         |d1 AS (SELECT v.id, v.e,
+         |    CAST(round(${l2Fold("v.e", "k1.e")}, 6) AS DECIMAL(38,6)) AS d FROM v, k1)""".stripMargin
+    val rounds = (2 to k).map { j =>
+      s"""k$j AS (SELECT id, e, d FROM (
+         |    SELECT p.id, p.e, p.d,
+         |      sum(p.d) OVER (ORDER BY p.id ROWS UNBOUNDED PRECEDING) AS cum,
+         |      sum(p.d) OVER () AS tot
+         |    FROM d${j - 1} p)
+         |  WHERE cum >= ${fracs(j - 1)} * tot
+         |  ORDER BY id LIMIT 1),
+         |d$j AS (SELECT p.id, p.e,
+         |    least(p.d, CAST(round(${l2Fold("p.e", s"k$j.e")}, 6) AS DECIMAL(38,6))) AS d
+         |  FROM d${j - 1} p, k$j)""".stripMargin
+    }.mkString(",\n")
+    s"$init,\n$rounds"
+  }
+
+  private def kppOracle(k: Int): String = {
+    val out = (1 to k).map(j =>
+      s"SELECT $j AS k, id AS cid, CAST(d AS DOUBLE) AS d2 FROM k$j")
+      .mkString("\nUNION ALL\n")
+    s"WITH ${kppChainCtes(k)}\n$out\nORDER BY k"
+  }
+
   /** List-size census under both inits: the seeded row sample vs the
     * k-center chain's centroids, assignments recomputed per row. */
   private def ivfBalanceOracle(k: Int): String =
@@ -450,6 +487,21 @@ object QueriesVector {
           .orderBy(col("k")),
       oracle = Some(kcenterOracle(6)),
       doc = "farthest-point k-center IVF init (6 rounds), oracle replays the selection loop"),
+
+    // k-means++ D² init (Arthur & Vassilvitskii 2007) beside the Gonzalez
+    // init — the probability-proportional draw production k-means actually
+    // starts from, determinized by externalizing the randomness into seeded
+    // scale-6 decimal fractions (query parameters). The engine's crossing
+    // search is the distributed partition-census prefix sum (no global
+    // window); the oracle replays every round's exact-decimal inverse-CDF
+    // selection, so the hash-match certifies threshold arithmetic, keeper
+    // order, and the D² fold all at once.
+    "v3_kmeanspp_init" -> Q(
+      fn = (s, dir) =>
+        Vectors.kmeansPlusPlusInit(Tables.embeddings(s, dir), "vec_id", "embedding", 6)
+          .orderBy(col("k")),
+      oracle = Some(kppOracle(6)),
+      doc = "k-means++ D² init (6 rounds), deterministic inverse-CDF draw, oracle replays the loop"),
 
     // IVF list-balance census: per-centroid assignment counts under the
     // seeded row sample vs the k-center init — the diagnostic that says

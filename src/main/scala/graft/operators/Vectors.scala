@@ -298,6 +298,116 @@ object Vectors {
       .toDF("k", "cid", "radius")
   }
 
+  /** The deterministic per-round sampling fractions for
+    * [[kmeansPlusPlusInit]] — a seeded stream, embedded as literals in the
+    * engine AND the oracle SQL (query parameters, like the LSH planes).
+    * Scale-6 decimals in (0, 1): τ = frac · ΣD² stays EXACT decimal
+    * arithmetic end to end, so the crossing comparison never touches a
+    * double-rounding seam on either engine. */
+  def kppFracs(k: Int, seed: Long = 42L): Seq[BigDecimal] = {
+    val r = new scala.util.Random(seed)
+    Seq.fill(k)(BigDecimal(BigInt(r.nextInt(999999) + 1), 6))
+  }
+
+  /** k-means++ D² initialization (Arthur & Vassilvitskii 2007) in the
+    * deterministic inverse-CDF form: round j draws threshold
+    * τ = frac_j · ΣD² (frac from the seeded [[kppFracs]] stream) and picks
+    * the first point, in key order, whose cumulative D² reaches τ — exactly
+    * the paper's D²-weighted draw with the randomness externalized into
+    * reproducible query parameters. Round 1 is the same rule over uniform
+    * weights. Complements [[farthestPointInit]] (Gonzalez): ++ trades the
+    * outlier-chasing max for probability-proportional spread, the init
+    * k-means practice actually uses.
+    *
+    * Scale shape: NO global cumulative window. The corpus is range-
+    * partitioned by key once; each round is (a) one partition-census
+    * aggregate (P rows to the driver — the prefix-offset pattern shared
+    * with `TextAnalysis.vocabCoverage`), (b) ONE range shard scanned with a
+    * partition-local running sum to find the crossing row. D² values round
+    * to 6 dp and accumulate as DECIMAL(38,6), so partition-wise association
+    * equals any sequential scan bit-for-bit — the cross-engine (and
+    * cross-plan) determinism the repo's invariants require for
+    * order-dependent sums. Returns (k, cid, d2): the selected key and its
+    * D² to the prior set at selection time. */
+  def kmeansPlusPlusInit(vectors: DataFrame, keyCol: String, embCol: String,
+                         k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k-means++ init needs k >= 1, got $k")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val fracs = kppFracs(k, seed)
+    val v0 = vectors.select(col(keyCol).cast("long").as("id"),
+        col(embCol).cast("array<double>").as("e"))
+      .repartitionByRange(nPart, col("id"))
+      .withColumn("pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("pid")).orderBy(col("id"))
+    // round 1: uniform draw — rank crossing in exact long arithmetic
+    val cCensus = v0.groupBy(col("pid")).agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val nTotal = cCensus.map(_._2).sum
+    require(nTotal > 0, "k-means++ init on an empty relation")
+    val tau1 = fracs.head * BigDecimal(nTotal) // scale-6 exact
+    val (pid1, rankOff1) = crossingPartition(
+      cCensus.map { case (p, n) => (p, BigDecimal(n)) }, tau1)
+    val firstRow = v0.filter(col("pid") === pid1)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") >= lit((tau1 - rankOff1).bigDecimal))
+      .orderBy(col("id")).limit(1).select(col("id"), col("e")).collect()(0)
+    var chosen = List((firstRow.getLong(0), firstRow.getSeq[Double](1).toSeq, 0.0))
+    var d = v0.withColumn("d",
+      round(graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)), 6)
+        .cast("decimal(38,6)"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    d.count()
+    var exhausted = false
+    for (j <- 2 to k if !exhausted) {
+      val census = d.groupBy(col("pid")).agg(sum(col("d")).as("s"))
+        .collect().map(r => (r.getInt(0), BigDecimal(r.getDecimal(1)))).sortBy(_._1)
+      val total = census.map(_._2).sum
+      if (total == 0) exhausted = true // all remaining points coincide with a centroid
+      else {
+        val tau = fracs(j - 1) * total // scale-12 exact
+        val (pStar, off) = crossingPartition(census, tau)
+        val row = d.filter(col("pid") === pStar)
+          .withColumn("cum", sum(col("d")).over(
+            w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+          .filter(col("cum") >= lit((tau - off).bigDecimal))
+          .orderBy(col("id")).limit(1)
+          .select(col("id"), col("e"), col("d").cast("double")).collect()(0)
+        chosen = (row.getLong(0), row.getSeq[Double](1).toSeq, row.getDouble(2)) :: chosen
+        val old = d
+        d = d.withColumn("d", least(col("d"),
+          round(graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)), 6)
+            .cast("decimal(38,6)")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        d.count()
+        old.unpersist()
+      }
+    }
+    d.unpersist()
+    v0.unpersist()
+    chosen.reverse.zipWithIndex
+      .map { case ((cid, _, d2), i) => (i + 1, cid, d2) }
+      .toDF("k", "cid", "d2")
+  }
+
+  /** Smallest pid whose prefix-inclusive mass reaches `tau`, plus the
+    * exclusive prefix below it — the driver side of the crossing search. */
+  private def crossingPartition(census: Seq[(Int, BigDecimal)],
+                                tau: BigDecimal): (Int, BigDecimal) = {
+    val prefixes = census.scanLeft(BigDecimal(0))(_ + _._2).init
+    census.zip(prefixes)
+      .collectFirst { case ((p, s), acc) if acc + s >= tau => (p, acc) }
+      .getOrElse {
+        // tau rounded past the total: the last non-empty partition holds
+        // the final crossing row
+        val i = census.lastIndexWhere(_._2 > 0) max 0
+        (census(i)._1, prefixes(i))
+      }
+  }
+
   /** Product-quantization encode: split each vector into `m` subspaces and
     * store, per subspace, the index (1-based) of the nearest codebook entry —
     * the memory-scale ANN path (a 64-float vector compresses to m bytes, so

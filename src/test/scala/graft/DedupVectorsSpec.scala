@@ -171,6 +171,43 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(radii == radii.sorted.reverse)
   }
 
+  test("kmeansPlusPlusInit matches a local inverse-CDF replay") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val got = Vectors.kmeansPlusPlusInit(emb, "vec_id", "embedding", 5)
+      .orderBy(col("k")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+    val all = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    def l2(a: Array[Double], b: Array[Double]): BigDecimal = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val fracs = Vectors.kppFracs(5)
+    // round 1: uniform inverse CDF — first rank reaching frac*n
+    val tau1 = fracs.head * BigDecimal(all.length)
+    val first = all(all.indices.find(i => BigDecimal(i + 1) >= tau1).get)
+    var chosen = List((first._1, first._2, BigDecimal(0)))
+    val dist = scala.collection.mutable.LinkedHashMap(
+      all.map(v => v._1 -> l2(v._2, first._2)): _*)
+    for (j <- 2 to 5) {
+      val total = dist.values.sum
+      val tau = fracs(j - 1) * total
+      var cum = BigDecimal(0)
+      val (nid, nd) = dist.toSeq.collectFirst {
+        case (id, d) if { cum += d; cum >= tau } => (id, d)
+      }.get
+      val ne = all.find(_._1 == nid).get._2
+      chosen = (nid, ne, nd) :: chosen
+      all.foreach { case (id, e) => dist(id) = dist(id) min l2(e, ne) }
+    }
+    val expected = chosen.reverse.zipWithIndex
+      .map { case ((cid, _, d2), i) => (i + 1, cid, d2.toDouble) }
+    assert(got == expected)
+    // distinct centroids, and the uniform first pick is NOT simply min-id
+    assert(got.map(_._2).distinct.size == 5)
+  }
+
   test("farthestPointInit edge guards: k >= 1, empty input, k > distinct rows") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfDir)
