@@ -356,36 +356,45 @@ object Vectors {
       .filter(col("rn") >= lit((tau1 - rankOff1).bigDecimal))
       .orderBy(col("id")).limit(1).select(col("id"), col("e")).collect()(0)
     var chosen = List((firstRow.getLong(0), firstRow.getSeq[Double](1).toSeq, 0.0))
+    // d stays a DOUBLE column (cheap to persist and fold); every AGGREGATE
+    // casts it to DECIMAL(38,6) first. round(x, 6) stores the double nearest
+    // the exact 6-dp decimal, and double→decimal(38,6) recovers that decimal
+    // exactly (decimal spacing 1e-6 dwarfs the double ulp), so the sums are
+    // identical to carrying decimals throughout — without per-row BigDecimal
+    // arithmetic in the hot persist/fold path (6x observed at sf0.1).
+    val dDec = col("d").cast("decimal(38,6)")
     var d = v0.withColumn("d",
-      round(graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)), 6)
-        .cast("decimal(38,6)"))
+      round(graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)), 6))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    d.count()
+    // the previous round's relation: unpersisted only after the census job
+    // has materialized the new one (the fold reads it)
+    var pending: Option[DataFrame] = None
     var exhausted = false
     for (j <- 2 to k if !exhausted) {
-      val census = d.groupBy(col("pid")).agg(sum(col("d")).as("s"))
+      val census = d.groupBy(col("pid")).agg(sum(dDec).as("s"))
         .collect().map(r => (r.getInt(0), BigDecimal(r.getDecimal(1)))).sortBy(_._1)
+      pending.foreach(_.unpersist())
+      pending = None
       val total = census.map(_._2).sum
       if (total == 0) exhausted = true // all remaining points coincide with a centroid
       else {
         val tau = fracs(j - 1) * total // scale-12 exact
         val (pStar, off) = crossingPartition(census, tau)
         val row = d.filter(col("pid") === pStar)
-          .withColumn("cum", sum(col("d")).over(
+          .withColumn("cum", sum(dDec).over(
             w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
           .filter(col("cum") >= lit((tau - off).bigDecimal))
           .orderBy(col("id")).limit(1)
-          .select(col("id"), col("e"), col("d").cast("double")).collect()(0)
+          .select(col("id"), col("e"), col("d")).collect()(0)
         chosen = (row.getLong(0), row.getSeq[Double](1).toSeq, row.getDouble(2)) :: chosen
         val old = d
         d = d.withColumn("d", least(col("d"),
-          round(graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)), 6)
-            .cast("decimal(38,6)")))
+          round(graft.functions.VectorExprs.l2Sq(col("e"), typedLit(chosen.head._2)), 6)))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        d.count()
-        old.unpersist()
+        pending = Some(old)
       }
     }
+    pending.foreach(_.unpersist())
     d.unpersist()
     v0.unpersist()
     chosen.reverse.zipWithIndex
