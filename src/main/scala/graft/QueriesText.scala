@@ -792,6 +792,48 @@ object QueriesText {
 
     // Deterministic stratified sampling — the training-mix step. Hash-based
     // (md5 bucket), so the kept set is identical in any engine/partitioning.
+    // Exact corpus percentiles (data-card statistics): order statistics over
+    // the value histogram with the distributed prefix-sum — the principled
+    // replacement for approx_percentile, whose sketch-merge order makes it
+    // engine- and run-dependent (ungradeable, and un-reproducible in a data
+    // card). ⌈n·p/100⌉ rank arithmetic stays in exact longs.
+    "text_length_quantiles" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.exactQuantiles(Tables.documents(s, dir), "n_chars", Seq(50, 90, 99))
+          .orderBy(col("pct")),
+      oracle = Some(
+        """WITH h AS (SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+          |           FROM documents GROUP BY 1),
+          |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+          |cc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum FROM h)
+          |SELECT p.pct, min(cc.v) AS value, min(t.n) AS n_rows
+          |FROM (VALUES (50), (90), (99)) p(pct), cc, t
+          |WHERE cc.cum >= (t.n * p.pct + 99) // 100
+          |GROUP BY p.pct ORDER BY pct""".stripMargin),
+      doc = "exact doc-length percentiles via histogram prefix sum (no sketch, engine-exact)"),
+
+    // Fixed-budget per-stratum sample (eval sets, human-review batches):
+    // exactly k rows per language, selected by smallest (md5-bucket, id) —
+    // rerun-stable where rate sampling drifts in size. Skew-proof two-phase
+    // top-k (bounded partials per row-salt); the oracle is the global
+    // window formulation — the hash-match proves the hierarchy exact.
+    "sample_fixed_k" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Sampling.fixedKPerStratum(
+          Tables.documents(s, dir), "lang", "doc_id", 20, salt = "evalset")
+          .orderBy(col("lang"), col("doc_id")),
+      oracle = Some(
+        """WITH b AS (SELECT lang, doc_id,
+          |    CAST('0x' || substr(md5(concat('evalset', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT)
+          |      % 10000 AS bkt
+          |  FROM documents),
+          |r AS (SELECT lang, doc_id,
+          |        row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn
+          |      FROM b)
+          |SELECT lang, doc_id FROM r WHERE rn <= 20
+          |ORDER BY lang, doc_id""".stripMargin),
+      doc = "fixed-k deterministic sample per stratum (reservoir replacement, exact budget)"),
+
     "sample_stratified" -> Q(
       fn = (s, dir) => {
         val d = Tables.documents(s, dir).withColumn("stratum",

@@ -50,6 +50,28 @@ object Sampling {
     df.filter(sampleBucket(col(keyCol), salt) <
       round(least(greatest(weight, lit(0.0)), lit(1.0)) * 10000).cast("long"))
 
+  /** Fixed-BUDGET deterministic sample: exactly min(k, |stratum|) rows per
+    * stratum — the k with the smallest ([[sampleBucket]], key) pair — the
+    * distributed, rerun-stable replacement for reservoir sampling (rate
+    * samples drift in size with the data; eval sets and human-review
+    * batches need exact budgets). Skew-proof by the [[Skew]] hierarchy: a
+    * bounded partial top-k per (stratum, row-salt) then one merge per
+    * stratum, so reducer state is O(salts·k) however hot the stratum.
+    * Returns (stratum, key) rows. */
+  def fixedKPerStratum(df: DataFrame, stratumCol: String, keyCol: String,
+                       k: Int, salt: String = "", salts: Int = 16): DataFrame = {
+    require(k >= 1, s"fixed-k sample needs k >= 1, got $k")
+    val pair = struct(sampleBucket(col(keyCol), salt).as("b"),
+      col(keyCol).as("key"))
+    df.withColumn("_salt", pmod(monotonically_increasing_id(), lit(salts.toLong)))
+      .groupBy(col(stratumCol), col("_salt"))
+      .agg(slice(sort_array(collect_list(pair)), 1, k).as("_part"))
+      .groupBy(col(stratumCol))
+      .agg(slice(sort_array(flatten(collect_list(col("_part")))), 1, k).as("_sel"))
+      .select(col(stratumCol), explode(col("_sel")).as("_s"))
+      .select(col(stratumCol), col("_s.key").as(keyCol))
+  }
+
   /** Stratified deterministic sample: per-stratum keep rates (training-mix
     * weights). The rate table is a handful of rows — it rides into the plan
     * as a broadcast join; strata absent from the map keep `defaultFraction`.

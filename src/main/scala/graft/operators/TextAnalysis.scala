@@ -531,35 +531,42 @@ object TextAnalysis {
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val lm = df.select(explode(words(col(textCol))).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c"))
-      // range-partition in output order; pid is stable (range i < range i+1)
-      .repartitionByRange(nPart, col("c").desc, col("w"))
-      .withColumn("pid", spark_partition_id())
+    val cum = Prefix.withRankAndCumSum(lm,
+      Seq(col("c").desc, col("w")), col("c"), nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // partition census: nPart rows to the driver (exclusive prefix offsets)
-    val census = lm.groupBy(col("pid"))
-      .agg(count(lit(1)).as("rows"), sum(col("c")).as("toks"))
-      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
-    val n = census.map(_._3).sum
-    val offsets = census.scanLeft((0L, 0L)) { case ((ro, to), (_, r, t)) =>
-      (ro + r, to + t)
-    }.init
-    val offRows = map(census.map(_._1).zip(offsets)
-      .flatMap { case (p, (ro, _)) => Seq(lit(p), lit(ro)) }: _*)
-    val offToks = map(census.map(_._1).zip(offsets)
-      .flatMap { case (p, (_, to)) => Seq(lit(p), lit(to)) }: _*)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("pid")).orderBy(col("c").desc, col("w"))
-    val cum = lm
-      .withColumn("rnk", element_at(offRows, col("pid")) + row_number().over(w))
-      .withColumn("cum", element_at(offToks, col("pid")) + sum(col("c")).over(
-        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val n = cum.agg(sum(col("c"))).head().getLong(0)
     thresholds.map { t =>
       cum.filter(col("cum") * 100 >= lit(n) * t)
         .agg(min(col("rnk")).cast("long").as("vocab_size"),
           min_by(col("cum"), col("rnk")).as("covered_tokens"))
         .select(lit(t).as("threshold_pct"), col("vocab_size"),
           col("covered_tokens"), lit(n).as("total_tokens"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Exact percentiles as order statistics over the VALUE HISTOGRAM: the
+    * p-th percentile is the smallest value whose cumulative count reaches
+    * ⌈n·p/100⌉. The histogram reduces the corpus to its distinct values
+    * (doc lengths, quality scores, token counts — always ≪ rows), and the
+    * cumulative count is [[Prefix.withRankAndCumSum]]'s distributed prefix
+    * sum — no global sort, no single-partition window, and EXACT (integer
+    * rank arithmetic), unlike approx_percentile's sketch, whose merge order
+    * makes it engine- and run-dependent. The data-card statistic every
+    * corpus report starts from. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val hist = df.groupBy(col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val cum = Prefix.withRankAndCumSum(hist, Seq(col("v")), col("c"), nPart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cum.agg(sum(col("c"))).head().getLong(0)
+    percents.map { p =>
+      val rank = (n * p + 99) / 100 // ⌈n·p/100⌉, exact long arithmetic
+      cum.filter(col("cum") >= rank)
+        .agg(min(col("v")).as("value"))
+        .select(lit(p).as("pct"), col("value"), lit(n).as("n_rows"))
     }.reduce(_ unionByName _)
   }
 

@@ -102,6 +102,52 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
   }
 
+  test("exactQuantiles: order statistics match a local sorted recompute") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = TextAnalysis.exactQuantiles(docs, "n_chars", Seq(1, 50, 90, 99, 100))
+      .orderBy(col("pct")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val vals = docs.select(col("n_chars").cast("long")).collect()
+      .map(_.getLong(0)).sorted
+    val n = vals.length.toLong
+    val want = Seq(1, 50, 90, 99, 100).map { p =>
+      val rank = ((n * p + 99) / 100).toInt // ⌈n·p/100⌉, 1-based
+      (p, vals(rank - 1), n)
+    }
+    assert(got == want)
+    // no global window in the plan (the Prefix helper's whole point)
+    val bare = TextAnalysis.exactQuantiles(docs, "n_chars", Seq(50))
+      .queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+          if w.partitionSpec.isEmpty => w
+      }
+    assert(bare.isEmpty)
+  }
+
+  test("fixedKPerStratum: exact budget, matches the window formulation, rerun-stable") {
+    val docs = Tables.documents(spark, sfDir)
+    val got = graft.operators.Sampling.fixedKPerStratum(docs, "lang", "doc_id", 7, "s1")
+      .orderBy(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // window/row_number reference (fine at test scale)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang"))
+      .orderBy(graft.operators.Sampling.sampleBucket(col("doc_id"), "s1"), col("doc_id"))
+    val want = docs.withColumn("rn", row_number().over(w)).filter(col("rn") <= 7)
+      .select(col("lang"), col("doc_id"))
+      .orderBy(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.nonEmpty && got == want)
+    // exact budget per stratum (every fixture lang has >= 7 docs)
+    assert(got.groupBy(_._1).values.forall(_.size == 7))
+    // deterministic across reruns (placement-insensitive partials)
+    val again = graft.operators.Sampling.fixedKPerStratum(
+      docs.repartition(7), "lang", "doc_id", 7, "s1")
+      .orderBy(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(again == got)
+  }
+
   test("removeDuplicateSpans: first occurrence kept, spans cut and clipped, text rebuilt") {
     import spark.implicits._
     val df = Seq(
