@@ -49,6 +49,36 @@ object QueriesEvents {
           |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin),
       doc = "windowed agg (streaming twin: graft.streaming)"),
 
+    // Gap-timeout sessionization (30 min): the event-stream structuring
+    // step before per-session features, and the batch twin of Structured
+    // Streaming's session windows. One keyed window pass (lag flags a
+    // session start, a running sum numbers it — O(1) state, hot users are
+    // scan-bound) + one combinable groupBy for the census. Tie-safe by
+    // construction: at most one row of an equal-ts group opens a session,
+    // so session_no is identical under any tie order.
+    "t_sessionize" -> Q(
+      fn = (s, dir) =>
+        operators.Temporal.sessionStats(
+          Tables.events(s, dir).select(col("user_id"), col("ts")),
+          "user_id", "ts", 1800L)
+          .orderBy(col("user_id"), col("session_no")),
+      oracle = Some(
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |l AS (SELECT user_id, ts,
+          |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM e),
+          |f AS (SELECT user_id, ts, CASE WHEN pts IS NULL
+          |        OR epoch_us(ts) - epoch_us(pts) > 1800000000 THEN 1 ELSE 0 END AS nf
+          |      FROM l),
+          |s AS (SELECT user_id, ts, CAST(sum(nf) OVER (
+          |        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT)
+          |        AS session_no FROM f)
+          |SELECT user_id, session_no, count(*) AS n_events,
+          |       min(ts) AS session_start, max(ts) AS session_end,
+          |       (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS span_sec
+          |FROM s GROUP BY user_id, session_no
+          |ORDER BY user_id, session_no""".stripMargin),
+      doc = "gap-timeout sessionization + per-session census (batch twin of session windows)"),
+
     // A8 queue metrics: counts by state/type for monitoring (queue.ts).
     "e_queue_metrics" -> Q(
       fn = (s, dir) => Tables.events(s, dir)

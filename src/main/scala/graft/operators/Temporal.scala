@@ -76,6 +76,48 @@ object Temporal {
       payload = Seq.empty, aggs = Seq(count(lit(1)).as("n_in_window")),
       fill = Map("n_in_window" -> lit(0L)))
 
+  /** Event sessionization: split each key's timeline into sessions at
+    * inactivity gaps > `gapSeconds` — the event-stream structuring step
+    * before per-session features (and the batch twin of Structured
+    * Streaming's session windows). A session is numbered by its ordinal
+    * within the key (1-based, time order).
+    *
+    * Scale shape: ONE shuffle on the key and a keyed window — `lag(ts)`
+    * marks session starts, a running sum of start flags numbers them;
+    * both windows carry O(1) state, so a hot key is scan-bound like
+    * [[asOfJoin]]. Gap comparison is epoch-micros long arithmetic.
+    * Returns the input rows plus `session_no`. */
+  def sessionize(df: DataFrame, key: String, ts: String,
+                 gapSeconds: Long): DataFrame = {
+    // deterministic at ties without a tiebreak column: rows with equal ts
+    // can order either way, but at most ONE of a tie group opens a session
+    // (the others see gap 0), so the running session count — and therefore
+    // every row's session_no — is identical under any tie order
+    val prev = lag(unix_micros(col(ts)), 1).over(
+      Window.partitionBy(col(key)).orderBy(col(ts)))
+    df.withColumn("_new", when(
+        prev.isNull || unix_micros(col(ts)) - prev > gapSeconds * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("session_no", sum(col("_new")).over(
+        Window.partitionBy(col(key)).orderBy(col(ts))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("_new")
+  }
+
+  /** Per-session census over [[sessionize]]: events, span, bounds — the
+    * aggregate consumers (session length features, engagement stats)
+    * read. One additional groupBy((key, session_no)) — combinable
+    * aggregates only, skew-immune. */
+  def sessionStats(df: DataFrame, key: String, ts: String,
+                   gapSeconds: Long): DataFrame =
+    sessionize(df, key, ts, gapSeconds)
+      .groupBy(col(key), col("session_no"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(ts)).as("session_start"),
+        max(col(ts)).as("session_end"),
+        ((unix_micros(max(col(ts))) - unix_micros(min(col(ts)))) / 1000000L)
+          .cast("long").as("span_sec"))
+
   /** General form of [[rangeJoinCount]]: any aggregates over the right rows
     * in `(left.ts - window, left.ts]` — sums, collects, min/max — not just
     * the count. `payload` names the right columns the aggregates read (kept

@@ -116,6 +116,24 @@ class TemporalSpec extends SparkTestBase {
     assert(got.nonEmpty && got == brute)
   }
 
+  test("sessionize: gap splits, boundary inclusivity, tie safety, census") {
+    val df = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:20:00")), // 20 min — same session (<= 30 min)
+      (1L, ts("2024-01-01 10:50:00")), // exactly 30 min — same session (> is strict)
+      (1L, ts("2024-01-01 11:50:01")), // 3601 s — NEW session
+      (1L, ts("2024-01-01 11:50:01")), // duplicate ts — same session whatever the tie order
+      (2L, ts("2024-01-01 09:00:00"))) // other key: its own session 1
+      .toDF("user_id", "ts")
+    val got = Temporal.sessionStats(df, "user_id", "ts", 1800L)
+      .orderBy(col("user_id"), col("session_no"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(5))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L, 3000L), // 10:00→10:50
+      (1L, 2L, 2L, 0L),
+      (2L, 1L, 1L, 0L)))
+  }
+
   test("rangeJoinCount agrees with brute-force on the events fixture") {
     val ev = Tables.events(spark, sfDir)
     val purchases = ev.filter(col("event_type") === "purchase")
