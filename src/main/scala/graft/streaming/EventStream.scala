@@ -207,4 +207,25 @@ object EventStream {
     events.withWatermark("created_at", watermarkDelay)
       .groupBy(window(col("created_at"), windowLength), col("queue"))
       .agg(count(lit(1)).as("n"))
+
+  /** Streaming gap-timeout sessionization — the native `session_window`
+    * form of [[graft.operators.Temporal.sessionStats]]; `StreamingSpec`
+    * pins batch/stream parity on the census. One boundary convention
+    * differs: session windows are half-open `[t, t+gap)`, so a silence of
+    * EXACTLY the gap seals the streaming session, while the batch op's
+    * strict `>` keeps it open — off that single instant the two censuses
+    * are identical. Watermark bounds the open-session state; emits one
+    * row per sealed session with the same census columns (minus the
+    * ordinal, which an append-mode stream cannot number globally). */
+  def sessionizedStats(events: DataFrame, keyCol: String, tsCol: String,
+                       gapSeconds: Long,
+                       watermarkDelay: String = "10 minutes"): DataFrame =
+    events.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), s"$gapSeconds seconds"), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("session_start"),
+        max(col(tsCol)).as("session_end"),
+        ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))) / 1000000L)
+          .cast("long").as("span_sec"))
+      .drop("session_window")
 }

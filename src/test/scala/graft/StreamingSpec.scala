@@ -242,6 +242,40 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("win_out").schema.fieldNames.contains("n"))
   }
 
+  test("streaming session_window census matches batch sessionStats") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 10:10:00")), // same session
+      (1L, ts("2024-01-01 11:20:00")), // 70 min gap → new session
+      (1L, ts("2024-01-01 11:20:00")), // duplicate ts
+      (2L, ts("2024-01-01 09:00:00")),
+      // late sentinel far in the future: advances the watermark past every
+      // session end so append mode seals and emits them all
+      (9L, ts("2024-01-02 00:00:00")))
+    val input = MemoryStream[(Long, java.sql.Timestamp)]
+    input.addData(events: _*)
+    val out = EventStream.sessionizedStats(
+      input.toDF.toDF("user_id", "ts"), "user_id", "ts", 1800L)
+    val q = out.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("sess_out")
+      .select("user_id", "n_events", "session_start", "span_sec")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val want = graft.operators.Temporal.sessionStats(
+        events.toDF("user_id", "ts").filter(col("user_id") =!= 9L), "user_id", "ts", 1800L)
+      .select(col("user_id"), col("n_events"), col("session_start"), col("span_sec"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    // the sentinel's own session may or may not seal; compare the real keys
+    assert(got.filter(_._1 != 9L) == want && want.size == 3)
+  }
+
   test("corpus ingest: quality gate + watermarked exact dedup on a doc stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
