@@ -453,6 +453,45 @@ object QueriesText {
            |GROUP BY id ORDER BY doc_id""".stripMargin),
       doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
 
+    // Within-host boilerplate removal (WET/CCNet chrome cleanup — distinct
+    // from text_line_dedup's global first-occurrence rule: boilerplate has
+    // NO survivor). Each host's spliced cookie-banner header (2 aligned
+    // 4-word lines, host token inside so it never crosses hosts) must
+    // vanish from every one of its docs; content lines survive untouched.
+    // Hash-checking the rebuilt text certifies the df threshold, the
+    // within-host scoping, and line-order reconstruction.
+    "text_boilerplate_removal" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("h"), (col("doc_id") % 25).cast("string")).as("host"),
+          concat(lit("cookie notice for h"), (col("doc_id") % 25).cast("string"),
+            lit(" click accept to continue "), col("text")).as("text"))
+        TextAnalysis.boilerplateRemoval(d, "doc_id", "host", "text", 4, minDocs = 3)
+          .withColumnRenamed("id", "doc_id")
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, 'h' || (doc_id % 25) AS host,
+           |             concat('cookie notice for h', (doc_id % 25),
+           |                    ' click accept to continue ', text) AS text
+           |           FROM documents),
+           |w AS (SELECT doc_id, host, $wordsSql AS ws FROM d),
+           |l0 AS (SELECT doc_id, host, unnest(list_transform(
+           |    generate_series(0, CAST(floor((len(ws) + 3) / 4) AS INT) - 1),
+           |    i -> struct_pack(line_no := i, line := array_to_string(ws[i*4+1 : i*4+4], ' ')))) AS u
+           |  FROM w),
+           |l AS (SELECT doc_id, host, CAST(u.line_no AS BIGINT) AS line_no, u.line AS line FROM l0),
+           |b AS (SELECT host, line FROM (SELECT host, line, count(DISTINCT doc_id) AS docs
+           |                              FROM l GROUP BY host, line) WHERE docs >= 3),
+           |m AS (SELECT l.doc_id, l.line_no, l.line, b.line IS NOT NULL AS is_boiler
+           |      FROM l LEFT JOIN b ON l.host = b.host AND l.line = b.line)
+           |SELECT doc_id, count(*) AS n_lines,
+           |  CAST(sum(CASE WHEN is_boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_lines,
+           |  coalesce(array_to_string(list(line ORDER BY line_no) FILTER (WHERE NOT is_boiler), ' '), '')
+           |    AS kept_text
+           |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "within-host boilerplate removal (chrome lines on >= minDocs docs of a host)"),
+
     // Embedding-cosine near-dup: exact duplicates spliced in at vec_id+100000.
     // LSH-bucketed (4 seeded hyperplanes → 16 sign buckets): the self-join key
     // is the bucket, so no all-pairs/constant-key join exists in the plan —

@@ -295,6 +295,47 @@ object TextAnalysis {
       .select(col("id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
   }
 
+  /** Within-host boilerplate removal (the WET/CCNet cleanup step distinct
+    * from [[lineDedupStats]]'s global first-occurrence dedup): a line that
+    * appears on ≥ `minDocs` DISTINCT documents of the same host is chrome
+    * (nav bars, footers, cookie banners) and is dropped from EVERY document
+    * of that host — no first-occurrence survivor, because boilerplate is
+    * noise, not content. Returns per doc: line counts and the rebuilt text.
+    *
+    * Scale shape: lines reduce to 8-byte hashes for the frequency pass;
+    * distinct (host, line-hash, doc) then ONE groupBy(host, line-hash) —
+    * both combinable, skew-safe (a hot host's lines still spread over the
+    * hash dimension). The boilerplate relation (host, lh) is join-keyed and
+    * corpus-reduced; per-doc reconstruction collects only that doc's own
+    * lines (bounded by doc length). */
+  def boilerplateRemoval(df: DataFrame, idCol: String, hostCol: String,
+                         textCol: String, wordsPerLine: Int = 4,
+                         minDocs: Int = 3): DataFrame = {
+    val lines = df.select(col(idCol).as("id"), col(hostCol).as("host"),
+        words(col(textCol)).as("ws"))
+      .select(col("id"), col("host"), posexplode(transform(
+        sequence(lit(0),
+          floor((size(col("ws")) + lit(wordsPerLine - 1)) / lit(wordsPerLine))
+            .cast("int") - 1),
+        i => array_join(slice(col("ws"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))))
+      .select(col("id"), col("host"), col("pos").cast("long").as("line_no"),
+        col("col").as("line"), xxhash64(col("col")).as("lh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val boiler = lines.select(col("host"), col("lh"), col("id")).distinct()
+      .groupBy(col("host"), col("lh"))
+      .agg(count(lit(1)).as("docs"))
+      .filter(col("docs") >= minDocs)
+      .select(col("host"), col("lh"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("host", "lh"), "left")
+      .withColumn("is_boiler", coalesce(col("is_boiler"), lit(false)))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler_lines"),
+        array_join(transform(array_sort(collect_list(
+          when(!col("is_boiler"), struct(col("line_no"), col("line"))))),
+          s => s.getField("line")), " ").as("kept_text"))
+  }
+
   /** C4-style cross-document line dedup (C4 §2.2 removes any three-sentence
     * span occurring more than once in the corpus; the line is its unit here):
     * every duplicated line keeps only its FIRST occurrence — min (doc,

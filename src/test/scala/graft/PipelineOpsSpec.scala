@@ -102,6 +102,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
   }
 
+  test("boilerplateRemoval: within-host threshold, no survivor, text rebuilt") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", "nav bar menu here alpha beta gamma delta"),
+      (2L, "A", "nav bar menu here epsilon zeta"),
+      (3L, "A", "nav bar menu here"),                      // pure chrome doc
+      (4L, "B", "nav bar menu here own content words x"))  // same line, other host
+      .toDF("doc_id", "host", "text")
+    val got = TextAnalysis.boilerplateRemoval(df, "doc_id", "host", "text", 4, minDocs = 3)
+      .orderBy(col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1L, "alpha beta gamma delta"),
+      (2L, 2L, 1L, "epsilon zeta"),
+      (3L, 1L, 1L, ""),                                   // boilerplate has NO survivor
+      (4L, 2L, 0L, "nav bar menu here own content words x"))) // host B below threshold
+  }
+
   test("exactQuantiles: order statistics match a local sorted recompute") {
     val docs = Tables.documents(spark, sfDir)
     val got = TextAnalysis.exactQuantiles(docs, "n_chars", Seq(1, 50, 90, 99, 100))
