@@ -453,6 +453,31 @@ object QueriesText {
            |GROUP BY id ORDER BY doc_id""".stripMargin),
       doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
 
+    // Winnowing fingerprints (MOSS): per-doc selected-min gram hashes with
+    // the w+k-1 shared-run guarantee. The oracle recomputes the SAME
+    // md5-60-bit hashes and the same window minima in DuckDB list ops —
+    // hash-matching the full fingerprint arrays certifies the selection
+    // (order by hash VALUE, the part a non-portable hash would break).
+    "text_winnowing" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text", 4, 5)
+          .orderBy(col("doc_id")),
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
+           |g AS (SELECT doc_id, list_transform(
+           |    generate_series(1, greatest(len(ws) - 3, 1)),
+           |    i -> CAST('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15) AS BIGINT)) AS gh
+           |  FROM d)
+           |SELECT doc_id, CAST(len(gh) AS BIGINT) AS n_grams,
+           |  CAST(len(list_sort(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(gh) - 4, 1)),
+           |    j -> list_min(gh[j:j+4]))))) AS BIGINT) AS n_fingerprints,
+           |  list_sort(list_distinct(list_transform(
+           |    generate_series(1, greatest(len(gh) - 4, 1)),
+           |    j -> list_min(gh[j:j+4])))) AS fingerprints
+           |FROM g ORDER BY doc_id""".stripMargin),
+      doc = "winnowing fingerprints (MOSS): min-hash-per-window selection, density 2/(w+1)"),
+
     // Within-host boilerplate removal (WET/CCNet chrome cleanup — distinct
     // from text_line_dedup's global first-occurrence rule: boilerplate has
     // NO survivor). Each host's spliced cookie-banner header (2 aligned

@@ -295,6 +295,37 @@ object TextAnalysis {
       .select(col("id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
   }
 
+  /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
+    * algorithm): hash every k-word gram, slide a window of `w` gram hashes,
+    * keep each window's MINIMUM — the selected set is the document's
+    * fingerprint, with the paper's guarantee that any shared run of
+    * ≥ w+k-1 words contributes a shared fingerprint. The density bound
+    * (≈ 2/(w+1) of grams selected) is what makes fingerprint indexes a
+    * fraction of [[duplicatedNgramSpans]]'s full gram relation — winnowing
+    * is the storage-scale variant of span-level dedup.
+    *
+    * Entirely ROW-LOCAL (one scan, zero shuffles): grams, windows, mins,
+    * and the distinct-sort all run inside codegen'd array HOFs. The gram
+    * hash is the portable md5-60-bit kernel (the [[graft.operators.Sampling
+    * .sampleBucket]] construction) because winnowing SELECTS BY HASH ORDER —
+    * a non-portable hash would select different grams per engine. */
+  def winnowingFingerprints(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 4, w: Int = 5): DataFrame = {
+    val md5h: Column => Column = s =>
+      conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+    val ws = words(col(textCol))
+    val gh = transform(sequence(lit(0), greatest(size(ws) - k, lit(0))),
+      i => md5h(array_join(slice(ws, i + 1, lit(k)), " ")))
+    df.select(col(idCol).as("doc_id"), gh.as("gh"))
+      .select(col("doc_id"), size(col("gh")).cast("long").as("n_grams"),
+        array_sort(array_distinct(transform(
+          sequence(lit(0), greatest(size(col("gh")) - w, lit(0))),
+          j => array_min(slice(col("gh"), j + 1, lit(w)))))).as("fingerprints"))
+      .withColumn("n_fingerprints", size(col("fingerprints")).cast("long"))
+      .select(col("doc_id"), col("n_grams"), col("n_fingerprints"),
+        col("fingerprints"))
+  }
+
   /** Within-host boilerplate removal (the WET/CCNet cleanup step distinct
     * from [[lineDedupStats]]'s global first-occurrence dedup): a line that
     * appears on ≥ `minDocs` DISTINCT documents of the same host is chrome

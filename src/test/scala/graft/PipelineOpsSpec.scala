@@ -102,6 +102,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
   }
 
+  test("winnowing: shared w+k-1 run shares a fingerprint; density bounds hold") {
+    import spark.implicits._
+    // k=4, w=5 → guarantee kicks in at shared runs of >= 8 words
+    val df = Seq(
+      (1L, "aa bb cc dd ee ff gg hh unique tail words here indeed"),
+      (2L, "completely different prefix words go first aa bb cc dd ee ff gg hh"),
+      (3L, "no overlap at all in this document text body")).toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowingFingerprints(df, "doc_id", "text", 4, 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getSeq[Long](3).toSet)).toMap
+    assert((fp(1L)._3 intersect fp(2L)._3).nonEmpty,
+      "shared 8-word run must contribute a shared fingerprint")
+    assert((fp(1L)._3 intersect fp(3L)._3).isEmpty)
+    // winnowing selects at least one gram per w-window and at most all
+    fp.values.foreach { case (m, n, set) =>
+      assert(n == set.size && n <= m && n >= (m + 4) / 5)
+    }
+  }
+
   test("boilerplateRemoval: within-host threshold, no survivor, text rebuilt") {
     import spark.implicits._
     val df = Seq(
