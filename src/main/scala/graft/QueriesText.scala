@@ -453,6 +453,69 @@ object QueriesText {
            |GROUP BY id ORDER BY doc_id""".stripMargin),
       doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
 
+    // URL-level dedup (C4's first dedup pass happens on URLs, before any
+    // content work): deterministic messy URLs — case-shuffled schemes,
+    // www., default ports, trailing slashes, shuffled + tracking query
+    // params, fragments — must collapse to one canonical identity per
+    // resource. Hash-checking the canonical strings certifies every
+    // normalization step byte-for-byte.
+    "url_canonical_dedup" -> Q(
+      fn = (s, dir) => {
+        val id = col("doc_id")
+        val raw = concat(
+          when(id % 3 === 0, "http://").when(id % 3 === 1, "HTTPS://").otherwise("https://"),
+          when(id % 2 === 0, "WWW.").otherwise(""),
+          lit("ex"), (id % 50).cast("string"), lit(".com"),
+          when(id % 4 === 0, ":443").otherwise(""),
+          lit("/a/"), (id % 100).cast("string"),
+          when(id % 5 === 0, "/").otherwise(""),
+          when(id % 2 === 0, "?b=2&a=1&utm_source=feed").otherwise("?a=1&b=2"),
+          when(id % 7 === 0, "#frag").otherwise(""))
+        Tables.documents(s, dir)
+          .select(id, raw.as("raw_url"),
+            graft.functions.PathFns.canonicalizeUrl(raw).as("canonical_url"))
+          .groupBy(col("canonical_url"))
+          .agg(count(lit(1)).as("n_requests"),
+            countDistinct(col("raw_url")).as("n_variants"),
+            min(id).as("first_doc"))
+          .orderBy(col("canonical_url"))
+      },
+      oracle = Some(
+        """WITH r AS (SELECT doc_id,
+          |    (CASE WHEN doc_id % 3 = 0 THEN 'http://' WHEN doc_id % 3 = 1 THEN 'HTTPS://' ELSE 'https://' END)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+          |    || 'ex' || (doc_id % 50) || '.com'
+          |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+          |    || '/a/' || (doc_id % 100)
+          |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+          |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed' ELSE '?a=1&b=2' END)
+          |    || (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS raw_url
+          |  FROM documents),
+          |s1 AS (SELECT doc_id, raw_url, regexp_replace(raw_url, '#.*$', '') AS nf FROM r),
+          |s2 AS (SELECT doc_id, raw_url,
+          |         regexp_extract(nf, '^([^?]*)', 1) AS base,
+          |         regexp_extract(nf, '\?(.*)$', 1) AS q FROM s1),
+          |s3 AS (SELECT doc_id, raw_url, q,
+          |         lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+          |           || regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$', 1) AS la
+          |       FROM s2),
+          |s4 AS (SELECT doc_id, raw_url, q,
+          |         regexp_replace(regexp_replace(la, '^(https?://)www\.', '\1'),
+          |                        ':(80|443)(/|$)', '\2') AS np FROM s3),
+          |s5 AS (SELECT doc_id, raw_url, q,
+          |         CASE WHEN regexp_matches(np, '^https?://[^/]*$') THEN np
+          |              ELSE regexp_replace(np, '/+$', '') END AS ns FROM s4),
+          |s6 AS (SELECT doc_id, raw_url, ns,
+          |         array_to_string(list_sort(list_filter(string_split(q, '&'),
+          |           p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p != '')), '&') AS qc
+          |       FROM s5),
+          |c AS (SELECT doc_id, raw_url,
+          |        CASE WHEN qc = '' THEN ns ELSE ns || '?' || qc END AS canonical_url FROM s6)
+          |SELECT canonical_url, count(*) AS n_requests,
+          |       count(DISTINCT raw_url) AS n_variants, min(doc_id) AS first_doc
+          |FROM c GROUP BY canonical_url ORDER BY canonical_url""".stripMargin),
+      doc = "URL canonicalization + URL-level dedup (scheme/www/port/slash/param-order/tracking/fragment)"),
+
     // Winnowing fingerprints (MOSS): per-doc selected-min gram hashes with
     // the w+k-1 shared-run guarantee. The oracle recomputes the SAME
     // md5-60-bit hashes and the same window minima in DuckDB list ops —
