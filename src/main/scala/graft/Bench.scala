@@ -52,6 +52,13 @@ object Bench {
         graft.operators.Dedup.simhashPairs(docs, "doc_id", "text").count()
         spark.catalog.clearCache() // drop the warmup runs' persisted sig tables
       }
+      // Warm the decimal-aggregate + partitioned-window codegen the
+      // prefix-sum family uses (k-means++ census/crossing, quantiles,
+      // vocab coverage) — like the MD5 kernel above, these JIT paths are
+      // engine-resident costs, not per-query costs.
+      graft.operators.Vectors.kmeansPlusPlusInit(
+        Tables.embeddings(spark, sfDir).limit(2048), "vec_id", "embedding", 2).count()
+      spark.catalog.clearCache()
     }
     // Untimed fixture build: the bucketed signature-table CTAS is a ONE-TIME
     // layout cost amortized over every incremental probe (r4 verdict item 5
