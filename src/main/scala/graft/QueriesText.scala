@@ -453,6 +453,110 @@ object QueriesText {
            |GROUP BY id ORDER BY doc_id""".stripMargin),
       doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
 
+    // The web-corpus capstone: the three cleanup stages a crawl pipeline
+    // runs BEFORE content dedup, composed end-to-end — URL-canonical dedup
+    // (first occurrence per resource wins), within-host boilerplate
+    // removal on the survivors, then a token-count quality gate on the
+    // CLEANED text. Per-host census of the funnel. Each stage is graded
+    // green in isolation (url_canonical_dedup, text_boilerplate_removal);
+    // this row certifies their composition.
+    "pipeline_web_corpus" -> Q(
+      fn = (s, dir) => {
+        val id = col("doc_id")
+        val hostS = (id % 25).cast("string")
+        val raw = concat(
+          when(id % 3 === 0, "http://").otherwise("https://"),
+          when(id % 2 === 0, "WWW.").otherwise(""),
+          lit("h"), hostS, lit(".com"),
+          when(id % 4 === 0, ":443").otherwise(""),
+          lit("/a/"), (id % 100).cast("string"),
+          when(id % 5 === 0, "/").otherwise(""),
+          when(id % 2 === 0, "?b=2&a=1&utm_source=feed").otherwise("?a=1&b=2"))
+        val base = Tables.documents(s, dir).select(id,
+            concat(lit("h"), hostS).as("host"), raw.as("raw_url"),
+            concat(lit("cookie notice for h"), hostS,
+              lit(" click accept to continue "), col("text")).as("text"))
+          .withColumn("canonical_url",
+            graft.functions.PathFns.canonicalizeUrl(col("raw_url")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base.count() // both the winner relation and the probe read it
+        val winners = base.groupBy(col("canonical_url"))
+          .agg(min(col("doc_id")).as("doc_id"))
+        val surv = base.join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cleaned = TextAnalysis.boilerplateRemoval(surv, "doc_id", "host", "text", 4, 3)
+          .withColumnRenamed("id", "doc_id")
+        val gated = cleaned
+          .withColumn("toks", when(col("kept_text") === "", lit(0L))
+            .otherwise(size(TextAnalysis.words(col("kept_text"))).cast("long")))
+          .filter(col("toks") >= 80)
+          .join(surv.select(col("doc_id"), col("host")), Seq("doc_id"))
+        val c1 = base.groupBy(col("host")).agg(count(lit(1)).as("n_candidates"))
+        val c2 = surv.groupBy(col("host")).agg(count(lit(1)).as("n_after_url"))
+        val c3 = gated.groupBy(col("host"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("toks")).as("tokens_kept"))
+        c1.join(c2, Seq("host"), "left").join(c3, Seq("host"), "left")
+          .select(col("host"), col("n_candidates"),
+            coalesce(col("n_after_url"), lit(0L)).as("n_after_url"),
+            coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+            coalesce(col("tokens_kept"), lit(0L)).as("tokens_kept"))
+          .orderBy(col("host"))
+      },
+      oracle = Some(
+        s"""WITH r AS (SELECT doc_id, 'h' || (doc_id % 25) AS host,
+           |    (CASE WHEN doc_id % 3 = 0 THEN 'http://' ELSE 'https://' END)
+           |    || (CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END)
+           |    || 'h' || (doc_id % 25) || '.com'
+           |    || (CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END)
+           |    || '/a/' || (doc_id % 100)
+           |    || (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END)
+           |    || (CASE WHEN doc_id % 2 = 0 THEN '?b=2&a=1&utm_source=feed' ELSE '?a=1&b=2' END) AS raw_url,
+           |    concat('cookie notice for h', (doc_id % 25),
+           |           ' click accept to continue ', text) AS text
+           |  FROM documents),
+           |s2 AS (SELECT *, regexp_extract(raw_url, '^([^?]*)', 1) AS base,
+           |         regexp_extract(raw_url, '\\?(.*)$$', 1) AS q FROM r),
+           |s3 AS (SELECT *, lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)', 1))
+           |         || regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/]*(.*)$$', 1) AS la FROM s2),
+           |s4 AS (SELECT *, regexp_replace(regexp_replace(la, '^(https?://)www\\.', '\\1'),
+           |                                ':(80|443)(/|$$)', '\\2') AS np FROM s3),
+           |s5 AS (SELECT *, CASE WHEN regexp_matches(np, '^https?://[^/]*$$') THEN np
+           |              ELSE regexp_replace(np, '/+$$', '') END AS ns FROM s4),
+           |s6 AS (SELECT *, array_to_string(list_sort(list_filter(string_split(q, '&'),
+           |         p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)=') AND p != '')), '&') AS qc
+           |       FROM s5),
+           |c AS (SELECT doc_id, host, text,
+           |        CASE WHEN qc = '' THEN ns ELSE ns || '?' || qc END AS canonical_url FROM s6),
+           |wnr AS (SELECT min(doc_id) AS doc_id FROM c GROUP BY canonical_url),
+           |surv AS (SELECT c.* FROM c JOIN wnr USING (doc_id)),
+           |wl AS (SELECT doc_id, host, $wordsSql AS ws FROM surv),
+           |l0 AS (SELECT doc_id, host, unnest(list_transform(
+           |    generate_series(0, CAST(floor((len(ws) + 3) / 4) AS INT) - 1),
+           |    i -> struct_pack(line_no := i, line := array_to_string(ws[i*4+1 : i*4+4], ' ')))) AS u
+           |  FROM wl),
+           |l AS (SELECT doc_id, host, CAST(u.line_no AS BIGINT) AS line_no, u.line AS line FROM l0),
+           |b AS (SELECT host, line FROM (SELECT host, line, count(DISTINCT doc_id) AS docs
+           |                              FROM l GROUP BY host, line) WHERE docs >= 3),
+           |m AS (SELECT l.doc_id, l.line_no, l.line, b.line IS NOT NULL AS is_boiler
+           |      FROM l LEFT JOIN b ON l.host = b.host AND l.line = b.line),
+           |k AS (SELECT doc_id, coalesce(array_to_string(
+           |        list(line ORDER BY line_no) FILTER (WHERE NOT is_boiler), ' '), '') AS kept_text
+           |      FROM m GROUP BY doc_id),
+           |g AS (SELECT doc_id, CASE WHEN kept_text = '' THEN 0
+           |        ELSE len(string_split_regex(lower(trim(kept_text)), '\\s+')) END AS toks FROM k),
+           |g2 AS (SELECT surv.host, g.toks FROM g JOIN surv USING (doc_id) WHERE g.toks >= 80),
+           |cen1 AS (SELECT host, count(*) AS n_candidates FROM r GROUP BY host),
+           |cen2 AS (SELECT host, count(*) AS n_after_url FROM surv GROUP BY host),
+           |cen3 AS (SELECT host, count(*) AS n_kept, CAST(sum(toks) AS BIGINT) AS tokens_kept
+           |         FROM g2 GROUP BY host)
+           |SELECT cen1.host, cen1.n_candidates,
+           |       coalesce(cen2.n_after_url, 0) AS n_after_url,
+           |       coalesce(cen3.n_kept, 0) AS n_kept,
+           |       coalesce(cen3.tokens_kept, 0) AS tokens_kept
+           |FROM cen1 LEFT JOIN cen2 USING (host) LEFT JOIN cen3 USING (host)
+           |ORDER BY host""".stripMargin),
+      doc = "web-corpus funnel: URL dedup -> boilerplate removal -> quality gate, per-host census"),
+
     // URL-level dedup (C4's first dedup pass happens on URLs, before any
     // content work): deterministic messy URLs — case-shuffled schemes,
     // www., default ports, trailing slashes, shuffled + tracking query
