@@ -453,6 +453,25 @@ object QueriesText {
            |GROUP BY id ORDER BY doc_id""".stripMargin),
       doc = "C4-style cross-doc line dedup census (first occurrence wins)"),
 
+    // Exact heavy-hitter tokens (share >= 1/1000): Misra-Gries candidate
+    // pass + exact verification — the oracle is the full groupBy+HAVING,
+    // so the hash-match proves the two-pass pruning loses nothing and
+    // invents nothing (the MG superset guarantee, exercised for real).
+    "text_heavy_hitters" -> Q(
+      fn = (s, dir) => {
+        val tok = Tables.documents(s, dir)
+          .select(explode(TextAnalysis.words(col("text"))).as("item"))
+        TextAnalysis.heavyHitters(tok, "item", 1000)
+          .orderBy(col("cnt").desc, col("item"))
+      },
+      oracle = Some(
+        s"""WITH tok AS (SELECT unnest($wordsSql) AS item FROM documents),
+           |n AS (SELECT count(*) AS n FROM tok)
+           |SELECT item, count(*) AS cnt FROM tok, n
+           |GROUP BY item, n.n HAVING count(*) * 1000 >= n.n
+           |ORDER BY cnt DESC, item""".stripMargin),
+      doc = "exact heavy hitters via Misra-Gries candidates + exact verify (no full-vocab shuffle)"),
+
     // The web-corpus capstone: the three cleanup stages a crawl pipeline
     // runs BEFORE content dedup, composed end-to-end — URL-canonical dedup
     // (first occurrence per resource wins), within-host boilerplate

@@ -295,6 +295,46 @@ object TextAnalysis {
       .select(col("id"), col("pos").cast("long").as("line_no"), col("col").as("line"))
   }
 
+  /** EXACT heavy hitters (items with share ≥ 1/k) in two bounded passes —
+    * the way to mine top tokens/n-grams from 100 TB without shuffling the
+    * full vocabulary: (1) per-partition Misra–Gries summaries (4k counters
+    * each) whose union is a PROVABLE candidate superset — pigeonhole gives
+    * every global-share-≥1/k item a partition where its local share is
+    * ≥ 1/k > 1/(4k+1), and MG with b counters keeps anything above
+    * share 1/(b+1); (2) exact counts for the candidate set only (a
+    * broadcast semi-join, so the groupBy shuffles candidate-sized data).
+    * The output is EXACT and partitioning-independent — unlike sketches,
+    * whose merge order leaks into the result. */
+  def heavyHitters(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"heavy hitters needs k >= 2, got $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val ds = items.select(col(itemCol).cast("string")).as[String]
+    val budget = 4 * k
+    val candidates = ds.mapPartitions { it =>
+      val counters = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { x =>
+        counters.get(x) match {
+          case Some(c) => counters(x) = c + 1
+          case None if counters.size < budget => counters(x) = 1L
+          case None => // decrement-all step (amortized O(1) per arrival)
+            val dead = List.newBuilder[String]
+            counters.keysIterator.foreach { key =>
+              val c = counters(key) - 1
+              if (c == 0) dead += key else counters(key) = c
+            }
+            dead.result().foreach(counters.remove)
+        }
+      }
+      counters.keysIterator
+    }.toDF("item").distinct()
+    val n = ds.count()
+    items.select(col(itemCol).cast("string").as("item"))
+      .join(broadcast(candidates), Seq("item"), "left_semi")
+      .groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * k >= n)
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003 — the MOSS
     * algorithm): hash every k-word gram, slide a window of `w` gram hashes,
     * keep each window's MINIMUM — the selected set is the document's

@@ -102,6 +102,25 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(stats == Seq((1L, 2L, 2L, 1L), (2L, 2L, 1L, 1L), (3L, 1L, 1L, 0L)))
   }
 
+  test("heavyHitters: exact result, partitioning-independent, superset proof exercised") {
+    import spark.implicits._
+    val tok = Tables.documents(spark, sfDir)
+      .select(explode(TextAnalysis.words(col("text"))).as("item"))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.heavyHitters(df, "item", 200)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = run(tok)
+    // brute force is the definition
+    val n = tok.count()
+    val brute = tok.groupBy(col("item")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") * 200 >= n)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == brute && got.nonEmpty)
+    // adversarial re-partitioning must not change the (exact) answer
+    assert(run(tok.repartition(17)) == brute)
+    assert(run(tok.repartition(1)) == brute)
+  }
+
   test("winnowing: shared w+k-1 run shares a fingerprint; density bounds hold") {
     import spark.implicits._
     // k=4, w=5 → guarantee kicks in at shared runs of >= 8 words
