@@ -1,6 +1,7 @@
 package graft
 
-import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.{Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 /** North-star text-pipeline queries over `documents`: dedup (exact, n-gram
@@ -60,8 +61,11 @@ object QueriesText {
     * rows): portable md5-derived double hashing h_i = h1 + i·h2m, band join on
     * slice equality (Spark joins on xxhash64 of the same slice — equality-
     * equivalent), signature-agreement estimate. The 64 min-aggregates are
-    * generated here rather than hand-written. */
-  private def minhashOracle(corpus: String, pairFilter: String = ""): String = {
+    * generated here rather than hand-written. `tail` replaces the default
+    * final SELECT (it may open with `, extraCte AS (...)` to extend the
+    * chain — used by the split-leakage queries to consume `pairs`). */
+  private def minhashOracle(corpus: String, pairFilter: String = "",
+                            tail: String = ""): String = {
     val minExprs = (0 until 64).map(i => s"min(h1 + $i*h2m) AS s$i").mkString(", ")
     val sigArr = (0 until 64).map(i => s"s$i").mkString("[", ", ", "]")
     val bandArr = (0 until 16).map(b =>
@@ -81,10 +85,28 @@ object QueriesText {
        |         JOIN bands b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id$pairFilter),
        |est AS (SELECT c.id_a, c.id_b,
        |        round(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) / 64.0, 6) AS est_jaccard
-       |        FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
-       |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
-       |ORDER BY id_a, id_b""".stripMargin
+       |        FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id),
+       |pairs AS (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5)
+       |${if (tail.nonEmpty) tail
+           else "SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b"}""".stripMargin
   }
+
+  /** Deterministic train/val/test assignment, 8/1/1 by portable hash shard
+    * — a narrow per-row expression (no shuffle, no RNG state), so split
+    * membership survives reruns, repartitioning, and engine changes. */
+  private def splitOf(id: Column): Column = {
+    val b = Sampling.hashShard(id, 10, "split1")
+    when(b < 8, lit("train")).when(b === 8, lit("val")).otherwise(lit("test"))
+  }
+
+  /** Train/val/test assignment over a `corpus` CTE — DuckDB twin of
+    * `Sampling.hashShard(doc_id, 10, "split1")` bucketed 8/1/1. */
+  private val splitCte =
+    """sp AS (SELECT doc_id AS id,
+      |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, CAST('0x' || substr(md5(concat('split1',
+      |          CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) % 10 AS b
+      |        FROM corpus))""".stripMargin
 
   /** Shared fingerprint CTE chain (over a `corpus` CTE): 60-bit portable
     * SimHash fingerprints — md5-derived word hashes, signed bit sums. */
@@ -471,6 +493,74 @@ object QueriesText {
            |GROUP BY item, n.n HAVING count(*) * 1000 >= n.n
            |ORDER BY cnt DESC, item""".stripMargin),
       doc = "exact heavy hitters via Misra-Gries candidates + exact verify (no full-vocab shuffle)"),
+
+    // Train/val/test hygiene: deterministic hash-split assignment (8/1/1
+    // via the portable md5 shard — rerun- and engine-stable) + a near-dup
+    // LEAKAGE census across split boundaries, the eval-contamination check
+    // every corpus release runs before shipping. Reuses the MinHash-LSH
+    // pair engine; a census cell is an UNORDERED split pair (least/greatest
+    // normalization) so the count is independent of pair id-ordering.
+    "split_leakage_audit" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        val sp = corpus.select(col("doc_id").as("id"), splitOf(col("doc_id")).as("split"))
+        Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.5)
+          .join(sp.select(col("id").as("id_a"), col("split").as("sa")), Seq("id_a"))
+          .join(sp.select(col("id").as("id_b"), col("split").as("sb")), Seq("id_b"))
+          .select(least(col("sa"), col("sb")).as("split_x"),
+            greatest(col("sa"), col("sb")).as("split_y"))
+          .groupBy(col("split_x"), col("split_y"))
+          .agg(count(lit(1)).as("n_pairs"))
+          .withColumn("is_cross", when(col("split_x") =!= col("split_y"), 1).otherwise(0))
+          .orderBy(col("split_x"), col("split_y"))
+      },
+      oracle = Some(minhashOracle(nearDupCte, tail = s""",
+$splitCte
+SELECT split_x, split_y, count(*) AS n_pairs,
+       CASE WHEN split_x <> split_y THEN 1 ELSE 0 END AS is_cross
+FROM (SELECT least(sa.split, sb.split) AS split_x,
+             greatest(sa.split, sb.split) AS split_y
+      FROM pairs p JOIN sp sa ON p.id_a = sa.id JOIN sp sb ON p.id_b = sb.id)
+GROUP BY split_x, split_y ORDER BY split_x, split_y""")),
+      doc = "near-dup leakage census across train/val/test hash-split boundaries"),
+
+    // The actionable artifact behind the census: WHICH eval-side documents
+    // are contaminated — every val/test doc with a near-dup in train, with
+    // its train-dup count. Pairs are undirected, so each pair explodes to
+    // both orientations in ONE pass (no union-rescan of the pair engine).
+    "split_leaked_eval_docs" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        val sp = corpus.select(col("doc_id").as("id"), splitOf(col("doc_id")).as("split"))
+        Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.5)
+          .select(explode(array(
+            struct(col("id_a").as("eid"), col("id_b").as("tid")),
+            struct(col("id_b").as("eid"), col("id_a").as("tid")))).as("u"))
+          .select(col("u.eid").as("eid"), col("u.tid").as("tid"))
+          .join(sp.select(col("id").as("eid"), col("split").as("esplit")), Seq("eid"))
+          .join(sp.select(col("id").as("tid"), col("split").as("tsplit")), Seq("tid"))
+          .filter(col("esplit").isin("val", "test") && col("tsplit") === "train")
+          .groupBy(col("eid").as("id"), col("esplit").as("split"))
+          .agg(count(lit(1)).as("n_train_dups"))
+          .orderBy(col("id"))
+      },
+      oracle = Some(minhashOracle(nearDupCte, tail = s""",
+$splitCte
+SELECT e.id AS id, e.split AS split, count(*) AS n_train_dups
+FROM (SELECT id_a AS eid, id_b AS tid FROM pairs
+      UNION ALL SELECT id_b, id_a FROM pairs) u
+JOIN sp e ON u.eid = e.id JOIN sp t ON u.tid = t.id
+WHERE e.split IN ('val', 'test') AND t.split = 'train'
+GROUP BY e.id, e.split ORDER BY e.id""")),
+      doc = "contaminated eval docs: val/test rows with a train-side near-dup"),
 
     // The web-corpus capstone: the three cleanup stages a crawl pipeline
     // runs BEFORE content dedup, composed end-to-end — URL-canonical dedup
