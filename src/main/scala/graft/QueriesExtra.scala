@@ -353,6 +353,25 @@ object QueriesExtra {
 
     // Multimodal: metadata-only aggregation — Catalyst prunes the binary
     // column from the scan (verified in MultimodalSpec via ReadSchema).
+    // Dataset profiling: per-column census (rows / nulls / exact distinct /
+    // native-typed min-max) over the lossless-varchar columns of `orders` —
+    // the trust-but-verify pass before a new data drop enters the pipeline.
+    // One wide reduce + one melt-based two-level distinct (Profile.scala).
+    "profile_columns" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Profile.profile(Tables.orders(s, dir),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+          .orderBy(col("col_name")),
+      oracle = Some(
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority").map { c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+             |  count(*) - count($c) AS n_null,
+             |  count(DISTINCT $c) AS n_distinct,
+             |  CAST(min($c) AS VARCHAR) AS min_val,
+             |  CAST(max($c) AS VARCHAR) AS max_val FROM orders""".stripMargin
+        }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
+      doc = "per-column profile census: one wide reduce + melt-based exact distinct"),
+
     "mm_media_stats" -> Q(
       fn = (s, dir) => Multimodal.mediaStats(Multimodal.syntheticMedia(s, dir))
         .orderBy(col("kind")),

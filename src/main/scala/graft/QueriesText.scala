@@ -1289,6 +1289,30 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin),
       doc = "bigram LM training: p(w2|w1) from one explode pass (KenLM building block)"),
 
+    // Collocation mining: PMI-lift ranking of adjacent pairs (phrase
+    // detection). minCount prunes at the bigram partial-agg; the single
+    // int/int division is IEEE-exact, so lift ships unrounded.
+    "text_collocations" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.collocations(Tables.documents(s, dir), "text", 10)
+          .orderBy(col("lift").desc, col("w1"), col("w2")).limit(50),
+      oracle = Some(
+        s"""WITH d AS (SELECT $wordsSql AS ws FROM documents),
+           |uni AS (SELECT w, count(*) AS c
+           |        FROM (SELECT unnest(ws) AS w FROM d) GROUP BY w),
+           |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+           |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS u
+           |  FROM d WHERE len(ws) >= 2),
+           |bg AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c_ab
+           |       FROM bg0 GROUP BY 1, 2 HAVING count(*) >= 10)
+           |SELECT w1, w2, c_ab, ua.c AS c_a, ub.c AS c_b,
+           |       (c_ab * n.n) / (ua.c * ub.c) AS lift
+           |FROM bg JOIN uni ua ON bg.w1 = ua.w
+           |        JOIN uni ub ON bg.w2 = ub.w CROSS JOIN n
+           |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin),
+      doc = "PMI-lift collocations: count-pruned bigrams vs unigram margins"),
+
     // BPE training step: adjacent symbol-pair counts over the word
     // histogram — the top pair is the next merge. Word-frequency reduction
     // first, so per-character work happens on a vocabulary-sized relation.

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dataset profiling — the per-column census (rows, nulls, exact distinct,
+  * native min/max) a pipeline runs before trusting a new drop of data.
+  * Two bounded passes, both scale-shaped:
+  *
+  *   1. ONE wide reduce computes every column's null count and native-typed
+  *      min/max in a single row (no shuffle beyond the one-row combine) —
+  *      min/max are taken in the column's own type FIRST and stringified
+  *      after, so integer columns don't sort lexicographically.
+  *   2. Exact distinct counts melt the projected columns to (col, value)
+  *      pairs — a ×ncols blowup of the PROJECTED data only, then the
+  *      standard two-level distinct (groupBy pair → count per col), so
+  *      reducer keys are distinct values, never rows.
+  *
+  * Restricted to columns whose varchar cast is engine-portable (integers,
+  * strings); float/timestamp formatting differs across engines and belongs
+  * in typed queries, not a stringly census.
+  */
+object Profile {
+
+  /** Per-column profile rows: (col_name, n_rows, n_null, n_distinct,
+    * min_val, max_val), one row per requested column. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+      count(col(c)).as(s"nn_$c"),
+      min(col(c)).cast("string").as(s"min_$c"),
+      max(col(c)).cast("string").as(s"max_$c")))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = wide.select(explode(array(cols.map(c =>
+      struct(lit(c).as("col_name"), col("n_rows"),
+        (col("n_rows") - col(s"nn_$c")).as("n_null"),
+        col(s"min_$c").as("min_val"), col(s"max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_rows"), col("p.n_null"),
+        col("p.min_val"), col("p.max_val"))
+    val dist = df.select(posexplode(array(cols.map(c => col(c).cast("string")): _*))
+        .as(Seq("i", "v")))
+      .filter(col("v").isNotNull)
+      .groupBy(col("i"), col("v")).agg(count(lit(1)).as("c"))
+      .groupBy(col("i")).agg(count(lit(1)).as("n_distinct"))
+      .select(element_at(array(cols.map(lit): _*), col("i").cast("int") + 1)
+        .as("col_name"), col("n_distinct"))
+    perCol.join(dist, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_rows"), col("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_val"), col("max_val"))
+  }
+}

@@ -463,6 +463,37 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c"), col("c_ctx"), col("cond_p"))
   }
 
+  /** Collocation mining: pointwise-mutual-information lift for adjacent
+    * word pairs — lift(a,b) = c_ab·N / (c_a·c_b), the phrase-detection
+    * statistic (word2vec's phrase pass, tokenizer multi-word candidates).
+    * Scale shape: ONE explode pass feeds the bigram counts; unigram counts
+    * and the token total N both REDUCE off already-aggregated relations
+    * (no corpus re-scan); the `minCount` prune lands right after the
+    * bigram partial-agg, so the two vocabulary-sized joins and the
+    * broadcast-able N row see only surviving candidates. Products stay in
+    * exact int64 (cast to DECIMAL once counts could exceed 2^62 at full
+    * corpus scale); ONE int/int division at the end is IEEE-exact
+    * cross-engine, so `lift` needs no rounding. PMI = ln(lift) is
+    * monotone — ranking by lift IS the PMI ranking, minus the float log. */
+  def collocations(df: DataFrame, textCol: String, minCount: Int): DataFrame = {
+    val ws = df.select(words(col(textCol)).as("ws"))
+    val uni = ws.select(explode(col("ws")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val nDf = uni.agg(sum(col("c")).as("n"))
+    val bg = ws.filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    bg.join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+      .crossJoin(broadcast(nDf))
+      .withColumn("lift", (col("c_ab") * col("n")) / (col("c_a") * col("c_b")))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
+  }
+
   /** One BPE training iteration's pair statistics (Sennrich et al. 2016):
     * count adjacent symbol pairs over the WORD HISTOGRAM (BPE trains on
     * word frequencies, not the token stream — that reduction is the first

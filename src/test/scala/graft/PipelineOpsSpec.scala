@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Packing, Sampling, TextAnalysis}
+import graft.operators.{Packing, Profile, Sampling, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -119,6 +119,28 @@ class PipelineOpsSpec extends SparkTestBase {
     // adversarial re-partitioning must not change the (exact) answer
     assert(run(tok.repartition(17)) == brute)
     assert(run(tok.repartition(1)) == brute)
+  }
+
+  test("collocations: exact lift on a hand-computed fixture") {
+    // tokens: "a b" ×3, "a c" ×1 → N=8, c_a=4, c_b=3, c_c=1
+    val df = Seq((1L, "a b a b"), (2L, "a b"), (3L, "a c")).toDF("doc_id", "text")
+    val r = TextAnalysis.collocations(df, "text", 2)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getDouble(5)))
+    // bigrams: (a,b)×3, (b,a)×1, (a,c)×1 — only (a,b) survives minCount=2
+    // lift(a,b) = 3*8 / (4*3) = 2.0
+    assert(r.toSeq == Seq(("a", "b", 3L, 2.0)))
+  }
+
+  test("profile: nulls, exact distinct, native-typed min/max") {
+    val df = Seq[(java.lang.Long, String)]((10L, "x"), (9L, "y"), (9L, null), (null, "x"))
+      .toDF("k", "s")
+    val r = Profile.profile(df, Seq("k", "s")).orderBy("col_name")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getString(4), x.getString(5)))
+    // min/max must be native-typed (9 < 10 numerically; "10" < "9" would be wrong)
+    assert(r.toSeq == Seq(
+      ("k", 4L, 1L, 2L, "9", "10"),
+      ("s", 4L, 1L, 2L, "x", "y")))
   }
 
   test("winnowing: shared w+k-1 run shares a fingerprint; density bounds hold") {
