@@ -353,6 +353,48 @@ object QueriesExtra {
 
     // Multimodal: metadata-only aggregation — Catalyst prunes the binary
     // column from the scan (verified in MultimodalSpec via ReadSchema).
+    // Blocked record linkage: match corrupted part names (one char deleted
+    // at a key-derived position) back to the canonical relation via a
+    // rarest-token probe over an inverted index — candidates bounded by
+    // the smallest inverted list, best match per record by combinable
+    // min(struct(dist, id)). No all-pairs, no per-key window.
+    "link_best_match" -> Q(
+      fn = (s, dir) => {
+        val part = Tables.table(s, dir, "part")
+        val clean = part.select(col("p_partkey"), col("p_name"))
+        val dirty = part.filter(col("p_partkey") % 10 === 0)
+          .select(col("p_partkey").as("did"),
+            expr("concat(substring(p_name, 1, p_partkey % 5 + 1), " +
+              "substring(p_name, p_partkey % 5 + 3))").as("dname"))
+        graft.operators.Linkage.bestMatches(
+            dirty, "did", "dname", clean, "p_partkey", "p_name", 3)
+          .orderBy(col("dirty_id"))
+      },
+      oracle = Some(
+        """WITH clean AS (SELECT p_partkey AS id, p_name AS name FROM part),
+          |dirty AS (SELECT p_partkey AS did,
+          |    substr(p_name, 1, p_partkey % 5 + 1)
+          |      || substr(p_name, p_partkey % 5 + 3) AS dname
+          |  FROM part WHERE p_partkey % 10 = 0),
+          |inv AS (SELECT id, name, unnest(list_distinct(string_split(name, ' '))) AS tok
+          |        FROM clean),
+          |dfc AS (SELECT tok, count(*) AS c FROM inv GROUP BY tok),
+          |probe AS (SELECT did, dname,
+          |    split_part(min(lpad(CAST(c AS VARCHAR), 10, '0') || '|' || tok), '|', 2) AS tok
+          |  FROM (SELECT did, dname, unnest(list_distinct(string_split(dname, ' '))) AS tok
+          |        FROM dirty) dt JOIN dfc USING (tok)
+          |  GROUP BY did, dname),
+          |scored AS (SELECT p.did, p.dname, i.id, i.name,
+          |    CAST(levenshtein(p.dname, i.name) AS INT) AS dist,
+          |    row_number() OVER (PARTITION BY p.did
+          |      ORDER BY levenshtein(p.dname, i.name), i.id) AS rn
+          |  FROM probe p JOIN inv i ON p.tok = i.tok
+          |  WHERE levenshtein(p.dname, i.name) <= 3)
+          |SELECT did AS dirty_id, dname AS dirty_name, id AS match_id,
+          |       name AS match_name, dist
+          |FROM scored WHERE rn = 1 ORDER BY dirty_id""".stripMargin),
+      doc = "entity resolution: rarest-token-probe blocking + best edit-distance match"),
+
     // Dataset profiling: per-column census (rows / nulls / exact distinct /
     // native-typed min-max) over the lossless-varchar columns of `orders` —
     // the trust-but-verify pass before a new data drop enters the pipeline.

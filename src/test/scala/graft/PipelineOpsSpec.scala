@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Packing, Profile, Sampling, TextAnalysis}
+import graft.operators.{Linkage, Packing, Profile, Sampling, TextAnalysis}
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
@@ -141,6 +141,23 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.toSeq == Seq(
       ("k", 4L, 1L, 2L, "9", "10"),
       ("s", 4L, 1L, 2L, "x", "y")))
+  }
+
+  test("linkage: rarest-token probe finds best match; out-of-range candidates drop") {
+    val clean = Seq((1L, "red widget"), (2L, "blue widget"), (3L, "red bolt"))
+      .toDF("id", "name")
+    val dirty = Seq((10L, "rd widget"), (11L, "blue bot"), (12L, "red blot"))
+      .toDF("did", "dname")
+    val r = Linkage.bestMatches(dirty, "did", "dname", clean, "id", "name", 3)
+      .orderBy("dirty_id")
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+        x.getString(3), x.getInt(4)))
+    // 10 probes "widget" (df 2, rarest in-vocab) → best is id 1 at dist 1;
+    // 11 probes "blue" but its only candidate is 5 edits away → absent;
+    // 12's "blot" is out-of-vocab, probes "red" → id 3 at dist 2.
+    assert(r.toSeq == Seq(
+      (10L, "rd widget", 1L, "red widget", 1),
+      (12L, "red blot", 3L, "red bolt", 2)))
   }
 
   test("winnowing: shared w+k-1 run shares a fingerprint; density bounds hold") {
