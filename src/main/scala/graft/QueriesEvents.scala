@@ -79,6 +79,31 @@ object QueriesEvents {
           |ORDER BY user_id, session_no""".stripMargin),
       doc = "gap-timeout sessionization + per-session census (batch twin of session windows)"),
 
+    // Ordered-funnel census (view → click → purchase, each stage strictly
+    // after the user's first qualifying hit of the previous one) — the
+    // MATCH_RECOGNIZE / windowFunnel query as K shrinking filter+join+min
+    // passes: no event-list collection, single-timestamp state per user.
+    "e_funnel" -> Q(
+      fn = (s, dir) => graft.operators.Funnel.census(Tables.events(s, dir),
+          "user_id", "ts", "event_type", Seq("view", "click", "purchase"))
+        .orderBy(col("stage_no")),
+      oracle = Some(
+        """WITH s1 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t FROM events
+          |            WHERE event_type = 'view' GROUP BY user_id),
+          |s2 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+          |       JOIN s1 ON e.user_id = s1.user_id
+          |       WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > s1.t
+          |       GROUP BY e.user_id),
+          |s3 AS (SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t FROM events e
+          |       JOIN s2 ON e.user_id = s2.user_id
+          |       WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > s2.t
+          |       GROUP BY e.user_id)
+          |SELECT 1 AS stage_no, 'view' AS stage, count(*) AS n_users FROM s1
+          |UNION ALL SELECT 2, 'click', count(*) FROM s2
+          |UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+          |ORDER BY stage_no""".stripMargin),
+      doc = "ordered funnel census: K shrinking conditional-min passes, no sequence window"),
+
     // A8 queue metrics: counts by state/type for monitoring (queue.ts).
     "e_queue_metrics" -> Q(
       fn = (s, dir) => Tables.events(s, dir)

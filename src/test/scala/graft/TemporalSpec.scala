@@ -152,4 +152,29 @@ class TemporalSpec extends SparkTestBase {
       .orderBy(col("event_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got.nonEmpty && got == brute)
   }
+
+  test("funnel: strict in-order progression, stage skipping forbidden") {
+    val ev = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", ts("2024-01-01 10:00:00")),
+      (1L, "click", ts("2024-01-01 11:00:00")),
+      (1L, "purchase", ts("2024-01-01 12:00:00")),
+      // u2: click at EXACTLY first-view ts (strict > fails); later purchase
+      // cannot advance past the missing click stage
+      (2L, "view", ts("2024-01-01 10:00:00")),
+      (2L, "click", ts("2024-01-01 10:00:00")),
+      (2L, "purchase", ts("2024-01-01 13:00:00")),
+      // u3: purchase before any view — stage 1 only once the view lands
+      (3L, "purchase", ts("2024-01-01 09:00:00")),
+      (3L, "view", ts("2024-01-01 10:00:00")),
+      // u4: view then click, no purchase
+      (4L, "view", ts("2024-01-01 10:00:00")),
+      (4L, "click", ts("2024-01-01 14:00:00")))
+      .toDF("user_id", "event_type", "ts")
+    val got = graft.operators.Funnel.census(ev, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .orderBy(col("stage_no"))
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "view", 4L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
 }
