@@ -353,6 +353,42 @@ object QueriesExtra {
 
     // Multimodal: metadata-only aggregation — Catalyst prunes the binary
     // column from the scan (verified in MultimodalSpec via ReadSchema).
+    // Fixed-point PageRank over the co-purchase graph (parts sharing an
+    // order): 3 iterations in int64 SCALE=1e12 arithmetic — associative,
+    // commutative, bit-identical under any partitioning or engine, which
+    // float PageRank's order-dependent double sums are not. The oracle
+    // replays the full iteration chain as generated CTEs.
+    "graph_pagerank" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.as("a").join(li.as("b"),
+            col("a.l_orderkey") === col("b.l_orderkey") &&
+              col("a.l_partkey") =!= col("b.l_partkey"))
+          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        graft.operators.Graph.pagerankFixedPoint(e, 3)
+          .orderBy(col("rank").desc, col("node")).limit(20)
+      },
+      oracle = Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""r$k AS (SELECT e.dst AS v,
+             |    (15 * (1000000000000 // n.n)) // 100
+             |      + (85 * CAST(sum(r.r // deg.d) AS BIGINT)) // 100 AS r
+             |  FROM e JOIN r${k - 1} r ON e.src = r.v
+             |         JOIN deg ON e.src = deg.src CROSS JOIN n
+             |  GROUP BY e.dst, n.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           |n AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS v, 1000000000000 // n.n AS r FROM deg CROSS JOIN n),
+           |$iterCtes
+           |SELECT v AS node, r AS rank FROM r3
+           |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+      },
+      doc = "fixed-point integer PageRank (bit-reproducible iterative graph kernel)"),
+
     // Blocked record linkage: match corrupted part names (one char deleted
     // at a key-derived position) back to the canonical relation via a
     // rarest-token probe over an inverted index — candidates bounded by

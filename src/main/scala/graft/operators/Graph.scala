@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics beyond connected components (those live in
+  * [[Dedup.resolveClusters]]): PageRank in FIXED-POINT integer arithmetic.
+  *
+  * Why integers: float PageRank sums in-neighbor contributions with a
+  * partition-order-dependent double sum — reruns and engines disagree in
+  * the last ulps, and ranking ties flip. Scaling ranks to int64 (SCALE =
+  * 10^12) makes every operation (+, integer DIV) associative and
+  * commutative, so the result is bit-identical under any partitioning,
+  * any engine, any merge order — the same trick the DECIMAL-sum invariant
+  * applies to aggregates, specialized for an iterative kernel.
+  *
+  * Semantics (damping 0.85, floor division at each step):
+  *   r_0(v)   = SCALE div N
+  *   r_k(v)   = (15·(SCALE div N)) div 100
+  *            + (85·Σ_{u→v} (r_{k-1}(u) div deg(u))) div 100
+  * Truncation loses < 1e-10 of mass per step — irrelevant for ranking,
+  * and exactly reproducible, which is the point.
+  *
+  * Scale shape: edges are deduped ONCE and persisted pre-partitioned on
+  * `src` (at 100 TB: a bucketed stored table), so the per-iteration
+  * rank join co-locates without re-shuffling the edge relation; each
+  * iteration is then one key-shuffle of node-sized (dst, contrib) pairs
+  * with map-side combine. Rank lineage is cut per round with
+  * localCheckpoint — the iterative-loop house pattern. Assumes every
+  * node has out-edges (true for symmetrized graphs like co-occurrence);
+  * dangling-mass redistribution is the directed-graph extension.
+  */
+object Graph {
+
+  val Scale = 1000000000000L
+
+  /** PageRank over (src, dst) edges, `iters` fixed-point iterations.
+    * Returns (node, rank) with rank on the SCALE grid. */
+  def pagerankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val spark = edges.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // dedup once; pre-partition on src so every iteration's rank join
+    // co-locates against a pinned edge relation (no per-round edge shuffle)
+    val e = edges.select(col("src"), col("dst")).distinct()
+      .repartition(nPart, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+      .repartition(nPart, col("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = deg.count() // node count: a scalar driver literal, like centroids
+    val base = (15L * (Scale / n)) / 100L
+    var r = deg.select(col("src").as("v"), lit(Scale / n).as("r"))
+    for (_ <- 1 to iters) {
+      r = e.join(r.withColumnRenamed("v", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst"), expr("r DIV d").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        .select(col("dst").as("v"),
+          (lit(base) + expr("(85 * s) DIV 100")).as("r"))
+        .localCheckpoint()
+    }
+    r.select(col("v").as("node"), col("r").as("rank"))
+  }
+}

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+
+/** Fixed-point PageRank: hand-computed values, partitioning-independence
+  * (the property the integer arithmetic exists to guarantee). */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // symmetric path 1—2—3: deg(1)=deg(3)=1, deg(2)=2
+  private def pathEdges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+    .toDF("src", "dst")
+
+  test("pagerank: one iteration matches hand-computed fixed-point values") {
+    // r0 = 10^12 div 3 = 333333333333; base = (15*r0) div 100 = 49999999999
+    // s(1) = s(3) = r0 div 2 = 166666666666; s(2) = 2 * (r0 div 1)
+    // r1(1) = r1(3) = 49999999999 + (85*166666666666) div 100 = 191666666665
+    // r1(2) = 49999999999 + (85*666666666666) div 100 = 616666666665
+    val got = Graph.pagerankFixedPoint(pathEdges, 1)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 191666666665L), (2L, 616666666665L), (3L, 191666666665L)))
+  }
+
+  test("pagerank: bit-identical under adversarial repartitioning") {
+    val base = Graph.pagerankFixedPoint(pathEdges, 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val re = Graph.pagerankFixedPoint(pathEdges.repartition(13), 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(re == base)
+    // total mass stays within truncation loss of SCALE (sanity on semantics)
+    val total = base.map(_._2).sum
+    assert(total <= Graph.Scale && total > Graph.Scale - 1000L)
+  }
+}
