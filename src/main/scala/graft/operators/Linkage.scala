@@ -55,11 +55,34 @@ object Linkage {
         .as("ct"))
       .select(col("did"), col("dname"),
         substring_index(col("ct"), "|", -1).as("tok"))
-    probe.join(invDf, Seq("tok"))
-      .withColumn("dist", levenshtein(col("dname"), col("name")))
-      .filter(col("dist") <= maxDist)
-      .groupBy(col("did"), col("dname"))
+    // evaluate the kernel on the QUOTIENT set: dist depends only on the
+    // name pair, and among equal-dist candidates min(struct) can only pick
+    // the minimum id of a name — so each token block reduces to DISTINCT
+    // names with a representative min-id, and each distinct dirty name
+    // matches once (its probe token is functional in the name). On
+    // duplicate-heavy corpora this collapses the candidate volume by the
+    // duplication factor before any edit distance runs; ids rejoin after.
+    val repNames = invDf.groupBy(col("tok"), col("name"))
+      .agg(min(col("id")).as("id"))
+    val probeKeys = probe.select(col("dname"), col("tok")).distinct()
+    // broadcast the probe batch: dirty batches are small next to the
+    // corpus, and token blocks are few-and-hot by nature — a shuffled
+    // join on `tok` would land every candidate pair on a handful of
+    // reducer keys, while the broadcast form streams the inverted index
+    // map-side with no skew (for huge batches, flip to the stored
+    // bucketed-by-token layout instead)
+    val matches = broadcast(probeKeys).join(repNames, Seq("tok"))
+      // length pruning BEFORE the O(len²) kernel: levenshtein ≥ |Δlen|,
+      // so this filter is result-invariant and codegen evaluates it first
+      .filter(abs(length(col("dname")) - length(col("name"))) <= maxDist)
+      // bounded edit distance: the threshold form early-exits any pair
+      // whose distance exceeds maxDist (returns -1) — same survivors,
+      // band-limited O(len·maxDist) instead of O(len²) per candidate
+      .withColumn("dist", levenshtein(col("dname"), col("name"), maxDist))
+      .filter(col("dist") =!= -1)
+      .groupBy(col("dname"))
       .agg(min(struct(col("dist"), col("id"), col("name"))).as("m"))
+    probe.join(matches, Seq("dname"))
       .select(col("did").as("dirty_id"), col("dname").as("dirty_name"),
         col("m.id").as("match_id"), col("m.name").as("match_name"),
         col("m.dist").as("dist"))
