@@ -360,11 +360,16 @@ object QueriesExtra {
     // replays the full iteration chain as generated CTEs.
     "graph_pagerank" -> Q(
       fn = (s, dir) => {
+        // pair expansion is ROW-LOCAL off one small groupBy (orders are
+        // bounded baskets) — no self-join shuffle of the lineitem relation
         val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.l_orderkey") === col("b.l_orderkey") &&
-              col("a.l_partkey") =!= col("b.l_partkey"))
-          .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
         graft.operators.Graph.pagerankFixedPoint(e, 3)
           .orderBy(col("rank").desc, col("node")).limit(20)
       },

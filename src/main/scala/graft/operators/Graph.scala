@@ -41,13 +41,15 @@ object Graph {
     val spark = edges.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // dedup once; pre-partition on src so every iteration's rank join
-    // co-locates against a pinned edge relation (no per-round edge shuffle)
-    val e = edges.select(col("src"), col("dst")).distinct()
-      .repartition(nPart, col("src"))
+    // co-locates against a pinned edge relation (no per-round edge shuffle).
+    // Partitioning BEFORE the dedup makes it exchange-free — hash(src)
+    // satisfies the (src, dst) clustering — so the edge relation shuffles
+    // exactly once, and deg's groupBy(src) rides the same partitioning.
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src")).dropDuplicates("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
-      .repartition(nPart, col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = deg.count() // node count: a scalar driver literal, like centroids
     val base = (15L * (Scale / n)) / 100L
