@@ -394,6 +394,42 @@ object QueriesExtra {
       },
       doc = "fixed-point integer PageRank (bit-reproducible iterative graph kernel)"),
 
+    // Triangle enumeration over the support-thresholded co-purchase graph:
+    // degree-ordered orientation bounds the wedge join by m^1.5 however
+    // hot any hub node is; the support >= 2 floor is the frequent-itemset
+    // prefilter that keeps co-occurrence graphs from densifying.
+    "graph_triangles" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
+            .as("p"))
+          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("u"), col("v"))
+        graft.operators.Graph.triangles(e)
+          .orderBy(col("n1"), col("n2"), col("n3"))
+      },
+      oracle = Some(
+        """WITH co AS (SELECT DISTINCT a.l_orderkey AS ok,
+          |    a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |e AS (SELECT u, v FROM co GROUP BY u, v HAVING count(*) >= 2),
+          |deg AS (SELECT n, count(*) AS d FROM
+          |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+          |o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+          |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+          |      FROM e JOIN deg du ON e.u = du.n JOIN deg dv ON e.v = dv.n),
+          |tri AS (SELECT list_sort([a.s, a.t, b.t]) AS l
+          |        FROM o a JOIN o b ON a.s = b.s AND a.t < b.t
+          |        JOIN o c ON c.s = a.t AND c.t = b.t)
+          |SELECT l[1] AS n1, l[2] AS n2, l[3] AS n3 FROM tri
+          |ORDER BY n1, n2, n3""".stripMargin),
+      doc = "degree-ordered triangle enumeration (bounded wedge join, no hub blowup)"),
+
     // Blocked record linkage: match corrupted part names (one char deleted
     // at a key-derived position) back to the canonical relation via a
     // rarest-token probe over an inverted index — candidates bounded by

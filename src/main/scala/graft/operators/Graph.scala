@@ -65,4 +65,45 @@ object Graph {
     }
     r.select(col("v").as("node"), col("r").as("rank"))
   }
+
+  /** Triangle enumeration by DEGREE-ORDERED orientation (the
+    * Cohen / Suri-Vassilvitskii MapReduce formulation): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * so out-degree is O(√m) on ANY graph and the wedge join
+    * (a.s = b.s, a.t < b.t) — the only superlinear step — is bounded by
+    * Σ outdeg² ≤ m^1.5 instead of the hub-quadratic Σ deg² a naive
+    * neighbor join pays (one celebrity node would otherwise dominate the
+    * whole job). Wedges close against the oriented edge list with one
+    * more equi-join. Returns each triangle once as its numerically
+    * sorted vertex triple.
+    *
+    * Input: undirected edges, one row per edge, u < v, no duplicates
+    * (callers holding raw co-occurrence pairs dedup/threshold first —
+    * a support floor is also the frequent-itemset prefilter that keeps
+    * co-occurrence graphs from densifying into noise). */
+  def triangles(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // orientation: struct comparison = (degree, id) lexicographic order
+    val o = e
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+      .select(
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("u")).otherwise(col("v")).as("s"),
+        when(struct(col("du"), col("u")) < struct(col("dv"), col("v")),
+          col("v")).otherwise(col("u")).as("t"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    o.count() // pin: o feeds three join branches (house self-join invariant)
+    val wedges = o.as("a").join(o.as("b"),
+      col("a.s") === col("b.s") && col("a.t") < col("b.t"))
+    wedges.join(o.as("c"),
+        col("c.s") === col("a.t") && col("c.t") === col("b.t"))
+      .select(sort_array(array(col("a.s"), col("a.t"), col("b.t"))).as("tri"))
+      .select(col("tri").getItem(0).as("n1"), col("tri").getItem(1).as("n2"),
+        col("tri").getItem(2).as("n3"))
+  }
 }

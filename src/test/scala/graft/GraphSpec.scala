@@ -32,4 +32,15 @@ class GraphSpec extends SparkTestBase {
     val total = base.map(_._2).sum
     assert(total <= Graph.Scale && total > Graph.Scale - 1000L)
   }
+
+  test("triangles: K4 plus a pendant edge yields exactly the 4 K4 triangles") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (k4 :+ ((4L, 5L))).toDF("u", "v")
+    val got = Graph.triangles(edges)
+      .orderBy("n1", "n2", "n3")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 2L, 3L), (1L, 2L, 4L), (1L, 3L, 4L), (2L, 3L, 4L)))
+    // each triangle surfaces exactly once — no orientation double-count
+    assert(got.distinct.size == got.size)
+  }
 }
