@@ -228,4 +228,42 @@ object EventStream {
         ((unix_micros(max(col(tsCol))) - unix_micros(min(col(tsCol)))) / 1000000L)
           .cast("long").as("span_sec"))
       .drop("session_window")
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts: java.sql.Timestamp)
+  final case class FunnelState(stage: Int, tsMillis: Long)
+  final case class FunnelProgress(user_id: Long, stage: Int,
+                                  ts: java.sql.Timestamp)
+
+  /** Streaming twin of [[graft.operators.Funnel]]: the per-user funnel
+    * position as keyed custom state — (stage index, timestamp of its first
+    * qualifying hit), O(1) per user however long the event history. Each
+    * micro-batch processes its rows in event-time order and the greedy
+    * earliest progression equals the batch operator's "first qualifying
+    * hit" chain (t_k = min ts of stage-k events strictly after t_{k-1}),
+    * so batch/stream parity holds whenever arrival respects event-time
+    * order across micro-batches (StreamingSpec pins it); events arriving
+    * late behind an already-advanced stage are ignored, the standard
+    * at-most-once-advance streaming funnel contract. Emits one row per
+    * stage ADVANCE (append mode). */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+                      stages: Seq[String]): Dataset[FunnelProgress] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelProgress](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          val out = Seq.newBuilder[FunnelProgress]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            if (st.stage < stages.length && e.event_type == stages(st.stage) &&
+                (st.stage == 0 || e.ts.getTime > st.tsMillis)) {
+              st = FunnelState(st.stage + 1, e.ts.getTime)
+              out += FunnelProgress(user, st.stage, e.ts)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }

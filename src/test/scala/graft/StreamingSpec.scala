@@ -368,4 +368,47 @@ class StreamingSpec extends SparkTestBase {
     q2.awaitTermination(60000)
     assert(spark.table("ingest_gated_none").isEmpty)
   }
+
+  test("streaming funnel matches the batch census; state advances across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val stages = Seq("view", "click", "purchase")
+    val rows = Seq(
+      // u1 completes in order; u2's click ties the view ts (strict > fails);
+      // u3 purchases before viewing; u4 stops at click
+      EventStream.FunnelEvent(1L, "view", ts("2024-01-01 10:00:00")),
+      EventStream.FunnelEvent(2L, "view", ts("2024-01-01 10:00:00")),
+      EventStream.FunnelEvent(2L, "click", ts("2024-01-01 10:00:00")),
+      EventStream.FunnelEvent(3L, "purchase", ts("2024-01-01 09:00:00")),
+      EventStream.FunnelEvent(4L, "view", ts("2024-01-01 10:00:00")),
+      // second batch (event-time after batch 1): u1 advances across the
+      // micro-batch boundary — the keyed state carries t_k over
+      EventStream.FunnelEvent(1L, "click", ts("2024-01-01 11:00:00")),
+      EventStream.FunnelEvent(1L, "purchase", ts("2024-01-01 12:00:00")),
+      EventStream.FunnelEvent(3L, "view", ts("2024-01-01 10:00:00")),
+      EventStream.FunnelEvent(4L, "click", ts("2024-01-01 14:00:00")))
+    val input = MemoryStream[EventStream.FunnelEvent]
+    input.addData(rows.take(5): _*)
+    val q = EventStream.streamingFunnel(input.toDS(), stages)
+      .writeStream.format("memory").queryName("funnel_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    input.addData(rows.drop(5): _*)
+    q.processAllAvailable()
+    q.stop()
+    // final per-user depth = max emitted stage
+    val depth = spark.table("funnel_out").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).max }
+    assert(depth == Map(1L -> 3, 2L -> 1, 3L -> 1, 4L -> 2))
+    // batch twin over the same rows agrees stage by stage
+    val census = graft.operators.Funnel.census(rows.toDF(),
+        "user_id", "ts", "event_type", stages)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toMap
+    val streamCensus = stages.indices
+      .map(i => (i + 1) -> depth.values.count(_ >= i + 1).toLong).toMap
+    assert(census == streamCensus)
+  }
 }
