@@ -53,6 +53,51 @@ SELECT name, is_folder, size, created_at FROM (
           |ORDER BY l_returnflag, l_linestatus""".stripMargin),
       doc = "A1: grouped size aggregation (0005-add-size-functions.sql:2)"),
 
+    // ROLLUP grouping sets: subtotal + grand-total rows in ONE pass over
+    // the base aggregation (Catalyst's Expand), not one scan per level —
+    // the OLAP report shape. grouping_id disambiguates NULL group values
+    // from rollup-generated totals.
+    "q1_rollup" -> Q(
+      fn = (s, dir) =>
+        Tables.lineitem(s, dir)
+          .rollup(col("l_returnflag"), col("l_linestatus"))
+          .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+              .as("sum_qty"),
+            count(lit(1)).as("count_order"),
+            grouping_id().cast("int").as("gid"))
+          .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      oracle = Some(
+        """SELECT l_returnflag, l_linestatus,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          |  count(*) AS count_order,
+          |  CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INT) AS gid
+          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+      doc = "ROLLUP subtotals/grand total in one Expand pass, grouping_id-tagged"),
+
+    // PIVOT: per-user event-type counts as columns — the wide-report
+    // reshape. Spark's pivot with an EXPLICIT value list stays a single
+    // groupBy (no distinct-scan to infer columns, which at 100 TB is a
+    // full extra pass); missing cells coalesce to 0.
+    "events_pivot" -> Q(
+      fn = (s, dir) => {
+        val types = Seq("click", "error", "purchase", "signup", "view")
+        val p = Tables.events(s, dir)
+          .groupBy(col("user_id")).pivot("event_type", types).count()
+        types.foldLeft(p)((d, t) =>
+            d.withColumn(t, coalesce(col(t), lit(0L)).as(t)))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(
+        """SELECT user_id,
+          |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+          |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+          |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+          |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+          |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "explicit-value-list pivot: one groupBy, no column-inference scan"),
+
     // S1+P2+A1: sum(size) per bucket over the objects relation.
     "a1_size_by_bucket" -> Q(
       fn = (s, dir) => Tables.objects(s, dir)
