@@ -491,6 +491,51 @@ object QueriesExtra {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
       doc = "per-column profile census: one wide reduce + melt-based exact distinct"),
 
+    // Mergeable distinct-count sketch: HyperLogLog (p=12) formulated
+    // relationally so partial aggregation IS the register merge — the
+    // shuffle moves ≤4096 register rows per column, never data rows. The
+    // oracle replays the identical 60-bit-md5 + max-rank + exact-integer
+    // harmonic sum pipeline, certifying the sketch bit-for-bit
+    // (operators/Sketches.scala has the portability contract).
+    "sketch_hll_distinct" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Sketches.hllDistinct(Tables.events(s, dir),
+          Seq("event_id", "event_type", "user_id")),
+      oracle = Some(
+        """WITH m AS (
+          |  SELECT col_name, val FROM (
+          |    SELECT 'event_id' AS col_name, CAST(event_id AS VARCHAR) AS val FROM events
+          |    UNION ALL SELECT 'event_type', event_type FROM events
+          |    UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+          |  ) WHERE val IS NOT NULL),
+          |hx AS (SELECT col_name, val,
+          |    CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM m),
+          |rk AS (SELECT col_name, h // 281474976710656 AS bucket,
+          |    CASE WHEN h % 281474976710656 = 0 THEN 49
+          |         ELSE 49 - length(bin(h % 281474976710656)) END AS rank FROM hx),
+          |reg AS (SELECT col_name, bucket, max(rank) AS reg FROM rk GROUP BY 1, 2),
+          |agg AS (SELECT col_name, 4096 - count(*) AS zeros,
+          |    CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+          |      + (4096 - count(*)) * 562949953421312 AS sum_scaled
+          |  FROM reg GROUP BY 1),
+          |est AS (SELECT col_name, zeros,
+          |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
+          |      * 562949953421312.0 / CAST(sum_scaled AS DOUBLE) AS raw FROM agg),
+          |hll AS (SELECT col_name,
+          |    round(CASE WHEN raw <= 10240.0 AND zeros > 0
+          |      THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
+          |      ELSE raw END, 4) AS hll_estimate FROM est),
+          |ex AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+          |    count(*) AS exact_distinct
+          |  FROM (SELECT col_name, val, count(*) AS c FROM m GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT ex.col_name, n_rows, exact_distinct, hll_estimate,
+          |  (hll_estimate - CAST(exact_distinct AS DOUBLE))
+          |    / CAST(exact_distinct AS DOUBLE) * 100.0 AS rel_err_pct
+          |FROM ex JOIN hll ON ex.col_name = hll.col_name
+          |ORDER BY 1""".stripMargin),
+      doc = "HyperLogLog distinct sketch as a relation: map-side register merge, exact-int harmonic sum"),
+
     "mm_media_stats" -> Q(
       fn = (s, dir) => Multimodal.mediaStats(Multimodal.syntheticMedia(s, dir))
         .orderBy(col("kind")),

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Mergeable distinct-count sketches, formulated relationally so the sketch
+  * merge IS Spark's partial aggregation: each map task combines its rows
+  * into at most m=4096 (bucket → max-rank) registers before the exchange,
+  * so the shuffle for a 100 TB scan moves O(m × ncols × npartitions)
+  * register rows — never data rows. That is exactly the HyperLogLog merge
+  * property (registers combine by max), expressed as `groupBy(bucket)
+  * .agg(max(rank))` instead of a custom aggregation buffer, which keeps the
+  * whole path inside whole-stage codegen and makes the sketch state
+  * inspectable as a relation.
+  *
+  * Portability contract (the reason this is hash-checkable cross-engine):
+  *  - the hash is the repo's portable md5-60-bit kernel (same as
+  *    [[TextAnalysis]] winnowing / [[Sampling]]): top p=12 bits select the
+  *    register, low 48 bits feed the rank (leading-zeros) count, so rank ∈
+  *    [1, 49] and the scaled harmonic term 2^(49-rank) is an exact BIGINT.
+  *  - the harmonic mean is summed as exact integers (sum ≤ m·2^49 = 2^61,
+  *    inside int64) — no order-dependent double accumulation anywhere.
+  *  - the bias constant and estimate are a fixed chain of IEEE-double ops
+  *    written identically in the Spark plan and the oracle SQL; the one
+  *    transcendental (`ln` in the linear-counting branch) is absorbed by a
+  *    final round(…, 4) (ulp ≪ 1e-4, see NOTES.md invariants).
+  *
+  * Standard HLL per Flajolet et al. 2007 (+ the linear-counting small-range
+  * correction): E = α_m·m²/Σ 2^-reg; if E ≤ 2.5m and V>0 (V = zero
+  * registers), E = m·ln(m/V).
+  */
+object Sketches {
+
+  /** Register width: p = 12 → m = 4096 registers per sketched column. */
+  val NumRegisters = 4096
+  /** 2^48 — the rank-domain modulus of the 60-bit portable hash. */
+  val RankDomain = 281474976710656L
+  /** 2^49 — the scaled harmonic contribution of an untouched register. */
+  val EmptyTerm = 562949953421312L
+
+  /** Per-column HLL distinct estimate next to the exact count:
+    * (col_name, n_rows, exact_distinct, hll_estimate, rel_err_pct).
+    *
+    * Two bounded passes over the melted (col, value) pairs, like
+    * [[Profile.profile]]: the sketch pass reduces to ≤ m register rows per
+    * column before the exchange; the exact pass is the standard two-level
+    * distinct kept ONLY for the accuracy report — a production run at
+    * 100 TB drops it and pays just the register-row shuffle.
+    */
+  def hllDistinct(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "hllDistinct needs at least one column")
+    val melted = df.select(explode(map(cols.sorted.flatMap(c =>
+        Seq(lit(c), col(c).cast("string"))): _*)).as(Seq("col_name", "val")))
+      .filter(col("val").isNotNull)
+
+    // Register relation: ≤ m rows per column after the partial-agg merge.
+    val regs = melted
+      .select(col("col_name"),
+        expr("cast(conv(substring(md5(val), 1, 15), 16, 10) as bigint)").as("h"))
+      .select(col("col_name"),
+        expr(s"shiftright(h, 48)").as("bucket"),
+        expr(s"h % $RankDomain").as("v"))
+      .select(col("col_name"), col("bucket"),
+        when(col("v") === 0L, lit(49))
+          .otherwise(lit(49) - length(expr("bin(v)"))).as("rank"))
+      .groupBy(col("col_name"), col("bucket")).agg(max(col("rank")).as("reg"))
+
+    // Estimate: exact-integer harmonic sum, then one fixed IEEE-double chain.
+    val hll = regs.groupBy(col("col_name")).agg(
+        count(lit(1)).as("present"),
+        expr("sum(shiftleft(cast(1 as bigint), 49 - reg))").as("sum_present"))
+      .select(col("col_name"),
+        (lit(NumRegisters.toLong) - col("present")).as("zeros"),
+        (col("sum_present") +
+          (lit(NumRegisters.toLong) - col("present")) * lit(EmptyTerm))
+          .as("sum_scaled"))
+      .select(col("col_name"), col("zeros"),
+        expr("(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0" +
+          " * 562949953421312.0 / cast(sum_scaled as double)").as("raw"))
+      .select(col("col_name"),
+        round(when(col("raw") <= lit(2.5 * NumRegisters) && col("zeros") > 0,
+            expr("4096.0 * ln(4096.0 / cast(zeros as double))"))
+          .otherwise(col("raw")), 4).as("hll_estimate"))
+
+    // Accuracy report: exact distinct via the two-level groupBy (reducer
+    // keys are distinct values, never rows).
+    val exact = melted.groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("exact_distinct"))
+
+    // rel_err_pct is three IEEE ops over operands already bit-identical in
+    // both engines (rounded estimate, integer exact) — ships unrounded.
+    exact.join(hll, Seq("col_name"))
+      .select(col("col_name"), col("n_rows"), col("exact_distinct"),
+        col("hll_estimate"),
+        ((col("hll_estimate") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double") * lit(100.0)).as("rel_err_pct"))
+      .orderBy(col("col_name"))
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Sketches
+import org.apache.spark.sql.functions._
+
+/** HLL distinct sketch: partitioning-independence (register merge is
+  * commutative max), accuracy within the p=12 error envelope, and the
+  * scale contract (register relation bounded by m per column). */
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("estimate is partitioning-independent and within the p=12 envelope") {
+    val df = (1 to 20000).map(i => (i.toLong % 5000, s"u${i % 1200}"))
+      .toDF("id", "user")
+
+    val a = Sketches.hllDistinct(df, Seq("id", "user")).collect()
+    val b = Sketches.hllDistinct(df.repartition(13, col("user")), Seq("id", "user"))
+      .collect()
+    assert(a.toSeq == b.toSeq, "sketch must not depend on partitioning")
+
+    // p=12 → typical error 1.04/sqrt(4096) ≈ 1.6%; assert a loose 5% bound.
+    a.foreach { r =>
+      val exact = r.getAs[Long]("exact_distinct").toDouble
+      val est = r.getAs[Double]("hll_estimate")
+      assert(math.abs(est - exact) / exact < 0.05,
+        s"${r.getAs[String]("col_name")}: est $est vs exact $exact")
+    }
+    assert(a.map(_.getAs[Long]("exact_distinct")).toSeq == Seq(5000L, 1200L))
+  }
+
+  test("null values are excluded; n_rows counts non-null only") {
+    val df = Seq(Some("a"), Some("b"), None, Some("a")).toDF("x")
+    val r = Sketches.hllDistinct(df, Seq("x")).collect().head
+    assert(r.getAs[Long]("n_rows") == 3L)
+    assert(r.getAs[Long]("exact_distinct") == 2L)
+    // tiny cardinality → linear counting branch must be near-exact
+    assert(math.abs(r.getAs[Double]("hll_estimate") - 2.0) < 0.01)
+  }
+
+  test("scale contract: the sketch-side shuffle carries register rows only") {
+    // The pre-join sketch aggregation must reduce to ≤ m rows per column
+    // regardless of input size — that's what makes the formulation a
+    // sketch and not a distinct.
+    val df = (1 to 30000).map(i => s"v$i").toDF("x")
+    val regs = df
+      .select(explode(map(lit("x"), col("x"))).as(Seq("col_name", "val")))
+      .select(expr("cast(conv(substring(md5(val), 1, 15), 16, 10) as bigint)")
+        .as("h"))
+      .select(expr("shiftright(h, 48)").as("bucket"))
+      .distinct()
+    assert(regs.count() <= Sketches.NumRegisters)
+  }
+}
