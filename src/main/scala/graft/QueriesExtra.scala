@@ -536,6 +536,38 @@ object QueriesExtra {
           |ORDER BY 1""".stripMargin),
       doc = "HyperLogLog distinct sketch as a relation: map-side register merge, exact-int harmonic sum"),
 
+    // Z-order clustered layout: events written once partitioned by Morton
+    // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
+    // buckets' directories (ZorderLayoutSpec asserts numFiles) and the
+    // residual predicate keeps exactness, so the oracle is the plain box
+    // filter. The layout build is a one-time cost (ensureZordered), like
+    // the MinHash signature tables.
+    "zorder_box_query" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Layout
+        val path = Warehouse.dir + "/zorder_events"
+        val b = Layout.ensureZordered(Tables.events(s, dir),
+          col("user_id"), unix_micros(col("ts")), path)
+        val yLo = 1704672000e6 // 2024-01-08T00:00:00Z in micros
+        val yHi = 1705363200e6 // 2024-01-16T00:00:00Z
+        Layout.boxQuery(s, path, b, 3.0, 9.0, yLo, yHi,
+            residual = col("user_id").between(3, 9) &&
+              col("ts") >= lit("2024-01-08 00:00:00").cast("timestamp") &&
+              col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("event_type"), col("value"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  event_type, value
+          |FROM events
+          |WHERE user_id BETWEEN 3 AND 9
+          |  AND CAST(ts AS TIMESTAMP) >= TIMESTAMP '2024-01-08 00:00:00'
+          |  AND CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16 00:00:00'
+          |ORDER BY event_id""".stripMargin),
+      doc = "Z-order layout box query: Morton-bucket partition pruning + exact residual"),
+
     "mm_media_stats" -> Q(
       fn = (s, dir) => Multimodal.mediaStats(Multimodal.syntheticMedia(s, dir))
         .orderBy(col("kind")),

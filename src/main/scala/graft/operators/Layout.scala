@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) data layout: a space-filling 1-D clustering key
+  * over two dimensions, so a 2-D box predicate prunes at the DIRECTORY
+  * level instead of scanning the full relation. This is the multi-dim
+  * analogue of [[Vectors.writeIvfPartitioned]]'s stored-list layout and the
+  * mechanism behind Delta/Iceberg `OPTIMIZE ZORDER BY`: co-locate rows
+  * whose (x, y) cells are close on the curve, then let ordinary Hive-style
+  * partition pruning (plus parquet min/max on the sorted z column within
+  * files) skip everything outside the query box.
+  *
+  * Grid: each dimension quantized to 2^5 = 32 cells over the layout's
+  * observed [lo, hi] bounds → 1024 z cells, grouped 16-per-partition into
+  * 64 z-contiguous buckets. The box → bucket decomposition enumerates the
+  * ≤1024-cell grid on the driver — exact, and O(grid), never O(data), so
+  * the planning cost is the same at 100 TB as at 100 MB (the general form
+  * of this decomposition is the BIGMIN/LITMAX z-range algorithm; at this
+  * fixed grid size plain enumeration is already exact).
+  *
+  * Scale shape: ONE repartition by bucket at write time (the one-time
+  * layout cost, amortized like the MinHash signature tables); every
+  * subsequent box query reads only the intersecting buckets' files —
+  * `ZorderLayoutSpec` asserts the executed scan's numFiles metric equals
+  * the files under those directories alone.
+  */
+object Layout {
+
+  /** Bits per dimension: 32×32 grid. */
+  val GridBits = 5
+  /** Cells per dimension. */
+  val CellsPerDim: Int = 1 << GridBits
+  /** Contiguous z cells per partition bucket: 1024 cells → 64 buckets. */
+  val BucketShift = 4
+
+  /** Layout-time dimension bounds (recorded at build, reused by queries). */
+  final case class ZBounds(xLo: Double, xHi: Double, yLo: Double, yHi: Double)
+
+  /** Morton interleave of two [0, 32) cell indexes: x bits at odd
+    * positions, y at even — a fold of shift/mask terms that stays inside
+    * whole-stage codegen. */
+  def interleave(qx: Column, qy: Column): Column =
+    (0 until GridBits).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(qx, i).bitwiseAND(lit(1L)), 2 * i + 1) +
+        shiftleft(shiftright(qy, i).bitwiseAND(lit(1L)), 2 * i)
+    }
+
+  /** Driver-side twin of [[interleave]] for box decomposition. */
+  def interleaveLong(qx: Long, qy: Long): Long =
+    (0 until GridBits).foldLeft(0L) { (acc, i) =>
+      acc | (((qx >> i) & 1L) << (2 * i + 1)) | (((qy >> i) & 1L) << (2 * i))
+    }
+
+  /** Clamped linear quantization of `v` into [0, CellsPerDim). */
+  def quantize(v: Column, lo: Double, hi: Double): Column = {
+    val step = (hi - lo) / CellsPerDim
+    least(greatest(floor((v - lit(lo)) / lit(step)), lit(0.0)),
+      lit((CellsPerDim - 1).toDouble)).cast("long")
+  }
+
+  /** Driver-side twin of [[quantize]]. */
+  def quantizeDouble(v: Double, lo: Double, hi: Double): Long = {
+    val step = (hi - lo) / CellsPerDim
+    math.min(math.max(math.floor((v - lo) / step), 0.0),
+      (CellsPerDim - 1).toDouble).toLong
+  }
+
+  /** Write `df` z-ordered on (xCol, yCol) under `path`, partitioned by the
+    * z bucket and sorted by the full z value within partitions (parquet
+    * row-group min/max then prunes within a bucket too). Returns the
+    * recorded bounds. One shuffle; the layout build is a one-time cost. */
+  def writeZordered(df: DataFrame, xCol: Column, yCol: Column,
+                    path: String): ZBounds = {
+    val r = df.agg(min(xCol).cast("double"), max(xCol).cast("double"),
+      min(yCol).cast("double"), max(yCol).cast("double")).head
+    val b = ZBounds(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    val z = interleave(quantize(xCol.cast("double"), b.xLo, b.xHi),
+      quantize(yCol.cast("double"), b.yLo, b.yHi))
+    df.withColumn("z", z)
+      .withColumn("zbucket", shiftright(col("z"), BucketShift))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("z"))
+      .write.mode("overwrite").partitionBy("zbucket").parquet(path)
+    b
+  }
+
+  /** The distinct z buckets intersecting the box — driver enumeration of
+    * the fixed grid, O(1024) regardless of data size, sorted for
+    * deterministic IN-list plans. */
+  def boxBuckets(b: ZBounds, xLo: Double, xHi: Double,
+                 yLo: Double, yHi: Double): Seq[Long] = {
+    val (qx0, qx1) = (quantizeDouble(xLo, b.xLo, b.xHi),
+      quantizeDouble(xHi, b.xLo, b.xHi))
+    val (qy0, qy1) = (quantizeDouble(yLo, b.yLo, b.yHi),
+      quantizeDouble(yHi, b.yLo, b.yHi))
+    (for { qx <- qx0 to qx1; qy <- qy0 to qy1 }
+      yield interleaveLong(qx, qy) >> BucketShift).distinct.sorted
+  }
+
+  /** Box query over a stored layout: bucket IN-list prunes directories,
+    * the residual predicate keeps exactness. `residual` re-applies the box
+    * on the raw columns — the buckets are a superset (cell granularity). */
+  def boxQuery(spark: SparkSession, path: String, b: ZBounds,
+               xLo: Double, xHi: Double, yLo: Double, yHi: Double,
+               residual: Column): DataFrame = {
+    val buckets = boxBuckets(b, xLo, xHi, yLo, yHi)
+    spark.read.parquet(path)
+      .filter(col("zbucket").isin(buckets: _*))
+      .filter(residual)
+  }
+
+  // Per-process build cache: path → bounds (the per-pid warehouse dir makes
+  // stale cross-process directories impossible; see NOTES.md invariants).
+  private val built = new java.util.concurrent.ConcurrentHashMap[String, ZBounds]()
+
+  /** Build the layout once per process (bench/notebook loops must not pay
+    * the CTAS per query — same contract as [[Dedup.ensureSignatureTables]]).
+    * `df` is by-name: never computed on the skip path. */
+  def ensureZordered(df: => DataFrame, xCol: Column, yCol: Column,
+                     path: String): ZBounds =
+    built.computeIfAbsent(path, _ => writeZordered(df, xCol, yCol, path))
+}
