@@ -305,5 +305,76 @@ object QueriesEvents {
           |  FROM events)
           |SELECT event_type, rn AS rnk, value FROM r WHERE rn <= 3
           |ORDER BY event_type, rnk""".stripMargin),
-      doc = "skew-proof per-key top-k (salted partial merge == window top-k)"))
+      doc = "skew-proof per-key top-k (salted partial merge == window top-k)"),
+
+    // Keyed sliding-window analytics: per-user rolling 4-row sum + previous
+    // value. ONE shuffle on user_id, then a sequential frame scan per key —
+    // no global window (PlanAudit-clean by construction). The frame sum runs
+    // over DECIMAL so Spark's running accumulation and DuckDB's segment-tree
+    // window aggregation (different association orders!) are both exact.
+    // Total order inside each key: (ts, event_id) — event_id is unique.
+    "e_user_rolling" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val wf = w.rowsBetween(-3, 0)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("value"),
+            row_number().over(w).as("rn"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            sum(col("value").cast(DecimalType(18, 4))).over(wf).cast("double")
+              .as("roll_sum4"),
+            count(lit(1)).over(wf).as("roll_n"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id, value,
+          |  row_number() OVER w AS rn,
+          |  lag(value, 1) OVER w AS prev_value,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4)))
+          |    OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum4,
+          |  count(*) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_n
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+          |ORDER BY event_id""".stripMargin),
+      doc = "per-key sliding frame: rolling decimal sum + lag, keyed window only"),
+
+    // Cohort retention: users bucketed by first-seen week, activity counted
+    // per (cohort_week, week_offset). Two keyed aggregations — first-seen is
+    // a groupBy(user) min, cohorts join back on user_id (co-partitioned at
+    // scale, AQE-broadcast at small SF), then a two-level distinct so
+    // reducer keys are (cohort, offset, user), never raw events. Week index
+    // is integer day-arithmetic from a fixed epoch — no date_trunc
+    // semantics risk across engines.
+    "events_retention" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"),
+            floor(datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")) / 7)
+              .cast("int").as("week"))
+        val cohorts = ev.groupBy(col("user_id"))
+          .agg(min(col("week")).as("cohort_week"))
+        ev.join(cohorts, Seq("user_id"))
+          .groupBy(col("cohort_week"),
+            (col("week") - col("cohort_week")).as("week_offset"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .groupBy(col("cohort_week"), col("week_offset"))
+          .agg(count(lit(1)).as("n_users"),
+            sum(col("n_events")).as("n_events"))
+          .orderBy(col("cohort_week"), col("week_offset"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT user_id,
+          |    CAST(floor(date_diff('day', DATE '2024-01-01',
+          |      CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7) AS INT) AS week
+          |  FROM events),
+          |c AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY 1),
+          |pu AS (SELECT cohort_week, week - cohort_week AS week_offset,
+          |    ev.user_id, count(*) AS n_events
+          |  FROM ev JOIN c ON ev.user_id = c.user_id GROUP BY 1, 2, 3)
+          |SELECT cohort_week, week_offset, count(*) AS n_users,
+          |  CAST(sum(n_events) AS BIGINT) AS n_events
+          |FROM pu GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "cohort retention census: first-seen week x offset, two-level distinct"))
 }

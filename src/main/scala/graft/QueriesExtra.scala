@@ -536,6 +536,36 @@ object QueriesExtra {
           |ORDER BY 1""".stripMargin),
       doc = "HyperLogLog distinct sketch as a relation: map-side register merge, exact-int harmonic sum"),
 
+    // Count-min sketch point estimates over user_id — all-integer, the
+    // sketch build bounded at depth×width cells per map task, min-over-rows
+    // estimates always ≥ truth (one-sided error, spec-asserted). The oracle
+    // replays the seeded-hash sketch cell-for-cell.
+    "sketch_cms_counts" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Sketches.cmsCounts(Tables.events(s, dir), "user_id")
+          .select(col("val").cast("bigint").as("user_id"), col("n_true"),
+            col("n_cms"), col("overcount"))
+          .orderBy(col("user_id")),
+      oracle = Some(
+        """WITH vals AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events
+          |  WHERE user_id IS NOT NULL),
+          |js AS (SELECT unnest(range(4)) AS j),
+          |cells AS (SELECT j,
+          |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || val), 1, 15)
+          |      AS BIGINT) % 1024 AS bucket, count(*) AS c
+          |  FROM vals CROSS JOIN js GROUP BY 1, 2),
+          |truth AS (SELECT val, count(*) AS n_true FROM vals GROUP BY 1),
+          |probe AS (SELECT val, j,
+          |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || val), 1, 15)
+          |      AS BIGINT) % 1024 AS bucket
+          |  FROM truth CROSS JOIN js),
+          |est AS (SELECT val, min(c) AS n_cms
+          |  FROM probe JOIN cells USING (j, bucket) GROUP BY 1)
+          |SELECT CAST(t.val AS BIGINT) AS user_id, n_true, n_cms,
+          |  n_cms - n_true AS overcount
+          |FROM truth t JOIN est USING (val) ORDER BY user_id""".stripMargin),
+      doc = "count-min sketch: bounded cell relation, min-over-rows point estimates"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

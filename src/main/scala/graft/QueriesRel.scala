@@ -435,5 +435,51 @@ object QueriesRel {
           |FROM lineitem
           |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin),
-      doc = "headline: selective scan-agg, filters pushed to parquet"))
+      doc = "headline: selective scan-agg, filters pushed to parquet"),
+
+    // TPC-H Q5 shape: the 6-way star — fact joins shuffle on their FKs,
+    // only the genuinely tiny dims (nation⋈region, 25 rows at ANY scale)
+    // are broadcast. supplier/customer joins stay shuffles on purpose:
+    // at 100 TB those tables are millions of rows and hard-coded
+    // broadcasts would OOM the build side; AQE still upgrades them to
+    // broadcast at small SF. The local-supplier condition
+    // (c_nationkey = s_nationkey) rides the supplier join.
+    "q5_local_volume" -> Q(
+      fn = (s, dir) => {
+        val nr = Tables.nation(s, dir)
+          .join(Tables.region(s, dir).filter(col("r_name") === "ASIA"),
+            col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name"))
+        val su = Tables.supplier(s, dir)
+          .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+        val o = Tables.orders(s, dir)
+          .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("o_orderdate") < to_timestamp(lit("1997-01-01 00:00:00")))
+        Tables.lineitem(s, dir)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+          .join(su, col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+          .groupBy(col("n_name"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).cast("double").as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy(col("revenue").desc, col("n_name"))
+      },
+      oracle = Some(
+        """SELECT n_name,
+          |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+          |  count(*) AS n_items
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01'
+          |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
+      doc = "headline: 6-way star join, tiny dims broadcast, fact joins shuffled"))
 }

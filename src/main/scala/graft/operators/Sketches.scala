@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Mergeable distinct-count sketches, formulated relationally so the sketch
+/** Mergeable cardinality/frequency sketches, formulated relationally so the sketch
   * merge IS Spark's partial aggregation: each map task combines its rows
   * into at most m=4096 (bucket → max-rank) registers before the exchange,
   * so the shuffle for a 100 TB scan moves O(m × ncols × npartitions)
@@ -97,5 +97,40 @@ object Sketches {
         ((col("hll_estimate") - col("exact_distinct").cast("double")) /
           col("exact_distinct").cast("double") * lit(100.0)).as("rel_err_pct"))
       .orderBy(col("col_name"))
+  }
+
+  /** Count-min sketch depth (independent hash rows). */
+  val CmsDepth = 4
+  /** Count-min sketch width (buckets per row). */
+  val CmsWidth = 1024
+
+  /** Count-min frequency estimates next to the exact counts:
+    * (val, n_true, n_cms, overcount). All-integer — no float risk at all.
+    *
+    * The sketch is the relation (j, bucket) → count: each value lands in
+    * one bucket per hash row (seeded 60-bit md5 kernel mod width), and
+    * `groupBy(j, bucket).count` IS the sketch build — partial aggregation
+    * bounds the shuffle at depth×width = 4096 cells per map task no matter
+    * the input size, which is the CMS mergeability property stated
+    * relationally. Point estimates take min over the depth rows, so
+    * n_cms ≥ n_true always (one-sided error — asserted in SketchesSpec);
+    * the exact side exists only for the report, as in [[hllDistinct]]. */
+  def cmsCounts(df: DataFrame, valueCol: String): DataFrame = {
+    val vals = df.select(col(valueCol).cast("string").as("val"))
+      .filter(col("val").isNotNull)
+    val js = explode(sequence(lit(0), lit(CmsDepth - 1))).as("j")
+    def bucket = expr("cast(conv(substring(md5(concat(cast(j as string), '|', val)), " +
+      s"1, 15), 16, 10) as bigint) % $CmsWidth")
+    val cells = vals.select(js, col("val"))
+      .select(col("j"), bucket.as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val truth = vals.groupBy(col("val")).agg(count(lit(1)).as("n_true"))
+    val est = truth.select(col("val"), js)
+      .select(col("val"), col("j"), bucket.as("bucket"))
+      .join(cells, Seq("j", "bucket"))
+      .groupBy(col("val")).agg(min(col("c")).as("n_cms"))
+    truth.join(est, Seq("val"))
+      .select(col("val"), col("n_true"), col("n_cms"),
+        (col("n_cms") - col("n_true")).as("overcount"))
   }
 }

@@ -37,6 +37,21 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("hll_estimate") - 2.0) < 0.01)
   }
 
+  test("count-min estimates are one-sided and exact where no row collides") {
+    // zipfish frequencies: value k appears ~1000/k times
+    val df = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"key$k")).toDF("x")
+    val r = Sketches.cmsCounts(df, "x").collect()
+    assert(r.length == 50)
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_cms") >= row.getAs[Long]("n_true"),
+        s"${row.getAs[String]("val")}: CMS must never undercount")
+    }
+    // 50 keys in 1024 buckets × 4 rows: at least the heaviest key should
+    // dodge collisions in SOME row → exact estimate
+    val heavy = r.find(_.getAs[String]("val") == "key1").get
+    assert(heavy.getAs[Long]("n_true") == 1000L)
+  }
+
   test("scale contract: the sketch-side shuffle carries register rows only") {
     // The pre-join sketch aggregation must reduce to ≤ m rows per column
     // regardless of input size — that's what makes the formulation a
