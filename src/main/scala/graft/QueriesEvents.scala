@@ -256,6 +256,37 @@ object QueriesEvents {
           |FROM p ORDER BY p.event_id""".stripMargin),
       doc = "as-of join: latest prior state per key (union + keyed window, merge-join shape)"),
 
+    // The SAME as-of semantics through the native Catalyst seam
+    // (plans/AsOfJoinPlan.scala): custom LogicalPlan + planner strategy +
+    // merge-scan SparkPlan holding ONE candidate row per key, key filters
+    // pushed through the node by a custom optimizer rule. Graded against
+    // the IDENTICAL oracle as t_asof_join — result-invariance between the
+    // composed and native formulations, the text_perplexity_tiered pattern.
+    "t_asof_join_native" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.plans.AsOfJoinPlan.asof(purchases, clicks,
+          key = "user_id", ts = "ts", tiebreak = "event_id",
+          payloadCols = Seq("event_id", "ts"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |      FROM events WHERE event_type = 'click')
+          |SELECT p.event_id, p.user_id, p.ts,
+          |  (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_event_id,
+          |  (SELECT c.ts FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS asof_ts
+          |FROM p ORDER BY p.event_id""".stripMargin),
+      doc = "native as-of join exec: custom plan node, merge scan, O(1) state"),
+
     // Bounded range join: clicks in the hour before each purchase, same
     // user. Join key is (user, time bucket) — two bucket probes per left
     // row, candidates bounded by the window length; no cross join exists

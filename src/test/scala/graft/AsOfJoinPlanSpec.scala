@@ -1,0 +1,86 @@
+package graft
+
+import graft.plans.{AsOfJoinExec, AsOfJoinPlan}
+import graft.operators.Temporal
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** The native as-of join plan: result parity with the composed
+  * (union + keyed window) formulation, correct no-match nulls and
+  * tie-breaking, the key-filter pushdown rule, and the plan shape
+  * (AsOfJoinExec present, one exchange per side like a sort-merge join). */
+class AsOfJoinPlanSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def eventsFixture = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    (purchases, clicks)
+  }
+
+  test("native exec matches the composed union+window formulation") {
+    val (purchases, clicks) = eventsFixture
+    val native = AsOfJoinPlan.asof(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("event_id", "ts"))
+      .orderBy(col("event_id")).collect()
+    val composed = Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("event_id", "ts"))
+      .orderBy(col("event_id")).collect()
+    assert(native.length == composed.length && native.nonEmpty)
+    native.zip(composed).foreach { case (n, c) => assert(n == c) }
+  }
+
+  test("ties on time resolve to the max tiebreak; no prior row gives null") {
+    val left = Seq((1L, 100L, 10L), (1L, 50L, 11L), (2L, 100L, 12L))
+      .toDF("k", "t", "lid")
+    val right = Seq((1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"), (1L, 60L, 3L, "c"),
+      (2L, 101L, 4L, "d")).toDF("k", "t", "rid", "v")
+    val got = AsOfJoinPlan.asof(left, right, "k", "t", "rid", Seq("v"))
+      .orderBy(col("lid")).collect()
+      .map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+    assert(got(10L) == Some("b"), "equal-time tie must take max tiebreak")
+    assert(got(11L) == None, "no right row at or before t=50")
+    assert(got(12L) == None, "key 2's only right row is later")
+  }
+
+  test("key predicates push through the node to BOTH children") {
+    val (purchases, clicks) = eventsFixture
+    val q = AsOfJoinPlan.asof(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("event_id"))
+      .filter(col("user_id") === 3)
+    // the optimized plan must show the key filter below the as-of node on
+    // each side (left as-is, right with the key attribute substituted)
+    val optimized = q.queryExecution.optimizedPlan
+    val node = optimized.collectFirst { case j: graft.plans.AsOfJoin => j }.get
+    def hasKeyFilter(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+                     key: String): Boolean = p.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+        if f.condition.references.map(_.name).toSet == Set(key) => f
+    }.nonEmpty
+    assert(hasKeyFilter(node.left, "user_id"), "left child missing pushed key filter")
+    assert(hasKeyFilter(node.right, "_bk"), "right child missing mirrored key filter")
+    // and the pushed plan still computes the right answer
+    val expect = Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("event_id"))
+      .filter(col("user_id") === 3).orderBy(col("event_id")).collect()
+    assert(q.orderBy(col("event_id")).collect().toSeq == expect.toSeq)
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange per side (SMJ contract)") {
+    val (purchases, clicks) = eventsFixture
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = AsOfJoinPlan.asof(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("event_id"))
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collectFirst { case e: AsOfJoinExec => e }.nonEmpty,
+        "AsOfJoinExec must plan the node")
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 2,
+        s"expected exactly one clustered exchange per side, got ${exchanges.size}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+}
