@@ -519,12 +519,16 @@ object QueriesExtra {
           |      + (4096 - count(*)) * 562949953421312 AS sum_scaled
           |  FROM reg GROUP BY 1),
           |est AS (SELECT col_name, zeros,
-          |    (0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0
-          |      * 562949953421312.0 / CAST(sum_scaled AS DOUBLE) AS raw FROM agg),
+          |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          |      + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+          |      * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+          |      * CAST(562949953421312.0 AS DOUBLE)
+          |      / CAST(sum_scaled AS DOUBLE) AS raw FROM agg),
           |hll AS (SELECT col_name,
-          |    round(CASE WHEN raw <= 10240.0 AND zeros > 0
-          |      THEN 4096.0 * ln(4096.0 / CAST(zeros AS DOUBLE))
-          |      ELSE raw END, 4) AS hll_estimate FROM est),
+          |    CASE WHEN raw <= 10240.0 AND zeros > 0
+          |      THEN round(CAST(4096.0 AS DOUBLE)
+          |        * ln(CAST(4096.0 AS DOUBLE) / CAST(zeros AS DOUBLE)), 4)
+          |      ELSE raw END AS hll_estimate FROM est),
           |ex AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
           |    count(*) AS exact_distinct
           |  FROM (SELECT col_name, val, count(*) AS c FROM m GROUP BY 1, 2)

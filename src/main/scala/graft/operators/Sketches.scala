@@ -74,13 +74,23 @@ object Sketches {
         (col("sum_present") +
           (lit(NumRegisters.toLong) - col("present")) * lit(EmptyTerm))
           .as("sum_scaled"))
+      // Literal discipline: Spark SQL types 0.7213 as DECIMAL and would
+      // constant-fold the bias through decimal arithmetic while DuckDB
+      // folds doubles — the 10× gate caught the ~1e-10 constant skew
+      // landing a raw estimate on a round() boundary. CAST every literal
+      // to DOUBLE so both engines run the identical IEEE chain, and round
+      // ONLY the ln() branch (the raw branch is bit-identical unrounded).
       .select(col("col_name"), col("zeros"),
-        expr("(0.7213 / (1.0 + 1.079 / 4096.0)) * 4096.0 * 4096.0" +
-          " * 562949953421312.0 / cast(sum_scaled as double)").as("raw"))
+        expr("(cast(0.7213 as double) / (cast(1.0 as double) + " +
+          "cast(1.079 as double) / cast(4096.0 as double))) * " +
+          "cast(4096.0 as double) * cast(4096.0 as double) * " +
+          "cast(562949953421312.0 as double) / cast(sum_scaled as double)")
+          .as("raw"))
       .select(col("col_name"),
-        round(when(col("raw") <= lit(2.5 * NumRegisters) && col("zeros") > 0,
-            expr("4096.0 * ln(4096.0 / cast(zeros as double))"))
-          .otherwise(col("raw")), 4).as("hll_estimate"))
+        when(col("raw") <= lit(2.5 * NumRegisters) && col("zeros") > 0,
+            round(expr("cast(4096.0 as double) * ln(cast(4096.0 as double) " +
+              "/ cast(zeros as double))"), 4))
+          .otherwise(col("raw")).as("hll_estimate"))
 
     // Accuracy report: exact distinct via the two-level groupBy (reducer
     // keys are distinct values, never rows).
