@@ -570,6 +570,50 @@ object QueriesExtra {
           |FROM truth t JOIN est USING (val) ORDER BY user_id""".stripMargin),
       doc = "count-min sketch: bounded cell relation, min-over-rows point estimates"),
 
+    // HLL as an aggregation primitive: distinct users PER event_type. Same
+    // register kernel keyed by the group — a hot group still partial-aggs
+    // to ≤4096 registers per map task, so group skew never reaches the
+    // shuffle. Oracle replays the kernel keyed the same way.
+    "sketch_hll_by_group" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Sketches.hllDistinctByGroup(Tables.events(s, dir),
+          "event_type", "user_id"),
+      oracle = Some(
+        """WITH m AS (SELECT event_type AS col_name,
+          |    CAST(user_id AS VARCHAR) AS val FROM events
+          |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+          |hx AS (SELECT col_name, val,
+          |    CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM m),
+          |rk AS (SELECT col_name, h // 281474976710656 AS bucket,
+          |    CASE WHEN h % 281474976710656 = 0 THEN 49
+          |         ELSE 49 - length(bin(h % 281474976710656)) END AS rank FROM hx),
+          |reg AS (SELECT col_name, bucket, max(rank) AS reg FROM rk GROUP BY 1, 2),
+          |agg AS (SELECT col_name, 4096 - count(*) AS zeros,
+          |    CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+          |      + (4096 - count(*)) * 562949953421312 AS sum_scaled
+          |  FROM reg GROUP BY 1),
+          |est AS (SELECT col_name, zeros,
+          |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          |      + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+          |      * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+          |      * CAST(562949953421312.0 AS DOUBLE)
+          |      / CAST(sum_scaled AS DOUBLE) AS raw FROM agg),
+          |hll AS (SELECT col_name,
+          |    CASE WHEN raw <= 10240.0 AND zeros > 0
+          |      THEN round(CAST(4096.0 AS DOUBLE)
+          |        * ln(CAST(4096.0 AS DOUBLE) / CAST(zeros AS DOUBLE)), 4)
+          |      ELSE raw END AS hll_estimate FROM est),
+          |ex AS (SELECT col_name, CAST(sum(c) AS BIGINT) AS n_rows,
+          |    count(*) AS exact_distinct
+          |  FROM (SELECT col_name, val, count(*) AS c FROM m GROUP BY 1, 2)
+          |  GROUP BY 1)
+          |SELECT ex.col_name AS event_type, n_rows, exact_distinct, hll_estimate,
+          |  (hll_estimate - CAST(exact_distinct AS DOUBLE))
+          |    / CAST(exact_distinct AS DOUBLE) * 100.0 AS rel_err_pct
+          |FROM ex JOIN hll ON ex.col_name = hll.col_name
+          |ORDER BY 1""".stripMargin),
+      doc = "HLL distinct-per-group: register merge keyed by group, skew-immune"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

@@ -52,8 +52,27 @@ object Sketches {
     val melted = df.select(explode(map(cols.sorted.flatMap(c =>
         Seq(lit(c), col(c).cast("string"))): _*)).as(Seq("col_name", "val")))
       .filter(col("val").isNotNull)
+    hllReport(melted, "col_name")
+  }
 
-    // Register relation: ≤ m rows per column after the partial-agg merge.
+  /** HLL distinct-per-GROUP — the aggregation-primitive form ("distinct
+    * users per segment" over 100 TB): same register kernel keyed by the
+    * group instead of the column name, so the shuffle still carries at
+    * most m register rows PER GROUP, independent of group skew (a hot
+    * group's billion rows partial-aggregate to 4096 registers on every
+    * map task before the exchange). */
+  def hllDistinctByGroup(df: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    val pairs = df.select(col(groupCol).cast("string").as("col_name"),
+        col(valueCol).cast("string").as("val"))
+      .filter(col("col_name").isNotNull && col("val").isNotNull)
+    hllReport(pairs, groupCol)
+  }
+
+  /** Shared HLL kernel over (col_name, val) pairs; the key column is
+    * renamed to `keyName` in the report. */
+  private def hllReport(melted: DataFrame, keyName: String): DataFrame = {
+    // Register relation: ≤ m rows per key after the partial-agg merge.
     val regs = melted
       .select(col("col_name"),
         expr("cast(conv(substring(md5(val), 1, 15), 16, 10) as bigint)").as("h"))
@@ -102,11 +121,11 @@ object Sketches {
     // rel_err_pct is three IEEE ops over operands already bit-identical in
     // both engines (rounded estimate, integer exact) — ships unrounded.
     exact.join(hll, Seq("col_name"))
-      .select(col("col_name"), col("n_rows"), col("exact_distinct"),
-        col("hll_estimate"),
+      .select(col("col_name").as(keyName), col("n_rows"),
+        col("exact_distinct"), col("hll_estimate"),
         ((col("hll_estimate") - col("exact_distinct").cast("double")) /
           col("exact_distinct").cast("double") * lit(100.0)).as("rel_err_pct"))
-      .orderBy(col("col_name"))
+      .orderBy(col(keyName))
   }
 
   /** Count-min sketch depth (independent hash rows). */

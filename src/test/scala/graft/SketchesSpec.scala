@@ -37,6 +37,18 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("hll_estimate") - 2.0) < 0.01)
   }
 
+  test("per-group HLL is partitioning-independent under group skew") {
+    // one hot group with 4000 distinct values, tiny cold groups
+    val df = ((1 to 8000).map(i => ("hot", s"u${i % 4000}")) ++
+      (1 to 40).map(i => (s"cold${i % 4}", s"v$i"))).toDF("g", "u")
+    val a = Sketches.hllDistinctByGroup(df, "g", "u").collect()
+    val b = Sketches.hllDistinctByGroup(df.repartition(17), "g", "u").collect()
+    assert(a.toSeq == b.toSeq)
+    val hot = a.find(_.getString(0) == "hot").get
+    assert(hot.getAs[Long]("exact_distinct") == 4000L)
+    assert(math.abs(hot.getAs[Double]("hll_estimate") - 4000.0) / 4000.0 < 0.05)
+  }
+
   test("count-min estimates are one-sided and exact where no row collides") {
     // zipfish frequencies: value k appears ~1000/k times
     val df = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"key$k")).toDF("x")
