@@ -407,5 +407,53 @@ object QueriesEvents {
           |SELECT cohort_week, week_offset, count(*) AS n_users,
           |  CAST(sum(n_events) AS BIGINT) AS n_events
           |FROM pu GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "cohort retention census: first-seen week x offset, two-level distinct"))
+      doc = "cohort retention census: first-seen week x offset, two-level distinct"),
+
+    // Incremental materialized-view refresh: the stored aggregate is a
+    // table of PARTIAL (count, decimal-sum) states; a new batch merges by
+    // union + re-reduce — batch-only scan, group-sized merge. The oracle
+    // recomputes from ALL rows, so the hash match IS the proof that the
+    // algebraic merge equals a full recompute.
+    "mv_incremental_refresh" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Incremental
+        val ev = Tables.events(s, dir)
+        val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+        val stored = Incremental.partialAgg(
+          ev.filter(col("ts") < cutoff), Seq("user_id"), "value")
+        val batch = Incremental.partialAgg(
+          ev.filter(col("ts") >= cutoff), Seq("user_id"), "value")
+        Incremental.mvRefresh(stored, batch, Seq("user_id"))
+          .select(col("user_id"), col("n").as("n_events"),
+            col("s").cast("double").as("sum_value"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(
+        """SELECT user_id, count(*) AS n_events,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+          |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "incremental MV refresh: partial-state union + re-reduce == full recompute"),
+
+    // SCD2 history reconstruction from the append-only event log: per key
+    // each entry is valid [its ts, next ts) with the last open-ended — one
+    // keyed lead() window, O(1) state, the warehouse dimension-history
+    // shape.
+    "scd2_intervals" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Incremental.scd2FromLog(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+          key = "user_id", ts = "ts", tiebreak = "event_id")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            col("valid_from"), col("valid_to"), col("is_current"))
+          .orderBy(col("user_id"), col("valid_from"), col("event_id")),
+      oracle = Some(
+        """SELECT user_id, event_id, event_type,
+          |  CAST(ts AS TIMESTAMP) AS valid_from,
+          |  lead(CAST(ts AS TIMESTAMP)) OVER w AS valid_to,
+          |  lead(CAST(ts AS TIMESTAMP)) OVER w IS NULL AS is_current
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
+          |ORDER BY user_id, valid_from, event_id""".stripMargin),
+      doc = "SCD2 validity intervals from a change log (keyed lead window)"))
 }

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Incremental
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance: the algebraic-merge equality (refresh ==
+  * full recompute, including groups present in only one input) and SCD2
+  * interval invariants (contiguous, non-overlapping, one current row). */
+class IncrementalSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("mvRefresh over a split equals the full recompute, any group overlap") {
+    val all = ((1 to 300).map(i => (s"g${i % 7}", i.toDouble)) ++
+      Seq(("only_old", 1.0), ("only_new", 2.0))).toDF("k", "v")
+    val old = all.filter(col("v") <= 150 || col("k") === "only_old")
+    val neu = all.filter(col("v") > 150 && col("k") =!= "only_old")
+    val merged = Incremental.mvRefresh(
+        Incremental.partialAgg(old, Seq("k"), "v"),
+        Incremental.partialAgg(neu, Seq("k"), "v"), Seq("k"))
+      .select(col("k"), col("n"), col("s").cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val full = Incremental.partialAgg(all, Seq("k"), "v")
+      .select(col("k"), col("n"), col("s").cast("double").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(merged == full)
+  }
+
+  test("scd2 intervals tile each key's timeline with exactly one current row") {
+    val log = Seq((1L, 10L, "a", 100L), (1L, 11L, "b", 200L), (1L, 12L, "c", 150L),
+      (2L, 13L, "x", 50L)).toDF("k", "id", "state", "tsv")
+      .withColumn("ts", timestamp_micros(col("tsv") * 1000000L))
+    val got = Incremental.scd2FromLog(log, "k", "ts", "id")
+      .select(col("k"), col("state"), col("valid_from"), col("valid_to"),
+        col("is_current"))
+      .collect()
+    val byKey = got.groupBy(_.getLong(0))
+    byKey.foreach { case (_, rows) =>
+      assert(rows.count(_.getBoolean(4)) == 1, "exactly one current row per key")
+      val sorted = rows.sortBy(_.getTimestamp(2).getTime)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getTimestamp(3) == b.getTimestamp(2),
+            "valid_to must equal the next row's valid_from (half-open tiling)")
+        case _ => ()
+      }
+      assert(sorted.last.getTimestamp(3) == null, "last interval open-ended")
+    }
+    // time order, not log order: key 1 is a(100) -> c(150) -> b(200)
+    val k1 = byKey(1L).sortBy(_.getTimestamp(2).getTime).map(_.getString(1)).toSeq
+    assert(k1 == Seq("a", "c", "b"))
+  }
+}
