@@ -614,6 +614,67 @@ object QueriesExtra {
           |ORDER BY 1""".stripMargin),
       doc = "HLL distinct-per-group: register merge keyed by group, skew-immune"),
 
+    // Sketch algebra: two half-month register tables union by max(reg) and
+    // estimate — NO raw row is rescanned. Registers form a semilattice, so
+    // merged registers == registers of the concatenated data; the oracle
+    // proves it by sketching ALL rows directly. This is the sketch-as-
+    // materialized-view pattern: daily register tables roll up to monthly
+    // distinct counts at register cost.
+    "sketch_hll_union" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.Sketches
+        import org.apache.spark.sql.{Column, DataFrame}
+        val ev = Tables.events(s, dir)
+        def part(f: Column): DataFrame =
+          ev.filter(f).select(lit("user_id").as("col_name"),
+            col("user_id").cast("string").as("val"))
+            .filter(col("val").isNotNull)
+        val cut = lit("2024-01-16 00:00:00").cast("timestamp")
+        val merged = Sketches.hllMergeEstimate(Seq(
+          Sketches.hllRegisters(part(col("ts") < cut)),
+          Sketches.hllRegisters(part(col("ts") >= cut))))
+        val exact = ev.filter(col("user_id").isNotNull)
+          .agg(countDistinct(col("user_id")).as("exact_distinct"))
+        merged.crossJoin(exact)
+          .select(col("col_name"), lit(2).as("n_parts"),
+            col("exact_distinct"), col("hll_estimate"),
+            ((col("hll_estimate") - col("exact_distinct").cast("double")) /
+              col("exact_distinct").cast("double") * lit(100.0))
+              .as("rel_err_pct"))
+      },
+      oracle = Some(
+        """WITH m AS (SELECT 'user_id' AS col_name,
+          |    CAST(user_id AS VARCHAR) AS val FROM events
+          |  WHERE user_id IS NOT NULL),
+          |hx AS (SELECT col_name, val,
+          |    CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM m),
+          |rk AS (SELECT col_name, h // 281474976710656 AS bucket,
+          |    CASE WHEN h % 281474976710656 = 0 THEN 49
+          |         ELSE 49 - length(bin(h % 281474976710656)) END AS rank FROM hx),
+          |reg AS (SELECT col_name, bucket, max(rank) AS reg FROM rk GROUP BY 1, 2),
+          |agg AS (SELECT col_name, 4096 - count(*) AS zeros,
+          |    CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+          |      + (4096 - count(*)) * 562949953421312 AS sum_scaled
+          |  FROM reg GROUP BY 1),
+          |est AS (SELECT col_name, zeros,
+          |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+          |      + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+          |      * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+          |      * CAST(562949953421312.0 AS DOUBLE)
+          |      / CAST(sum_scaled AS DOUBLE) AS raw FROM agg),
+          |hll AS (SELECT col_name,
+          |    CASE WHEN raw <= 10240.0 AND zeros > 0
+          |      THEN round(CAST(4096.0 AS DOUBLE)
+          |        * ln(CAST(4096.0 AS DOUBLE) / CAST(zeros AS DOUBLE)), 4)
+          |      ELSE raw END AS hll_estimate FROM est),
+          |ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events
+          |  WHERE user_id IS NOT NULL)
+          |SELECT col_name, 2 AS n_parts, exact_distinct, hll_estimate,
+          |  (hll_estimate - CAST(exact_distinct AS DOUBLE))
+          |    / CAST(exact_distinct AS DOUBLE) * 100.0 AS rel_err_pct
+          |FROM hll, ex""".stripMargin),
+      doc = "HLL register-table union: semilattice merge == direct sketch, zero rescan"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

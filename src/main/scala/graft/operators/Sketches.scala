@@ -69,11 +69,14 @@ object Sketches {
     hllReport(pairs, groupCol)
   }
 
-  /** Shared HLL kernel over (col_name, val) pairs; the key column is
-    * renamed to `keyName` in the report. */
-  private def hllReport(melted: DataFrame, keyName: String): DataFrame = {
-    // Register relation: ≤ m rows per key after the partial-agg merge.
-    val regs = melted
+  /** The (col_name, bucket, reg) register relation of `melted` — the
+    * stored form of the sketch. ≤ m rows per key after the partial-agg
+    * merge; registers of separate relations UNION by `max(reg)` (see
+    * [[hllMergeEstimate]]) because max is associative/commutative —
+    * that is the law that lets daily register tables roll up to monthly
+    * distincts without rescanning a single data row. */
+  def hllRegisters(melted: DataFrame): DataFrame =
+    melted
       .select(col("col_name"),
         expr("cast(conv(substring(md5(val), 1, 15), 16, 10) as bigint)").as("h"))
       .select(col("col_name"),
@@ -84,8 +87,42 @@ object Sketches {
           .otherwise(lit(49) - length(expr("bin(v)"))).as("rank"))
       .groupBy(col("col_name"), col("bucket")).agg(max(col("rank")).as("reg"))
 
+  /** Merge stored register tables and estimate: union → max per register →
+    * the same estimate chain as a direct sketch. Identical to sketching
+    * the concatenated data (register max is a semilattice) — the union
+    * query's oracle proves exactly that by recomputing from raw rows. */
+  def hllMergeEstimate(regTables: Seq[DataFrame]): DataFrame =
+    estimate(regTables.reduce(_ unionByName _)
+      .groupBy(col("col_name"), col("bucket")).agg(max(col("reg")).as("reg")))
+
+  /** Shared HLL kernel over (col_name, val) pairs; the key column is
+    * renamed to `keyName` in the report. */
+  private def hllReport(melted: DataFrame, keyName: String): DataFrame = {
+    val regs = hllRegisters(melted)
+
     // Estimate: exact-integer harmonic sum, then one fixed IEEE-double chain.
-    val hll = regs.groupBy(col("col_name")).agg(
+    val hll = estimate(regs)
+
+    // Accuracy report: exact distinct via the two-level groupBy (reducer
+    // keys are distinct values, never rows).
+    val exact = melted.groupBy(col("col_name"), col("val"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("col_name"))
+      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("exact_distinct"))
+
+    // rel_err_pct is three IEEE ops over operands already bit-identical in
+    // both engines (rounded estimate, integer exact) — ships unrounded.
+    exact.join(hll, Seq("col_name"))
+      .select(col("col_name").as(keyName), col("n_rows"),
+        col("exact_distinct"), col("hll_estimate"),
+        ((col("hll_estimate") - col("exact_distinct").cast("double")) /
+          col("exact_distinct").cast("double") * lit(100.0)).as("rel_err_pct"))
+      .orderBy(col(keyName))
+  }
+
+  /** (col_name, hll_estimate) from a register relation. */
+  private def estimate(regs: DataFrame): DataFrame =
+    regs.groupBy(col("col_name")).agg(
         count(lit(1)).as("present"),
         expr("sum(shiftleft(cast(1 as bigint), 49 - reg))").as("sum_present"))
       .select(col("col_name"),
@@ -110,23 +147,6 @@ object Sketches {
             round(expr("cast(4096.0 as double) * ln(cast(4096.0 as double) " +
               "/ cast(zeros as double))"), 4))
           .otherwise(col("raw")).as("hll_estimate"))
-
-    // Accuracy report: exact distinct via the two-level groupBy (reducer
-    // keys are distinct values, never rows).
-    val exact = melted.groupBy(col("col_name"), col("val"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("col_name"))
-      .agg(sum(col("c")).as("n_rows"), count(lit(1)).as("exact_distinct"))
-
-    // rel_err_pct is three IEEE ops over operands already bit-identical in
-    // both engines (rounded estimate, integer exact) — ships unrounded.
-    exact.join(hll, Seq("col_name"))
-      .select(col("col_name").as(keyName), col("n_rows"),
-        col("exact_distinct"), col("hll_estimate"),
-        ((col("hll_estimate") - col("exact_distinct").cast("double")) /
-          col("exact_distinct").cast("double") * lit(100.0)).as("rel_err_pct"))
-      .orderBy(col(keyName))
-  }
 
   /** Count-min sketch depth (independent hash rows). */
   val CmsDepth = 4

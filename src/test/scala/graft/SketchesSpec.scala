@@ -49,6 +49,19 @@ class SketchesSpec extends SparkTestBase {
     assert(math.abs(hot.getAs[Double]("hll_estimate") - 4000.0) / 4000.0 < 0.05)
   }
 
+  test("register-table union estimates exactly like sketching the full data") {
+    val full = (1 to 9000).map(i => s"u${i % 2500}").toDF("x")
+      .select(lit("x").as("col_name"), col("x").as("val"))
+    val parts = Seq(full.filter(length(col("val")) % 3 === 0),
+      full.filter(length(col("val")) % 3 === 1),
+      full.filter(length(col("val")) % 3 === 2))
+    val merged = Sketches.hllMergeEstimate(parts.map(Sketches.hllRegisters))
+      .collect().head.getAs[Double]("hll_estimate")
+    val direct = Sketches.hllMergeEstimate(Seq(Sketches.hllRegisters(full)))
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(merged == direct, "semilattice merge must equal the direct sketch")
+  }
+
   test("count-min estimates are one-sided and exact where no row collides") {
     // zipfish frequencies: value k appears ~1000/k times
     val df = (1 to 50).flatMap(k => Seq.fill(1000 / k)(s"key$k")).toDF("x")
