@@ -200,6 +200,33 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join: purchases joined to the clicks that
+    * preceded them within `windowSeconds` for the same user — the
+    * streaming twin of [[graft.operators.Temporal.rangeJoinAgg]]'s match
+    * relation. BOTH sides carry watermarks and the join condition bounds
+    * each stream's event time relative to the other in BOTH directions
+    * (`c_ts ∈ [p_ts - window, p_ts]`), which is exactly what lets Spark
+    * expire buffered state: a click older than (watermark - window) can
+    * never match a future purchase and is dropped. Without the two-sided
+    * bound the state store grows without limit — THE operational failure
+    * mode of stream-stream joins at scale. `StreamingSpec` pins parity
+    * with the batch formulation across multi-batch feeds. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame,
+                   windowSeconds: Long,
+                   watermarkDelay: String = "1 hour"): DataFrame = {
+    val p = purchases.select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermarkDelay)
+    val c = clicks.select(col("user_id").as("c_user"),
+        col("event_id").as("click_id"), col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermarkDelay)
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $windowSeconds SECONDS"))
+      .select(col("user_id"), col("purchase_id"), col("click_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Windowed event-rate aggregation with watermark — the monitoring
     * counterpart (A8) in streaming form. */
   def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",

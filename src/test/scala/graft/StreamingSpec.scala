@@ -276,6 +276,47 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(_._1 != 9L) == want && want.size == 3)
   }
 
+  test("stream-stream interval join matches the batch range join across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = Seq(
+      (1L, 100L, ts("2024-01-01 10:00:00")),
+      (1L, 101L, ts("2024-01-01 10:40:00")),
+      (1L, 102L, ts("2024-01-01 12:00:00")), // outside any purchase window
+      (2L, 103L, ts("2024-01-01 10:05:00")))
+    val purchases = Seq(
+      (1L, 200L, ts("2024-01-01 10:45:00")), // catches clicks 100, 101
+      (2L, 201L, ts("2024-01-01 11:00:00")), // catches 103
+      (3L, 202L, ts("2024-01-01 10:30:00"))) // no clicks at all
+    val cIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val out = EventStream.intervalJoin(
+      pIn.toDF.toDF("user_id", "event_id", "ts"),
+      cIn.toDF.toDF("user_id", "event_id", "ts"), windowSeconds = 3600L)
+    val q = out.writeStream.format("memory").queryName("ssij_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    // split the feed across batches: the join must match across them
+    cIn.addData(clicks.take(2): _*); pIn.addData(purchases.take(1): _*)
+    q.awaitTermination(60000)
+    cIn.addData(clicks.drop(2): _*); pIn.addData(purchases.drop(1): _*)
+    val q2 = out.writeStream.format("memory").queryName("ssij_out2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    val got = spark.table("ssij_out2")
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = purchases.toDF("u", "purchase_id", "p_ts")
+      .join(clicks.toDF("u", "click_id", "c_ts"), Seq("u"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 3600 SECONDS"))
+      .select("purchase_id", "click_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want == Set((200L, 100L), (200L, 101L), (201L, 103L)))
+    assert(got == want, s"stream got $got, batch wants $want")
+  }
+
   test("corpus ingest: quality gate + watermarked exact dedup on a doc stream") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
