@@ -1152,6 +1152,28 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           |GROUP BY p.pct ORDER BY pct""".stripMargin),
       doc = "exact doc-length percentiles via histogram prefix sum (no sketch, engine-exact)"),
 
+    // Per-GROUP exact percentiles (per-language length bands): the keyed
+    // form — cumulative counts via a window over each group's value
+    // HISTOGRAM (frames bounded by distinct values, no global window, no
+    // driver total), rank threshold in exact long arithmetic.
+    "text_grouped_quantiles" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.groupedQuantiles(Tables.documents(s, dir),
+          "lang", "n_chars", Seq(50, 90, 99)),
+      oracle = Some(
+        """WITH h AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v,
+          |    count(*) AS c FROM documents GROUP BY 1, 2),
+          |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+          |cc AS (SELECT g, v,
+          |    sum(c) OVER (PARTITION BY g ORDER BY v ROWS UNBOUNDED PRECEDING)
+          |      AS cum FROM h)
+          |SELECT cc.g AS lang, p.pct, min(cc.v) AS value, min(t.n) AS n_rows
+          |FROM (VALUES (50), (90), (99)) p(pct), cc
+          |JOIN t ON cc.g = t.g
+          |WHERE cc.cum >= (t.n * p.pct + 99) // 100
+          |GROUP BY cc.g, p.pct ORDER BY lang, pct""".stripMargin),
+      doc = "per-group exact percentiles: keyed histogram window, bounded frames"),
+
     // Fixed-budget per-stratum sample (eval sets, human-review batches):
     // exactly k rows per language, selected by smallest (md5-bucket, id) —
     // rerun-stable where rate sampling drifts in size. Skew-proof two-phase

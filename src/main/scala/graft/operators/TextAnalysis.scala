@@ -713,6 +713,36 @@ object TextAnalysis {
     }.reduce(_ unionByName _)
   }
 
+  /** Per-GROUP exact percentiles — [[exactQuantiles]] keyed by a group
+    * column (per-language length percentiles, per-source quality bands).
+    * Same order-statistics-over-histogram idea, but the cumulative count
+    * is a KEYED window over the per-group value histogram: frames are
+    * bounded by a group's distinct values (≪ its rows), so no global
+    * window and no driver-side total — group totals join back as a
+    * relation and the rank threshold ⌈n·p/100⌉ is exact long arithmetic.
+    * One histogram pass serves every requested percentile via an
+    * exploded percentile list. */
+  def groupedQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                       percents: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    val hist = df.groupBy(col(groupCol).as("g"), col(valueCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = hist.withColumn("cum", sum(col("c")).over(w))
+    val totals = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    cum.join(totals, Seq("g"))
+      .select(col("g"), col("v"), col("cum"), col("n"),
+        explode(array(percents.map(lit): _*)).as("pct"))
+      .filter(col("cum") >= expr("(n * pct + 99) div 100"))
+      .groupBy(col("g"), col("pct"), col("n"))
+      .agg(min(col("v")).as("value"))
+      .select(col("g").as(groupCol), col("pct"), col("value"),
+        col("n").as("n_rows"))
+      .orderBy(col(groupCol), col("pct"))
+  }
+
   /** TF-IDF top-k keyword extraction per document — the per-doc companion
     * of [[bm25]] (which scores docs for one query; this surfaces each doc's
     * most distinctive terms, the classic tagging/feature step).
