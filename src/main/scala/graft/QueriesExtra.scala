@@ -745,14 +745,33 @@ object QueriesExtra {
 
     // Multimodal: per-partition feature extraction (stubbed decode kernel) —
     // not SQL-expressible, driver records a rows-only check.
+    // The stub kernel emits dyadic k/65536 bins (md5-derived), so the
+    // squared norm is an EXACT double (common denominator 2^32, Σk² < 2^36)
+    // and the oracle replays decode→extract→norm bin-for-bin — the row
+    // that was no_oracle in r2-r4 is now hash-checked end to end. The
+    // mapPartitions batch plumbing (the real-codec seam) is unchanged.
     "mm_extract_features" -> Q(
       fn = (s, dir) => {
         val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, dir))
         feats.select(col("media_id"), col("kind"),
-          round(graft.functions.VectorExprs.vecDot(col("features"), col("features")), 4)
+          graft.functions.VectorExprs.vecDot(col("features"), col("features"))
             .as("feat_norm2"))
           .orderBy(col("media_id"))
       },
-      oracle = None,
-      doc = "Multimodal decode+extract via mapPartitions (stub kernel, real plumbing)"))
+      oracle = Some(
+        """WITH media AS (SELECT doc_id AS media_id,
+          |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+          |    md5(text) AS hex
+          |  FROM documents),
+          |bins AS (SELECT media_id, kind,
+          |    CAST(('0x' || substr(md5(hex || '|' || CAST(j AS VARCHAR)), 1, 4))
+          |      AS BIGINT) AS k
+          |  FROM media CROSS JOIN (SELECT unnest(range(16)) AS j)),
+          |n2 AS (SELECT media_id, kind, CAST(sum(k * k) AS BIGINT) AS sk
+          |  FROM bins GROUP BY 1, 2)
+          |SELECT media_id, kind,
+          |  CAST(sk AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS feat_norm2
+          |FROM n2 ORDER BY media_id""".stripMargin),
+      doc = "Multimodal decode+extract via mapPartitions (stub kernel, real plumbing, exact-dyadic norm oracle)"))
 }

@@ -50,19 +50,23 @@ object Multimodal {
 
   /** ??? decode stub: a real implementation calls an image codec here
     * (per-partition, batched). The stub derives a deterministic fake feature
-    * vector from the bytes so the distributed plumbing is testable. */
+    * vector from the bytes so the distributed plumbing is testable — and is
+    * deliberately ORACLE-REPLAYABLE: bin j = the first 4 hex chars of
+    * md5(md5hex(payload) || '|' || j) as k ∈ [0, 65536), scaled to the
+    * dyadic float k/65536 (exact in float32, so downstream dot products
+    * are exact doubles and the driver hash-checks the whole path — the
+    * r2-r4 rounds carried this as the registry's one no_oracle row). */
   private def decodeAndExtractStub(bytes: Array[Byte], featDim: Int): Array[Float] = {
-    // STUB — replace with e.g. JPEG decode + model forward pass. Deliberately
-    // cheap and deterministic: rolling byte hash folded into featDim floats.
-    val feats = new Array[Float](featDim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < bytes.length) {
-      h = 31 * h + bytes(i)
-      feats(i % featDim) += (h & 0xffff) / 65535.0f
-      i += 1
+    // STUB — replace with e.g. JPEG decode + model forward pass.
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b)
+        .map("%02x".format(_)).mkString
+    val hex = md5hex(bytes)
+    Array.tabulate(featDim) { j =>
+      val k = Integer.parseInt(
+        md5hex((hex + "|" + j).getBytes("UTF-8")).substring(0, 4), 16)
+      k / 65536.0f
     }
-    feats
   }
 
   /** Feature extraction over media batches: `mapPartitions` so the (native)

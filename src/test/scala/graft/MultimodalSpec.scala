@@ -28,20 +28,19 @@ class MultimodalSpec extends SparkTestBase {
   }
 
   test("stub kernel output matches a local recompute exactly (mm_extract_features check)") {
-    // the decode stub is deterministic: rolling byte hash folded into featDim
-    // floats — recompute it here from the same source bytes and demand
-    // bit-equality, which pins the full mapPartitions pipeline (row order,
-    // encoders, batch boundaries) not just "some rows came back"
+    // the decode stub is deterministic: per-bin md5-derived dyadic floats —
+    // recompute it here from the same source bytes and demand bit-equality,
+    // which pins the full mapPartitions pipeline (row order, encoders,
+    // batch boundaries) not just "some rows came back"
     def localStub(bytes: Array[Byte], featDim: Int): Array[Float] = {
-      val feats = new Array[Float](featDim)
-      var h = 1125899906842597L
-      var i = 0
-      while (i < bytes.length) {
-        h = 31 * h + bytes(i)
-        feats(i % featDim) += (h & 0xffff) / 65535.0f
-        i += 1
+      def md5hex(b: Array[Byte]): String =
+        java.security.MessageDigest.getInstance("MD5").digest(b)
+          .map("%02x".format(_)).mkString
+      val hex = md5hex(bytes)
+      Array.tabulate(featDim) { j =>
+        Integer.parseInt(
+          md5hex((hex + "|" + j).getBytes("UTF-8")).substring(0, 4), 16) / 65536.0f
       }
-      feats
     }
     val docs = Tables.documents(spark, sfDir).limit(5)
       .select("doc_id", "text").collect()
