@@ -69,6 +69,47 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     assert(q.orderBy(col("event_id")).collect().toSeq == expect.toSeq)
   }
 
+  test("bucketed inputs plan with ZERO exchanges — the stored-layout contract") {
+    // the declared ClusteredDistribution lets a bucketed table satisfy the
+    // join's requirement straight off the scan: both sides read the SAME
+    // user_id-bucketed table (filters preserve partitioning), so
+    // EnsureRequirements inserts no shuffle at all — only local sorts.
+    // This is the capability the union+window formulation can never have.
+    spark.sql("DROP TABLE IF EXISTS asof_events_bucketed")
+    val loc = new java.io.File(
+      spark.conf.get("spark.sql.warehouse.dir"), "asof_events_bucketed")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete()
+    }
+    if (loc.exists()) rm(loc)
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      .write.format("parquet").bucketBy(8, "user_id")
+      .sortBy("user_id", "ts").saveAsTable("asof_events_bucketed")
+    val t = spark.table("asof_events_bucketed")
+    val purchases = t.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = t.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val q = AsOfJoinPlan.asof(purchases, clicks, "user_id", "ts",
+        "event_id", Seq("event_id"))
+      val plan = q.queryExecution.executedPlan
+      assert(plan.collectFirst { case e: AsOfJoinExec => e }.nonEmpty)
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.isEmpty,
+        s"bucketed inputs must add no exchange, got ${exchanges.size}")
+      // and the exchange-free plan still computes the right rows
+      val expect = Temporal.asOfJoin(purchases, clicks, "user_id", "ts",
+          "event_id", Seq("event_id"))
+        .orderBy(col("event_id")).collect()
+      assert(q.orderBy(col("event_id")).collect().toSeq == expect.toSeq)
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("plan shape: AsOfJoinExec with one exchange per side (SMJ contract)") {
     val (purchases, clicks) = eventsFixture
     spark.conf.set("spark.sql.adaptive.enabled", "false")
