@@ -675,6 +675,41 @@ object QueriesExtra {
           |FROM hll, ex""".stripMargin),
       doc = "HLL register-table union: semilattice merge == direct sketch, zero rescan"),
 
+    // Join-cardinality estimation from CMS cells — optimizer statistics:
+    // |A ⋈ B| = Σ_v fA(v)·fB(v), estimated as min over depth rows of the
+    // cellwise product sum. Reads 2·depth·width cells, never the
+    // relations; collisions only ADD cross terms (one-sided). All-integer,
+    // oracle replays the cells.
+    "sketch_join_cardinality" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        graft.operators.Sketches.cmsJoinCardinality(
+          ev.filter(col("event_type") === "click"),
+          ev.filter(col("event_type") === "purchase"), "user_id")
+      },
+      oracle = Some(
+        """WITH va AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events
+          |  WHERE event_type = 'click' AND user_id IS NOT NULL),
+          |vb AS (SELECT CAST(user_id AS VARCHAR) AS val FROM events
+          |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+          |js AS (SELECT unnest(range(4)) AS j),
+          |ca AS (SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || val), 1, 15)
+          |    AS BIGINT) % 1024 AS bucket, count(*) AS c
+          |  FROM va CROSS JOIN js GROUP BY 1, 2),
+          |cb AS (SELECT j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || val), 1, 15)
+          |    AS BIGINT) % 1024 AS bucket, count(*) AS c
+          |  FROM vb CROSS JOIN js GROUP BY 1, 2),
+          |s AS (SELECT ca.j, CAST(sum(ca.c * cb.c) AS BIGINT) AS s
+          |  FROM ca JOIN cb ON ca.j = cb.j AND ca.bucket = cb.bucket GROUP BY 1),
+          |est AS (SELECT min(s) AS cms_card FROM s),
+          |ex AS (SELECT CAST(coalesce(sum(fa.c * fb.c), 0) AS BIGINT) AS exact_card
+          |  FROM (SELECT val, count(*) AS c FROM va GROUP BY 1) fa
+          |  JOIN (SELECT val, count(*) AS c FROM vb GROUP BY 1) fb USING (val))
+          |SELECT exact_card, coalesce(cms_card, 0) AS cms_card,
+          |  coalesce(cms_card, 0) - exact_card AS overcount
+          |FROM ex, est""".stripMargin),
+      doc = "CMS join-cardinality estimate: cellwise product sums, one-sided, relation-free"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

@@ -167,19 +167,51 @@ object Sketches {
   def cmsCounts(df: DataFrame, valueCol: String): DataFrame = {
     val vals = df.select(col(valueCol).cast("string").as("val"))
       .filter(col("val").isNotNull)
-    val js = explode(sequence(lit(0), lit(CmsDepth - 1))).as("j")
-    def bucket = expr("cast(conv(substring(md5(concat(cast(j as string), '|', val)), " +
-      s"1, 15), 16, 10) as bigint) % $CmsWidth")
-    val cells = vals.select(js, col("val"))
-      .select(col("j"), bucket.as("bucket"))
-      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+    val cells = cmsCells(vals)
     val truth = vals.groupBy(col("val")).agg(count(lit(1)).as("n_true"))
-    val est = truth.select(col("val"), js)
-      .select(col("val"), col("j"), bucket.as("bucket"))
+    val est = truth.select(col("val"), cmsJ)
+      .select(col("val"), col("j"), cmsBucket.as("bucket"))
       .join(cells, Seq("j", "bucket"))
       .groupBy(col("val")).agg(min(col("c")).as("n_cms"))
     truth.join(est, Seq("val"))
       .select(col("val"), col("n_true"), col("n_cms"),
         (col("n_cms") - col("n_true")).as("overcount"))
+  }
+
+  private def cmsJ = explode(sequence(lit(0), lit(CmsDepth - 1))).as("j")
+  private def cmsBucket =
+    expr("cast(conv(substring(md5(concat(cast(j as string), '|', val)), " +
+      s"1, 15), 16, 10) as bigint) % $CmsWidth")
+
+  /** The (j, bucket) → count cell relation of a `val` column — the stored
+    * form of the CMS. */
+  def cmsCells(vals: DataFrame): DataFrame =
+    vals.select(cmsJ, col("val"))
+      .select(col("j"), cmsBucket.as("bucket"))
+      .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
+
+  /** Equi-join cardinality estimation from two CMS cell relations — the
+    * optimizer-statistics use of sketches: |A ⋈_v B| = Σ_v fA(v)·fB(v),
+    * estimated as min over depth rows of Σ_bucket cA·cB. Hash collisions
+    * only ADD cross terms, so the estimate is one-sided (≥ exact, asserted
+    * in SketchesSpec) — and it reads 2·depth·width cells, never the
+    * relations: the join-size probe a planner can afford before choosing a
+    * strategy over 100 TB inputs. All-integer. Output: one row
+    * (exact_card, cms_card, overcount); the exact side is the report
+    * companion, as everywhere in this file. */
+  def cmsJoinCardinality(a: DataFrame, b: DataFrame,
+                         valueCol: String): DataFrame = {
+    def vals(df: DataFrame) = df.select(col(valueCol).cast("string").as("val"))
+      .filter(col("val").isNotNull)
+    val est = cmsCells(vals(a)).withColumnRenamed("c", "ca")
+      .join(cmsCells(vals(b)).withColumnRenamed("c", "cb"), Seq("j", "bucket"))
+      .groupBy(col("j")).agg(sum(col("ca") * col("cb")).as("s"))
+      .agg(min(col("s")).as("cms_card"))
+    val exact = vals(a).groupBy(col("val")).agg(count(lit(1)).as("fa"))
+      .join(vals(b).groupBy(col("val")).agg(count(lit(1)).as("fb")), Seq("val"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L)).as("exact_card"))
+    exact.crossJoin(est)
+      .select(col("exact_card"), coalesce(col("cms_card"), lit(0L)).as("cms_card"),
+        (coalesce(col("cms_card"), lit(0L)) - col("exact_card")).as("overcount"))
   }
 }

@@ -77,6 +77,22 @@ class SketchesSpec extends SparkTestBase {
     assert(heavy.getAs[Long]("n_true") == 1000L)
   }
 
+  test("CMS join-cardinality estimate is one-sided; zero-overlap gives zero") {
+    val a = (1 to 2000).map(i => s"u${i % 300}").toDF("x")
+    val b = (1 to 900).map(i => s"u${i % 450}").toDF("x")
+    val r = Sketches.cmsJoinCardinality(a, b, "x").collect().head
+    // exact = sum over shared users of fa*fb; sharing u0..u299
+    assert(r.getAs[Long]("exact_card") > 0)
+    assert(r.getAs[Long]("cms_card") >= r.getAs[Long]("exact_card"),
+      "cellwise product sums must never undercount")
+    val disjoint = Sketches.cmsJoinCardinality(
+      Seq("a1", "a2").toDF("x"), Seq("b1", "b2").toDF("x"), "x").collect().head
+    assert(disjoint.getAs[Long]("exact_card") == 0L)
+    // disjoint values can still collide in buckets (overestimate), but the
+    // estimate must be finite and the exact side exactly zero
+    assert(disjoint.getAs[Long]("cms_card") >= 0L)
+  }
+
   test("scale contract: the sketch-side shuffle carries register rows only") {
     // The pre-join sketch aggregation must reduce to ≤ m rows per column
     // regardless of input size — that's what makes the formulation a
