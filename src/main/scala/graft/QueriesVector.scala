@@ -244,6 +244,36 @@ object QueriesVector {
            |FROM cand, q ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (LSH-bucketed) — scale path"),
 
+    // ANN via 1-bit binary sketch: sign-bit Hamming candidate filter (32×
+    // smaller than the floats — the RAM-resident relation at 100 TB), exact
+    // cosine re-rank of the survivors. Hamming is EXACT integer arithmetic
+    // (|a|+|q|-2⟨a,q⟩ over 0/1 vectors), so the candidate cut is
+    // deterministic and the oracle replays it bit-for-bit.
+    "v3_ann_binary" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        Vectors.binaryKnn(emb, "vec_id", "embedding", queryVec(s, dir),
+            topK = 10, candidates = 50)
+          .select(col("vec_id"), col("label"), col("hamming"),
+            (col("distance") + 0.0).as("distance"))
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+           |qb AS (SELECT list_transform(qv, x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END) AS qbits FROM q),
+           |ham AS (SELECT vec_id, label, embedding,
+           |    CAST(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+           |        x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END))
+           |      + list_sum(qbits)
+           |      - 2.0 * list_sum(list_transform(
+           |          list_zip(list_transform(CAST(embedding AS DOUBLE[]),
+           |            x -> CASE WHEN x > 0 THEN 1.0 ELSE 0.0 END), qbits),
+           |          z -> z[1] * z[2])) AS BIGINT) AS hamming
+           |  FROM embeddings, qb),
+           |cand AS (SELECT * FROM ham ORDER BY hamming, vec_id LIMIT 50)
+           |SELECT vec_id, label, hamming, ${cosSql("embedding")} AS distance
+           |FROM cand, q ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 ANN (1-bit sign sketch): exact-integer Hamming filter + cosine re-rank"),
+
     // V3 ANN via IVF-flat: probe the 4 nearest of 16 seeded centroid lists.
     // Centroids come from the table (vec_id % 97 == 3), so the oracle
     // recomputes identical assignments — no literals needed.

