@@ -22,6 +22,12 @@ object VectorExprs {
   /** Σ a(i)·b(i) as double, sequential. */
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
 
+  /** Count of positions where sign(a(i)) ≠ sign(b(i)) (sign = value > 0) —
+    * the Hamming distance between 1-bit sign sketches, fused into one
+    * codegen'd pass over the float arrays (no materialized bit vectors, no
+    * interpreted `transform` in the ANN hot path). Integer result. */
+  def signHamming(a: Column, b: Column): Column = c(SignHamming(e(a), e(b)))
+
   /** Σ (a(i)−b(i))² as double, sequential (L2 distance squared). */
   def l2Sq(a: Column, b: Column): Column = c(VecL2Sq(e(a), e(b)))
 
@@ -583,6 +589,50 @@ case class VecDot(left: Expression, right: Expression)
     })
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VecDot =
+    copy(left = l, right = r)
+}
+
+/** Hamming distance between the sign sketches of two numeric arrays: the
+  * count of positions where (a(i) > 0) ≠ (b(i) > 0), over the common
+  * prefix. One fused pass — the 1-bit ANN filter kernel. */
+case class SignHamming(left: Expression, right: Expression)
+    extends BinaryExpression with ArrayNumericCheck {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkNumericArray(left, "left") match {
+      case TypeCheckResult.TypeCheckSuccess => checkNumericArray(right, "right")
+      case f => f
+    }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      if ((getElem(left, x, i) > 0) != (getElem(right, y, i) > 0)) s += 1L
+      i += 1
+    }
+    s
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ((${getter(left, a, i)} > 0) != (${getter(right, b, i)} > 0)) $s++;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SignHamming =
     copy(left = l, right = r)
 }
 

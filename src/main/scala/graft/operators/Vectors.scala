@@ -66,20 +66,13 @@ object Vectors {
   def binaryKnn(vectors: DataFrame, keyCol: String, embCol: String,
                 query: Seq[Double], topK: Int = 10,
                 candidates: Int = 50): DataFrame = {
-    val bits = transform(col(embCol), x => when(x > 0, 1.0).otherwise(0.0))
-    val qBits = query.map(x => if (x > 0) 1.0 else 0.0)
-    val qLit = typedLit(qBits)
-    val dotE = graft.functions.VectorExprs.vecDot _
     val q = typedLit(query)
     vectors
-      .withColumn("_bits", bits)
       .withColumn("hamming",
-        (dotE(col("_bits"), col("_bits")) + lit(qBits.sum) -
-          lit(2.0) * dotE(col("_bits"), qLit)).cast("long"))
+        graft.functions.VectorExprs.signHamming(col(embCol), q))
       .orderBy(col("hamming"), col(keyCol)).limit(candidates)
       .withColumn("distance", round(cosineDistance(col(embCol), q), 9))
       .orderBy(col("distance"), col(keyCol)).limit(topK)
-      .drop("_bits")
   }
 
   /** Scale path: hyperplane-LSH bucketing. `nPlanes` seeded pseudo-random

@@ -76,8 +76,11 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     // EnsureRequirements inserts no shuffle at all — only local sorts.
     // This is the capability the union+window formulation can never have.
     spark.sql("DROP TABLE IF EXISTS asof_events_bucketed")
-    val loc = new java.io.File(
-      spark.conf.get("spark.sql.warehouse.dir"), "asof_events_bucketed")
+    // warehouse dir comes back as a file: URI — strip the scheme or the
+    // stale-location cleanup silently misses and the CTAS fails on rerun
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file://").stripPrefix("file:")
+    val loc = new java.io.File(wh, "asof_events_bucketed")
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
       f.delete()
