@@ -371,6 +371,37 @@ object QueriesEvents {
           |ORDER BY event_id""".stripMargin),
       doc = "per-key sliding frame: rolling decimal sum + lag, keyed window only"),
 
+    // Keyed RANGE-frame window: per-user trailing-1-hour event count and
+    // DECIMAL value sum by VALUE RANGE over event-time micros (not row
+    // count) — the time-windowed feature the ROWS-frame e_user_rolling
+    // cannot express. Range frames include all peers of the boundary
+    // instant in both engines (SQL standard), so ties need no tiebreak for
+    // the aggregate to be deterministic; output order still totals on
+    // (event_id). The batch cousin of t_range_join, stated as one window.
+    "e_user_timewindow" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(unix_micros(col("ts")))
+          .rangeBetween(-3600L * 1000000L, 0L)
+        Tables.events(s, dir)
+          .select(col("user_id"), col("event_id"), col("ts"),
+            count(lit(1)).over(w).as("n_trailing_1h"),
+            sum(col("value").cast(DecimalType(18, 4))).over(w).cast("double")
+              .as("sum_trailing_1h"))
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+          |  count(*) OVER w AS n_trailing_1h,
+          |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+          |    AS sum_trailing_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP)
+          |  RANGE BETWEEN INTERVAL '1 hour' PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin),
+      doc = "keyed RANGE frame: trailing-1h count + decimal sum by event-time range"),
+
     // Cohort retention: users bucketed by first-seen week, activity counted
     // per (cohort_week, week_offset). Two keyed aggregations — first-seen is
     // a groupBy(user) min, cohorts join back on user_id (co-partitioned at
