@@ -227,6 +227,23 @@ object EventStream {
         col("p_ts"), col("c_ts"))
   }
 
+  /** Streaming distinct-count state: the HLL register relation
+    * ([[graft.operators.Sketches.hllRegisters]]) maintained as a streaming
+    * aggregation. `max(rank)` per bucket is monotone, so update mode emits
+    * register rows only as they grow and TOTAL operator state is ≤ 4096
+    * rows per sketched column no matter how many events arrive — compare
+    * `dropDuplicates`, whose key state grows with the distinct count
+    * itself. THE way to keep "distinct users ever" queryable over an
+    * unbounded stream; the final estimate is
+    * [[graft.operators.Sketches.hllMergeEstimate]] over the stored
+    * registers (semilattice merge — batch/stream parity is exact and
+    * `StreamingSpec` pins it). */
+  def streamingHllRegisters(events: DataFrame, valueCol: String): DataFrame =
+    graft.operators.Sketches.hllRegisters(
+      events.select(lit(valueCol).as("col_name"),
+          org.apache.spark.sql.functions.col(valueCol).cast("string").as("val"))
+        .filter(org.apache.spark.sql.functions.col("val").isNotNull))
+
   /** Windowed event-rate aggregation with watermark — the monitoring
     * counterpart (A8) in streaming form. */
   def windowedCounts(events: DataFrame, windowLength: String = "5 minutes",

@@ -276,6 +276,38 @@ class StreamingSpec extends SparkTestBase {
     assert(got.filter(_._1 != 9L) == want && want.size == 3)
   }
 
+  test("streaming HLL registers: bounded state, batch-parity estimate") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val values = (1 to 5000).map(i => s"user-${i % 1400}")
+    val in = MemoryStream[String]
+    val regs = EventStream.streamingHllRegisters(in.toDF.toDF("uid"), "uid")
+    val q = regs.writeStream.format("memory").queryName("hll_regs")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    in.addData(values.take(2000): _*)
+    q.awaitTermination(60000)
+    in.addData(values.drop(2000): _*)
+    val q2 = regs.writeStream.format("memory").queryName("hll_regs2")
+      .outputMode("update").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    // update mode re-emits a register each time it grows: the stored form
+    // is max per bucket — exactly the semilattice the merge law handles
+    val stored = spark.table("hll_regs2")
+      .groupBy(col("col_name"), col("bucket"))
+      .agg(max(col("reg")).as("reg"))
+    assert(stored.count() <= graft.operators.Sketches.NumRegisters)
+    val streamEst = graft.operators.Sketches.hllMergeEstimate(Seq(stored))
+      .collect().head.getAs[Double]("hll_estimate")
+    val batchEst = graft.operators.Sketches.hllMergeEstimate(Seq(
+        graft.operators.Sketches.hllRegisters(
+          values.toDF("uid").select(lit("uid").as("col_name"), col("uid").as("val")))))
+      .collect().head.getAs[Double]("hll_estimate")
+    assert(streamEst == batchEst,
+      s"stream $streamEst must equal batch $batchEst (semilattice merge)")
+    assert(math.abs(streamEst - 1400.0) / 1400.0 < 0.05)
+  }
+
   test("stream-stream interval join matches the batch range join across batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
