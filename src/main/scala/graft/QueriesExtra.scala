@@ -710,6 +710,49 @@ object QueriesExtra {
           |FROM ex, est""".stripMargin),
       doc = "CMS join-cardinality estimate: cellwise product sums, one-sided, relation-free"),
 
+    // Bloom-filter runtime join pruning — the dynamic-filter pattern: an
+    // 8 KB bitmap built from the SMALL join side cuts the big probe side
+    // map-side (zero shuffle per pruned row) before the exact join runs.
+    // False positives only waste a probe (the exact join keeps correctness);
+    // no false negatives by construction (SketchesSpec asserts both). The
+    // oracle replays the filter relationally: position semi-join,
+    // pass ⇔ all k positions present.
+    "sketch_bloom_prefilter" -> Q(
+      fn = (s, dir) => {
+        val build = Tables.s3Keys(s, dir)
+          .filter(col("size").between(45000, 55000))
+        val probe = Tables.objects(s, dir)
+          .filter(col("mimetype") =!= "image/png")
+        graft.operators.Sketches.bloomPrefilterCensus(
+          probe, "name", build, "key")
+      },
+      oracle = Some(Oracle.withS3(
+        """, build AS (SELECT DISTINCT key AS val FROM s3_keys
+          |    WHERE size BETWEEN 45000 AND 55000),
+          |probe AS (SELECT DISTINCT name AS val FROM objects
+          |    WHERE mimetype <> 'image/png'),
+          |js AS (SELECT unnest(range(3)) AS j),
+          |bits AS (SELECT DISTINCT
+          |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || val), 1, 15)
+          |      AS BIGINT) % 65536 AS bit
+          |  FROM build CROSS JOIN js),
+          |pos AS (SELECT val,
+          |    CAST('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || val), 1, 15)
+          |      AS BIGINT) % 65536 AS bit
+          |  FROM probe CROSS JOIN js),
+          |hit AS (SELECT p.val, count(*) AS ntot, count(b.bit) AS nhit
+          |  FROM pos p LEFT JOIN bits b USING (bit) GROUP BY 1),
+          |fl AS (SELECT h.val, (nhit = ntot) AS pass, (b.val IS NOT NULL) AS inb
+          |  FROM hit h LEFT JOIN build b ON h.val = b.val)
+          |SELECT CAST(count(*) AS BIGINT) AS n_probe,
+          |  (SELECT CAST(count(*) AS BIGINT) FROM build) AS n_build,
+          |  CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_candidates,
+          |  CAST(sum(CASE WHEN inb THEN 1 ELSE 0 END) AS BIGINT) AS n_true_match,
+          |  CAST(sum(CASE WHEN pass AND NOT inb THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_false_positive
+          |FROM fl""".stripMargin)),
+      doc = "Bloom runtime prefilter: broadcast 8 KB bitmap, map-side cut, fp census"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

@@ -190,6 +190,79 @@ object Sketches {
       .select(col("j"), cmsBucket.as("bucket"))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** Bloom filter size in bits (power of two so the position is the hash's
+    * low 16 bits; 65536 bits pack into 1024 int64 words = 8 KB). */
+  val BloomBits = 65536
+  /** Hash functions per value (seeded variants of the 60-bit md5 kernel). */
+  val BloomHashes = 3
+
+  /** The bit position of hash `j` of `val` — seeded exactly like the CMS
+    * kernel so the oracle replays it with the same text. */
+  private def bloomPos(j: Int, valExpr: String, m: Int): String =
+    s"cast(conv(substring(md5(concat('$j', '|', $valExpr)), 1, 15), 16, 10) " +
+      s"as bigint) % $m"
+
+  /** The distinct bit-position relation of a value set — the STORED form of
+    * the Bloom filter. `groupBy(bit)`-style dedup means partial aggregation
+    * bounds the shuffle at m rows per map task no matter the input size
+    * (the same mergeability argument as the HLL registers: bit-set union is
+    * a semilattice, so per-partition filters OR together losslessly). */
+  def bloomBits(vals: DataFrame, m: Int = BloomBits,
+                k: Int = BloomHashes): DataFrame =
+    vals.select(explode(sequence(lit(0), lit(k - 1))).as("j"), col("val"))
+      .select(expr(s"cast(conv(substring(md5(concat(cast(j as string), '|', " +
+        s"val)), 1, 15), 16, 10) as bigint) % $m").as("bit"))
+      .distinct()
+
+  /** Runtime-filter join pruning census — the dynamic-filter pattern every
+    * 100 TB join planner leans on: build a Bloom filter over the SMALL join
+    * side, ship it to every task as an 8 KB packed-bitmap literal (the same
+    * driver-literal discipline as centroids/codebooks), and cut the big
+    * probe side MAP-SIDE — zero shuffle, zero network per pruned row —
+    * before the exact join sees it. No false negatives by construction
+    * (spec-asserted); false positives only cost a wasted probe, never a
+    * wrong result, because the exact join still runs on the candidates.
+    *
+    * Output is one census row over distinct probe values:
+    * (n_probe, n_build, n_candidates, n_true_match, n_false_positive) —
+    * all BIGINT, fully deterministic; the oracle replays the filter
+    * relationally (position semi-join, all-k-present). */
+  def bloomPrefilterCensus(probe: DataFrame, probeCol: String,
+                           build: DataFrame, buildCol: String,
+                           m: Int = BloomBits, k: Int = BloomHashes): DataFrame = {
+    require(m % 64 == 0, s"bitmap width must pack into int64 words, got $m")
+    val buildVals = build.select(col(buildCol).cast("string").as("val"))
+      .filter(col("val").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ≤ m rows by construction — a driver literal the way centroids are.
+    val bitmap = new Array[Long](m / 64)
+    bloomBits(buildVals, m, k).collect().foreach { r =>
+      val b = r.getLong(0); bitmap((b >> 6).toInt) |= 1L << (b & 63)
+    }
+    val probeVals = probe.select(col(probeCol).cast("string").as("val"))
+      .filter(col("val").isNotNull).distinct()
+    // The map-side test: all k bit positions set in the broadcast bitmap.
+    // Stays inside whole-stage codegen — element_at over a literal array.
+    val passSql = (0 until k).map { j =>
+      val b = bloomPos(j, "val", m)
+      s"((element_at(bm, cast(($b) DIV 64 as int) + 1) " +
+        s"& shiftleft(cast(1 as bigint), cast(($b) % 64 as int))) != 0)"
+    }.mkString(" AND ")
+    val nBuild = buildVals.agg(count(lit(1)).as("n_build"))
+    probeVals
+      .withColumn("bm", typedLit(bitmap.toSeq))
+      .withColumn("pass", expr(passSql)).drop("bm")
+      .join(broadcast(buildVals.withColumn("inb", lit(1))), Seq("val"), "left")
+      .agg(count(lit(1)).as("n_probe"),
+        sum(when(col("pass"), 1L).otherwise(0L)).as("n_candidates"),
+        sum(when(col("inb").isNotNull, 1L).otherwise(0L)).as("n_true_match"),
+        sum(when(col("pass") && col("inb").isNull, 1L).otherwise(0L))
+          .as("n_false_positive"))
+      .crossJoin(nBuild)
+      .select(col("n_probe"), col("n_build"), col("n_candidates"),
+        col("n_true_match"), col("n_false_positive"))
+  }
+
   /** Equi-join cardinality estimation from two CMS cell relations — the
     * optimizer-statistics use of sketches: |A ⋈_v B| = Σ_v fA(v)·fB(v),
     * estimated as min over depth rows of Σ_bucket cA·cB. Hash collisions

@@ -93,6 +93,47 @@ class SketchesSpec extends SparkTestBase {
     assert(disjoint.getAs[Long]("cms_card") >= 0L)
   }
 
+  test("bloom prefilter: no false negatives, census is consistent") {
+    val build = (1 to 800).map(i => s"k$i").toDF("key")
+    val probe = (1 to 5000).map(i => s"k$i").toDF("name") // 800 true matches
+    val r = Sketches.bloomPrefilterCensus(probe, "name", build, "key")
+      .collect().head
+    assert(r.getAs[Long]("n_probe") == 5000L)
+    assert(r.getAs[Long]("n_build") == 800L)
+    assert(r.getAs[Long]("n_true_match") == 800L)
+    // every true member passes (no false negatives) ⇒ candidates ⊇ truth
+    assert(r.getAs[Long]("n_candidates") >=
+      r.getAs[Long]("n_true_match"))
+    assert(r.getAs[Long]("n_false_positive") ==
+      r.getAs[Long]("n_candidates") - r.getAs[Long]("n_true_match"))
+    // 800 keys × 3 hashes in 65536 bits → fp rate ≈ (1-e^-0.037)^3 ≈ 5e-5;
+    // assert a loose envelope so the test pins quality, not luck
+    assert(r.getAs[Long]("n_false_positive") <= 50L)
+  }
+
+  test("bloom prefilter is partitioning-independent") {
+    val build = (1 to 500).map(i => s"b$i").toDF("key")
+    val probe = (1 to 3000).map(i => s"p${i % 1700}").toDF("name")
+    val a = Sketches.bloomPrefilterCensus(probe, "name", build, "key").collect()
+    val b = Sketches.bloomPrefilterCensus(
+      probe.repartition(11), "name", build.repartition(7, col("key")), "key")
+      .collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("bloom bit relation is bounded by m and merges by union") {
+    val vals = (1 to 20000).map(i => s"v$i").toDF("x")
+      .select(col("x").as("val"))
+    val all = Sketches.bloomBits(vals)
+    assert(all.count() <= Sketches.BloomBits)
+    // semilattice: bits(A ∪ B) == bits(A) ∪ bits(B)
+    val half1 = vals.filter(length(col("val")) % 2 === 0)
+    val half2 = vals.filter(length(col("val")) % 2 === 1)
+    val merged = Sketches.bloomBits(half1).unionByName(Sketches.bloomBits(half2))
+      .distinct()
+    assert(merged.exceptAll(all).isEmpty && all.exceptAll(merged).isEmpty)
+  }
+
   test("scale contract: the sketch-side shuffle carries register rows only") {
     // The pre-join sketch aggregation must reduce to ≤ m rows per column
     // regardless of input size — that's what makes the formulation a
