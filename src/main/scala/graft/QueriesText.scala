@@ -1101,6 +1101,38 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |ORDER BY id""".stripMargin),
       doc = "near-dup cluster resolution: connected components, min-id canonical"),
 
+    // INCREMENTAL cluster maintenance: the same near-dup graph split into a
+    // base corpus (resolved once, as a store would hold it) and an arriving
+    // batch; the batch is folded in via contraction — CC runs only on the
+    // batch-sized contracted graph, historical pairs are never re-read.
+    // Graded against the IDENTICAL full-recompute oracle as
+    // dedup_resolve_clusters: the hash match IS the equivalence proof
+    // (same pattern as t_asof_join_native / text_perplexity_tiered).
+    "dedup_cc_incremental" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        pairs.count() // pin: the pair kernel feeds both splits
+        // "arrival order": docs whose base id ≡ 3 (mod 7) land in the batch
+        // (variants travel with their source doc)
+        def inBatch(c: org.apache.spark.sql.Column) = (c % 1000000) % 7 === 3
+        val basePairs = pairs.filter(!inBatch(col("id_a")) && !inBatch(col("id_b")))
+        val batchPairs = pairs.filter(inBatch(col("id_a")) || inBatch(col("id_b")))
+        val prev = Dedup.resolveClusters(basePairs)
+        Dedup.resolveClustersIncremental(prev, batchPairs).orderBy(col("id"))
+      },
+      oracle = Some(
+        s"""WITH RECURSIVE $nearDupCte,
+           |$clusterCtes
+           |SELECT id, min(label) AS cluster FROM reach GROUP BY id
+           |ORDER BY id""".stripMargin),
+      doc = "incremental CC: batch-sized contracted graph, zero historical re-pairing"),
+
     // End-to-end dedup: same pair generation + clustering, then the corpus
     // with losers anti-joined away and per-keeper absorption counts — the
     // call a pipeline user actually makes.
