@@ -753,6 +753,32 @@ object QueriesExtra {
           |FROM fl""".stripMargin)),
       doc = "Bloom runtime prefilter: broadcast 8 KB bitmap, map-side cut, fp census"),
 
+    // Small-file compaction planning — the storage-maintenance job
+    // (Iceberg/Delta OPTIMIZE, object-store compactors): pack sub-threshold
+    // files into target-sized, name-CONTIGUOUS batches via an exclusive
+    // prefix sum windowed by (bucket, folder) — the compactor's bounded
+    // unit (a global window here would be the vocabCoverage mistake). The
+    // bin id is floor(prefix-sum / target): next-fit packing, one pass, no
+    // driver loop. Oracle replays the window; CAST keeps the running sum
+    // BIGINT (DuckDB windows int sums as HUGEINT).
+    "store_compaction_plan" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Layout.compactionPlan(
+          Tables.objects(s, dir), sizeThreshold = 30000L, targetBytes = 200000L),
+      oracle = Some(Oracle.withObjects(
+        """, small AS (SELECT bucket_id, string_split(name, '/')[1] AS folder,
+          |    name, size FROM objects WHERE size < 30000),
+          |c AS (SELECT bucket_id, folder, name, size,
+          |    CAST(coalesce(sum(size) OVER (PARTITION BY bucket_id, folder
+          |      ORDER BY name ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          |      0) AS BIGINT) AS cum FROM small),
+          |b AS (SELECT bucket_id, folder, name, size, cum // 200000 AS bin FROM c)
+          |SELECT bucket_id, folder, bin, count(*) AS n_files,
+          |  CAST(sum(size) AS BIGINT) AS total_bytes,
+          |  min(name) AS first_name, max(name) AS last_name
+          |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
+      doc = "small-file compaction plan: keyed prefix-sum next-fit packing, name-contiguous batches"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

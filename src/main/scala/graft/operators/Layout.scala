@@ -122,4 +122,39 @@ object Layout {
   def ensureZordered(df: => DataFrame, xCol: Column, yCol: Column,
                      path: String): ZBounds =
     built.computeIfAbsent(path, _ => writeZordered(df, xCol, yCol, path))
+
+  /** Small-file compaction planning — the maintenance job every object
+    * store and table format runs (Iceberg/Delta `OPTIMIZE`, storage-node
+    * compactors): files under `sizeThreshold` are greedily packed, in key
+    * order, into target-sized output batches. Key order (not size order)
+    * keeps each output batch a CONTIGUOUS name range, so range listings
+    * and prefix scans over the compacted result stay one-file-per-range.
+    *
+    * The bin id is `floor(exclusive-prefix-sum / targetBytes)` — the
+    * classic next-fit packing expressed as a window: deterministic, one
+    * pass, no driver loop. The window partitions by (bucket, top-level
+    * folder), the compactor's natural unit — partitions are folder-sized,
+    * never corpus-sized, so the sort inside each window stays bounded at
+    * 100 TB (the same argument as the keyed quantile windows; a global
+    * unpartitioned window here would be the vocabCoverage mistake).
+    *
+    * Returns one row per planned output batch:
+    * (bucket_id, folder, bin, n_files, total_bytes, first_name, last_name). */
+  def compactionPlan(objects: DataFrame, sizeThreshold: Long,
+                     targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val small = objects.filter(col("size") < sizeThreshold)
+      .select(col("bucket_id"), split(col("name"), "/").getItem(0).as("folder"),
+        col("name"), col("size"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("bucket_id"), col("folder")).orderBy(col("name"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    small
+      .withColumn("cum", coalesce(sum(col("size")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum DIV $targetBytes"))
+      .groupBy(col("bucket_id"), col("folder"), col("bin"))
+      .agg(count(lit(1)).as("n_files"), sum(col("size")).as("total_bytes"),
+        min(col("name")).as("first_name"), max(col("name")).as("last_name"))
+      .orderBy(col("bucket_id"), col("folder"), col("bin"))
+  }
 }

@@ -66,4 +66,40 @@ class ZorderLayoutSpec extends SparkTestBase {
     assert(filesRead < dirs.map(parquetFiles).sum,
       "pruning must skip at least one bucket directory")
   }
+
+  test("compactionPlan: bins are name-contiguous, target-bounded, complete") {
+    import spark.implicits._
+    val files = (1 to 200).map(i =>
+      (if (i % 2 == 0) "bkt_a" else "bkt_b", f"dir${i % 3}/f$i%04d.dat",
+        (i % 7 + 1) * 1000L)).toDF("bucket_id", "name", "size")
+    val plan = Layout.compactionPlan(files, sizeThreshold = 10000L,
+      targetBytes = 8000L).collect()
+    // completeness: every sub-threshold file lands in exactly one bin
+    assert(plan.map(_.getAs[Long]("n_files")).sum == 200L)
+    // each (bucket, folder) group's bins: contiguous, first<=last,
+    // and every bin except possibly the last holds >= targetBytes only by
+    // its straddling file (next-fit: bin bytes < target + max file size)
+    plan.groupBy(r => (r.getString(0), r.getString(1))).foreach {
+      case (_, rows) =>
+        val bins = rows.map(_.getAs[Long]("bin")).sorted
+        assert(bins.toSeq == (0L until bins.length).toSeq,
+          "bin ids must be dense from 0")
+        rows.foreach { r =>
+          assert(r.getAs[String]("first_name") <= r.getAs[String]("last_name"))
+          assert(r.getAs[Long]("total_bytes") < 8000L + 7000L)
+        }
+        // name ranges of consecutive bins must not interleave
+        val ordered = rows.sortBy(_.getAs[Long]("bin"))
+        ordered.sliding(2).foreach {
+          case Array(a, b) =>
+            assert(a.getAs[String]("last_name") < b.getAs[String]("first_name"))
+          case _ =>
+        }
+    }
+    // oversized files are excluded from the plan
+    val withBig = files.unionByName(
+      Seq(("bkt_a", "dir0/huge.dat", 99999L)).toDF("bucket_id", "name", "size"))
+    val plan2 = Layout.compactionPlan(withBig, 10000L, 8000L).collect()
+    assert(plan2.map(_.getAs[Long]("n_files")).sum == 200L)
+  }
 }
