@@ -1252,6 +1252,39 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin),
       doc = "deterministic stratified hash sampling (training-mix weights)"),
 
+    // Data-constrained epoch planning: split a 3×-the-corpus token budget
+    // across languages with temperature-α=0.5 weights (√tokens — the
+    // standard head-domain down-weighting), then the implied per-domain
+    // repeat factors, capped. One map-side token-count pass; the plan math
+    // is domain-sized. Numerics per house invariants: √ is IEEE-exact in
+    // both engines, round+DECIMAL makes the weight sum associative, the
+    // share/alloc chain is a fixed IEEE sequence over identical operands.
+    "mix_epoch_plan" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Sampling.epochMixPlan(Tables.documents(s, dir),
+          "lang", "text", budgetMultiplier = 3, maxRepeat = 4)
+          .withColumnRenamed("domain", "lang"),
+      oracle = Some(
+        s"""WITH d AS (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS t
+           |  FROM documents WHERE lang IS NOT NULL),
+           |g AS (SELECT lang, count(*) AS n_docs,
+           |    CAST(sum(t) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+           |w AS (SELECT *, round(sqrt(CAST(n_tokens AS DOUBLE)), 6) AS weight
+           |  FROM g),
+           |tot AS (SELECT sum(CAST(weight AS DECIMAL(28,6))) AS sum_w,
+           |    CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM w),
+           |plan AS (SELECT lang, n_docs, n_tokens, weight,
+           |    weight / CAST(sum_w AS DOUBLE) AS share,
+           |    CAST(floor(CAST(tot_tokens * 3 AS DOUBLE) * weight
+           |      / CAST(sum_w AS DOUBLE)) AS BIGINT) AS alloc_tokens
+           |  FROM w, tot)
+           |SELECT lang, n_docs, n_tokens, weight, share, alloc_tokens,
+           |  CAST(alloc_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS epochs,
+           |  least(CAST(ceil(CAST(alloc_tokens AS DOUBLE)
+           |    / CAST(n_tokens AS DOUBLE)) AS BIGINT), 4) AS n_repeats
+           |FROM plan ORDER BY lang""".stripMargin),
+      doc = "data-constrained epoch plan: α=0.5 domain weights, budget shares, capped repeats"),
+
     // C4/Gopher heuristic filter battery. The synthetic corpus is clean
     // (no punctuation/braces/placeholders), so deterministic contamination
     // is spliced in — the PII query's construction: first-matching CASE

@@ -92,4 +92,51 @@ object Sampling {
       .filter(sampleBucket(col(keyCol), salt) < col("_keep_bp"))
       .drop("_keep_fraction", "_keep_bp")
   }
+
+  /** Data-constrained epoch planning — how a token budget is split across
+    * domains when some domains are small (the repeated-epoch regime):
+    * temperature-scaled weights w_d = √(tokens_d) (α = 0.5 — the standard
+    * down-weighting of head domains in multilingual/multi-source training),
+    * budget share ∝ w_d, and the implied repeat factor per domain, capped
+    * at `maxRepeat` (returns on re-read data decay; past a handful of
+    * epochs extra repeats are waste, so the cap is the planning knob).
+    *
+    * One partial-aggregated pass over the corpus (token counting is
+    * map-side); everything after is domain-sized. Numeric discipline per
+    * the house invariants: √ is correctly-rounded IEEE (identical in any
+    * engine), round(·,6) then DECIMAL-cast makes the weight sum
+    * associative, and the share/allocation chain is a fixed IEEE sequence
+    * over operands both engines hold bit-identically.
+    *
+    * Returns one row per domain: (domain, n_docs, n_tokens, weight, share,
+    * alloc_tokens, epochs, n_repeats). */
+  def epochMixPlan(df: DataFrame, domainCol: String, textCol: String,
+                   budgetMultiplier: Int = 3, maxRepeat: Int = 16): DataFrame = {
+    require(budgetMultiplier >= 1 && maxRepeat >= 1,
+      s"budgetMultiplier/maxRepeat must be >= 1")
+    val dom = df
+      .select(col(domainCol).as("domain"),
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("t"))
+      .filter(col("domain").isNotNull)
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+      .withColumn("weight", round(sqrt(col("n_tokens").cast("double")), 6))
+    val tot = dom.agg(
+      sum(col("weight").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .as("sum_w"),
+      sum(col("n_tokens")).as("tot_tokens"))
+    dom.crossJoin(broadcast(tot))
+      .withColumn("share",
+        col("weight") / col("sum_w").cast("double"))
+      .withColumn("alloc_tokens",
+        floor((col("tot_tokens") * budgetMultiplier).cast("double") *
+          col("weight") / col("sum_w").cast("double")).cast("long"))
+      .withColumn("epochs",
+        col("alloc_tokens").cast("double") / col("n_tokens").cast("double"))
+      .withColumn("n_repeats",
+        least(ceil(col("epochs")).cast("long"), lit(maxRepeat.toLong)))
+      .select(col("domain"), col("n_docs"), col("n_tokens"), col("weight"),
+        col("share"), col("alloc_tokens"), col("epochs"), col("n_repeats"))
+      .orderBy(col("domain"))
+  }
 }

@@ -512,4 +512,30 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Long]("n_docs") == 5 && r.getAs[Long]("n_tokens") == 500)
     assert(r.getAs[Double]("fill_ratio") == 500.0 / 512)
   }
+
+  test("epochMixPlan: shares sum to ~1, α=0.5 compresses skew, cap binds") {
+    // three domains with 100:25:4 token skew (ten-word docs)
+    val docs = ((1 to 100).map(i => ("web", s"w$i a b c d e f g h i")) ++
+      (1 to 25).map(i => ("code", s"c$i a b c d e f g h i")) ++
+      (1 to 4).map(i => ("ref", s"r$i a b c d e f g h i")))
+      .toDF("domain", "text")
+    val plan = Sampling.epochMixPlan(docs, "domain", "text",
+      budgetMultiplier = 3, maxRepeat = 4).collect()
+    assert(plan.map(_.getAs[String]("domain")).toSeq ==
+      Seq("code", "ref", "web"))
+    val shares = plan.map(_.getAs[Double]("share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    // α=0.5: token share of web is 100/129 ≈ .78, weight share √100/Σ√ ≈ .59
+    val web = plan.find(_.getString(0) == "web").get
+    assert(web.getAs[Double]("share") < 0.65)
+    // the small domain's implied epochs exceed the cap → n_repeats == cap
+    val ref = plan.find(_.getString(0) == "ref").get
+    assert(ref.getAs[Double]("epochs") > 4.0)
+    assert(ref.getAs[Long]("n_repeats") == 4L)
+    // budget conservation: allocations sum to ≤ budget, within one floor
+    // per domain of it
+    val tot = plan.map(_.getAs[Long]("n_tokens")).sum
+    val alloc = plan.map(_.getAs[Long]("alloc_tokens")).sum
+    assert(alloc <= 3L * tot && alloc > 3L * tot - plan.length)
+  }
 }
