@@ -1376,6 +1376,34 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin),
       doc = "bigram LM training: p(w2|w1) from one explode pass (KenLM building block)"),
 
+    // Interpolated Kneser-Ney smoothing over the same bigram relation —
+    // the production n-gram LM estimate (continuation-count back-off).
+    // All inputs exact int64, d = 0.75 an exact double, the probability
+    // one fixed IEEE chain → ships unrounded. Top-20 by raw count with
+    // (w1, w2) tiebreak, same frame as text_bigram_lm.
+    "text_kneser_ney" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.kneserNeyBigram(Tables.documents(s, dir), "text")
+          .orderBy(col("c").desc, col("w1"), col("w2")).limit(20),
+      oracle = Some(
+        s"""WITH d AS (SELECT $wordsSql AS ws FROM documents),
+           |bg0 AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |    i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS u
+           |  FROM d WHERE len(ws) >= 2),
+           |bg AS (SELECT u.w1 AS w1, u.w2 AS w2, count(*) AS c FROM bg0 GROUP BY 1, 2),
+           |ctx AS (SELECT w1, CAST(sum(c) AS BIGINT) AS c_ctx,
+           |    count(*) AS n_fwd FROM bg GROUP BY w1),
+           |cont AS (SELECT w2, count(*) AS n_bwd FROM bg GROUP BY w2),
+           |tot AS (SELECT count(*) AS n_bg FROM bg)
+           |SELECT w1, w2, c, c_ctx, n_fwd, n_bwd,
+           |  greatest(CAST(c AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0.0 AS DOUBLE))
+           |      / CAST(c_ctx AS DOUBLE)
+           |    + (CAST(0.75 AS DOUBLE) * CAST(n_fwd AS DOUBLE) / CAST(c_ctx AS DOUBLE))
+           |      * (CAST(n_bwd AS DOUBLE) / CAST(n_bg AS DOUBLE)) AS p_kn
+           |FROM bg JOIN ctx USING (w1) JOIN cont USING (w2), tot
+           |ORDER BY c DESC, w1, w2 LIMIT 20""".stripMargin),
+      doc = "Kneser-Ney bigram smoothing: continuation-count back-off, exact chain"),
+
     // Collocation mining: PMI-lift ranking of adjacent pairs (phrase
     // detection). minCount prunes at the bigram partial-agg; the single
     // int/int division is IEEE-exact, so lift ships unrounded.

@@ -463,6 +463,51 @@ object TextAnalysis {
       .select(col("w1"), col("w2"), col("c"), col("c_ctx"), col("cond_p"))
   }
 
+  /** Interpolated Kneser-Ney bigram probabilities (fixed discount
+    * d = 0.75) — the smoothing that actually ships in n-gram LMs (KenLM's
+    * default family), where [[bigramLm]]'s raw MLE is the training
+    * statistic. The signature idea: a word's back-off weight is its
+    * CONTINUATION count (how many distinct contexts it follows), not its
+    * frequency — "Francisco" is frequent but predicts poorly outside
+    * "San _".
+    *
+    *   P_KN(w2|w1) = max(c(w1,w2) − d, 0)/c(w1)
+    *               + d·N₊(w1·)/c(w1) · N₊(·w2)/N₊(··)
+    *
+    * Scale shape: ONE explode pass emits pairs; every other relation —
+    * context totals+fan-out N₊(w1·), continuation counts N₊(·w2), the
+    * distinct-bigram total — REDUCES off the pinned pair counts, no
+    * corpus re-scan. Joins are vocabulary-bounded, AQE-broadcast while
+    * small. Numerics: all inputs are exact int64; d = 0.75 is an exact
+    * double; the probability is one fixed IEEE chain over operands both
+    * engines hold bit-identically, so it ships unrounded. */
+  def kneserNeyBigram(df: DataFrame, textCol: String): DataFrame = {
+    val bg = df.select(words(col(textCol)).as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+        i => struct(element_at(col("ws"), i + 1).as("w1"),
+          element_at(col("ws"), i + 2).as("w2")))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bg.count() // pin: the pair relation feeds four derived relations
+    // context totals + forward fan-out N₊(w1·) in one reduce
+    val ctx = bg.groupBy(col("w1"))
+      .agg(sum(col("c")).as("c_ctx"), count(lit(1)).as("n_fwd"))
+    // continuation counts N₊(·w2)
+    val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_bwd"))
+    val nTot = bg.agg(count(lit(1)).as("n_bg"))
+    bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+      .crossJoin(broadcast(nTot))
+      .withColumn("p_kn",
+        greatest(col("c").cast("double") - lit(0.75), lit(0.0)) /
+          col("c_ctx").cast("double") +
+          (lit(0.75) * col("n_fwd").cast("double") / col("c_ctx").cast("double")) *
+            (col("n_bwd").cast("double") / col("n_bg").cast("double")))
+      .select(col("w1"), col("w2"), col("c"), col("c_ctx"), col("n_fwd"),
+        col("n_bwd"), col("p_kn"))
+  }
+
   /** Collocation mining: pointwise-mutual-information lift for adjacent
     * word pairs — lift(a,b) = c_ab·N / (c_a·c_b), the phrase-detection
     * statistic (word2vec's phrase pass, tokenizer multi-word candidates).

@@ -513,6 +513,34 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("fill_ratio") == 500.0 / 512)
   }
 
+  test("kneserNeyBigram matches the hand-computed smoothing on a tiny corpus") {
+    val docs = Seq("a b", "c b", "a d").toDF("text")
+    val r = TextAnalysis.kneserNeyBigram(docs, "text").collect()
+      .map(row => ((row.getString(0), row.getString(1)),
+        row.getAs[Double]("p_kn"))).toMap
+    // replicate the exact IEEE chain: max(c-d,0)/ctx + (d*nf/ctx)*(nb/N)
+    def kn(c: Long, ctx: Long, nf: Long, nb: Long, n: Long): Double =
+      math.max(c.toDouble - 0.75, 0.0) / ctx.toDouble +
+        (0.75 * nf.toDouble / ctx.toDouble) * (nb.toDouble / n.toDouble)
+    assert(r(("a", "b")) == kn(1, 2, 2, 2, 3))
+    assert(r(("a", "d")) == kn(1, 2, 2, 1, 3))
+    assert(r(("c", "b")) == kn(1, 1, 1, 2, 3))
+    // a's observed successors exhaust its mass: P(b|a)+P(d|a) ≈ 1
+    assert(math.abs(r(("a", "b")) + r(("a", "d")) - 1.0) < 1e-12)
+    // continuation effect: b (2 contexts) backs off higher than d (1)
+    assert(r(("a", "b")) > r(("a", "d")))
+  }
+
+  test("kneserNeyBigram is partitioning-independent") {
+    val docs = (1 to 200).map(i => s"w${i % 9} w${i % 5} w${i % 3} w${i % 7}")
+      .toDF("text")
+    val a = TextAnalysis.kneserNeyBigram(docs, "text")
+      .orderBy(col("w1"), col("w2")).collect()
+    val b = TextAnalysis.kneserNeyBigram(docs.repartition(13), "text")
+      .orderBy(col("w1"), col("w2")).collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("epochMixPlan: shares sum to ~1, α=0.5 compresses skew, cap binds") {
     // three domains with 100:25:4 token skew (ten-word docs)
     val docs = ((1 to 100).map(i => ("web", s"w$i a b c d e f g h i")) ++
