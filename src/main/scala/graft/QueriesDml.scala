@@ -193,6 +193,64 @@ object QueriesDml {
           |ORDER BY location""".stripMargin),
       doc = "I5 catalog reconciler (reconciler.ts, J2-pattern diff)"),
 
+    // Snapshot expiry + orphan-file GC planning (Iceberg expireSnapshots —
+    // the maintenance verb that follows I4's async cleanup): retire
+    // pre-cutoff snapshots keeping each table's current one, then the
+    // deletable set = files reachable only from retired snapshots (J2-style
+    // anti-join per (table, file)). Fixture: orders (every 10th) are
+    // snapshots of tables keyed by customer; their lineitems are manifest
+    // entries with partkey-derived table-relative file paths, so
+    // consecutive snapshots of a table SHARE files — exactly the Iceberg
+    // reachability structure.
+    "i6_snapshot_expiry" -> Q(
+      fn = (s, dir) => {
+        val snaps = Tables.orders(s, dir).filter(col("o_orderkey") % 10 === 0)
+          .select(concat(lit("tbl-"), col("o_custkey") % 50).as("table_id"),
+            col("o_orderkey").as("snapshot_id"),
+            col("o_orderdate").cast("timestamp").as("ts"))
+        val refs = Tables.lineitem(s, dir).filter(col("l_orderkey") % 10 === 0)
+          .select(col("l_orderkey").as("snapshot_id"),
+            concat(lit("data/"), col("l_partkey"), lit(".parquet")).as("file"),
+            ((col("l_partkey") % 997 + 1) * 100).as("bytes"))
+        IcebergCatalog.expireSnapshots(snaps, refs,
+          to_timestamp(lit("1997-01-01 00:00:00")))
+      },
+      oracle = Some(
+        """WITH snaps AS (SELECT concat('tbl-', o_custkey % 50) AS table_id,
+          |    o_orderkey AS snapshot_id, CAST(o_orderdate AS TIMESTAMP) AS ts
+          |  FROM orders WHERE o_orderkey % 10 = 0),
+          |latest AS (SELECT table_id, snapshot_id FROM (
+          |    SELECT table_id, snapshot_id, row_number() OVER (
+          |      PARTITION BY table_id ORDER BY ts DESC, snapshot_id DESC) AS rn
+          |    FROM snaps) WHERE rn = 1),
+          |flagged AS (SELECT s.table_id, s.snapshot_id,
+          |    (s.ts < TIMESTAMP '1997-01-01' AND l.snapshot_id IS NULL) AS expired
+          |  FROM snaps s LEFT JOIN latest l
+          |    ON s.table_id = l.table_id AND s.snapshot_id = l.snapshot_id),
+          |r AS (SELECT f.table_id, f.expired,
+          |    concat('data/', l_partkey, '.parquet') AS file,
+          |    (l_partkey % 997 + 1) * 100 AS bytes
+          |  FROM lineitem JOIN flagged f ON l_orderkey = f.snapshot_id),
+          |live AS (SELECT DISTINCT table_id, file, bytes FROM r WHERE NOT expired),
+          |expf AS (SELECT DISTINCT table_id, file, bytes FROM r WHERE expired),
+          |del AS (SELECT e.* FROM expf e LEFT JOIN live v
+          |    ON e.table_id = v.table_id AND e.file = v.file
+          |  WHERE v.file IS NULL),
+          |sc AS (SELECT table_id, count(*) AS n_snapshots,
+          |    CAST(sum(CASE WHEN expired THEN 1 ELSE 0 END) AS BIGINT) AS n_expired
+          |  FROM flagged GROUP BY 1),
+          |lc AS (SELECT table_id, count(*) AS n_live_files FROM live GROUP BY 1),
+          |dc AS (SELECT table_id, count(*) AS n_deletable_files,
+          |    CAST(sum(bytes) AS BIGINT) AS deletable_bytes FROM del GROUP BY 1)
+          |SELECT sc.table_id, n_snapshots, n_expired,
+          |  coalesce(n_live_files, 0) AS n_live_files,
+          |  coalesce(n_deletable_files, 0) AS n_deletable_files,
+          |  coalesce(deletable_bytes, 0) AS deletable_bytes
+          |FROM sc LEFT JOIN lc ON sc.table_id = lc.table_id
+          |LEFT JOIN dc ON sc.table_id = dc.table_id
+          |ORDER BY sc.table_id""".stripMargin),
+      doc = "Iceberg snapshot expiry: retain-current, expired-only reachability, GC census"),
+
     // RLS: authenticated user sees public buckets + own rows.
     "rls_scoped_listing" -> Q(
       fn = (s, dir) => {

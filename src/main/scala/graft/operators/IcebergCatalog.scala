@@ -89,6 +89,58 @@ object IcebergCatalog {
     (survivingNs, survivingTables, cleanupEvents)
   }
 
+  /** Snapshot expiry + orphan-file GC planning — the Iceberg maintenance
+    * job beside compaction (`expireSnapshots`): retire snapshots older than
+    * the cutoff (always retaining each table's CURRENT snapshot, the
+    * retain-last ≥ 1 contract) and find the data files reachable ONLY from
+    * retired snapshots — those are safe to physically delete.
+    *
+    * Inputs: `snapshots` (table_id, snapshot_id, ts) — catalog metadata,
+    * thousands of rows, broadcasts; `refs` (snapshot_id, file, bytes) —
+    * the manifest-entry relation, the big side (file paths are
+    * table-relative: liveness is per (table, file)). Shape: one manifest
+    * scan fans into live/expired distinct file sets (partial-agg'd), the
+    * deletable set is the J2-style anti-join — no step holds more than the
+    * distinct-file relation, and nothing ever touches data bytes.
+    *
+    * Returns one census row per table: (table_id, n_snapshots, n_expired,
+    * n_live_files, n_deletable_files, deletable_bytes). */
+  def expireSnapshots(snapshots: DataFrame, refs: DataFrame,
+                      cutoff: org.apache.spark.sql.Column): DataFrame = {
+    val s0 = snapshots.select(col("table_id"), col("snapshot_id"), col("ts"))
+    val latest = s0.groupBy(col("table_id"))
+      .agg(max(struct(col("ts"), col("snapshot_id"))).as("m"))
+      .select(col("table_id"), col("m").getField("snapshot_id").as("snapshot_id"),
+        lit(1).as("is_latest"))
+    val flagged = s0.join(broadcast(latest), Seq("table_id", "snapshot_id"), "left")
+      .withColumn("expired", col("ts") < cutoff && col("is_latest").isNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    flagged.count() // pin: feeds the manifest join and the census
+    val r = refs
+      .join(broadcast(flagged.select(col("snapshot_id"), col("table_id"),
+        col("expired"))), Seq("snapshot_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    r.count() // pin: live and expired sets both read it
+    val live = r.filter(!col("expired"))
+      .select(col("table_id"), col("file"), col("bytes")).distinct()
+    val expf = r.filter(col("expired"))
+      .select(col("table_id"), col("file"), col("bytes")).distinct()
+    val del = expf.join(live.select(col("table_id"), col("file")),
+      Seq("table_id", "file"), "left_anti")
+    val snapC = flagged.groupBy(col("table_id")).agg(
+      count(lit(1)).as("n_snapshots"),
+      sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"))
+    val liveC = live.groupBy(col("table_id")).agg(count(lit(1)).as("n_live_files"))
+    val delC = del.groupBy(col("table_id")).agg(
+      count(lit(1)).as("n_deletable_files"), sum(col("bytes")).as("deletable_bytes"))
+    snapC.join(liveC, Seq("table_id"), "left").join(delC, Seq("table_id"), "left")
+      .select(col("table_id"), col("n_snapshots"), col("n_expired"),
+        coalesce(col("n_live_files"), lit(0L)).as("n_live_files"),
+        coalesce(col("n_deletable_files"), lit(0L)).as("n_deletable_files"),
+        coalesce(col("deletable_bytes"), lit(0L)).as("deletable_bytes"))
+      .orderBy(col("table_id"))
+  }
+
   /** I5 reconciler: diff desired vs actual remote-catalog state
     * (catalog/reconciler.ts) — both directions, J2/J3 anti-join pattern. */
   def reconcilerDiff(desired: DataFrame, actual: DataFrame): DataFrame = {
