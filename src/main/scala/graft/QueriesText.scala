@@ -1081,6 +1081,40 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |FROM scored ORDER BY score DESC, id LIMIT 20""".stripMargin),
       doc = "BM25 keyword scoring, top-k (Robertson-Spärck Jones)"),
 
+    // BM25 over a STORED inverted index — the text-search twin of the
+    // stored-IVF layout: postings written once under 64 term-hash partition
+    // directories (+ a one-row exact-integer stats table); the probe reads
+    // only the query terms' partitions, so cost tracks the terms' postings,
+    // never the corpus. Graded against the IDENTICAL oracle as text_bm25 —
+    // the hash match proves index path == scan path (the result-invariance
+    // pattern). InvertedIndexSpec asserts the pruned scan's partition count.
+    "text_bm25_indexed" -> Q(
+      fn = (s, dir) => {
+        import graft.operators.InvertedIndex
+        val path = Warehouse.dir + "/inverted_idx_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        InvertedIndex.ensureInvertedIndex(
+          Tables.documents(s, dir), "doc_id", "text", path)
+        InvertedIndex.bm25Indexed(s, path, Seq("vector", "hash", "merge"), 20)
+          .withColumnRenamed("id", "doc_id")
+      },
+      oracle = Some(
+        s"""WITH docs AS (SELECT doc_id AS id, $wordsSql AS w FROM documents),
+           |d2 AS (SELECT id, w, len(w) AS dl FROM docs),
+           |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d2),
+           |tf AS (SELECT id, dl, t, len(list_filter(w, x -> x = t)) AS tf
+           |       FROM d2, (SELECT unnest(['vector', 'hash', 'merge']) AS t)
+           |       WHERE list_contains(w, t)),
+           |dft AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+           |idf AS (SELECT t, ln((n - df + 0.5) / (df + 0.5) + 1.0) AS idf FROM dft, stats),
+           |scored AS (SELECT id, sum(CAST(
+           |    idf * (tf * (1.2 + 1)) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           |    AS DECIMAL(28,10))) AS s
+           |  FROM tf JOIN idf USING (t), stats GROUP BY id)
+           |SELECT id AS doc_id, round(CAST(s AS DOUBLE), 6) AS score
+           |FROM scored ORDER BY score DESC, id LIMIT 20""".stripMargin),
+      doc = "BM25 over a stored term-hash-partitioned inverted index (probe == scan proof)"),
+
     // Near-dup pairs → connected components → canonical keeper per cluster.
     // Spark side: min-label propagation to fixpoint (Pregel shape); oracle:
     // recursive-CTE reachability closure + min label — same fixpoint.
