@@ -486,5 +486,29 @@ object QueriesEvents {
           |FROM events
           |WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
           |ORDER BY user_id, valid_from, event_id""".stripMargin),
-      doc = "SCD2 validity intervals from a change log (keyed lead window)"))
+      doc = "SCD2 validity intervals from a change log (keyed lead window)"),
+
+    // Time-travel read: per-key state AS OF a timestamp. NOT a filter over
+    // materialized SCD2 history — the scale form: time predicate pushed to
+    // the scan + one partial-agg'd max(struct) per key (last event ≤ T),
+    // O(1) reducer state however long each key's history. Oracle takes the
+    // SCD2 interval route (row_number over the filtered log) — agreement
+    // proves the aggregation formulation == the interval semantics.
+    "scd2_time_travel" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Incremental.stateAt(
+          Tables.events(s, dir)
+            .select(col("user_id"), col("event_id"), col("event_type"), col("ts")),
+          key = "user_id", ts = "ts", tiebreak = "event_id",
+          at = to_timestamp(lit("2024-01-20 00:00:00")),
+          payload = Seq("event_type"))
+          .orderBy(col("user_id")),
+      oracle = Some(
+        """SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type
+          |FROM (SELECT user_id, ts, event_id, event_type, row_number() OVER (
+          |    PARTITION BY user_id
+          |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+          |  FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20')
+          |WHERE rn = 1 ORDER BY user_id""".stripMargin),
+      doc = "time-travel point read: pushed time predicate + keyed max(struct), no history window"))
 }

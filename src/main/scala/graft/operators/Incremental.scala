@@ -49,4 +49,25 @@ object Incremental {
       .withColumn("valid_to", lead(col(ts), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
   }
+
+  /** Time-travel read: each key's state AS OF `at` — the row whose validity
+    * interval contains the timestamp. Equivalent to filtering
+    * [[scd2FromLog]] on `valid_from <= at < valid_to`, but formulated the
+    * way a 100 TB read should be: the time predicate pushes into the scan
+    * (partition/row-group pruning on the log's time layout) and ONE
+    * partial-aggregated `max(struct(ts, tiebreak, payload))` picks the
+    * last-before-`at` row per key — no window materializing history, no
+    * per-key sort, reducer state is one struct per key. Keys with no event
+    * by `at` simply don't exist yet and are absent, matching the SCD2
+    * interval semantics. (ts, tiebreak) must be unique per key (the log
+    * contract), so the payload columns never steer the max. */
+  def stateAt(log: DataFrame, key: String, ts: String, tiebreak: String,
+              at: org.apache.spark.sql.Column,
+              payload: Seq[String]): DataFrame = {
+    val fields = Seq(ts, tiebreak) ++ payload
+    log.filter(col(ts) <= at)
+      .groupBy(col(key))
+      .agg(max(struct(fields.map(col): _*)).as("m"))
+      .select(col(key) +: fields.map(f => col(s"m.$f").as(f)): _*)
+  }
 }

@@ -50,6 +50,28 @@ class IncrementalSpec extends SparkTestBase {
     assert(k1 == Seq("a", "c", "b"))
   }
 
+  test("stateAt equals the SCD2 interval containing the timestamp") {
+    val log = Seq(
+      (1L, 10L, "a", "2024-01-01 00:00:00"),
+      (1L, 11L, "b", "2024-01-05 00:00:00"),
+      (1L, 12L, "c", "2024-01-09 00:00:00"),
+      (2L, 13L, "x", "2024-01-06 00:00:00"),
+      (3L, 14L, "q", "2024-01-08 00:00:00")
+    ).toDF("k", "id", "state", "tss")
+      .withColumn("tsv", col("tss").cast("timestamp")).drop("tss")
+    val at = to_timestamp(lit("2024-01-07 00:00:00"))
+    val got = Incremental.stateAt(log, "k", "tsv", "id", at, Seq("state"))
+      .collect().map(r => (r.getLong(0), r.getAs[String]("state"))).toSet
+    // at Jan 7: key 1 is on "b", key 2 on "x", key 3 not yet born
+    assert(got == Set((1L, "b"), (2L, "x")))
+    // must agree with filtering the materialized SCD2 intervals
+    val viaScd2 = Incremental.scd2FromLog(log, "k", "tsv", "id")
+      .filter(col("valid_from") <= at &&
+        (col("valid_to").isNull || col("valid_to") > at))
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[String]("state"))).toSet
+    assert(got == viaScd2)
+  }
+
   test("incremental CC equals full recompute, including cluster merges") {
     import graft.operators.Dedup
     // base: two chains {1,2,3} and {10,11}, plus {20,21}
