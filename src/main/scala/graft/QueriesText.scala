@@ -1635,6 +1635,34 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin),
       doc = "token-budget sequence packing (sharded cumulative-fill bins)"),
 
+    // Epoch-shuffle shard manifest: a fresh deterministic permutation per
+    // epoch (md5 keyed by epoch‖id), sharded; Σ rank·id per (epoch, shard)
+    // pins the ENTIRE read order in one exact integer — the oracle match
+    // certifies the permutation itself, not just shard membership.
+    "pack_epoch_shuffle" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("toks"))
+        graft.operators.Packing.epochShuffleManifest(
+          d, "doc_id", "toks", epochs = 3, shards = 8, salt = "ep1")
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, CAST(len($wordsSql) AS INT) AS toks
+           |  FROM documents),
+           |e AS (SELECT doc_id, toks, unnest(range(3)) AS epoch FROM d),
+           |hx AS (SELECT doc_id, toks, epoch,
+           |    CAST('0x' || substr(md5(concat('ep1', CAST(epoch AS VARCHAR),
+           |      '|', CAST(doc_id AS VARCHAR))), 1, 15) AS BIGINT) AS h FROM e),
+           |r AS (SELECT doc_id, toks, epoch, h, h % 8 AS shard,
+           |    row_number() OVER (PARTITION BY epoch, h % 8
+           |      ORDER BY h, doc_id) AS rank FROM hx)
+           |SELECT epoch, shard, count(*) AS n_docs,
+           |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+           |  min_by(doc_id, rank) AS first_doc,
+           |  CAST(sum(rank * doc_id) AS BIGINT) AS order_checksum
+           |FROM r GROUP BY 1, 2 ORDER BY epoch, shard""".stripMargin),
+      doc = "epoch-shuffle manifest: per-epoch deterministic permutation, order-checksummed"),
+
     // Document chunking: 64-token sliding windows, 16-token overlap
     // (stride 48) — the context-window preprocessing step upstream of
     // pack_sequences. Chunk text compares by md5 so the output stays narrow.

@@ -56,4 +56,42 @@ object Packing {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
       .withColumn("fill_ratio", col("n_tokens").cast("double") / lit(budget.toDouble))
+
+  /** Epoch-shuffle shard manifest — the GLOBAL SHUFFLE step of training-data
+    * prep: every epoch reads the corpus in a different, deterministic,
+    * rerun-stable order. Each (epoch, doc) gets a permutation key
+    * h = md5₆₀(salt‖epoch‖'|'‖id); shard = h mod `shards`; the within-shard
+    * read order is (h, id). That is a fresh pseudorandom permutation per
+    * epoch with zero RNG state — any engine, any partitioning, any rerun
+    * deals the same order (the property `orderBy(rand())` can never give).
+    *
+    * The census pins the ENTIRE permutation in exact integers: per
+    * (epoch, shard) the row_number-weighted id sum Σ rank·id changes if any
+    * two docs swap places, so the oracle's hash match certifies the full
+    * order, not just membership. `first_doc` (min-hash doc) differing
+    * across epochs is the visible "new deal" evidence.
+    *
+    * Scale shape: the explode fans the corpus ×epochs (epochs is small);
+    * ranking windows partition by (epoch, shard) — `epochs·shards`
+    * independent sorted tasks, no global order anywhere. */
+  def epochShuffleManifest(df: DataFrame, idCol: String, tokenCol: String,
+                           epochs: Int, shards: Int,
+                           salt: String = ""): DataFrame = {
+    require(epochs > 0 && shards > 0, "epochs and shards must be positive")
+    val h = expr(s"cast(conv(substring(md5(concat('$salt', cast(epoch as string), " +
+      s"'|', cast($idCol as string))), 1, 15), 16, 10) as bigint)")
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("h"), col(idCol))
+    df.select(col(idCol), coalesce(col(tokenCol), lit(0)).as("toks"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(shards.toLong)))
+      .withColumn("rank", row_number().over(w))
+      .groupBy(col("epoch"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("toks")).cast("long").as("n_tokens"),
+        min(struct(col("h"), col(idCol))).getField(idCol).as("first_doc"),
+        sum(col("rank") * col(idCol)).as("order_checksum"))
+      .orderBy(col("epoch"), col("shard"))
+  }
 }

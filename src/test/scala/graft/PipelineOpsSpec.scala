@@ -513,6 +513,24 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("fill_ratio") == 500.0 / 512)
   }
 
+  test("epochShuffleManifest: rerun-stable, epoch-distinct, complete") {
+    val d = (1 to 300).map(i => (i.toLong, 10)).toDF("doc_id", "toks")
+    val a = Packing.epochShuffleManifest(d, "doc_id", "toks", 3, 4, "s1")
+      .collect()
+    val b = Packing.epochShuffleManifest(d.repartition(7), "doc_id", "toks",
+      3, 4, "s1").collect()
+    assert(a.toSeq == b.toSeq, "manifest must be partitioning/rerun stable")
+    // every epoch covers all docs
+    val perEpoch = a.groupBy(_.getAs[Int]("epoch"))
+      .map { case (e, rs) => e -> rs.map(_.getAs[Long]("n_docs")).sum }
+    assert(perEpoch.values.forall(_ == 300L))
+    // different epochs deal different orders: the checksum multiset differs
+    val sums = a.groupBy(_.getAs[Int]("epoch"))
+      .map { case (e, rs) => e -> rs.map(r => (r.getAs[Long]("shard"),
+        r.getAs[Long]("order_checksum"))).toSet }
+    assert(sums(0) != sums(1) && sums(1) != sums(2))
+  }
+
   test("kneserNeyBigram matches the hand-computed smoothing on a tiny corpus") {
     val docs = Seq("a b", "c b", "a d").toDF("text")
     val r = TextAnalysis.kneserNeyBigram(docs, "text").collect()
