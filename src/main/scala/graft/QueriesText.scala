@@ -1635,6 +1635,45 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin),
       doc = "token-budget sequence packing (sharded cumulative-fill bins)"),
 
+    // Robust per-group outlier census: MAD-based flagging (50% breakdown —
+    // the cutoff survives the tail it hunts, unlike mean/stddev). Both
+    // medians are exact order statistics over keyed histograms; the k·MAD
+    // comparison is int64 — NOTHING floats, so the gate never reclassifies
+    // rows between runs. The clean synthetic corpus gets deterministic
+    // spliced inflation (doc_id % 97) — the PII/C4 contamination pattern.
+    "profile_outliers" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Profile.madOutliers(
+          Tables.documents(s, dir).withColumn("v_len",
+            when(col("doc_id") % 97 === 0, col("n_chars") * 20)
+              .otherwise(col("n_chars"))),
+          "lang", "v_len", k = 3),
+      oracle = Some(
+        """WITH b AS (SELECT lang AS g,
+          |    CAST(CASE WHEN doc_id % 97 = 0 THEN n_chars * 20 ELSE n_chars END
+          |      AS BIGINT) AS v
+          |  FROM documents WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+          |h1 AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+          |t1 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h1 GROUP BY 1),
+          |c1 AS (SELECT g, v, sum(c) OVER (PARTITION BY g ORDER BY v
+          |    ROWS UNBOUNDED PRECEDING) AS cum FROM h1),
+          |med AS (SELECT c1.g, min(v) AS med FROM c1 JOIN t1 ON c1.g = t1.g
+          |  WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1),
+          |d AS (SELECT b.g, abs(v - med) AS dv FROM b JOIN med ON b.g = med.g),
+          |h2 AS (SELECT g, dv, count(*) AS c FROM d GROUP BY 1, 2),
+          |t2 AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM h2 GROUP BY 1),
+          |c2 AS (SELECT g, dv, sum(c) OVER (PARTITION BY g ORDER BY dv
+          |    ROWS UNBOUNDED PRECEDING) AS cum FROM h2),
+          |mad AS (SELECT c2.g, min(dv) AS mad FROM c2 JOIN t2 ON c2.g = t2.g
+          |  WHERE cum >= (n * 50 + 99) // 100 GROUP BY 1)
+          |SELECT b.g AS lang, count(*) AS n_rows, min(med) AS median,
+          |  min(mad) AS mad,
+          |  CAST(sum(CASE WHEN abs(v - med) > 3 * mad THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_outliers
+          |FROM b JOIN med ON b.g = med.g JOIN mad ON b.g = mad.g
+          |GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "MAD outlier census: exact integer medians, drift-free robust quality gate"),
+
     // Epoch-shuffle shard manifest: a fresh deterministic permutation per
     // epoch (md5 keyed by epoch‖id), sharded; Σ rank·id per (epoch, shard)
     // pins the ENTIRE read order in one exact integer — the oracle match

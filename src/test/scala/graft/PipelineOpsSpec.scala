@@ -513,6 +513,28 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("fill_ratio") == 500.0 / 512)
   }
 
+  test("madOutliers flags spliced extremes, robust to the outliers themselves") {
+    import graft.operators.Profile
+    // g1: tight cluster around 100 plus two wild values; g2: clean
+    val rows = ((1 to 50).map(i => ("g1", 95L + (i % 11))) ++
+      Seq(("g1", 10000L), ("g1", -5000L)) ++
+      (1 to 30).map(i => ("g2", 200L + (i % 7)))).toDF("g", "v")
+    val r = Profile.madOutliers(rows, "g", "v", k = 3).collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("g1").getAs[Long]("n_outliers") == 2L,
+      "exactly the two spliced extremes must flag")
+    assert(r("g2").getAs[Long]("n_outliers") == 0L)
+    // robustness: median/MAD must sit in the cluster, unmoved by the wilds
+    assert(r("g1").getAs[Long]("median") >= 95L &&
+      r("g1").getAs[Long]("median") <= 106L)
+    assert(r("g1").getAs[Long]("mad") <= 11L)
+    // determinism under repartitioning
+    val r2 = Profile.madOutliers(rows.repartition(9), "g", "v", k = 3)
+      .collect().map(x => x.getString(0) -> x).toMap
+    assert(r.keys == r2.keys &&
+      r.forall { case (k2, v) => v.toSeq == r2(k2).toSeq })
+  }
+
   test("epochShuffleManifest: rerun-stable, epoch-distinct, complete") {
     val d = (1 to 300).map(i => (i.toLong, 10)).toDF("doc_id", "toks")
     val a = Packing.epochShuffleManifest(d, "doc_id", "toks", 3, 4, "s1")
