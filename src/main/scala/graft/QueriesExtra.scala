@@ -710,6 +710,53 @@ object QueriesExtra {
           |FROM ex, est""".stripMargin),
       doc = "CMS join-cardinality estimate: cellwise product sums, one-sided, relation-free"),
 
+    // Range-selectivity estimation from an equi-depth histogram — the
+    // classic planner statistic beside the CMS join-cardinality probe:
+    // decile bounds are exact order statistics (distributed prefix sum),
+    // the estimate reads the 10-row bound relation only. Full buckets
+    // count exactly; the single partial bucket interpolates uniformly —
+    // one fixed IEEE term selected by max(), so no order-dependent float
+    // sum exists anywhere.
+    "stats_range_estimate" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Sketches.equidepthRangeEstimate(
+          Tables.objects(s, dir), "size", lo = 30000L, hi = 70000L),
+      oracle = Some(Oracle.withObjects(
+        """, vals AS (SELECT size AS v FROM objects WHERE size IS NOT NULL),
+          |h AS (SELECT v, count(*) AS c FROM vals GROUP BY 1),
+          |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h),
+          |cc AS (SELECT v, sum(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+          |    AS cum FROM h),
+          |q AS (SELECT p.pct, min(cc.v) AS value
+          |  FROM (VALUES (10),(20),(30),(40),(50),(60),(70),(80),(90),(100))
+          |    p(pct), cc, t
+          |  WHERE cc.cum >= (t.n * p.pct + 99) // 100 GROUP BY p.pct),
+          |bounds AS (SELECT * FROM q
+          |  UNION ALL SELECT 0 AS pct, min(v) AS value FROM vals),
+          |pairs AS (SELECT p.value AS blo, b.value AS bhi
+          |  FROM bounds b JOIN bounds p ON b.pct = p.pct + 10),
+          |est AS (SELECT n, CAST(floor(
+          |    (CAST(n AS DOUBLE)
+          |       * CAST(sum(CASE WHEN bhi <= 70000 THEN 1 ELSE 0 END) AS DOUBLE)
+          |       / CAST(10.0 AS DOUBLE)
+          |     + coalesce(max(CASE WHEN blo < 70000 AND 70000 < bhi
+          |         THEN CAST(70000 - blo AS DOUBLE) / CAST(bhi - blo AS DOUBLE)
+          |         END), 0.0) * (CAST(n AS DOUBLE) / CAST(10.0 AS DOUBLE)))
+          |  - (CAST(n AS DOUBLE)
+          |       * CAST(sum(CASE WHEN bhi <= 29999 THEN 1 ELSE 0 END) AS DOUBLE)
+          |       / CAST(10.0 AS DOUBLE)
+          |     + coalesce(max(CASE WHEN blo < 29999 AND 29999 < bhi
+          |         THEN CAST(29999 - blo AS DOUBLE) / CAST(bhi - blo AS DOUBLE)
+          |         END), 0.0) * (CAST(n AS DOUBLE) / CAST(10.0 AS DOUBLE)))
+          |  ) AS BIGINT) AS est_rows
+          |  FROM pairs, t GROUP BY n),
+          |ex AS (SELECT count(*) AS exact_rows FROM vals
+          |  WHERE v BETWEEN 30000 AND 70000)
+          |SELECT n AS n_rows, exact_rows, est_rows,
+          |  est_rows - exact_rows AS err_rows
+          |FROM est, ex""".stripMargin)),
+      doc = "equi-depth range selectivity: exact decile bounds, 10-row estimate probe"),
+
     // Bloom-filter runtime join pruning — the dynamic-filter pattern: an
     // 8 KB bitmap built from the SMALL join side cuts the big probe side
     // map-side (zero shuffle per pruned row) before the exact join runs.

@@ -263,6 +263,57 @@ object Sketches {
         col("n_true_match"), col("n_false_positive"))
   }
 
+  /** Range-predicate selectivity estimation from an equi-depth histogram —
+    * the OTHER classic optimizer statistic beside [[cmsJoinCardinality]]:
+    * decile upper bounds are exact order statistics (the distributed
+    * prefix-sum machinery, no global sort), and a `BETWEEN lo AND hi`
+    * estimate reads the 10-row bound relation, never the data — full
+    * buckets contribute n/B each in exact integer arithmetic, the one
+    * partially-covered bucket interpolates uniformly (a single fixed IEEE
+    * term, picked by max() so no order-dependent float sum exists).
+    *
+    * Output one row: (n_rows, exact_rows, est_rows, err_rows). The exact
+    * side is the report companion, as everywhere in this file. */
+  def equidepthRangeEstimate(df: DataFrame, valueCol: String,
+                             lo: Long, hi: Long,
+                             buckets: Int = 10): DataFrame = {
+    require(buckets > 0 && 100 % buckets == 0,
+      s"buckets must divide 100, got $buckets")
+    val step = 100 / buckets
+    val vals = df.select(col(valueCol).cast("long").as("v"))
+      .filter(col("v").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vals.count() // pin: quantile pass + min + exact count
+    val h = TextAnalysis.exactQuantiles(vals, "v", (1 to buckets).map(_ * step))
+    val bounds = h.select(col("pct"), col("value"))
+      .unionByName(vals.agg(min(col("v")).as("value"))
+        .select(lit(0).as("pct"), col("value")))
+    // bucket k = (lower bound at pct−step, upper bound at pct]; self-join
+    // instead of a global window (10 rows, but the house linter rightly
+    // flags empty-partition windows on principle)
+    val pairs = bounds.as("b")
+      .join(bounds.as("p"), col("b.pct") === col("p.pct") + step)
+      .select(col("p.value").as("blo"), col("b.value").as("bhi"))
+    val n = h.select(col("n_rows")).head().getLong(0)
+    // all-double fixed chain (operands are exact integers; both engines run
+    // the identical op sequence, so the floor at the end cannot diverge)
+    def estLeq(x: Long): org.apache.spark.sql.Column = {
+      val full = sum(when(col("bhi") <= x, 1L).otherwise(0L)).cast("double")
+      val part = max(when(col("blo") < x && lit(x) < col("bhi"),
+        (lit(x) - col("blo")).cast("double") /
+          (col("bhi") - col("blo")).cast("double")).otherwise(lit(null)))
+      lit(n.toDouble) * full / lit(buckets.toDouble) +
+        coalesce(part, lit(0.0)) * (lit(n.toDouble) / lit(buckets.toDouble))
+    }
+    val est = pairs.agg(
+      floor(estLeq(hi) - estLeq(lo - 1)).cast("long").as("est_rows"))
+    val exact = vals.filter(col("v").between(lo, hi))
+      .agg(count(lit(1)).as("exact_rows"))
+    exact.crossJoin(est)
+      .select(lit(n).as("n_rows"), col("exact_rows"), col("est_rows"),
+        (col("est_rows") - col("exact_rows")).as("err_rows"))
+  }
+
   /** Equi-join cardinality estimation from two CMS cell relations — the
     * optimizer-statistics use of sketches: |A ⋈_v B| = Σ_v fA(v)·fB(v),
     * estimated as min over depth rows of Σ_bucket cA·cB. Hash collisions

@@ -134,6 +134,28 @@ class SketchesSpec extends SparkTestBase {
     assert(merged.exceptAll(all).isEmpty && all.exceptAll(merged).isEmpty)
   }
 
+  test("equi-depth range estimate: near-exact on uniform data, deterministic") {
+    val df = (1 to 10000).map(i => i.toLong % 1000).toDF("x")
+    val r = Sketches.equidepthRangeEstimate(df, "x", 200L, 599L).collect().head
+    assert(r.getAs[Long]("n_rows") == 10000L)
+    assert(r.getAs[Long]("exact_rows") == 4000L)
+    // uniform data: the interpolation assumption holds, error stays small
+    assert(math.abs(r.getAs[Long]("err_rows")) <= 200L,
+      s"err ${r.getAs[Long]("err_rows")} too large for uniform data")
+    val r2 = Sketches.equidepthRangeEstimate(df.repartition(13), "x", 200L, 599L)
+      .collect().head
+    assert(r.toSeq == r2.toSeq, "estimate must not depend on partitioning")
+  }
+
+  test("equi-depth estimate degenerates gracefully on skewed data") {
+    // 90% of mass on one value: buckets collapse, estimate must stay finite
+    // and the exact side correct
+    val df = (Seq.fill(9000)(5L) ++ (1 to 1000).map(_.toLong + 100)).toDF("x")
+    val r = Sketches.equidepthRangeEstimate(df, "x", 0L, 50L).collect().head
+    assert(r.getAs[Long]("exact_rows") == 9000L)
+    assert(r.getAs[Long]("est_rows") >= 0L)
+  }
+
   test("scale contract: the sketch-side shuffle carries register rows only") {
     // The pre-join sketch aggregation must reduce to ≤ m rows per column
     // regardless of input size — that's what makes the formulation a
