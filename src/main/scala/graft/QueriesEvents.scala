@@ -256,6 +256,43 @@ object QueriesEvents {
           |FROM p ORDER BY p.event_id""".stripMargin),
       doc = "as-of join: latest prior state per key (union + keyed window, merge-join shape)"),
 
+    // As-of with a staleness bound (pandas merge_asof tolerance): the
+    // latest prior click still wins, but matches older than 1 h null out
+    // together — same one-shuffle merge shape plus a row-local exact
+    // micros comparison. Left rows are always preserved.
+    "t_asof_tolerance" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), col("ts"))
+        graft.operators.Temporal.asOfJoinTolerance(purchases, clicks,
+          key = "user_id", ts = "ts", tiebreak = "event_id",
+          payloadCols = Seq("event_id", "ts"), toleranceSeconds = 3600L)
+          .orderBy(col("event_id"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |           FROM events WHERE event_type = 'purchase'),
+          |c AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+          |      FROM events WHERE event_type = 'click'),
+          |m AS (SELECT p.event_id, p.user_id, p.ts,
+          |  (SELECT c.event_id FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS a_id,
+          |  (SELECT c.ts FROM c WHERE c.user_id = p.user_id AND c.ts <= p.ts
+          |   ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS a_ts
+          |  FROM p)
+          |SELECT event_id, user_id, ts,
+          |  CASE WHEN a_ts IS NOT NULL
+          |        AND epoch_us(ts) - epoch_us(a_ts) <= 3600000000
+          |       THEN a_id END AS asof_event_id,
+          |  CASE WHEN a_ts IS NOT NULL
+          |        AND epoch_us(ts) - epoch_us(a_ts) <= 3600000000
+          |       THEN a_ts END AS asof_ts
+          |FROM m ORDER BY event_id""".stripMargin),
+      doc = "as-of join with staleness tolerance: latest prior match, nulled when stale"),
+
     // The SAME as-of semantics through the native Catalyst seam
     // (plans/AsOfJoinPlan.scala): custom LogicalPlan + planner strategy +
     // merge-scan SparkPlan holding ONE candidate row per key, key filters

@@ -57,6 +57,32 @@ object Temporal {
         payloadCols.map(c => col("_asof").getField(c).as(prefix + c)): _*)
   }
 
+  /** As-of join with a MATCH TOLERANCE (pandas `merge_asof(tolerance=…)`,
+    * kdb `wj` window bound): the latest prior right row still wins, but a
+    * match older than `toleranceSeconds` reports as NO match — "state at
+    * event time, unless the state is stale". Because the as-of pick is
+    * already the closest-in-time candidate, gating it afterward is exactly
+    * "latest match within the window": no second formulation needed, the
+    * same one-shuffle merge shape as [[asOfJoin]] plus a row-local micros
+    * comparison (integer arithmetic — no interval parsing, per the house
+    * invariant). Payload columns null out together, preserving left rows. */
+  def asOfJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+                        ts: String, tiebreak: String, payloadCols: Seq[String],
+                        toleranceSeconds: Long,
+                        prefix: String = "asof_"): DataFrame = {
+    require(toleranceSeconds >= 0, s"tolerance must be >= 0, got $toleranceSeconds")
+    val needTs = !payloadCols.contains(ts)
+    val cols = if (needTs) payloadCols :+ ts else payloadCols
+    val j = asOfJoin(left, right, key, ts, tiebreak, cols, prefix)
+    val ok = col(prefix + ts).isNotNull &&
+      (unix_micros(col(ts)) - unix_micros(col(prefix + ts)) <=
+        toleranceSeconds * 1000000L)
+    val gated = payloadCols.foldLeft(j) { (df, c) =>
+      df.withColumn(prefix + c, when(ok, col(prefix + c)))
+    }
+    if (needTs) gated.drop(prefix + ts) else gated
+  }
+
   /** Bounded range join: for every left row, aggregate the right rows in
     * `(left.ts - window, left.ts]` for the same key — "how much happened
     * just before this event". `agg` maps the right-payload column to the

@@ -31,6 +31,34 @@ class TemporalSpec extends SparkTestBase {
     assert(got == Seq((10L, 3L), (11L, 3L), (12L, -1L)))
   }
 
+  test("asOfJoinTolerance: stale matches null out together, boundary inclusive") {
+    val left = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00")), // match at 09:30 → 30 min, fresh
+      (11L, 1L, ts("2024-01-01 12:00:00")), // latest is 09:30 → 2.5 h, stale
+      (12L, 2L, ts("2024-01-01 11:00:00"))) // match exactly 1 h old → boundary keeps
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq(
+      (1L, 1L, ts("2024-01-01 09:30:00")),
+      (2L, 2L, ts("2024-01-01 10:00:00")))
+      .toDF("event_id", "user_id", "ts")
+    val got = Temporal.asOfJoinTolerance(left, right, "user_id", "ts",
+        "event_id", Seq("event_id"), toleranceSeconds = 3600L)
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    // stale row 11 keeps its LEFT row but loses the payload (left-preserving)
+    assert(got == Seq((10L, 1L), (11L, -1L), (12L, 2L)))
+    // tolerance 0: only exact-timestamp matches survive
+    val strict = Temporal.asOfJoinTolerance(left,
+        right.unionByName(Seq((5L, 1L, ts("2024-01-01 10:00:00")))
+          .toDF("event_id", "user_id", "ts")),
+        "user_id", "ts", "event_id", Seq("event_id"), toleranceSeconds = 0L)
+      .orderBy(col("event_id"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(strict == Seq((10L, 5L), (11L, -1L), (12L, -1L)))
+  }
+
   test("rangeJoinCount: boundary inclusivity (ts], exclusive lower, zero for no match") {
     val left = Seq((10L, 1L, ts("2024-01-01 12:00:00")))
       .toDF("event_id", "user_id", "ts")
