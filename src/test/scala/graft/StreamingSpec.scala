@@ -327,16 +327,19 @@ class StreamingSpec extends SparkTestBase {
     val out = EventStream.intervalJoin(
       pIn.toDF.toDF("user_id", "event_id", "ts"),
       cIn.toDF.toDF("user_id", "event_id", "ts"), windowSeconds = 3600L)
+    // ONE query, two drained microbatches: join state must carry across
+    // them. (Two AvailableNow queries raced: the first could commit and
+    // truncate the MemoryStream before the second started, dropping
+    // batch-1 pairs — the processAllAvailable pattern used by the other
+    // cross-batch tests is deterministic.)
     val q = out.writeStream.format("memory").queryName("ssij_out")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    // split the feed across batches: the join must match across them
+      .outputMode("append").start()
     cIn.addData(clicks.take(2): _*); pIn.addData(purchases.take(1): _*)
-    q.awaitTermination(60000)
+    q.processAllAvailable()
     cIn.addData(clicks.drop(2): _*); pIn.addData(purchases.drop(1): _*)
-    val q2 = out.writeStream.format("memory").queryName("ssij_out2")
-      .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q2.awaitTermination(60000)
-    val got = spark.table("ssij_out2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssij_out")
       .select("purchase_id", "click_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val want = purchases.toDF("u", "purchase_id", "p_ts")
