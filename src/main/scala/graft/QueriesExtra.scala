@@ -10,7 +10,81 @@ import org.apache.spark.sql.functions._
   */
 object QueriesExtra {
 
+  /** DuckDB twin of [[graft.operators.Sketches.hllRegisters]] with
+    * CTE-name prefix `p` over source CTE `src` — emitted once per operand
+    * in the sketch-algebra oracles. */
+  private def hllRegSql(p: String, src: String): String =
+    s"""${p}hx AS (SELECT col_name, val,
+       |    CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h FROM $src),
+       |${p}rk AS (SELECT col_name, h // 281474976710656 AS bucket,
+       |    CASE WHEN h % 281474976710656 = 0 THEN 49
+       |         ELSE 49 - length(bin(h % 281474976710656)) END AS rank FROM ${p}hx),
+       |${p}reg AS (SELECT col_name, bucket, max(rank) AS reg FROM ${p}rk GROUP BY 1, 2)""".stripMargin
+
+  /** DuckDB twin of the estimate chain over a register CTE. */
+  private def hllEstSql(p: String, regSrc: String): String =
+    s"""${p}agg AS (SELECT col_name, 4096 - count(*) AS zeros,
+       |    CAST(sum(CAST(1 AS BIGINT) << (49 - reg)) AS BIGINT)
+       |      + (4096 - count(*)) * 562949953421312 AS sum_scaled
+       |  FROM $regSrc GROUP BY 1),
+       |${p}est AS (SELECT col_name, zeros,
+       |    (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE)
+       |      + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+       |      * CAST(4096.0 AS DOUBLE) * CAST(4096.0 AS DOUBLE)
+       |      * CAST(562949953421312.0 AS DOUBLE)
+       |      / CAST(sum_scaled AS DOUBLE) AS raw FROM ${p}agg),
+       |${p}hll AS (SELECT col_name,
+       |    CASE WHEN raw <= 10240.0 AND zeros > 0
+       |      THEN round(CAST(4096.0 AS DOUBLE)
+       |        * ln(CAST(4096.0 AS DOUBLE) / CAST(zeros AS DOUBLE)), 4)
+       |      ELSE raw END AS hll_estimate FROM ${p}est)""".stripMargin
+
   def queries: Map[String, Q] = Map(
+
+    // HLL set algebra: |clicked ∩ purchased| by inclusion–exclusion over
+    // THREE register estimates (A, B, max-merged union) — answered from
+    // the stored register tables alone, no raw rescan, no distinct join.
+    // Subtraction amplifies relative error when the overlap is small; the
+    // exact side keeps that visible.
+    "sketch_hll_intersection" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        // the synthetic fixture has every user in every event type, which
+        // would make A = B = A ∪ B; carve overlapping-but-distinct
+        // populations so the algebra is exercised (A: 2/3 of clickers,
+        // B: half of purchasers, overlap: users ≡ 2 or 4 (mod 6))
+        def side(t: String, pred: org.apache.spark.sql.Column) = ev
+          .filter(col("event_type") === t && col("user_id").isNotNull && pred)
+          .select(lit("user_id").as("col_name"),
+            col("user_id").cast("string").as("val"))
+        graft.operators.Sketches.hllIntersectionEstimate(
+          side("click", col("user_id") % 3 =!= 0),
+          side("purchase", col("user_id") % 2 === 0))
+      },
+      oracle = Some(
+        s"""WITH ma AS (SELECT 'user_id' AS col_name,
+           |    CAST(user_id AS VARCHAR) AS val FROM events
+           |  WHERE event_type = 'click' AND user_id IS NOT NULL
+           |    AND user_id % 3 <> 0),
+           |mb AS (SELECT 'user_id' AS col_name,
+           |    CAST(user_id AS VARCHAR) AS val FROM events
+           |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+           |    AND user_id % 2 = 0),
+           |${hllRegSql("a_", "ma")},
+           |${hllRegSql("b_", "mb")},
+           |u_reg AS (SELECT col_name, bucket, max(reg) AS reg FROM
+           |  (SELECT * FROM a_reg UNION ALL SELECT * FROM b_reg) GROUP BY 1, 2),
+           |${hllEstSql("a_", "a_reg")},
+           |${hllEstSql("b_", "b_reg")},
+           |${hllEstSql("u_", "u_reg")},
+           |ex AS (SELECT count(*) AS exact_common FROM
+           |  (SELECT val FROM ma INTERSECT SELECT val FROM mb))
+           |SELECT exact_common, a_hll.hll_estimate AS est_a,
+           |  b_hll.hll_estimate AS est_b, u_hll.hll_estimate AS est_union,
+           |  a_hll.hll_estimate + b_hll.hll_estimate - u_hll.hll_estimate
+           |    AS est_common
+           |FROM ex, a_hll, b_hll, u_hll""".stripMargin),
+      doc = "HLL inclusion-exclusion intersection: three register estimates, zero rescan"),
 
     // CDN purge coverage (cdn/cdn-cache-manager.ts purge scopes: tenant ⊃
     // bucket ⊃ object/transforms): given a mixed-scope purge batch, the

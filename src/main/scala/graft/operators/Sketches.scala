@@ -190,6 +190,40 @@ object Sketches {
       .select(col("j"), cmsBucket.as("bucket"))
       .groupBy(col("j"), col("bucket")).agg(count(lit(1)).as("c"))
 
+  /** HLL set algebra: |A ∩ B| by inclusion–exclusion over three register
+    * estimates — E(A) + E(B) − E(A ∪ B), where the union estimate comes
+    * from the register max-merge (the semilattice law [[hllMergeEstimate]]
+    * proves). The audience question ("distinct users who BOTH clicked and
+    * purchased, across 100 TB of logs") needs only the two stored register
+    * tables — no raw rescan, no distinct-join. Caveat stated honestly:
+    * subtraction amplifies relative error when the true intersection is
+    * small vs the union (can even go slightly negative); the census carries
+    * the exact count so that error is visible, as everywhere in this file.
+    * Inputs are (col_name, val) relations. */
+  def hllIntersectionEstimate(a: DataFrame, b: DataFrame): DataFrame = {
+    val ap = a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ap.count() // pin: feeds registers + the exact side
+    val bp = b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bp.count()
+    val ra = hllRegisters(ap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    ra.count() // pin: own estimate + union merge
+    val rb = hllRegisters(bp)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rb.count()
+    val ea = estimate(ra).select(col("hll_estimate").as("est_a"))
+    val eb = estimate(rb).select(col("hll_estimate").as("est_b"))
+    val eu = estimate(ra.unionByName(rb)
+        .groupBy(col("col_name"), col("bucket")).agg(max(col("reg")).as("reg")))
+      .select(col("hll_estimate").as("est_union"))
+    val exact = ap.select(col("val")).intersect(bp.select(col("val")))
+      .agg(count(lit(1)).as("exact_common"))
+    exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
+      .select(col("exact_common"), col("est_a"), col("est_b"),
+        col("est_union"),
+        (col("est_a") + col("est_b") - col("est_union")).as("est_common"))
+  }
+
   /** Bloom filter size in bits (power of two so the position is the hash's
     * low 16 bits; 65536 bits pack into 1024 int64 words = 8 KB). */
   val BloomBits = 65536

@@ -93,6 +93,26 @@ class SketchesSpec extends SparkTestBase {
     assert(disjoint.getAs[Long]("cms_card") >= 0L)
   }
 
+  test("HLL intersection: inclusion-exclusion tracks the exact overlap") {
+    def rel(ids: Seq[Int]) = ids.map(i => ("k", s"u$i")).toDF("col_name", "val")
+    // |A|=3000, |B|=2500, overlap 1500
+    val a = rel(1 to 3000)
+    val b = rel(1501 to 4000)
+    val r = Sketches.hllIntersectionEstimate(a, b).collect().head
+    assert(r.getAs[Long]("exact_common") == 1500L)
+    val est = r.getAs[Double]("est_common")
+    // union/side errors compound: allow a loose 10% envelope
+    assert(math.abs(est - 1500.0) / 1500.0 < 0.10, s"est $est vs 1500")
+    assert(r.getAs[Double]("est_common") ==
+      r.getAs[Double]("est_a") + r.getAs[Double]("est_b") -
+        r.getAs[Double]("est_union"))
+    // disjoint sets: estimate must land near zero (can be slightly negative)
+    val d = Sketches.hllIntersectionEstimate(rel(1 to 2000), rel(5000 to 7000))
+      .collect().head
+    assert(d.getAs[Long]("exact_common") == 0L)
+    assert(math.abs(d.getAs[Double]("est_common")) < 200.0)
+  }
+
   test("bloom prefilter: no false negatives, census is consistent") {
     val build = (1 to 800).map(i => s"k$i").toDF("key")
     val probe = (1 to 5000).map(i => s"k$i").toDF("name") // 800 true matches
