@@ -874,6 +874,48 @@ object QueriesExtra {
           |FROM fl""".stripMargin)),
       doc = "Bloom runtime prefilter: broadcast 8 KB bitmap, map-side cut, fp census"),
 
+    // Per-bucket storage growth trend — capacity planning as one
+    // partial-aggregable pass: daily ingested bytes regress on the day
+    // index via the five classic sums; slope is a single exact int64/int64
+    // division (ships unrounded), intercept a fixed chain over it. A
+    // 100 TB history reduces to five scalars per bucket map-side.
+    "store_growth_trend" -> Q(
+      fn = (s, dir) => {
+        val daily = Tables.objects(s, dir)
+          .select(col("bucket_id"),
+            datediff(col("created_at").cast("date"),
+              lit("1992-01-01").cast("date")).as("day"),
+            col("size"))
+          .groupBy(col("bucket_id"), col("day"))
+          .agg(sum(col("size")).as("bytes"))
+        graft.operators.Profile.linearTrend(daily, "bucket_id", "day", "bytes")
+          .select(col("bucket_id"), col("n").as("n_days"),
+            col("sy").as("total_bytes"), col("slope"), col("intercept"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, daily AS (SELECT bucket_id,
+          |    CAST(CAST(created_at AS DATE) - DATE '1992-01-01' AS BIGINT) AS day,
+          |    CAST(sum(size) AS BIGINT) AS bytes
+          |  FROM objects GROUP BY 1, 2),
+          |s AS (SELECT bucket_id, count(*) AS n,
+          |    CAST(sum(day) AS BIGINT) AS sx, CAST(sum(bytes) AS BIGINT) AS sy,
+          |    CAST(sum(day * bytes) AS BIGINT) AS sxy,
+          |    CAST(sum(day * day) AS BIGINT) AS sxx
+          |  FROM daily GROUP BY 1),
+          |f AS (SELECT bucket_id, n, sy, n * sxx - sx * sx AS den, sx, sxy
+          |  FROM s)
+          |SELECT bucket_id, n AS n_days, sy AS total_bytes,
+          |  CASE WHEN den <> 0 THEN
+          |    CAST(n * sxy - sx * sy AS DOUBLE) / CAST(den AS DOUBLE) END
+          |    AS slope,
+          |  CASE WHEN den <> 0 THEN
+          |    (CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)
+          |       / CAST(den AS DOUBLE)) * CAST(sx AS DOUBLE))
+          |      / CAST(n AS DOUBLE) END AS intercept
+          |FROM f ORDER BY bucket_id""".stripMargin)),
+      doc = "per-bucket growth regression: five exact sums, one exact division, map-side reducible"),
+
     // Small-file compaction planning — the storage-maintenance job
     // (Iceberg/Delta OPTIMIZE, object-store compactors): pack sub-threshold
     // files into target-sized, name-CONTIGUOUS batches via an exclusive

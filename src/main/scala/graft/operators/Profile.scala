@@ -50,6 +50,34 @@ object Profile {
         col("min_val"), col("max_val"))
   }
 
+  /** Per-group least-squares trend — capacity planning ("bytes/day per
+    * bucket, when does it hit quota") as ONE partial-aggregable pass: the
+    * five classic sums (n, Σx, Σy, Σxy, Σx²) reduce map-side like any
+    * count, so a 100 TB history fits in five scalars per group. With
+    * integer x (day index) and integer y (daily bytes) every sum is exact
+    * int64 (cast the products to DECIMAL when Σxy could cross 2^62 —
+    * daily-bucket magnitudes here stay far below), the slope is ONE exact
+    * int/int division (IEEE-identical in any engine, ships unrounded) and
+    * the intercept a fixed chain over it. Degenerate groups (single x
+    * value) yield NULL slope rather than a crash. */
+  def linearTrend(points: DataFrame, groupCol: String, xCol: String,
+                  yCol: String): DataFrame = {
+    val x = col(xCol).cast("long"); val y = col(yCol).cast("long")
+    points.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("slope",
+        when(col("den") =!= 0L,
+          (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            col("den").cast("double")))
+      .withColumn("intercept",
+        when(col("den") =!= 0L,
+          (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+            col("n").cast("double")))
+      .drop("den")
+  }
+
   /** Robust per-group outlier census via MAD (median absolute deviation) —
     * the data-quality gate that survives the outliers it hunts (mean/stddev
     * get dragged by the very tail they're meant to flag; median/MAD have

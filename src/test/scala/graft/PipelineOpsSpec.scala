@@ -513,6 +513,22 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(r.getAs[Double]("fill_ratio") == 500.0 / 512)
   }
 
+  test("linearTrend recovers an exact fit; degenerate x gives NULL slope") {
+    import graft.operators.Profile
+    // g1: perfect line y = 3x + 7; g2: all points share one x
+    val pts = ((0 to 20).map(x => ("g1", x.toLong, 3L * x + 7L)) ++
+      Seq(("g2", 5L, 10L), ("g2", 5L, 20L))).toDF("g", "x", "y")
+    val r = Profile.linearTrend(pts, "g", "x", "y").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("g1").getAs[Double]("slope") == 3.0)
+    assert(r("g1").getAs[Double]("intercept") == 7.0)
+    assert(r("g2").isNullAt(r("g2").fieldIndex("slope")))
+    // partitioning independence (integer sums are exact in any order)
+    val r2 = Profile.linearTrend(pts.repartition(7), "g", "x", "y").collect()
+      .map(x => x.getString(0) -> x).toMap
+    assert(r("g1").toSeq == r2("g1").toSeq)
+  }
+
   test("madOutliers flags spliced extremes, robust to the outliers themselves") {
     import graft.operators.Profile
     // g1: tight cluster around 100 plus two wild values; g2: clean
