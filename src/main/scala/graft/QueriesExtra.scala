@@ -565,6 +565,46 @@ object QueriesExtra {
         }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")),
       doc = "per-column profile census: one wide reduce + melt-based exact distinct"),
 
+    // Snapshot drift census: the data-card diff between two corpus
+    // versions. "Yesterday" = docs below the 90th doc_id percentile with
+    // lang nulled on a deterministic slice — the drift the census must
+    // surface (row growth, null-rate change, distinct shift, range flag).
+    "profile_drift" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val old = d.filter(col("doc_id") % 10 =!= 9)
+          .withColumn("lang",
+            when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("lang")))
+        graft.operators.Profile.profileDrift(old, d,
+          Seq("doc_id", "lang", "source", "n_chars"))
+      },
+      oracle = Some {
+        def prof(src: String, sfx: String) =
+          Seq("doc_id", "lang", "source", "n_chars").map { c =>
+            s"""SELECT '$c' AS col_name, count(*) AS n_rows_$sfx,
+               |  count(*) - count($c) AS n_null_$sfx,
+               |  count(DISTINCT $c) AS n_distinct_$sfx,
+               |  CAST(min($c) AS VARCHAR) AS min_$sfx,
+               |  CAST(max($c) AS VARCHAR) AS max_$sfx FROM $src""".stripMargin
+          }.mkString("(", "\nUNION ALL\n", ")")
+        s"""WITH old AS (SELECT doc_id,
+           |    CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           |    source, n_chars
+           |  FROM documents WHERE doc_id % 10 <> 9),
+           |pa AS ${prof("old", "old")},
+           |pb AS ${prof("documents", "new")}
+           |SELECT pa.col_name, n_rows_old, n_rows_new,
+           |  n_rows_new - n_rows_old AS row_delta,
+           |  n_null_old, n_null_new,
+           |  n_distinct_old, n_distinct_new,
+           |  n_distinct_new - n_distinct_old AS distinct_delta,
+           |  NOT (min_new IS NOT DISTINCT FROM min_old)
+           |    OR NOT (max_new IS NOT DISTINCT FROM max_old) AS range_changed
+           |FROM pa JOIN pb ON pa.col_name = pb.col_name
+           |ORDER BY pa.col_name""".stripMargin
+      },
+      doc = "snapshot drift census: per-column row/null/distinct deltas + range flags"),
+
     // Mergeable distinct-count sketch: HyperLogLog (p=12) formulated
     // relationally so partial aggregation IS the register merge — the
     // shuffle moves ≤4096 register rows per column, never data rows. The

@@ -50,6 +50,31 @@ object Profile {
         col("min_val"), col("max_val"))
   }
 
+  /** Snapshot drift census — the data-card diff between two corpus
+    * versions ("did yesterday's pipeline change the shape of the data"):
+    * both snapshots run the same [[profile]] reduction, and the per-column
+    * join reports row/null/distinct deltas plus a range-change flag. Two
+    * bounded profile passes, a |cols|-row join — nothing here scales with
+    * the data beyond the profiles themselves. */
+  def profileDrift(oldDf: DataFrame, newDf: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    def side(df: DataFrame, sfx: String) = profile(df, cols).select(
+      col("col_name"), col("n_rows").as(s"n_rows_$sfx"),
+      col("n_null").as(s"n_null_$sfx"), col("n_distinct").as(s"n_distinct_$sfx"),
+      col("min_val").as(s"min_$sfx"), col("max_val").as(s"max_$sfx"))
+    side(oldDf, "old").join(side(newDf, "new"), Seq("col_name"))
+      .withColumn("row_delta", col("n_rows_new") - col("n_rows_old"))
+      .withColumn("distinct_delta", col("n_distinct_new") - col("n_distinct_old"))
+      .withColumn("range_changed",
+        not(col("min_new") <=> col("min_old")) ||
+          not(col("max_new") <=> col("max_old")))
+      .select(col("col_name"), col("n_rows_old"), col("n_rows_new"),
+        col("row_delta"), col("n_null_old"), col("n_null_new"),
+        col("n_distinct_old"), col("n_distinct_new"), col("distinct_delta"),
+        col("range_changed"))
+      .orderBy(col("col_name"))
+  }
+
   /** Per-group least-squares trend — capacity planning ("bytes/day per
     * bucket, when does it hit quota") as ONE partial-aggregable pass: the
     * five classic sums (n, Σx, Σy, Σxy, Σx²) reduce map-side like any
