@@ -314,11 +314,26 @@ object Sketches {
     require(buckets > 0 && 100 % buckets == 0,
       s"buckets must divide 100, got $buckets")
     val step = 100 / buckets
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val vals = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vals.count() // pin: quantile pass + min + exact count
-    val h = TextAnalysis.exactQuantiles(vals, "v", (1 to buckets).map(_ * step))
+    vals.count() // pin: histogram pass + exact count
+    // All bucket bounds in ONE aggregation over the prefix-summed histogram
+    // (an exploded percentile list, the groupedQuantiles trick) — the
+    // per-percentile job launches of exactQuantiles cost ~4 s at sf0.1
+    // for a 10-point histogram; this is ~6 jobs total.
+    val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    val cum = Prefix.withRankAndCumSum(hist, Seq(col("v")), col("c"), nPart)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = cum.agg(sum(col("c"))).head().getLong(0)
+    val pcts = (1 to buckets).map(_ * step)
+    val h = cum
+      .select(col("v"), col("cum"),
+        explode(array(pcts.map(lit): _*)).as("pct"))
+      .filter(col("cum") >= expr(s"($n * pct + 99) div 100"))
+      .groupBy(col("pct")).agg(min(col("v")).as("value"))
     val bounds = h.select(col("pct"), col("value"))
       .unionByName(vals.agg(min(col("v")).as("value"))
         .select(lit(0).as("pct"), col("value")))
@@ -328,7 +343,6 @@ object Sketches {
     val pairs = bounds.as("b")
       .join(bounds.as("p"), col("b.pct") === col("p.pct") + step)
       .select(col("p.value").as("blo"), col("b.value").as("bhi"))
-    val n = h.select(col("n_rows")).head().getLong(0)
     // all-double fixed chain (operands are exact integers; both engines run
     // the identical op sequence, so the floor at the end cannot diverge)
     def estLeq(x: Long): org.apache.spark.sql.Column = {
