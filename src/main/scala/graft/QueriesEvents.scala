@@ -256,6 +256,34 @@ object QueriesEvents {
           |FROM p ORDER BY p.event_id""".stripMargin),
       doc = "as-of join: latest prior state per key (union + keyed window, merge-join shape)"),
 
+    // Hourly gap filling + forward fill (time_bucket_gapfill): each key's
+    // span densifies to an integer-hour grid; missing buckets flag and the
+    // last observed DECIMAL sum carries forward. Keyed windows only.
+    "e_gapfill" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Temporal.gapFillHourly(
+          Tables.events(s, dir).filter(col("user_id") % 37 === 5),
+          key = "user_id", ts = "ts", valueCol = "value"),
+      oracle = Some(
+        """WITH h0 AS (SELECT user_id,
+          |    epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+          |      // 3600000000 AS hi,
+          |    count(*) AS n_events,
+          |    sum(CAST(value AS DECIMAL(18,4))) AS sv
+          |  FROM events WHERE user_id % 37 = 5 GROUP BY 1, 2),
+          |g AS (SELECT user_id, unnest(generate_series(mn, mx)) AS hi
+          |  FROM (SELECT user_id, min(hi) AS mn, max(hi) AS mx
+          |        FROM h0 GROUP BY 1)),
+          |j AS (SELECT g.user_id, g.hi, h0.n_events, h0.sv
+          |  FROM g LEFT JOIN h0 ON g.user_id = h0.user_id AND g.hi = h0.hi)
+          |SELECT user_id, make_timestamp(hi * 3600000000) AS hour,
+          |  coalesce(n_events, 0) AS n_events, sv IS NULL AS filled,
+          |  CAST(sv AS DOUBLE) AS sum_value,
+          |  CAST(last_value(sv IGNORE NULLS) OVER (PARTITION BY user_id
+          |    ORDER BY hi ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS ffill_value
+          |FROM j ORDER BY user_id, hour""".stripMargin),
+      doc = "hourly gap fill + forward fill: integer-hour grid, keyed windows, DECIMAL carry"),
+
     // As-of with a staleness bound (pandas merge_asof tolerance): the
     // latest prior click still wins, but matches older than 1 h null out
     // together — same one-shuffle merge shape plus a row-local exact

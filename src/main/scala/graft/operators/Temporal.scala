@@ -57,6 +57,41 @@ object Temporal {
         payloadCols.map(c => col("_asof").getField(c).as(prefix + c)): _*)
   }
 
+  /** Hourly gap filling + forward fill — the `time_bucket_gapfill` verb
+    * every time-series warehouse grows: each key's observed span becomes a
+    * dense hourly grid (missing buckets appear with n_events = 0 and a
+    * `filled` flag), and the last observed sum carries forward. The grid
+    * is INTEGER hour indexes (`sequence` over longs, reconstructed with
+    * timestamp_micros) — no interval parsing, exact in any engine. Scale:
+    * the per-key explode is bounded by the key's time span, the join is a
+    * keyed equi-join against the already-aggregated hourly relation, and
+    * the forward fill is a keyed window (O(1) state; value sums go through
+    * DECIMAL so the carried value is bit-stable). */
+  def gapFillHourly(df: DataFrame, key: String, ts: String,
+                    valueCol: String): DataFrame = {
+    val micros = 3600000000L
+    val hourly = df.select(col(key).as("k"),
+        (unix_micros(date_trunc("hour", col(ts))) / micros).cast("long").as("hi"),
+        col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 4)).as("v"))
+      .groupBy(col("k"), col("hi"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("sv"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    hourly.count() // pin: grid bounds + the fill join
+    val grid = hourly.groupBy(col("k"))
+      .agg(min(col("hi")).as("mn"), max(col("hi")).as("mx"))
+      .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("hi"))
+    val w = Window.partitionBy(col("k")).orderBy(col("hi"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(hourly, Seq("k", "hi"), "left")
+      .withColumn("ffill", last(col("sv"), ignoreNulls = true).over(w))
+      .select(col("k").as(key), timestamp_micros(col("hi") * micros).as("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        col("sv").isNull.as("filled"),
+        col("sv").cast("double").as("sum_value"),
+        col("ffill").cast("double").as("ffill_value"))
+      .orderBy(col(key), col("hour"))
+  }
+
   /** As-of join with a MATCH TOLERANCE (pandas `merge_asof(tolerance=…)`,
     * kdb `wj` window bound): the latest prior right row still wins, but a
     * match older than `toleranceSeconds` reports as NO match — "state at

@@ -59,6 +59,28 @@ class TemporalSpec extends SparkTestBase {
     assert(strict == Seq((10L, 5L), (11L, -1L), (12L, -1L)))
   }
 
+  test("gapFillHourly: dense grid, gap flags, forward fill carries the last sum") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:15:00"), 2.5),
+      (1L, ts("2024-01-01 10:45:00"), 1.5), // 10:00 bucket: n=2, sum=4.0
+      (1L, ts("2024-01-01 13:05:00"), 7.0), // 11:00, 12:00 are gaps
+      (2L, ts("2024-01-01 09:00:00"), 1.0)) // single-bucket key
+      .toDF("user_id", "ts", "value")
+    val r = graft.operators.Temporal.gapFillHourly(ev, "user_id", "ts", "value")
+      .collect()
+    val k1 = r.filter(_.getLong(0) == 1L)
+    assert(k1.length == 4, "10:00 through 13:00 inclusive")
+    assert(k1.map(_.getAs[Long]("n_events")).toSeq == Seq(2L, 0L, 0L, 1L))
+    assert(k1.map(_.getAs[Boolean]("filled")).toSeq ==
+      Seq(false, true, true, false))
+    // gaps carry the last observed sum; observed buckets carry their own
+    assert(k1.map(_.getAs[Double]("ffill_value")).toSeq ==
+      Seq(4.0, 4.0, 4.0, 7.0))
+    assert(k1(1).isNullAt(k1(1).fieldIndex("sum_value")))
+    val k2 = r.filter(_.getLong(0) == 2L)
+    assert(k2.length == 1 && !k2.head.getAs[Boolean]("filled"))
+  }
+
   test("rangeJoinCount: boundary inclusivity (ts], exclusive lower, zero for no match") {
     val left = Seq((10L, 1L, ts("2024-01-01 12:00:00")))
       .toDF("event_id", "user_id", "ts")
