@@ -575,5 +575,85 @@ object QueriesEvents {
           |    ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
           |  FROM events WHERE CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20')
           |WHERE rn = 1 ORDER BY user_id""".stripMargin),
-      doc = "time-travel point read: pushed time predicate + keyed max(struct), no history window"))
+      doc = "time-travel point read: pushed time predicate + keyed max(struct), no history window"),
+
+    // Marketing-style first/last-touch attribution: for each converting
+    // user, the earliest and latest touch (click/view) strictly before
+    // their FIRST purchase. Both sides are keyed min/max(struct) — one
+    // shuffle on user_id, O(1) reducer state per user (no event-list
+    // collection, no per-user sort). Lexicographic struct comparison gives
+    // a total order (event_id breaks ts ties) so first/last are unique.
+    "events_attribution" -> Q(
+      fn = (s, dir) => {
+        val e = Tables.events(s, dir)
+        val firstPurchase = e.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(min(struct(col("ts"), col("event_id"))).as("p"))
+        e.filter(col("event_type").isin("click", "view"))
+          .join(firstPurchase, Seq("user_id"))
+          .filter(struct(col("ts"), col("event_id")) < col("p"))
+          .groupBy(col("user_id"))
+          .agg(
+            min(struct(col("ts"), col("event_id"), col("event_type"))).as("ft"),
+            max(struct(col("ts"), col("event_id"), col("event_type"))).as("lt"))
+          .groupBy(col("ft.event_type").as("first_touch"),
+            col("lt.event_type").as("last_touch"))
+          .agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("user_id_sum"))
+          .orderBy(col("first_touch"), col("last_touch"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT user_id,
+          |    min(struct_pack(ts := CAST(ts AS TIMESTAMP), event_id := event_id)) AS p
+          |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+          |t AS (SELECT e.user_id, CAST(e.ts AS TIMESTAMP) AS ts, e.event_id, e.event_type
+          |      FROM events e JOIN p USING (user_id)
+          |      WHERE e.event_type IN ('click', 'view')
+          |        AND struct_pack(ts := CAST(e.ts AS TIMESTAMP), event_id := e.event_id) < p.p),
+          |a AS (SELECT user_id,
+          |    min(struct_pack(ts := ts, event_id := event_id, et := event_type)) AS ft,
+          |    max(struct_pack(ts := ts, event_id := event_id, et := event_type)) AS lt
+          |  FROM t GROUP BY user_id)
+          |SELECT struct_extract(ft, 'et') AS first_touch,
+          |       struct_extract(lt, 'et') AS last_touch,
+          |       count(*) AS n_users, CAST(sum(user_id) AS BIGINT) AS user_id_sum
+          |FROM a GROUP BY 1, 2 ORDER BY first_touch, last_touch""".stripMargin),
+      doc = "first/last-touch conversion attribution: keyed min/max(struct), no event-list state"),
+
+    // Rate-spike anomaly census: hourly counts per event type vs the
+    // trailing-24h baseline (RANGE frame on the integer hour index, current
+    // hour excluded). The spike gate is cross-multiplied int64
+    // (n·prev_hours > 3·prev_n) — no float mean, no boundary drift; frames
+    // with under 12 baseline hours abstain. Window is keyed by event_type,
+    // so hot streams parallelize and nothing single-partitions.
+    "events_rate_spike" -> Q(
+      fn = (s, dir) => {
+        val hours = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hour_idx"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
+          .rangeBetween(-24, -1)
+        hours
+          .withColumn("prev_n", sum(col("n")).over(w))
+          .withColumn("prev_hours", count(lit(1)).over(w))
+          .filter(col("prev_hours") >= 12 &&
+            col("n") * col("prev_hours") > lit(3L) * col("prev_n"))
+          .select(col("event_type"), col("hour_idx"), col("n"),
+            col("prev_hours"), col("prev_n"))
+          .orderBy(col("event_type"), col("hour_idx"))
+      },
+      oracle = Some(
+        """WITH h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS hour_idx,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, hour_idx, n,
+          |    CAST(sum(n) OVER tr AS BIGINT) AS prev_n,
+          |    count(*) OVER tr AS prev_hours
+          |  FROM h WINDOW tr AS (PARTITION BY event_type ORDER BY hour_idx
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          |SELECT event_type, hour_idx, n, prev_hours, prev_n
+          |FROM w WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_n
+          |ORDER BY event_type, hour_idx""".stripMargin),
+      doc = "trailing-baseline rate-spike detection: keyed RANGE frame, exact int gate"))
 }
