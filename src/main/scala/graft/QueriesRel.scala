@@ -481,5 +481,71 @@ object QueriesRel {
           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
           |  AND o_orderdate < TIMESTAMP '1997-01-01'
           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
-      doc = "headline: 6-way star join, tiny dims broadcast, fact joins shuffled"))
+      doc = "headline: 6-way star join, tiny dims broadcast, fact joins shuffled"),
+
+    // RFM customer segmentation: recency/frequency/monetary quintiles.
+    // The quintile boundary is a GLOBAL order statistic, so the scale-safe
+    // form is the distributed two-pass rank (Prefix.withRankAndCumSum —
+    // range-partitioned, no single-partition window). All three metrics
+    // rank in ONE pass over a melted (metric, value) relation; the score is
+    // pure integer math, score = 1 + (rank-1)·5 div n, replayed verbatim by
+    // the oracle (NOT SQL ntile, whose remainder distribution differs).
+    // Monetary sums via round-to-cents DECIMAL — exact cross-engine.
+    "rfm_segmentation" -> Q(
+      fn = (s, dir) => {
+        val asOf = to_timestamp(lit("2002-01-01 00:00:00"))
+        val c = Tables.orders(s, dir)
+          .groupBy(col("o_custkey").as("custkey"))
+          .agg(
+            datediff(asOf, max(col("o_orderdate"))).as("recency"),
+            count(lit(1)).as("frequency"),
+            sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
+              .cast(DecimalType(18, 2)).as("monetary"))
+          .persist()
+        val n = c.count()
+        val melted = c.select(lit("recency").as("metric"), col("custkey"),
+            col("recency").cast(DecimalType(18, 2)).as("value"))
+          .unionByName(c.select(lit("frequency").as("metric"), col("custkey"),
+            col("frequency").cast(DecimalType(18, 2)).as("value")))
+          .unionByName(c.select(lit("monetary").as("metric"), col("custkey"),
+            col("monetary").as("value")))
+        val ranked = graft.operators.Prefix.withRankAndCumSum(
+          melted, Seq(col("metric"), col("value"), col("custkey")), lit(1L), 32)
+        val metricIdx = when(col("metric") === "frequency", 0L)
+          .when(col("metric") === "monetary", 1L).otherwise(2L)
+        val scored = ranked
+          .withColumn("prank", col("rnk") - metricIdx * n)
+          .withColumn("score", expr(s"1 + ((prank - 1) * 5) div ${n}L"))
+        val out = scored.groupBy(col("custkey"))
+          .agg(
+            max(when(col("metric") === "recency", col("score"))).as("r_score"),
+            max(when(col("metric") === "frequency", col("score"))).as("f_score"),
+            max(when(col("metric") === "monetary", col("score"))).as("m_score"))
+          .groupBy(col("r_score"), col("f_score"), col("m_score"))
+          .agg(count(lit(1)).as("n_customers"), sum(col("custkey")).as("custkey_sum"))
+          .orderBy(col("r_score"), col("f_score"), col("m_score"))
+        out
+      },
+      oracle = Some(
+        """WITH c AS (SELECT o_custkey AS custkey,
+          |    date_diff('day', max(o_orderdate), TIMESTAMP '2002-01-01') AS recency,
+          |    count(*) AS frequency,
+          |    CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS monetary
+          |  FROM orders GROUP BY 1),
+          |n AS (SELECT count(*) AS n FROM c),
+          |m AS (SELECT 'recency' AS metric, custkey, CAST(recency AS DECIMAL(18,2)) AS value FROM c
+          |  UNION ALL SELECT 'frequency', custkey, CAST(frequency AS DECIMAL(18,2)) FROM c
+          |  UNION ALL SELECT 'monetary', custkey, monetary FROM c),
+          |r AS (SELECT metric, custkey,
+          |    row_number() OVER (PARTITION BY metric ORDER BY value, custkey) AS prank FROM m),
+          |sc AS (SELECT metric, custkey, 1 + ((prank - 1) * 5) // n.n AS score FROM r, n),
+          |p AS (SELECT custkey,
+          |    max(CASE WHEN metric = 'recency' THEN score END) AS r_score,
+          |    max(CASE WHEN metric = 'frequency' THEN score END) AS f_score,
+          |    max(CASE WHEN metric = 'monetary' THEN score END) AS m_score
+          |  FROM sc GROUP BY 1)
+          |SELECT r_score, f_score, m_score, count(*) AS n_customers,
+          |       CAST(sum(custkey) AS BIGINT) AS custkey_sum
+          |FROM p GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin),
+      doc = "RFM quintile segmentation: one distributed rank pass over all three melted metrics"))
 }
