@@ -1080,5 +1080,120 @@ object QueriesExtra {
           |SELECT media_id, kind,
           |  CAST(sk AS DOUBLE) / CAST(4294967296 AS DOUBLE) AS feat_norm2
           |FROM n2 ORDER BY media_id""".stripMargin),
-      doc = "Multimodal decode+extract via mapPartitions (stub kernel, real plumbing, exact-dyadic norm oracle)"))
+      doc = "Multimodal decode+extract via mapPartitions (stub kernel, real plumbing, exact-dyadic norm oracle)"),
+
+    // Hierarchical storage usage ("du -s" per folder): every object fans
+    // out to its ancestor prefixes (bounded by path depth, here ≤ 2 — the
+    // depth cap is applied BEFORE the aggregation so deep trees never
+    // inflate the shuffle), then one combinable groupBy. This is the
+    // rollup behind per-folder quota dashboards; at 100 TB it is one
+    // explode + one partial-agg'd shuffle keyed by prefix.
+    "du_prefix_rollup" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.objects(s, dir)
+        o.select(explode(PathFns.getPrefixes(col("name"))).as("prefix"),
+            col("size"))
+          .withColumn("depth", size(split(col("prefix"), "/")))
+          .filter(col("depth") <= 2)
+          .groupBy(col("prefix"), col("depth"))
+          .agg(count(lit(1)).as("n_objects"), sum(col("size")).as("total_bytes"))
+          .orderBy(col("prefix"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, pr AS (SELECT unnest(list_transform(
+          |    generate_series(1, len(string_split(name, '/')) - 1),
+          |    i -> array_to_string(string_split(name, '/')[1:i], '/'))) AS prefix,
+          |    size FROM objects)
+          |SELECT prefix, CAST(len(string_split(prefix, '/')) AS INT) AS depth,
+          |       count(*) AS n_objects, CAST(sum(size) AS BIGINT) AS total_bytes
+          |FROM pr WHERE len(string_split(prefix, '/')) <= 2
+          |GROUP BY 1, 2 ORDER BY prefix""".stripMargin)),
+      doc = "hierarchical du rollup: ancestor-prefix explode + combinable census"),
+
+    // S3-lifecycle policy evaluation: a handful of (bucket, prefix,
+    // min-age, action) rules against the whole object relation. Rules are
+    // a driver-side literal dim (broadcast — never a shuffle); an object
+    // matching several rules takes the LOWEST rule_id (min(struct) — the
+    // S3 semantics where a more specific earlier rule wins). Age compares
+    // in whole days against a fixed as-of date, all integer.
+    "lifecycle_policy_eval" -> Q(
+      fn = (s, dir) => {
+        val rules = Seq(
+          (1, "F", "A/", 1500, "expire"),
+          (2, "F", "", 2000, "archive"),
+          (3, "O", "N/", 1000, "archive"))
+        val asOf = to_timestamp(lit("2002-01-01 00:00:00"))
+        import s.implicits._
+        val ruleDf = rules
+          .toDF("rule_id", "rule_bucket", "rule_prefix", "min_age_days", "action")
+        Tables.objects(s, dir)
+          .join(broadcast(ruleDf),
+            col("bucket_id") === col("rule_bucket") &&
+              col("name").startsWith(col("rule_prefix")) &&
+              datediff(asOf, col("created_at")) > col("min_age_days"))
+          .groupBy(col("bucket_id"), col("name"), col("size"))
+          .agg(min(struct(col("rule_id"), col("action"))).as("r"))
+          .groupBy(col("r.rule_id").as("rule_id"), col("r.action").as("action"))
+          .agg(count(lit(1)).as("n_objects"), sum(col("size")).as("total_bytes"))
+          .orderBy(col("rule_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, rules AS (SELECT * FROM (VALUES
+          |    (1, 'F', 'A/', 1500, 'expire'),
+          |    (2, 'F', '', 2000, 'archive'),
+          |    (3, 'O', 'N/', 1000, 'archive'))
+          |  AS t(rule_id, rule_bucket, rule_prefix, min_age_days, action)),
+          |m AS (SELECT o.bucket_id, o.name, o.size,
+          |    min(struct_pack(rule_id := r.rule_id, action := r.action)) AS r
+          |  FROM objects o JOIN rules r
+          |    ON o.bucket_id = r.rule_bucket
+          |   AND starts_with(o.name, r.rule_prefix)
+          |   AND date_diff('day', o.created_at, TIMESTAMP '2002-01-01') > r.min_age_days
+          |  GROUP BY 1, 2, 3)
+          |SELECT struct_extract(r, 'rule_id') AS rule_id,
+          |       struct_extract(r, 'action') AS action,
+          |       count(*) AS n_objects, CAST(sum(size) AS BIGINT) AS total_bytes
+          |FROM m GROUP BY 1, 2 ORDER BY rule_id""".stripMargin)),
+      doc = "lifecycle rule evaluation: broadcast rule dim, lowest-rule-wins min(struct)"),
+
+    // KMV / theta-sketch distinct algebra: orders that HAVE lineitems ∩
+    // finished orders, estimated from two 64-value sketches (see
+    // Sketches.kmvIntersectionEstimate — membership-in-union-sample, not
+    // inclusion–exclusion). The k-min is a distributed top-k; estimates
+    // are unrounded IEEE chains the oracle replays bit-for-bit.
+    "sketch_kmv_distinct" -> Q(
+      fn = (s, dir) => {
+        val a = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").cast("string").as("val"))
+        val b = Tables.orders(s, dir).filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey").cast("string").as("val"))
+        graft.operators.Sketches.kmvIntersectionEstimate(a, b, k = 64)
+      },
+      oracle = Some(
+        """WITH ha AS (SELECT DISTINCT
+          |    CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          |  FROM lineitem),
+          |hb AS (SELECT DISTINCT
+          |    CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          |  FROM orders WHERE o_orderstatus = 'F'),
+          |ka AS (SELECT h FROM ha ORDER BY h LIMIT 64),
+          |kb AS (SELECT h FROM hb ORDER BY h LIMIT 64),
+          |ku AS (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb)
+          |       ORDER BY h LIMIT 64),
+          |ea AS (SELECT CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+          |         / CAST(max(h) AS DOUBLE) AS kmv_a FROM ka),
+          |eb AS (SELECT CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+          |         / CAST(max(h) AS DOUBLE) AS kmv_b FROM kb),
+          |eu AS (SELECT CAST(63 AS DOUBLE) * CAST(1152921504606846976 AS DOUBLE)
+          |         / CAST(max(h) AS DOUBLE) AS kmv_union FROM ku),
+          |cm AS (SELECT count(*) AS n FROM ku
+          |       WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)),
+          |ex AS (SELECT (SELECT count(*) FROM ha) AS exact_a,
+          |              (SELECT count(*) FROM hb) AS exact_b,
+          |              (SELECT count(*) FROM (SELECT h FROM ha INTERSECT
+          |                                     SELECT h FROM hb)) AS exact_common)
+          |SELECT exact_a, exact_b, exact_common, kmv_a, kmv_b, kmv_union,
+          |       CAST(cm.n AS DOUBLE) * kmv_union / CAST(64 AS DOUBLE) AS kmv_common
+          |FROM ex, ea, eb, eu, cm""".stripMargin),
+      doc = "KMV/theta distinct sketches with union + membership-based intersection estimate"))
 }

@@ -386,4 +386,52 @@ object Sketches {
       .select(col("exact_card"), coalesce(col("cms_card"), lit(0L)).as("cms_card"),
         (coalesce(col("cms_card"), lit(0L)) - col("exact_card")).as("overcount"))
   }
+
+  /** KMV (k-minimum-values / theta-sketch) distinct estimation with set
+    * algebra. The sketch of a set is its k smallest distinct 60-bit hashes
+    * — mergeable by "union the minima, keep the k smallest" (the same
+    * semilattice story as the HLL registers, so daily sketches roll up
+    * with zero rescan). est|S| = (k−1)·2^60 / h_k. Unlike HLL
+    * inclusion–exclusion, the intersection comes from MEMBERSHIP inside
+    * the union's k-min sample (|kminU ∩ A ∩ B|/k · estU) — no subtraction,
+    * so the estimate can't go negative and degrades gracefully on small
+    * overlaps. The k-min itself is a distributed top-k
+    * (TakeOrdered — per-partition heads, never a global sort), and every
+    * estimate is a pure IEEE chain (one multiply, one divide — shipped
+    * unrounded, bit-identical cross-engine). Exact counts ride along for
+    * error visibility, as everywhere in this file. */
+  def kmvIntersectionEstimate(a: DataFrame, b: DataFrame,
+                              k: Int = 64): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val hash = expr("cast(conv(substring(md5(val), 1, 15), 16, 10) as bigint)")
+    def hashes(df: DataFrame) = {
+      val h = df.select(hash.as("h")).distinct().persist(mem)
+      h.count() // pin: feeds kmin + exact + membership probes
+      h
+    }
+    val ha = hashes(a)
+    val hb = hashes(b)
+    def kmin(h: DataFrame) = h.orderBy(col("h")).limit(k).persist(mem)
+    val ka = kmin(ha)
+    val kb = kmin(hb)
+    val ku = kmin(ha.unionByName(hb).distinct())
+    val space = lit(math.pow(2, 60)) // exact double (power of two)
+    def est(km: DataFrame, name: String) = km.agg(max(col("h")).as("kth"))
+      .select((lit((k - 1).toDouble) * space / col("kth").cast("double")).as(name))
+    val common = ku.join(ha, Seq("h"), "left_semi")
+      .join(hb, Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_common_kmin"))
+    val exact = ha.agg(count(lit(1)).as("exact_a"))
+      .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
+      .crossJoin(ha.intersect(hb).agg(count(lit(1)).as("exact_common")))
+    exact
+      .crossJoin(est(ka, "kmv_a"))
+      .crossJoin(est(kb, "kmv_b"))
+      .crossJoin(est(ku, "kmv_union"))
+      .crossJoin(common)
+      .select(col("exact_a"), col("exact_b"), col("exact_common"),
+        col("kmv_a"), col("kmv_b"), col("kmv_union"),
+        (col("n_common_kmin").cast("double") * col("kmv_union")
+          / lit(k.toDouble)).as("kmv_common"))
+  }
 }

@@ -189,4 +189,39 @@ class SketchesSpec extends SparkTestBase {
       .distinct()
     assert(regs.count() <= Sketches.NumRegisters)
   }
+
+  test("KMV: estimates track exact counts; intersection can't go negative") {
+    def rel(ids: Seq[Int]) = ids.map(i => s"u$i").toDF("val")
+    // |A|=4000, |B|=3000, overlap 2000
+    val r = Sketches.kmvIntersectionEstimate(
+      rel(1 to 4000), rel(2001 to 5000), k = 64).collect().head
+    assert(r.getAs[Long]("exact_a") == 4000L)
+    assert(r.getAs[Long]("exact_b") == 3000L)
+    assert(r.getAs[Long]("exact_common") == 2000L)
+    // k=64 → typical relative error 1/sqrt(62) ≈ 13%; loose 35% envelopes
+    assert(math.abs(r.getAs[Double]("kmv_a") - 4000.0) / 4000.0 < 0.35)
+    assert(math.abs(r.getAs[Double]("kmv_b") - 3000.0) / 3000.0 < 0.35)
+    assert(math.abs(r.getAs[Double]("kmv_union") - 5000.0) / 5000.0 < 0.35)
+    assert(math.abs(r.getAs[Double]("kmv_common") - 2000.0) / 2000.0 < 0.5)
+    // membership-based intersection is bounded, never negative
+    assert(r.getAs[Double]("kmv_common") >= 0.0)
+    assert(r.getAs[Double]("kmv_common") <= r.getAs[Double]("kmv_union") + 1e-9)
+
+    // disjoint sets: hardly any union-k-min member is in both → est ≈ 0
+    val d = Sketches.kmvIntersectionEstimate(
+      rel(1 to 2000), rel(10000 to 12000), k = 64).collect().head
+    assert(d.getAs[Long]("exact_common") == 0L)
+    assert(d.getAs[Double]("kmv_common") >= 0.0)
+    assert(d.getAs[Double]("kmv_common") < 300.0)
+  }
+
+  test("KMV estimate is partitioning-independent (k-min is a semilattice)") {
+    def rel(ids: Seq[Int]) = ids.map(i => s"u$i").toDF("val")
+    val a = rel(1 to 3000)
+    val b = rel(1000 to 4000)
+    val once = Sketches.kmvIntersectionEstimate(a, b, k = 64).collect().toSeq
+    val again = Sketches.kmvIntersectionEstimate(
+      a.repartition(17), b.repartition(3), k = 64).collect().toSeq
+    assert(once == again, "k-min sketch must not depend on partitioning")
+  }
 }
