@@ -585,5 +585,136 @@ object QueriesVector {
            |SELECT vec_id, label, ${cosSql("embedding")} AS distance
            |FROM assigned, q WHERE bucket IN (SELECT b FROM probes)
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
-      doc = "V3 ANN multi-probe LSH (boundary-nearest bit flips)"))
+      doc = "V3 ANN multi-probe LSH (boundary-nearest bit flips)"),
+
+    // Embedding covariance matrix — the statistics pass behind PCA
+    // whitening / OPQ rotation. One explode to the d(d+1)/2 upper
+    // triangle, one combinable groupBy: the result is d²-sized however
+    // large the corpus, and the shuffle carries only partial sums. Each
+    // product xi·xj is EXACT in double (float·float), rounded to 9 dp and
+    // summed as DECIMAL — order-free, bit-stable; the co-moment → cov
+    // chain is then a fixed IEEE sequence both engines replay.
+    "embedding_covariance" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val pairs = Tables.embeddings(s, dir).select(explode(expr(
+          """flatten(transform(sequence(0, size(embedding) - 1), i ->
+            |  transform(sequence(i, size(embedding) - 1), j ->
+            |    named_struct('i', i, 'j', j,
+            |      'xi', cast(element_at(embedding, i + 1) as double),
+            |      'xj', cast(element_at(embedding, j + 1) as double)))))"""
+            .stripMargin)).as("p"))
+          .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+            col("p.xi").as("xi"), col("p.xj").as("xj"))
+        pairs.groupBy(col("i"), col("j"))
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("xi") * col("xj"), 9).cast(DecimalType(18, 9)))
+              .cast(DecimalType(18, 9)).as("sxy"),
+            sum(round(col("xi"), 9).cast(DecimalType(18, 9)))
+              .cast(DecimalType(18, 9)).as("sx"),
+            sum(round(col("xj"), 9).cast(DecimalType(18, 9)))
+              .cast(DecimalType(18, 9)).as("sy"))
+          .select(col("i"), col("j"), col("n"), col("sxy"),
+            ((col("sxy").cast("double")
+              - col("sx").cast("double") * col("sy").cast("double")
+                / col("n").cast("double")) / col("n").cast("double")).as("cov"))
+          .orderBy(col("i"), col("j"))
+      },
+      oracle = Some(
+        """WITH e1 AS (SELECT vec_id, embedding,
+          |    unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+          |p AS (SELECT i, j, CAST(embedding[i + 1] AS DOUBLE) AS xi,
+          |             CAST(embedding[j + 1] AS DOUBLE) AS xj
+          |      FROM (SELECT embedding, i,
+          |              unnest(generate_series(i, len(embedding) - 1)) AS j
+          |            FROM e1)),
+          |a AS (SELECT i, j, count(*) AS n,
+          |    CAST(sum(CAST(round(xi * xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sxy,
+          |    CAST(sum(CAST(round(xi, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
+          |    CAST(sum(CAST(round(xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sy
+          |  FROM p GROUP BY 1, 2)
+          |SELECT i, j, n, sxy,
+          |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+          |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov
+          |FROM a ORDER BY i, j""".stripMargin),
+      doc = "covariance/co-moment matrix over embeddings: d²-bounded combinable agg (PCA/whitening stats)"),
+
+    // ANN quality evaluation: recall@10 of the IVF kNN-join against exact
+    // brute force, per query. The eval every ANN deployment runs before
+    // trusting an index — and the exact side is only ever computed over a
+    // SAMPLED query batch (broadcast nested-loop against the corpus, cost
+    // |sample|·|corpus|, the standard recall-probe budget), never all
+    // pairs. Recall is one int/int division — IEEE-exact cross-engine.
+    "v3_ann_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+        val queries = emb.filter(col("vec_id") % 41 === 0)
+        val approx = Vectors.knnJoin(queries, "vec_id", emb, "vec_id",
+          "embedding", centroids, topK = 10, nProbe = 2)
+          .select(col("q_key"), col("c_key"))
+        val q2 = queries.select(col("vec_id").as("q_key"),
+          col("embedding").cast("array<double>").as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+        val exact = emb
+          .select(col("vec_id").as("c_key"),
+            col("embedding").cast("array<double>").as("c_emb"))
+          .crossJoin(broadcast(q2))
+          .withColumn("distance", round(sqrt(
+            graft.functions.VectorExprs.l2Sq(col("q_emb"), col("c_emb"))), 9) + 0.0)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_key"), col("c_key"))
+          .persist()
+        exact.count() // pin: census + the semi-join probe
+        val matched = exact.join(approx, Seq("q_key", "c_key"), "left_semi")
+          .groupBy(col("q_key")).agg(count(lit(1)).as("n_matched"))
+        exact.groupBy(col("q_key")).agg(count(lit(1)).as("n_exact"))
+          .join(matched, Seq("q_key"), "left")
+          .select(col("q_key"), col("n_exact"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            (coalesce(col("n_matched"), lit(0L)).cast("double")
+              / col("n_exact").cast("double")).as("recall"))
+          .orderBy(col("q_key"))
+      },
+      oracle = Some(
+        """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |assigned AS (SELECT e.vec_id AS c_key, CAST(e.embedding AS DOUBLE[]) AS ev,
+          |    (SELECT c.cid FROM cents c
+          |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+          |  FROM embeddings e),
+          |qs AS (SELECT vec_id AS q_key, CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id % 41 = 0),
+          |qprobe AS (SELECT q.q_key, q.qv, p.cid
+          |  FROM qs q, LATERAL (SELECT c.cid FROM cents c
+          |     ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 2) p),
+          |scored AS (SELECT qp.q_key, a.c_key,
+          |    round(sqrt(list_sum(list_transform(list_zip(qp.qv, a.ev),
+          |      z -> (z[1]-z[2])*(z[1]-z[2])))), 9) + 0.0 AS distance
+          |  FROM qprobe qp JOIN assigned a ON qp.cid = a.cid),
+          |ar AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+          |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM scored)
+          |  WHERE rnk <= 10),
+          |escore AS (SELECT q.q_key, e.vec_id AS c_key,
+          |    round(sqrt(list_sum(list_transform(
+          |      list_zip(q.qv, CAST(e.embedding AS DOUBLE[])),
+          |      z -> (z[1]-z[2])*(z[1]-z[2])))), 9) + 0.0 AS distance
+          |  FROM qs q, embeddings e),
+          |ex AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+          |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM escore)
+          |  WHERE rnk <= 10),
+          |m AS (SELECT ex.q_key, count(*) AS n_matched FROM ex
+          |      JOIN ar ON ex.q_key = ar.q_key AND ex.c_key = ar.c_key GROUP BY 1),
+          |e2 AS (SELECT q_key, count(*) AS n_exact FROM ex GROUP BY 1)
+          |SELECT e2.q_key, e2.n_exact, coalesce(m.n_matched, 0) AS n_matched,
+          |  CAST(coalesce(m.n_matched, 0) AS DOUBLE) / CAST(e2.n_exact AS DOUBLE) AS recall
+          |FROM e2 LEFT JOIN m ON e2.q_key = m.q_key ORDER BY e2.q_key""".stripMargin),
+      doc = "ANN recall@10 eval: IVF kNN-join vs sampled exact brute force, per-query census"))
 }
