@@ -32,6 +32,23 @@ object QueriesText {
 
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** DuckDB twin of [[graft.operators.Dedup.cdcChunks]] (m=8) with
+    * CTE-name prefix `p` over source CTE `src` (must expose doc_id, text):
+    * boundary after word i when md5(w[i-1] ' ' w[i]) ≡ 0 (mod 8), doc end
+    * closes the last chunk. list_distinct SCRAMBLES order in DuckDB, so
+    * both twins sort explicitly. Exposes `${p}ch(doc_id, chunk)`. */
+  private def cdcChunkCtes(p: String, src: String): String =
+    s"""${p}w AS (SELECT doc_id, $wordsSql AS ws FROM $src),
+       |${p}bl AS (SELECT doc_id, ws, list_sort(list_distinct(list_concat(
+       |    list_filter(generate_series(2, greatest(len(ws), 2)),
+       |      i -> i <= len(ws)
+       |        AND CAST('0x' || substr(md5(ws[i-1] || ' ' || ws[i]), 1, 15) AS BIGINT) % 8 = 0),
+       |    [len(ws)]))) AS bnds FROM ${p}w),
+       |${p}ch AS (SELECT doc_id,
+       |    array_to_string(ws[(CASE WHEN k = 1 THEN 0 ELSE bnds[k-1] END) + 1 : bnds[k]], ' ') AS chunk
+       |  FROM (SELECT doc_id, ws, bnds,
+       |          unnest(generate_series(1, len(bnds))) AS k FROM ${p}bl))""".stripMargin
+
   /** Shared cluster-resolution CTE chain (over a `corpus` CTE): df-capped
     * shared-shingle Jaccard pairs → undirected edges → recursive
     * reachability. Twin of `Dedup.jaccardPairs(n=3, 0.5, maxDf=8)` +
@@ -1833,5 +1850,246 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
         s"""SELECT doc_id,
            |  md5(array_to_string(list_sort(list_distinct($wordsSql)), ' ')) AS fp
            |FROM documents ORDER BY doc_id""".stripMargin),
-      doc = "document fingerprinting"))
+      doc = "document fingerprinting"),
+
+    // Gopher quality rules (Rae et al. 2021 §A1.1) — the OTHER canonical
+    // web-filtering rule set beside text_c4_filters: word-count bounds,
+    // mean-word-length band, symbol-to-word ratio, alphabetic-word
+    // fraction, and the ≥2-of-8-stopwords test. (Gopher's repetition rules
+    // live in text_repetition.) Every gate compares as cross-multiplied
+    // integers — no float ratio ever materializes, so no boundary drift.
+    // One codegen'd narrow pass, trivially map-parallel at any scale.
+    "text_gopher_rules" -> Q(
+      fn = (s, dir) => {
+        val w = TextAnalysis.words(col("text"))
+        val nWords = size(w).cast("long")
+        val sumChars = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+        val nSym = size(filter(w, x => x.contains("#") || x.contains("...")))
+          .cast("long")
+        val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+        val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        val nStop = size(array_intersect(array_distinct(w),
+          array(stops.map(lit): _*))).cast("long")
+        Tables.documents(s, dir).select(col("doc_id"),
+            nWords.as("n_words"),
+            (nWords < 50 || nWords > 100000).as("flag_word_count"),
+            (sumChars < nWords * 3 || sumChars > nWords * 10).as("flag_word_len"),
+            (nSym * 10 > nWords).as("flag_symbol"),
+            (nAlpha * 5 < nWords * 4).as("flag_alpha"),
+            (nStop < 2).as("flag_stop"))
+          .withColumn("keep",
+            !(col("flag_word_count") || col("flag_word_len") ||
+              col("flag_symbol") || col("flag_alpha") || col("flag_stop")))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH f AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |m AS (SELECT doc_id, len(w) AS n_words,
+           |    list_sum(list_transform(w, x -> len(x))) AS sum_chars,
+           |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+           |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+           |    len(list_intersect(list_distinct(w),
+           |      ['the','be','to','of','and','that','have','with'])) AS n_stop
+           |  FROM f)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  n_words < 50 OR n_words > 100000 AS flag_word_count,
+           |  sum_chars < n_words * 3 OR sum_chars > n_words * 10 AS flag_word_len,
+           |  n_sym * 10 > n_words AS flag_symbol,
+           |  n_alpha * 5 < n_words * 4 AS flag_alpha,
+           |  n_stop < 2 AS flag_stop,
+           |  NOT (n_words < 50 OR n_words > 100000
+           |    OR sum_chars < n_words * 3 OR sum_chars > n_words * 10
+           |    OR n_sym * 10 > n_words OR n_alpha * 5 < n_words * 4
+           |    OR n_stop < 2) AS keep
+           |FROM m ORDER BY doc_id""".stripMargin),
+      doc = "Gopher quality-rule gates (word stats, symbol/alpha ratios, stopword test) as exact-int flags"),
+
+    // DSIR importance weights (Xie et al. 2023): per-doc log-likelihood
+    // ratio between a TARGET distribution (here: the English slice) and
+    // the raw corpus, over hashed bigram features (10k buckets, the
+    // portable md5 kernel) with add-one smoothing. The feature table is
+    // bucket-sized (≤10k rows — broadcasts at any corpus scale); the
+    // per-doc reduce is one combinable DECIMAL sum. Each bucket's term is
+    // one int-product chain → one division → one ln → round(6) BEFORE the
+    // sum (the text_perplexity discipline: per-element rounding absorbs
+    // last-ulp ln() disagreement; the DECIMAL sum is then order-free).
+    "text_dsir_weights" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val w = TextAnalysis.words(col("text"))
+        val bigrams = when(size(w) >= 2,
+          transform(sequence(lit(1), size(w) - 1),
+            i => concat(element_at(w, i), lit(" "), element_at(w, i + 1))))
+          .otherwise(array().cast("array<string>"))
+        val gb = Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
+          .withColumn("b",
+            expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % 10000"))
+          .persist()
+        gb.count() // pin: census + term table + per-doc reduce
+        val tot = gb.agg(count(lit(1)).as("r_total"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_total"))
+        val cr = gb.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+        val ct = gb.filter(col("lang") === "en")
+          .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+        val terms = cr.join(ct, Seq("b"), "left").crossJoin(tot)
+          .select(col("b"), round(log(
+            ((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
+              * (col("r_total") + 10000L).cast("double"))
+              / ((col("cr") + 1L).cast("double")
+                * (col("t_total") + 10000L).cast("double"))), 6)
+            .cast(DecimalType(18, 6)).as("tau"))
+        gb.join(terms, Seq("b"))
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("tau")).cast(DecimalType(18, 6)).as("logw"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, lang, $wordsSql AS w FROM documents),
+           |g AS (SELECT doc_id, lang, unnest(CASE WHEN len(w) >= 2
+           |    THEN list_transform(generate_series(1, len(w) - 1),
+           |                        i -> w[i] || ' ' || w[i+1])
+           |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM d),
+           |gb AS (SELECT doc_id, lang,
+           |    CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 10000 AS b FROM g),
+           |tot AS (SELECT count(*) AS r_total,
+           |    count(*) FILTER (lang = 'en') AS t_total FROM gb),
+           |cr AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
+           |ct AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
+           |terms AS (SELECT cr.b, CAST(round(ln(
+           |      (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(r_total + 10000 AS DOUBLE))
+           |      / (CAST(cr.cr + 1 AS DOUBLE) * CAST(t_total + 10000 AS DOUBLE))), 6)
+           |    AS DECIMAL(18,6)) AS tau
+           |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot)
+           |SELECT doc_id, count(*) AS n_bigrams,
+           |       CAST(sum(tau) AS DECIMAL(18,6)) AS logw
+           |FROM gb JOIN terms USING (b)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      doc = "DSIR hashed-bigram importance weights: bucket-sized term table, rounded-then-DECIMAL doc sums"),
+
+    // Content-defined chunking dedup (the rsync/LBFS/backup-storage
+    // primitive): chunk boundaries fall where a local rolling feature
+    // (md5 of the adjacent word pair, mod 8 — expected chunk ≈ 8 words)
+    // hits zero, so an insertion early in a document only perturbs the
+    // chunk it lands in — unlike fixed-size blocks, every later chunk
+    // re-aligns and still dedups. Row-local kernel (no shuffle until the
+    // chunk census), one groupBy(chunk) with partial aggregation. The
+    // every-3rd-doc duplicated corpus makes the dedup ratio non-trivial;
+    // the ratio is one int/int division (IEEE-exact cross-engine).
+    "store_cdc_chunks" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 3 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+        val chunks = Dedup.cdcChunks(corpus, "doc_id", "text", m = 8)
+        chunks.groupBy(col("chunk"))
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum(col("cnt")).as("n_chunks"),
+            count(lit(1)).as("n_unique"),
+            sum(col("cnt") * length(col("chunk"))).as("total_chars"),
+            sum(length(col("chunk"))).as("unique_chars"))
+          .select(col("n_chunks"), col("n_unique"), col("total_chars"),
+            col("unique_chars"),
+            (col("total_chars").cast("double") / col("unique_chars").cast("double"))
+              .as("dedup_ratio"))
+      },
+      oracle = Some(
+        s"""WITH $corpusCte,
+           |${cdcChunkCtes("", "corpus")},
+           |cc AS (SELECT chunk, count(*) AS cnt FROM ch GROUP BY chunk)
+           |SELECT CAST(sum(cnt) AS BIGINT) AS n_chunks, count(*) AS n_unique,
+           |  CAST(sum(cnt * len(chunk)) AS BIGINT) AS total_chars,
+           |  CAST(sum(len(chunk)) AS BIGINT) AS unique_chars,
+           |  CAST(sum(cnt * len(chunk)) AS DOUBLE) / CAST(sum(len(chunk)) AS DOUBLE) AS dedup_ratio
+           |FROM cc""".stripMargin),
+      doc = "content-defined chunking (LBFS/rsync shape): boundary-local kernel, chunk-level dedup census"),
+
+    // Asymmetric containment dedup: every 7th doc's FIRST HALF is spliced
+    // back as a new short doc — its shingles are a subset of the parent's,
+    // so Jaccard ≈ |small|/|big| ≈ 0.5 (below any near-dup threshold) but
+    // containment = 1.0. This is the dedup case symmetric scores
+    // structurally miss (quotes, excerpts, partial scrapes).
+    "dedup_containment" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val w = TextAnalysis.words(col("text"))
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              array_join(slice(w, lit(1), greatest((size(w) / 2).cast("int"), lit(4))),
+                " ").as("text")))
+        Dedup.containmentPairs(corpus, "doc_id", "text", 3, 0.9)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(
+        s"""WITH corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id,
+           |    array_to_string(($wordsSql)[1:greatest(CAST(len($wordsSql) AS INT) // 2, 4)],
+           |      ' ') AS text
+           |  FROM documents WHERE doc_id % 7 = 0),
+           |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+           |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
+           |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
+           |e0 AS (SELECT id, len(shl) AS n_sh, unnest(shl) AS s FROM sh),
+           |p AS (SELECT a.id AS id_a, b.id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+           |             count(*) AS inter
+           |      FROM e0 a JOIN e0 b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2, 3, 4),
+           |c AS (SELECT id_a, id_b, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+           |             round(CAST(inter AS DOUBLE) / least(na, nb), 6) AS containment
+           |      FROM p)
+           |SELECT id_a, id_b, na, nb, containment FROM c
+           |WHERE containment >= 0.9 ORDER BY id_a, id_b""".stripMargin),
+      doc = "containment (|A∩B|/min) near-dup pairs: catches embedded/excerpted docs Jaccard misses"),
+
+    // Incremental backup planning over the CDC chunk store: corpus v2 =
+    // every 10th doc edited at its HEAD (the worst case for fixed-size
+    // blocking, which would shift every later block). Content-defined
+    // boundaries re-align right after the edit, so only the edited-chunk
+    // bytes upload; the census is the incremental-backup cost estimate.
+    // One left join against the v1 chunk store (groupBy-deduped — at scale
+    // a bucketed stored table like the MinHash signature tables), flag
+    // sums CAST to BIGINT per the repo invariant.
+    "store_cdc_incremental" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val v1 = Dedup.cdcChunks(d, "doc_id", "text", m = 8)
+          .select(col("chunk")).distinct().withColumn("known", lit(1))
+        val v2docs = d.select(col("doc_id"),
+          when(col("doc_id") % 10 === 0, concat(lit("edit marker "), col("text")))
+            .otherwise(col("text")).as("text"))
+        Dedup.cdcChunks(v2docs, "doc_id", "text", m = 8)
+          .join(v1, Seq("chunk"), "left")
+          .agg(count(lit(1)).as("n_chunks"),
+            sum(when(col("known").isNull, 1L).otherwise(0L)).as("n_new_chunks"),
+            sum(when(col("known").isNull, length(col("chunk"))).otherwise(0L))
+              .as("new_chars"),
+            sum(when(col("known").isNotNull, length(col("chunk"))).otherwise(0L))
+              .as("reused_chars"))
+          .select(col("n_chunks"), col("n_new_chunks"), col("new_chars"),
+            col("reused_chars"),
+            (col("reused_chars").cast("double")
+              / (col("new_chars") + col("reused_chars")).cast("double"))
+              .as("reuse_ratio"))
+      },
+      oracle = Some(
+        s"""WITH ${cdcChunkCtes("o_", "documents")},
+           |v2 AS (SELECT doc_id, CASE WHEN doc_id % 10 = 0
+           |    THEN 'edit marker ' || text ELSE text END AS text FROM documents),
+           |${cdcChunkCtes("n_", "v2")},
+           |store AS (SELECT DISTINCT chunk FROM o_ch),
+           |probe AS (SELECT n_ch.chunk,
+           |    CASE WHEN store.chunk IS NULL THEN 1 ELSE 0 END AS is_new
+           |  FROM n_ch LEFT JOIN store ON n_ch.chunk = store.chunk)
+           |SELECT count(*) AS n_chunks,
+           |  CAST(sum(is_new) AS BIGINT) AS n_new_chunks,
+           |  CAST(sum(CASE WHEN is_new = 1 THEN len(chunk) ELSE 0 END) AS BIGINT) AS new_chars,
+           |  CAST(sum(CASE WHEN is_new = 0 THEN len(chunk) ELSE 0 END) AS BIGINT) AS reused_chars,
+           |  CAST(sum(CASE WHEN is_new = 0 THEN len(chunk) ELSE 0 END) AS DOUBLE)
+           |    / CAST(sum(len(chunk)) AS DOUBLE) AS reuse_ratio
+           |FROM probe""".stripMargin),
+      doc = "CDC incremental backup plan: head-edited v2 vs v1 chunk store, re-aligned reuse census"))
 }

@@ -91,6 +91,59 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Asymmetric containment near-dup pairs: C = |A∩B| / min(|A|,|B|) ≥
+    * threshold — catches a short document EMBEDDED in a longer one, which
+    * symmetric Jaccard misses (the big doc's union dilutes the score to
+    * near min/max size ratio). Same bounded shared-shingle join as
+    * [[jaccardPairs]]; no df cap by default because a tiny contained doc
+    * is exactly what the cap would distort (web-scale callers should
+    * still pass the capped path through [[jaccardPairs]] first). */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
+    val exploded = sh.select(col("id"), size(col("hs")).cast("long").as("n_sh"),
+        explode(col("hs")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("containment", round(col("inter").cast("double") /
+        least(col("na"), col("nb")), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("containment"))
+  }
+
+  /** Content-defined chunks (LBFS/rsync/backup-dedup primitive): a chunk
+    * boundary falls AFTER word i when the md5 of the adjacent word pair
+    * (w[i-1], w[i]) ≡ 0 (mod m) — a purely LOCAL feature, so an edit
+    * perturbs only the chunk it lands in and every later boundary
+    * re-aligns (fixed-size blocks shift forever). Doc end always closes
+    * the final chunk. Row-local kernel, no shuffle; expected chunk length
+    * ≈ m words. Emits one (id, chunk) row per chunk. */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+                m: Int = 8): DataFrame =
+    df.withColumn("ws", expr(s"split(lower(trim($textCol)), '\\\\s+')"))
+      // sort-after-distinct: kept aligned with the DuckDB twin, whose
+      // list_distinct scrambles order
+      .withColumn("bnds", expr(
+        s"""array_sort(array_distinct(concat(
+           |  filter(sequence(2, greatest(size(ws), 2)),
+           |    i -> i <= size(ws)
+           |      AND cast(conv(substring(md5(concat(element_at(ws, i - 1), ' ',
+           |        element_at(ws, i))), 1, 15), 16, 10) as bigint) % $m = 0),
+           |  array(size(ws)))))""".stripMargin))
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(bnds)), k ->
+          |  array_join(slice(ws,
+          |    (case when k = 1 then 0 else element_at(bnds, k - 1) end) + 1,
+          |    element_at(bnds, k)
+          |      - (case when k = 1 then 0 else element_at(bnds, k - 1) end)), ' '))"""
+          .stripMargin)).as("chunk"))
+
   /** MinHash signature: k hash functions h_i(s) = xxh64(shingleHash(s), i),
     * signature[i] = min over shingles. Two codegen'd passes per row
     * ([[graft.functions.ShingleHashes]] → [[graft.functions.MinHashSig]]).
