@@ -1195,5 +1195,76 @@ object QueriesExtra {
           |SELECT exact_a, exact_b, exact_common, kmv_a, kmv_b, kmv_union,
           |       CAST(cm.n AS DOUBLE) * kmv_union / CAST(64 AS DOUBLE) AS kmv_common
           |FROM ex, ea, eb, eu, cm""".stripMargin),
-      doc = "KMV/theta distinct sketches with union + membership-based intersection estimate"))
+      doc = "KMV/theta distinct sketches with union + membership-based intersection estimate"),
+
+    // Community detection by synchronous label propagation over the
+    // co-purchase graph (3 fixed rounds; most-frequent neighbor label,
+    // ties to the smallest). The oracle replays every round as a
+    // generated CTE — the hash-match certifies the whole label lineage,
+    // including tie resolution. Top-20 community census output.
+    "graph_label_propagation" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Graph.labelPropagation(e, 3)
+          .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
+          .orderBy(col("n_members").desc, col("label")).limit(20)
+      },
+      oracle = Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""c$k AS (SELECT e.dst, l.label, count(*) AS c
+             |  FROM e JOIN lab${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+             |lab$k AS (SELECT dst AS v, struct_extract(
+             |    min(struct_pack(nc := -c, l := label)), 'l') AS label
+             |  FROM c$k GROUP BY dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |lab0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+           |$iterCtes
+           |SELECT label, count(*) AS n_members FROM lab3
+           |GROUP BY label ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+      },
+      doc = "synchronous label-propagation communities: integer argmax, round lineage oracle-replayed"),
+
+    // Functional-dependency audit (the Metanome/data-profiling primitive
+    // behind schema inference and key discovery): for each candidate
+    // X→Y, the count of X-groups carrying >1 distinct Y. Each candidate
+    // is one two-level partial-aggregable groupBy — no pair explosion,
+    // no sort; candidates run independently (a real profiler fans them
+    // out). Flag sums CAST to BIGINT per the repo invariant.
+    "profile_fd_audit" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.objects(s, dir)
+        val cands = Seq(("name", "version"), ("version", "mimetype"),
+          ("owner_id", "bucket_id"), ("mimetype", "bucket_id"))
+        cands.map { case (x, y) =>
+          o.groupBy(col(x)).agg(countDistinct(col(y)).as("ny"))
+            .agg(count(lit(1)).as("n_groups"),
+              sum(when(col("ny") > 1, 1L).otherwise(0L)).as("n_violating"))
+            .select(lit(x).as("lhs"), lit(y).as("rhs"),
+              col("n_groups"), col("n_violating"),
+              (col("n_violating") === 0).as("fd_holds"))
+        }.reduce(_ unionByName _).orderBy(col("lhs"), col("rhs"))
+      },
+      oracle = Some {
+        val cands = Seq(("name", "version"), ("version", "mimetype"),
+          ("owner_id", "bucket_id"), ("mimetype", "bucket_id"))
+        val arms = cands.map { case (x, y) =>
+          s"""SELECT '$x' AS lhs, '$y' AS rhs, count(*) AS n_groups,
+             |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+             |  CAST(sum(CASE WHEN ny > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS fd_holds
+             |FROM (SELECT $x, count(DISTINCT $y) AS ny FROM objects GROUP BY $x)"""
+            .stripMargin
+        }.mkString("\nUNION ALL\n")
+        Oracle.withObjects(s"$arms\nORDER BY lhs, rhs")
+      },
+      doc = "functional-dependency audit: per-candidate two-level agg, the key/schema-discovery probe"))
 }

@@ -106,4 +106,39 @@ object Graph {
       .select(col("tri").getItem(0).as("n1"), col("tri").getItem(1).as("n2"),
         col("tri").getItem(2).as("n3"))
   }
+
+  /** Synchronous label propagation (community detection), `iters` fixed
+    * rounds: label_0(v) = v; each round every node adopts the most
+    * frequent previous-round label among its in-neighbors, ties to the
+    * SMALLEST label. The argmax is min(struct(−count, label)) — integer
+    * counts + a total tiebreak, so every round is bit-identical under
+    * any partitioning (the same float-free discipline as
+    * [[pagerankFixedPoint]]; raw float-weighted LPA would flip
+    * community assignments between runs). Fixed synchronous rounds, not
+    * convergence polling — reproducibility over adaptivity.
+    *
+    * Scale shape: edges dedup + pre-partition ONCE on src (at 100 TB a
+    * bucketed stored table); each round joins node-sized labels against
+    * the pinned edge relation and shuffles only (dst, label) count
+    * pairs with map-side combine. Lineage cut per round. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val nPart = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src")).dropDuplicates("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    var lab = e.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("label"))
+    for (_ <- 1 to iters) {
+      lab = e.join(lab.withColumnRenamed("v", "src"), Seq("src"))
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("c"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("dst").as("v"), col("m.l").as("label"))
+        .localCheckpoint()
+    }
+    lab
+  }
 }
