@@ -290,6 +290,60 @@ object EventStream {
     * late behind an already-advanced stage are ignored, the standard
     * at-most-once-advance streaming funnel contract. Emits one row per
     * stage ADVANCE (append mode). */
+  final case class RateEvent(event_type: String, ts: java.sql.Timestamp)
+  final case class RateBuckets(buckets: List[(Long, Long)]) // (hourIdx, n) asc
+  final case class RateSpike(event_type: String, hour_idx: Long, n: Long,
+                             prev_hours: Int, prev_n: Long, spike: Boolean)
+
+  /** Streaming twin of the batch `events_rate_spike` census: per-type
+    * hourly counts vs the trailing-24h baseline, as keyed custom state
+    * BOUNDED at ≤25 hour buckets per event type (the open hour + its
+    * 24-hour lookback) no matter how long the stream runs — the
+    * flatMapGroupsWithState analog of the batch RANGE frame. A bucket is
+    * evaluated and emitted when a LATER hour's first event arrives
+    * (hours with zero events don't exist on either side, matching the
+    * batch frame over existing rows); the newest bucket stays open and
+    * unemitted; events arriving behind the open hour are ignored — the
+    * same late-arrival contract as [[streamingFunnel]]. The spike gate
+    * is the batch one verbatim: cross-multiplied int64 with a ≥12-hour
+    * baseline floor. Batch/stream parity for event-time-ordered arrival
+    * is pinned by StreamingSpec. */
+  def streamingRateSpikes(events: Dataset[RateEvent]): Dataset[RateSpike] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.event_type)
+      .flatMapGroupsWithState[RateBuckets, RateSpike](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[RateEvent], state: GroupState[RateBuckets]) =>
+          var buckets = state.getOption.map(_.buckets).getOrElse(Nil)
+          val out = Seq.newBuilder[RateSpike]
+          def close(h: Long, n: Long): Unit = {
+            val prev = buckets.filter { case (bh, _) => bh >= h - 24 && bh < h }
+            val prevHours = prev.size
+            val prevN = prev.map(_._2).sum
+            out += RateSpike(key, h, n, prevHours, prevN,
+              prevHours >= 12 && n * prevHours > 3L * prevN)
+          }
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val h = Math.floorDiv(e.ts.getTime, 3600000L)
+            buckets match {
+              case Nil => buckets = List((h, 1L))
+              case _ =>
+                val (lastH, lastN) = buckets.last
+                if (h == lastH)
+                  buckets = buckets.init :+ ((lastH, lastN + 1L))
+                else if (h > lastH) {
+                  close(lastH, lastN) // the open bucket just completed
+                  buckets = (buckets :+ ((h, 1L)))
+                    .filter { case (bh, _) => bh >= h - 24 }
+                }
+                // h < lastH: late event behind the open hour — ignored
+            }
+          }
+          state.update(RateBuckets(buckets))
+          out.result().iterator
+      }
+  }
+
   def streamingFunnel(events: Dataset[FunnelEvent],
                       stages: Seq[String]): Dataset[FunnelProgress] = {
     import events.sparkSession.implicits._

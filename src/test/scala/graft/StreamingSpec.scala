@@ -487,4 +487,38 @@ class StreamingSpec extends SparkTestBase {
       .map(i => (i + 1) -> depth.values.count(_ >= i + 1).toLong).toMap
     assert(census == streamCensus)
   }
+
+  test("rate spikes: bounded hourly state, trailing baseline, late events ignored") {
+    import graft.streaming.EventStream.{RateEvent, RateSpike}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ev(t: String, hour: Long, i: Int) =
+      RateEvent(t, new java.sql.Timestamp(hour * 3600000L + i * 1000L))
+    // type a: steady 5/h for hours 0-29, a 40-event spike at hour 30;
+    // type b: steady 5/h throughout. Hour 31 closes hour 30.
+    def hourEvents(t: String, h: Long): Seq[RateEvent] = {
+      val n = if (t == "a" && h == 30L) 40 else 5
+      (0 until n).map(ev(t, h, _))
+    }
+    val input = MemoryStream[RateEvent]
+    val q = graft.streaming.EventStream.streamingRateSpikes(input.toDS())
+      .writeStream.format("memory").queryName("spike_out")
+      .outputMode("append").start()
+    input.addData((0L to 15L).flatMap(h => Seq("a", "b").flatMap(hourEvents(_, h))))
+    q.processAllAvailable()
+    input.addData((16L to 31L).flatMap(h => Seq("a", "b").flatMap(hourEvents(_, h)))
+      ++ Seq(ev("a", 5L, 99))) // late event behind the open hour: ignored
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("spike_out").as[RateSpike].collect()
+    // every closed hour emits exactly once (31 per type); hour 31 stays open
+    assert(got.length == 62)
+    assert(got.count(_.spike) == 1)
+    val s = got.find(_.spike).get
+    assert((s.event_type, s.hour_idx, s.n) == ("a", 30L, 40L))
+    assert(s.prev_hours == 24 && s.prev_n == 120L) // hours 6-29 × 5 events
+    // steady traffic at the same hour stays unflagged but is still emitted
+    val b30 = got.find(r => r.event_type == "b" && r.hour_idx == 30L).get
+    assert(!b30.spike && b30.prev_hours == 24 && b30.prev_n == 120L)
+  }
 }
