@@ -655,5 +655,29 @@ object QueriesEvents {
           |SELECT event_type, hour_idx, n, prev_hours, prev_n
           |FROM w WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_n
           |ORDER BY event_type, hour_idx""".stripMargin),
-      doc = "trailing-baseline rate-spike detection: keyed RANGE frame, exact int gate"))
+      doc = "trailing-baseline rate-spike detection: keyed RANGE frame, exact int gate"),
+
+    // Full CUBE over (event_type, hour-of-day): all four grouping sets in
+    // ONE Expand pass (rows fan out ×4 map-side, then one combinable
+    // aggregation — never four scans). grouping_id disambiguates NULL
+    // group values from NULL data; DECIMAL-cast value sums per invariant.
+    "events_cube" -> Q(
+      fn = (s, dir) => Tables.events(s, dir)
+        .withColumn("hour_of_day", hour(col("ts")))
+        .cube(col("event_type"), col("hour_of_day"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(30, 6))).cast(DecimalType(30, 6))
+            .as("total_value"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("event_type"), col("hour_of_day")),
+      oracle = Some(
+        """SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
+          |  count(*) AS n,
+          |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS total_value,
+          |  CAST(grouping(event_type) * 2 + grouping(hour(CAST(ts AS TIMESTAMP)))
+          |    AS BIGINT) AS gid
+          |FROM events
+          |GROUP BY CUBE (event_type, hour(CAST(ts AS TIMESTAMP)))
+          |ORDER BY gid, event_type, hour_of_day""".stripMargin),
+      doc = "CUBE grouping sets: one Expand pass, grouping_id-tagged, DECIMAL sums"))
 }

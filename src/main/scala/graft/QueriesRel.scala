@@ -547,5 +547,63 @@ object QueriesRel {
           |SELECT r_score, f_score, m_score, count(*) AS n_customers,
           |       CAST(sum(custkey) AS BIGINT) AS custkey_sum
           |FROM p GROUP BY 1, 2, 3 ORDER BY r_score, f_score, m_score""".stripMargin),
-      doc = "RFM quintile segmentation: one distributed rank pass over all three melted metrics"))
+      doc = "RFM quintile segmentation: one distributed rank pass over all three melted metrics"),
+
+    // Market-basket association rules (support/confidence/lift) over
+    // co-ordered parts. Pair generation is ROW-LOCAL off one basket
+    // groupBy (orders are bounded), pair support partial-aggregates, and
+    // the support floor is applied BEFORE rule expansion — the classic
+    // Apriori-first-pass shape, no quadratic pair set beyond what the
+    // floor admits. Confidence/lift are single IEEE divisions off exact
+    // int supports; the item-support dim broadcasts.
+    "basket_rules" -> Q(
+      fn = (s, dir) => {
+        val items = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+          .persist()
+        items.count() // pin: feeds baskets + two support lookups
+        val n = items.select(col("o")).distinct().count()
+        val pairs = items.groupBy(col("o"))
+          .agg(collect_set(col("p")).as("ps"))
+          .select(explode(expr(
+            """flatten(transform(ps, x -> transform(
+              |  filter(ps, y -> y > x), y -> struct(x AS x, y AS y))))""".stripMargin))
+            .as("pr"))
+          .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
+          .agg(count(lit(1)).as("s_pair"))
+          .filter(col("s_pair") >= 3)
+        val sup = items.groupBy(col("p")).agg(count(lit(1)).as("s_item"))
+        val rules = pairs
+          .select(col("x").as("ante"), col("y").as("cons"), col("s_pair"))
+          .unionByName(pairs.select(col("y").as("ante"), col("x").as("cons"),
+            col("s_pair")))
+        rules
+          .join(broadcast(sup.select(col("p").as("ante"), col("s_item").as("s_ante"))),
+            Seq("ante"))
+          .join(broadcast(sup.select(col("p").as("cons"), col("s_item").as("s_cons"))),
+            Seq("cons"))
+          .select(col("ante"), col("cons"), col("s_pair"), col("s_ante"), col("s_cons"),
+            (col("s_pair").cast("double") / col("s_ante").cast("double"))
+              .as("confidence"),
+            (col("s_pair").cast("double") * lit(n.toDouble)
+              / (col("s_ante") * col("s_cons")).cast("double")).as("lift"))
+          .orderBy(col("ante"), col("cons"))
+      },
+      oracle = Some(
+        """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+          |n AS (SELECT count(DISTINCT o) AS n FROM items),
+          |pairs AS (SELECT a.p AS x, b.p AS y, count(*) AS s_pair
+          |  FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+          |  GROUP BY 1, 2 HAVING count(*) >= 3),
+          |sup AS (SELECT p, count(*) AS s_item FROM items GROUP BY p),
+          |rules AS (SELECT x AS ante, y AS cons, s_pair FROM pairs
+          |  UNION ALL SELECT y, x, s_pair FROM pairs)
+          |SELECT ante, cons, s_pair, sa.s_item AS s_ante, sc.s_item AS s_cons,
+          |  CAST(s_pair AS DOUBLE) / CAST(sa.s_item AS DOUBLE) AS confidence,
+          |  CAST(s_pair AS DOUBLE) * CAST(n.n AS DOUBLE)
+          |    / CAST(sa.s_item * sc.s_item AS DOUBLE) AS lift
+          |FROM rules JOIN sup sa ON rules.ante = sa.p
+          |           JOIN sup sc ON rules.cons = sc.p CROSS JOIN n
+          |ORDER BY ante, cons""".stripMargin),
+      doc = "market-basket association rules: row-local pair expansion, support floor, broadcast supports"))
 }

@@ -10,6 +10,49 @@ import org.apache.spark.sql.functions._
   */
 object QueriesVector {
 
+  /** DuckDB twin of [[Vectors.covarianceMatrix]] — exposes `covm(i, j, n,
+    * sxy, cov)`. Shared by the covariance report and the power-iteration
+    * chain. */
+  private val covCtes: String =
+    """e1 AS (SELECT vec_id, embedding,
+      |    unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
+      |cp AS (SELECT i, j, CAST(embedding[i + 1] AS DOUBLE) AS xi,
+      |             CAST(embedding[j + 1] AS DOUBLE) AS xj
+      |      FROM (SELECT embedding, i,
+      |              unnest(generate_series(i, len(embedding) - 1)) AS j
+      |            FROM e1)),
+      |cova AS (SELECT i, j, count(*) AS n,
+      |    CAST(sum(CAST(round(xi * xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sxy,
+      |    CAST(sum(CAST(round(xi, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
+      |    CAST(sum(CAST(round(xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sy
+      |  FROM cp GROUP BY 1, 2),
+      |covm AS (SELECT i, j, n, sxy,
+      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
+      |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov FROM cova)""".stripMargin
+
+  /** DuckDB twin of [[Vectors.powerIteration]]: the symmetrized matrix and
+    * every (matvec, norm, normalize) round as generated CTEs. */
+  private def powerOracle(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""w$k AS (SELECT f.i AS idx,
+         |    CAST(sum(CAST(round(f.cov * v.x, 12) AS DECIMAL(28,12)))
+         |      AS DECIMAL(38,12)) AS wsum
+         |  FROM full f JOIN v${k - 1} v ON f.j = v.idx GROUP BY 1),
+         |n$k AS (SELECT sqrt(CAST(sum(CAST(round(
+         |    CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE), 12)
+         |    AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w$k),
+         |v$k AS (SELECT idx, CAST(wsum AS DOUBLE) / nrm AS x FROM w$k, n$k)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH $covCtes,
+       |full AS (SELECT i, j, cov FROM covm
+       |  UNION ALL SELECT j, i, cov FROM covm WHERE i < j),
+       |v0 AS (SELECT DISTINCT i AS idx, CAST(1.0 AS DOUBLE) AS x FROM full),
+       |$iterCtes
+       |SELECT v.idx AS i, v.x AS loading, n.nrm AS lambda
+       |FROM v$iters v, n$iters n ORDER BY i""".stripMargin
+  }
+
   /** Portable cosine-distance SQL against a query-vector CTE `q(qv)`. */
   private def cosSql(emb: String): String =
     s"""round(1.0 - list_sum(list_transform(list_zip(CAST($emb AS DOUBLE[]), qv), z -> z[1]*z[2]))
@@ -595,49 +638,27 @@ object QueriesVector {
     // summed as DECIMAL — order-free, bit-stable; the co-moment → cov
     // chain is then a fixed IEEE sequence both engines replay.
     "embedding_covariance" -> Q(
-      fn = (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
-        val pairs = Tables.embeddings(s, dir).select(explode(expr(
-          """flatten(transform(sequence(0, size(embedding) - 1), i ->
-            |  transform(sequence(i, size(embedding) - 1), j ->
-            |    named_struct('i', i, 'j', j,
-            |      'xi', cast(element_at(embedding, i + 1) as double),
-            |      'xj', cast(element_at(embedding, j + 1) as double)))))"""
-            .stripMargin)).as("p"))
-          .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
-            col("p.xi").as("xi"), col("p.xj").as("xj"))
-        pairs.groupBy(col("i"), col("j"))
-          .agg(count(lit(1)).as("n"),
-            sum(round(col("xi") * col("xj"), 9).cast(DecimalType(18, 9)))
-              .cast(DecimalType(18, 9)).as("sxy"),
-            sum(round(col("xi"), 9).cast(DecimalType(18, 9)))
-              .cast(DecimalType(18, 9)).as("sx"),
-            sum(round(col("xj"), 9).cast(DecimalType(18, 9)))
-              .cast(DecimalType(18, 9)).as("sy"))
-          .select(col("i"), col("j"), col("n"), col("sxy"),
-            ((col("sxy").cast("double")
-              - col("sx").cast("double") * col("sy").cast("double")
-                / col("n").cast("double")) / col("n").cast("double")).as("cov"))
-          .orderBy(col("i"), col("j"))
-      },
+      fn = (s, dir) =>
+        Vectors.covarianceMatrix(Tables.embeddings(s, dir), "embedding")
+          .orderBy(col("i"), col("j")),
       oracle = Some(
-        """WITH e1 AS (SELECT vec_id, embedding,
-          |    unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
-          |p AS (SELECT i, j, CAST(embedding[i + 1] AS DOUBLE) AS xi,
-          |             CAST(embedding[j + 1] AS DOUBLE) AS xj
-          |      FROM (SELECT embedding, i,
-          |              unnest(generate_series(i, len(embedding) - 1)) AS j
-          |            FROM e1)),
-          |a AS (SELECT i, j, count(*) AS n,
-          |    CAST(sum(CAST(round(xi * xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sxy,
-          |    CAST(sum(CAST(round(xi, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
-          |    CAST(sum(CAST(round(xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sy
-          |  FROM p GROUP BY 1, 2)
-          |SELECT i, j, n, sxy,
-          |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
-          |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov
-          |FROM a ORDER BY i, j""".stripMargin),
+        s"""WITH $covCtes
+           |SELECT i, j, n, sxy, cov FROM covm ORDER BY i, j""".stripMargin),
       doc = "covariance/co-moment matrix over embeddings: d²-bounded combinable agg (PCA/whitening stats)"),
+
+    // Top principal component by fixed-round power iteration over the
+    // covariance relation — the PCA step itself, not just its statistics.
+    // Every matvec inner sum is round(·,12)-then-DECIMAL (order-free), so
+    // the 8-round trajectory is bit-identical cross-engine and the oracle
+    // replays ALL rounds as generated CTEs — the hash-match certifies the
+    // entire eigen-iteration, normalization included.
+    "embedding_pca_power" -> Q(
+      fn = (s, dir) =>
+        Vectors.powerIteration(
+          Vectors.covarianceMatrix(Tables.embeddings(s, dir), "embedding"), 8)
+          .orderBy(col("i")),
+      oracle = Some(powerOracle(8)),
+      doc = "dominant eigenpair via power iteration: DECIMAL-exact matvecs, full trajectory oracle-replayed"),
 
     // ANN quality evaluation: recall@10 of the IVF kNN-join against exact
     // brute force, per query. The eval every ANN deployment runs before

@@ -499,6 +499,77 @@ object Vectors {
       .limit(topK)
   }
 
+  /** Covariance / co-moment statistics over an embedding relation — the
+    * input to PCA whitening and OPQ rotation. One explode to the d(d+1)/2
+    * upper triangle, one combinable groupBy: the result is d²-sized
+    * whatever the corpus, and the shuffle carries partial sums only.
+    * float·float products are EXACT in double; they round at 9 dp into
+    * DECIMAL sums (order-free), and the co-moment → covariance chain is a
+    * fixed IEEE sequence. Returns (i, j, n, sxy, cov) for i ≤ j. */
+  def covarianceMatrix(vectors: DataFrame, embCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pairs = vectors.select(explode(expr(
+      s"""flatten(transform(sequence(0, size($embCol) - 1), i ->
+         |  transform(sequence(i, size($embCol) - 1), j ->
+         |    named_struct('i', i, 'j', j,
+         |      'xi', cast(element_at($embCol, i + 1) as double),
+         |      'xj', cast(element_at($embCol, j + 1) as double)))))"""
+        .stripMargin)).as("p"))
+      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
+        col("p.xi").as("xi"), col("p.xj").as("xj"))
+    pairs.groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("xi") * col("xj"), 9).cast(DecimalType(18, 9)))
+          .cast(DecimalType(18, 9)).as("sxy"),
+        sum(round(col("xi"), 9).cast(DecimalType(18, 9)))
+          .cast(DecimalType(18, 9)).as("sx"),
+        sum(round(col("xj"), 9).cast(DecimalType(18, 9)))
+          .cast(DecimalType(18, 9)).as("sy"))
+      .select(col("i"), col("j"), col("n"), col("sxy"),
+        ((col("sxy").cast("double")
+          - col("sx").cast("double") * col("sy").cast("double")
+            / col("n").cast("double")) / col("n").cast("double")).as("cov"))
+  }
+
+  /** Dominant eigenpair of a (small, d×d) covariance relation by FIXED-round
+    * power iteration — the top-principal-component step behind PCA
+    * whitening. Each round is one matvec: a join of the symmetrized matrix
+    * against the d-row vector and a groupBy(i) — trivially distributed for
+    * d in the thousands, and every inner sum is round(·,12)-then-DECIMAL,
+    * so the whole trajectory is order-free and bit-identical cross-engine
+    * (a raw float matvec would drift in the last ulps and the oracle could
+    * never replay it). v₀ = all-ones; λ is the final iterate's norm
+    * (positive dominant eigenvalue assumed — true for covariance).
+    * Fixed rounds, not convergence polling: reproducibility first. */
+  def powerIteration(cov: DataFrame, iters: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(iters >= 1, s"need at least one iteration, got $iters")
+    val full = cov.select(col("i"), col("j"), col("cov"))
+      .unionByName(cov.filter(col("i") < col("j"))
+        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    full.count() // pin: joined every round
+    var v = full.select(col("i").as("idx")).distinct()
+      .select(col("idx"), lit(1.0).as("x"))
+    var norm: DataFrame = null
+    for (_ <- 1 to iters) {
+      val w = full.join(v.select(col("idx").as("j2"), col("x")),
+          col("j") === col("j2"))
+        .groupBy(col("i"))
+        .agg(sum(round(col("cov") * col("x"), 12).cast(DecimalType(28, 12)))
+          .as("wsum"))
+        .select(col("i").as("idx"), col("wsum").cast("double").as("wd"))
+      norm = w.agg(sqrt(
+        sum(round(col("wd") * col("wd"), 12).cast(DecimalType(28, 12)))
+          .cast("double")).as("nrm"))
+      v = w.crossJoin(norm)
+        .select(col("idx"), (col("wd") / col("nrm")).as("x"))
+        .localCheckpoint()
+    }
+    v.crossJoin(norm)
+      .select(col("idx").as("i"), col("x").as("loading"), col("nrm").as("lambda"))
+  }
+
   /** V4 getVectors: key lookup. The reference REJECTS over-limit requests
     * before querying (limits.ts:9, validateVectorKeys) — it never silently
     * truncates, and neither do we. */
