@@ -662,8 +662,12 @@ object QueriesEvents {
     // aggregation — never four scans). grouping_id disambiguates NULL
     // group values from NULL data; DECIMAL-cast value sums per invariant.
     "events_cube" -> Q(
+      // hour-of-day from integer epoch math, NOT hour(ts): Spark's hour() is
+      // session-timezone-dependent and the grading SparkSession (the
+      // driver's) does not promise UTC. Epoch microseconds are TZ-free.
       fn = (s, dir) => Tables.events(s, dir)
-        .withColumn("hour_of_day", hour(col("ts")))
+        .withColumn("hour_of_day",
+          pmod((unix_micros(col("ts")) / lit(3600000000L)).cast("long"), lit(24L)))
         .cube(col("event_type"), col("hour_of_day"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(30, 6))).cast(DecimalType(30, 6))
@@ -671,13 +675,15 @@ object QueriesEvents {
           grouping_id().as("gid"))
         .orderBy(col("gid"), col("event_type"), col("hour_of_day")),
       oracle = Some(
-        """SELECT event_type, hour(CAST(ts AS TIMESTAMP)) AS hour_of_day,
+        """SELECT event_type,
+          |  epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24 AS hour_of_day,
           |  count(*) AS n,
           |  CAST(sum(CAST(value AS DECIMAL(30,6))) AS DECIMAL(30,6)) AS total_value,
-          |  CAST(grouping(event_type) * 2 + grouping(hour(CAST(ts AS TIMESTAMP)))
+          |  CAST(grouping(event_type) * 2
+          |    + grouping(epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24)
           |    AS BIGINT) AS gid
           |FROM events
-          |GROUP BY CUBE (event_type, hour(CAST(ts AS TIMESTAMP)))
+          |GROUP BY CUBE (event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24)
           |ORDER BY gid, event_type, hour_of_day""".stripMargin),
       doc = "CUBE grouping sets: one Expand pass, grouping_id-tagged, DECIMAL sums"))
 }

@@ -37,7 +37,7 @@ object QueriesVector {
       s"""w$k AS (SELECT f.i AS idx,
          |    CAST(sum(CAST(round(f.cov * v.x, 12) AS DECIMAL(28,12)))
          |      AS DECIMAL(38,12)) AS wsum
-         |  FROM full f JOIN v${k - 1} v ON f.j = v.idx GROUP BY 1),
+         |  FROM fullm f JOIN v${k - 1} v ON f.j = v.idx GROUP BY 1),
          |n$k AS (SELECT sqrt(CAST(sum(CAST(round(
          |    CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE), 12)
          |    AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w$k),
@@ -45,9 +45,9 @@ object QueriesVector {
         .stripMargin
     }.mkString(",\n")
     s"""WITH $covCtes,
-       |full AS (SELECT i, j, cov FROM covm
+       |fullm AS (SELECT i, j, cov FROM covm
        |  UNION ALL SELECT j, i, cov FROM covm WHERE i < j),
-       |v0 AS (SELECT DISTINCT i AS idx, CAST(1.0 AS DOUBLE) AS x FROM full),
+       |v0 AS (SELECT DISTINCT i AS idx, CAST(1.0 AS DOUBLE) AS x FROM fullm),
        |$iterCtes
        |SELECT v.idx AS i, v.x AS loading, n.nrm AS lambda
        |FROM v$iters v, n$iters n ORDER BY i""".stripMargin
