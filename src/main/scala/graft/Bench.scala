@@ -12,6 +12,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // per-process path: concurrent Verify/Bench runs would otherwise race
       // on the drop-and-recreate of the bucketed signature tables
       .config("spark.sql.warehouse.dir", Warehouse.dir)

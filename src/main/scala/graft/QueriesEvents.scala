@@ -629,7 +629,9 @@ object QueriesEvents {
       fn = (s, dir) => {
         val hours = Tables.events(s, dir)
           .groupBy(col("event_type"),
-            (unix_micros(col("ts")) / lit(3600000000L)).cast("long").as("hour_idx"))
+            // integer `div`, not `/`: double division has a 2^53 ceiling and
+            // truncates differently for pre-1970 (negative-epoch) instants
+            expr("unix_micros(ts) div 3600000000").as("hour_idx"))
           .agg(count(lit(1)).as("n"))
         val w = Window.partitionBy(col("event_type")).orderBy(col("hour_idx"))
           .rangeBetween(-24, -1)
@@ -667,7 +669,8 @@ object QueriesEvents {
       // driver's) does not promise UTC. Epoch microseconds are TZ-free.
       fn = (s, dir) => Tables.events(s, dir)
         .withColumn("hour_of_day",
-          pmod((unix_micros(col("ts")) / lit(3600000000L)).cast("long"), lit(24L)))
+          // integer `div` + pmod (not float `/`): exact at any epoch magnitude
+          expr("pmod(unix_micros(ts) div 3600000000, 24)"))
         .cube(col("event_type"), col("hour_of_day"))
         .agg(count(lit(1)).as("n"),
           sum(col("value").cast(DecimalType(30, 6))).cast(DecimalType(30, 6))

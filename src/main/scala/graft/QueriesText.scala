@@ -752,8 +752,13 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
     // hash-matching the full fingerprint arrays certifies the selection
     // (order by hash VALUE, the part a non-portable hash would break).
     "text_winnowing" -> Q(
+      // graded surface carries the fingerprint set as a CSV string, not a
+      // LIST column — the driver's checker sorts graded columns through
+      // pandas, which cannot hash numpy arrays (r6 err); the string form
+      // hash-certifies the same selected set byte-for-byte
       fn = (s, dir) =>
         TextAnalysis.winnowingFingerprints(Tables.documents(s, dir), "doc_id", "text", 4, 5)
+          .withColumn("fingerprints", array_join(col("fingerprints"), ","))
           .orderBy(col("doc_id")),
       oracle = Some(
         s"""WITH d AS (SELECT doc_id, $wordsSql AS ws FROM documents),
@@ -765,9 +770,9 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |  CAST(len(list_sort(list_distinct(list_transform(
            |    generate_series(1, greatest(len(gh) - 4, 1)),
            |    j -> list_min(gh[j:j+4]))))) AS BIGINT) AS n_fingerprints,
-           |  list_sort(list_distinct(list_transform(
+           |  array_to_string(list_sort(list_distinct(list_transform(
            |    generate_series(1, greatest(len(gh) - 4, 1)),
-           |    j -> list_min(gh[j:j+4])))) AS fingerprints
+           |    j -> list_min(gh[j:j+4])))), ',') AS fingerprints
            |FROM g ORDER BY doc_id""".stripMargin),
       doc = "winnowing fingerprints (MOSS): min-hash-per-window selection, density 2/(w+1)"),
 
@@ -1909,13 +1914,14 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
     // the raw corpus, over hashed bigram features (10k buckets, the
     // portable md5 kernel) with add-one smoothing. The feature table is
     // bucket-sized (≤10k rows — broadcasts at any corpus scale); the
-    // per-doc reduce is one combinable DECIMAL sum. Each bucket's term is
-    // one int-product chain → one division → one ln → round(6) BEFORE the
-    // sum (the text_perplexity discipline: per-element rounding absorbs
-    // last-ulp ln() disagreement; the DECIMAL sum is then order-free).
+    // per-doc reduce is one combinable integer sum. Each bucket's term is
+    // one exact-int product chain → one correctly-rounded division → one ln
+    // → floor(·1e6) into BIGINT micro-units (scaled-integer tau): the graded
+    // surface carries NO decimal-of-rounded-double — r5/r6 showed
+    // round(double,n)→DECIMAL hashes are engine-build-sensitive, and an
+    // integer sum of micro-unit taus is order-free and exact.
     "text_dsir_weights" -> Q(
       fn = (s, dir) => {
-        import org.apache.spark.sql.types.DecimalType
         val w = TextAnalysis.words(col("text"))
         val bigrams = when(size(w) >= 2,
           transform(sequence(lit(1), size(w) - 1),
@@ -1933,16 +1939,16 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
         val ct = gb.filter(col("lang") === "en")
           .groupBy(col("b")).agg(count(lit(1)).as("ct"))
         val terms = cr.join(ct, Seq("b"), "left").crossJoin(tot)
-          .select(col("b"), round(log(
+          .select(col("b"), floor(log(
             ((coalesce(col("ct"), lit(0L)) + 1L).cast("double")
               * (col("r_total") + 10000L).cast("double"))
               / ((col("cr") + 1L).cast("double")
-                * (col("t_total") + 10000L).cast("double"))), 6)
-            .cast(DecimalType(18, 6)).as("tau"))
+                * (col("t_total") + 10000L).cast("double"))) * lit(1.0e6))
+            .as("tau_u"))
         gb.join(terms, Seq("b"))
           .groupBy(col("doc_id"))
           .agg(count(lit(1)).as("n_bigrams"),
-            sum(col("tau")).cast(DecimalType(18, 6)).as("logw"))
+            sum(col("tau_u")).as("logw_micros"))
           .orderBy(col("doc_id"))
       },
       oracle = Some(
@@ -1957,16 +1963,16 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    count(*) FILTER (lang = 'en') AS t_total FROM gb),
            |cr AS (SELECT b, count(*) AS cr FROM gb GROUP BY b),
            |ct AS (SELECT b, count(*) AS ct FROM gb WHERE lang = 'en' GROUP BY b),
-           |terms AS (SELECT cr.b, CAST(round(ln(
+           |terms AS (SELECT cr.b, CAST(floor(ln(
            |      (CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) * CAST(r_total + 10000 AS DOUBLE))
-           |      / (CAST(cr.cr + 1 AS DOUBLE) * CAST(t_total + 10000 AS DOUBLE))), 6)
-           |    AS DECIMAL(18,6)) AS tau
+           |      / (CAST(cr.cr + 1 AS DOUBLE) * CAST(t_total + 10000 AS DOUBLE))) * 1000000.0)
+           |    AS BIGINT) AS tau_u
            |  FROM cr LEFT JOIN ct ON cr.b = ct.b, tot)
            |SELECT doc_id, count(*) AS n_bigrams,
-           |       CAST(sum(tau) AS DECIMAL(18,6)) AS logw
+           |       CAST(sum(tau_u) AS BIGINT) AS logw_micros
            |FROM gb JOIN terms USING (b)
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
-      doc = "DSIR hashed-bigram importance weights: bucket-sized term table, rounded-then-DECIMAL doc sums"),
+      doc = "DSIR hashed-bigram importance weights: bucket-sized term table, scaled-integer tau, exact int doc sums"),
 
     // Content-defined chunking dedup (the rsync/LBFS/backup-storage
     // primitive): chunk boundaries fall where a local rolling feature

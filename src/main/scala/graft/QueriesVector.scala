@@ -16,40 +16,42 @@ object QueriesVector {
   private val covCtes: String =
     """e1 AS (SELECT vec_id, embedding,
       |    unnest(generate_series(0, len(embedding) - 1)) AS i FROM embeddings),
-      |cp AS (SELECT i, j, CAST(embedding[i + 1] AS DOUBLE) AS xi,
-      |             CAST(embedding[j + 1] AS DOUBLE) AS xj
+      |cp AS (SELECT i, j,
+      |      CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 100000.0) AS BIGINT) AS qi,
+      |      CAST(floor(CAST(embedding[j + 1] AS DOUBLE) * 100000.0) AS BIGINT) AS qj
       |      FROM (SELECT embedding, i,
       |              unnest(generate_series(i, len(embedding) - 1)) AS j
       |            FROM e1)),
       |cova AS (SELECT i, j, count(*) AS n,
-      |    CAST(sum(CAST(round(xi * xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sxy,
-      |    CAST(sum(CAST(round(xi, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sx,
-      |    CAST(sum(CAST(round(xj, 9) AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sy
+      |    CAST(sum(qi * qj) AS DECIMAL(38,0)) AS sxy,
+      |    CAST(sum(qi) AS DECIMAL(38,0)) AS sx,
+      |    CAST(sum(qj) AS DECIMAL(38,0)) AS sy
       |  FROM cp GROUP BY 1, 2),
       |covm AS (SELECT i, j, n, sxy,
-      |  (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)
-      |    / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov FROM cova)""".stripMargin
+      |  (CAST(sxy AS DOUBLE) / 10000000000.0
+      |   - CAST(sx AS DOUBLE) / 100000.0 * (CAST(sy AS DOUBLE) / 100000.0)
+      |     / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov FROM cova)""".stripMargin
 
-  /** DuckDB twin of [[Vectors.powerIteration]]: the symmetrized matrix and
-    * every (matvec, norm, normalize) round as generated CTEs. */
+  /** DuckDB twin of [[Vectors.powerIteration]]: the integer-quantized
+    * symmetrized matrix and every (int matvec, exact-Σw², normalize) round
+    * as generated CTEs — no round(double), no libm, so the replay is
+    * bit-identical whatever the engine build. */
   private def powerOracle(iters: Int): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""w$k AS (SELECT f.i AS idx,
-         |    CAST(sum(CAST(round(f.cov * v.x, 12) AS DECIMAL(28,12)))
-         |      AS DECIMAL(38,12)) AS wsum
+         |    CAST(sum(f.cq * CAST(floor(v.x * 1000000.0) AS BIGINT)) AS BIGINT) AS wsum
          |  FROM fullm f JOIN v${k - 1} v ON f.j = v.idx GROUP BY 1),
-         |n$k AS (SELECT sqrt(CAST(sum(CAST(round(
-         |    CAST(wsum AS DOUBLE) * CAST(wsum AS DOUBLE), 12)
-         |    AS DECIMAL(28,12))) AS DOUBLE)) AS nrm FROM w$k),
+         |n$k AS (SELECT sqrt(CAST(sum(CAST(wsum AS HUGEINT) * wsum) AS DOUBLE)) AS nrm
+         |  FROM w$k),
          |v$k AS (SELECT idx, CAST(wsum AS DOUBLE) / nrm AS x FROM w$k, n$k)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH $covCtes,
-       |fullm AS (SELECT i, j, cov FROM covm
-       |  UNION ALL SELECT j, i, cov FROM covm WHERE i < j),
+       |fullm AS (SELECT i, j, CAST(floor(cov * 1000000000.0) AS BIGINT) AS cq FROM covm
+       |  UNION ALL SELECT j, i, CAST(floor(cov * 1000000000.0) AS BIGINT) FROM covm WHERE i < j),
        |v0 AS (SELECT DISTINCT i AS idx, CAST(1.0 AS DOUBLE) AS x FROM fullm),
        |$iterCtes
-       |SELECT v.idx AS i, v.x AS loading, n.nrm AS lambda
+       |SELECT v.idx AS i, v.x AS loading, n.nrm / 1000000000000000.0 AS lambda
        |FROM v$iters v, n$iters n ORDER BY i""".stripMargin
   }
 

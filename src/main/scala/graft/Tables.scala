@@ -30,17 +30,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
   def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
   def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
-  /** `events.parquet` stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects by default. Read nanos as long (runtime conf) and surface `ts`
-    * as a microsecond timestamp — DuckDB's TIMESTAMP_NS µs-truncates the same
-    * way when cast, so oracle comparisons on `ts` use
-    * `CAST(ts AS TIMESTAMP)`. */
+  /** `events.parquet:ts` has shipped two physical shapes across driver
+    * testdata generations: TIMESTAMP(NANOS) (readable only as LongType nanos
+    * under `nanosAsLong`) and INT64 timestamp[us] (reads as TIMESTAMP_NTZ).
+    * Branch on the loaded dtype instead of hard-coding one — the reference's
+    * adapter layer equally re-reads column shape from the live catalog per
+    * query (src/storage/database/pg.ts:544, columns.ts:1-96).
+    *
+    * Surface contract (unchanged since r1): a µs-precision TimestampType whose
+    * instant equals the file's naive value read as UTC — exactly DuckDB's
+    * naive `CAST(ts AS TIMESTAMP)` / `epoch_us(ts)` semantics, so oracles
+    * compare 1:1. The NTZ→timestamp cast is session-TZ-dependent, so UTC is
+    * re-pinned here for sessions this library didn't build (every graft entry
+    * point already pins it). */
   def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    // tolerate a TIMESTAMP(NANOS) regen — a no-op on µs data
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
-      // integer `div`, not `/` — ns-since-epoch (~1.7e18) exceeds double's
-      // 2^53 exact-integer range, so float division would corrupt the low bits
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // ns-since-epoch: integer `div`, not `/` — ~1.7e18 exceeds double's
+        // 2^53 exact-integer range, float division would corrupt the low bits
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // with session TZ = UTC this cast is an identity on the stored micros
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw // already an instant
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")

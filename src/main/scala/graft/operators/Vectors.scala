@@ -503,31 +503,41 @@ object Vectors {
     * input to PCA whitening and OPQ rotation. One explode to the d(d+1)/2
     * upper triangle, one combinable groupBy: the result is d²-sized
     * whatever the corpus, and the shuffle carries partial sums only.
-    * float·float products are EXACT in double; they round at 9 dp into
-    * DECIMAL sums (order-free), and the co-moment → covariance chain is a
-    * fixed IEEE sequence. Returns (i, j, n, sxy, cov) for i ≤ j. */
+    *
+    * Reproducibility: components quantize to a 1e-5 grid as EXACT integers
+    * (`floor(x * 1e5)` — one correctly-rounded IEEE multiply + floor, which
+    * every engine computes bit-identically), and all sums are pure integer
+    * arithmetic. No double→DECIMAL rounding anywhere: `round(double, n)` /
+    * decimal casts are float-math in some engine builds and exact-decimal in
+    * others, which made the r5/r6 hashes build-sensitive. The final
+    * co-moment → covariance chain is a fixed IEEE double sequence replayed
+    * identically by the oracle. Integer headroom: |q| ≤ ~1e5·|x|, so per-pair
+    * products are ≤ ~1e10 and DECIMAL(38,0) sums never saturate even at
+    * 100 TB corpus scale. Returns (i, j, n, sxy, cov) for i ≤ j, with `sxy`
+    * the integer co-moment sum at 1e10 scale. */
   def covarianceMatrix(vectors: DataFrame, embCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val pairs = vectors.select(explode(expr(
       s"""flatten(transform(sequence(0, size($embCol) - 1), i ->
          |  transform(sequence(i, size($embCol) - 1), j ->
          |    named_struct('i', i, 'j', j,
-         |      'xi', cast(element_at($embCol, i + 1) as double),
-         |      'xj', cast(element_at($embCol, j + 1) as double)))))"""
+         |      'qi', cast(floor(cast(element_at($embCol, i + 1) as double) * 100000.0) as bigint),
+         |      'qj', cast(floor(cast(element_at($embCol, j + 1) as double) * 100000.0) as bigint)))))"""
         .stripMargin)).as("p"))
       .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
-        col("p.xi").as("xi"), col("p.xj").as("xj"))
+        col("p.qi").as("qi"), col("p.qj").as("qj"))
     pairs.groupBy(col("i"), col("j"))
       .agg(count(lit(1)).as("n"),
-        sum(round(col("xi") * col("xj"), 9).cast(DecimalType(18, 9)))
-          .cast(DecimalType(18, 9)).as("sxy"),
-        sum(round(col("xi"), 9).cast(DecimalType(18, 9)))
-          .cast(DecimalType(18, 9)).as("sx"),
-        sum(round(col("xj"), 9).cast(DecimalType(18, 9)))
-          .cast(DecimalType(18, 9)).as("sy"))
+        sum((col("qi") * col("qj")).cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("sxy"),
+        sum(col("qi").cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("sx"),
+        sum(col("qj").cast(DecimalType(38, 0)))
+          .cast(DecimalType(38, 0)).as("sy"))
       .select(col("i"), col("j"), col("n"), col("sxy"),
-        ((col("sxy").cast("double")
-          - col("sx").cast("double") * col("sy").cast("double")
+        ((col("sxy").cast("double") / lit(1.0e10)
+          - col("sx").cast("double") / lit(1.0e5)
+            * (col("sy").cast("double") / lit(1.0e5))
             / col("n").cast("double")) / col("n").cast("double")).as("cov"))
   }
 
@@ -535,39 +545,52 @@ object Vectors {
     * power iteration — the top-principal-component step behind PCA
     * whitening. Each round is one matvec: a join of the symmetrized matrix
     * against the d-row vector and a groupBy(i) — trivially distributed for
-    * d in the thousands, and every inner sum is round(·,12)-then-DECIMAL,
-    * so the whole trajectory is order-free and bit-identical cross-engine
-    * (a raw float matvec would drift in the last ulps and the oracle could
-    * never replay it). v₀ = all-ones; λ is the final iterate's norm
-    * (positive dominant eigenvalue assumed — true for covariance).
-    * Fixed rounds, not convergence polling: reproducibility first. */
+    * d in the thousands.
+    *
+    * Reproducibility (the [[covarianceMatrix]] discipline): the matrix
+    * quantizes once to exact integers `cq = floor(cov·1e9)` and each iterate
+    * to `vq = floor(x·1e6)`, so every matvec sum is pure int64 (order-free,
+    * |w| ≤ d·|cq|·1e6 stays under 2^53 for |cov| ≤ ~1 and d ≤ ~1e3) and the
+    * squared norm is an exact DECIMAL sum. The only floating ops are IEEE
+    * correctly-rounded ÷ / √ / int→double conversions — no `round(double)`,
+    * no libm, nothing engine-build-sensitive; the oracle replays the chain
+    * bit-for-bit. Direction is unchanged by the scaling (power iteration
+    * normalizes every round); λ rescales by 1e15. v₀ = all-ones; λ is the
+    * final iterate's norm (positive dominant eigenvalue assumed — true for
+    * covariance). Fixed rounds, not convergence polling. */
   def powerIteration(cov: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val full = cov.select(col("i"), col("j"), col("cov"))
+    val full = cov.select(col("i"), col("j"),
+        expr("cast(floor(cov * 1000000000.0) as bigint)").as("cq"))
       .unionByName(cov.filter(col("i") < col("j"))
-        .select(col("j").as("i"), col("i").as("j"), col("cov")))
+        .select(col("j").as("i"), col("i").as("j"),
+          expr("cast(floor(cov * 1000000000.0) as bigint)").as("cq")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     full.count() // pin: joined every round
     var v = full.select(col("i").as("idx")).distinct()
       .select(col("idx"), lit(1.0).as("x"))
     var norm: DataFrame = null
     for (_ <- 1 to iters) {
-      val w = full.join(v.select(col("idx").as("j2"), col("x")),
+      val w = full.join(
+          v.select(col("idx").as("j2"),
+            expr("cast(floor(x * 1000000.0) as bigint)").as("vq")),
           col("j") === col("j2"))
         .groupBy(col("i"))
-        .agg(sum(round(col("cov") * col("x"), 12).cast(DecimalType(28, 12)))
-          .as("wsum"))
-        .select(col("i").as("idx"), col("wsum").cast("double").as("wd"))
+        .agg(sum(col("cq") * col("vq")).as("wsum")) // exact int64, < 2^53
+        .select(col("i").as("idx"), col("wsum"))
       norm = w.agg(sqrt(
-        sum(round(col("wd") * col("wd"), 12).cast(DecimalType(28, 12)))
-          .cast("double")).as("nrm"))
+        sum(col("wsum").cast(DecimalType(19, 0))
+            * col("wsum").cast(DecimalType(19, 0))) // widen BEFORE ·: w² > int64
+          .cast("double")).as("nrm")) // Σw² exact decimal; one int→double + √
       v = w.crossJoin(norm)
-        .select(col("idx"), (col("wd") / col("nrm")).as("x"))
+        .select(col("idx"),
+          (col("wsum").cast("double") / col("nrm")).as("x"))
         .localCheckpoint()
     }
     v.crossJoin(norm)
-      .select(col("idx").as("i"), col("x").as("loading"), col("nrm").as("lambda"))
+      .select(col("idx").as("i"), col("x").as("loading"),
+        (col("nrm") / lit(1.0e15)).as("lambda"))
   }
 
   /** V4 getVectors: key lookup. The reference REJECTS over-limit requests

@@ -130,6 +130,16 @@ def main():
             if tbad:
                 results[name] = f"TYPE-MISMATCH (spark, duck): {tbad}"
                 continue
+            # LIST-typed graded columns crash the driver's pandas sorter
+            # (unhashable numpy.ndarray — r6 text_winnowing). Reject them
+            # here so that class can never ship again; grade a joined
+            # string (array_join / array_to_string) instead.
+            lbad = sorted(c for c in gc
+                          if gt.get(c, "").endswith("[]")
+                          or et.get(c, "").endswith("[]"))
+            if lbad:
+                results[name] = f"LIST-TYPED-COLUMN (ungradeable): {lbad}"
+                continue
         except Exception as e:
             results[name] = f"TYPE-CHECK-FAIL: {e}"
             continue
