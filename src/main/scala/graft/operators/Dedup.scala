@@ -95,15 +95,32 @@ object Dedup {
     * threshold — catches a short document EMBEDDED in a longer one, which
     * symmetric Jaccard misses (the big doc's union dilutes the score to
     * near min/max size ratio). Same bounded shared-shingle join as
-    * [[jaccardPairs]]; no df cap by default because a tiny contained doc
-    * is exactly what the cap would distort (web-scale callers should
-    * still pass the capped path through [[jaccardPairs]] first). */
+    * [[jaccardPairs]].
+    *
+    * `maxDf` is the scale guard on the shared-shingle self-join: one
+    * boilerplate shingle appearing in D documents alone fans the join out
+    * to O(D²) rows, which at 100 TB is the whole job. The default is HIGH
+    * (10 000) because containment's signal lives in rarer shingles than
+    * Jaccard's — a tiny contained doc must keep its shingles — but a
+    * shingle in ≥10k documents is chrome (cookie banners, nav bars) and
+    * carries no containment evidence; dropping it bounds the join at
+    * maxDf²·|distinct hot shingles| instead of unbounded. Sizes (`na`,
+    * `nb`) count the capped universe so C stays a true ratio. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.9,
+                       maxDf: Long = 10000L): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
     val sh = df.select(col(idCol).as("id"),
       graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
-    val exploded = sh.select(col("id"), size(col("hs")).cast("long").as("n_sh"),
-        explode(col("hs")).as("s"))
+    val all = sh.select(col("id"), explode(col("hs")).as("s"))
+    // hot set is tiny by construction (only shingles in >maxDf docs) —
+    // broadcast anti-join, no shuffle of the big side by shingle
+    val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf).select(col("s"))
+    val kept = all.join(broadcast(hot), Seq("s"), "left_anti")
+    val exploded = kept
+      .join(kept.groupBy("id").agg(count(lit(1)).as("n_sh")), Seq("id"))
+      .select(col("id"), col("n_sh"), col("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")

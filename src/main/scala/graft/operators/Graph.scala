@@ -59,8 +59,13 @@ object Graph {
         .join(deg, Seq("src"))
         .select(col("dst"), expr("r DIV d").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+        // keep the FULL node universe every round: a node nobody points at
+        // has no dst group, but it still holds the teleport base rank and
+        // keeps contributing through its out-edges — without this re-join
+        // it silently vanishes from round 2 onward
+        .join(deg.select(col("src").as("dst")), Seq("dst"), "right")
         .select(col("dst").as("v"),
-          (lit(base) + expr("(85 * s) DIV 100")).as("r"))
+          (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
         .localCheckpoint()
     }
     r.select(col("v").as("node"), col("r").as("rank"))

@@ -54,17 +54,22 @@ object Layout {
       acc | (((qx >> i) & 1L) << (2 * i + 1)) | (((qy >> i) & 1L) << (2 * i))
     }
 
-  /** Clamped linear quantization of `v` into [0, CellsPerDim). */
+  /** Clamped linear quantization of `v` into [0, CellsPerDim). A degenerate
+    * dimension (hi ≤ lo: constant column, or empty-input bounds) maps every
+    * row to cell 0 — the naive `(v-lo)/step` would divide by zero and float
+    * NaN through the clamp. */
   def quantize(v: Column, lo: Double, hi: Double): Column = {
     val step = (hi - lo) / CellsPerDim
-    least(greatest(floor((v - lit(lo)) / lit(step)), lit(0.0)),
+    if (!(step > 0)) lit(0L)
+    else least(greatest(floor((v - lit(lo)) / lit(step)), lit(0.0)),
       lit((CellsPerDim - 1).toDouble)).cast("long")
   }
 
-  /** Driver-side twin of [[quantize]]. */
+  /** Driver-side twin of [[quantize]], degenerate-bounds guard included. */
   def quantizeDouble(v: Double, lo: Double, hi: Double): Long = {
     val step = (hi - lo) / CellsPerDim
-    math.min(math.max(math.floor((v - lo) / step), 0.0),
+    if (!(step > 0)) 0L
+    else math.min(math.max(math.floor((v - lo) / step), 0.0),
       (CellsPerDim - 1).toDouble).toLong
   }
 
@@ -76,7 +81,10 @@ object Layout {
                     path: String): ZBounds = {
     val r = df.agg(min(xCol).cast("double"), max(xCol).cast("double"),
       min(yCol).cast("double"), max(yCol).cast("double")).head
-    val b = ZBounds(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // empty input → null aggregates; record degenerate bounds (every row —
+    // there are none — would land in cell 0) instead of NPEing
+    val b = if (r.isNullAt(0) || r.isNullAt(2)) ZBounds(0.0, 0.0, 0.0, 0.0)
+      else ZBounds(r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
     val z = interleave(quantize(xCol.cast("double"), b.xLo, b.xHi),
       quantize(yCol.cast("double"), b.yLo, b.yHi))
     df.withColumn("z", z)

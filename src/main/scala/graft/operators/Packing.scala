@@ -78,8 +78,11 @@ object Packing {
                            epochs: Int, shards: Int,
                            salt: String = ""): DataFrame = {
     require(epochs > 0 && shards > 0, "epochs and shards must be positive")
-    val h = expr(s"cast(conv(substring(md5(concat('$salt', cast(epoch as string), " +
-      s"'|', cast($idCol as string))), 1, 15), 16, 10) as bigint)")
+    // Column API + lit(salt), NOT string interpolation into expr(): a salt
+    // containing a quote would otherwise splice into the SQL text (and any
+    // non-identifier idCol would break parsing)
+    val h = conv(substring(md5(concat(lit(salt), col("epoch").cast("string"),
+      lit("|"), col(idCol).cast("string"))), 1, 15), 16, 10).cast("long")
     val w = Window.partitionBy(col("epoch"), col("shard"))
       .orderBy(col("h"), col(idCol))
     df.select(col(idCol), coalesce(col(tokenCol), lit(0)).as("toks"))

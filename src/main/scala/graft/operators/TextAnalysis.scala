@@ -515,11 +515,14 @@ object TextAnalysis {
     * and the token total N both REDUCE off already-aggregated relations
     * (no corpus re-scan); the `minCount` prune lands right after the
     * bigram partial-agg, so the two vocabulary-sized joins and the
-    * broadcast-able N row see only surviving candidates. Products stay in
-    * exact int64 (cast to DECIMAL once counts could exceed 2^62 at full
-    * corpus scale); ONE int/int division at the end is IEEE-exact
-    * cross-engine, so `lift` needs no rounding. PMI = ln(lift) is
-    * monotone — ranking by lift IS the PMI ranking, minus the float log. */
+    * broadcast-able N row see only surviving candidates. The c_ab·N and
+    * c_a·c_b products widen to DECIMAL(38,0) BEFORE multiplying — at full
+    * corpus scale (N ~ 1e13 tokens) an int64 product overflows silently —
+    * then one correctly-rounded decimal→double conversion per side and ONE
+    * division: bit-identical cross-engine at any scale, and exactly the
+    * int/int division value wherever products fit 2^53 (all test SFs).
+    * PMI = ln(lift) is monotone — ranking by lift IS the PMI ranking,
+    * minus the float log. */
   def collocations(df: DataFrame, textCol: String, minCount: Int): DataFrame = {
     val ws = df.select(words(col(textCol)).as("ws"))
     val uni = ws.select(explode(col("ws")).as("w"))
@@ -535,7 +538,13 @@ object TextAnalysis {
     bg.join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
       .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
       .crossJoin(broadcast(nDf))
-      .withColumn("lift", (col("c_ab") * col("n")) / (col("c_a") * col("c_b")))
+      .withColumn("lift",
+        (col("c_ab").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * col("n").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+          .cast("double")
+          / (col("c_a").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+            * col("c_b").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+            .cast("double"))
       .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"), col("lift"))
   }
 

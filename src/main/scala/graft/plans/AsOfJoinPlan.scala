@@ -133,23 +133,40 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val key = lk.eval(l).asInstanceOf[Long]
-          val time = lt.eval(l).asInstanceOf[Long]
-          // consume right rows up to (key, time]; the LAST consumed row of
-          // this key is the match (sort order makes it max (time, tie))
-          while (nextRight != null && {
-            val k = rk.eval(nextRight).asInstanceOf[Long]
-            k < key || (k == key && rt.eval(nextRight).asInstanceOf[Long] <= time)
-          }) {
-            val k = rk.eval(nextRight).asInstanceOf[Long]
-            if (k == key) { // rows for earlier keys can never match again
-              candidate = nextRight.copy()
-              candidateKey = k
+          // SQL join semantics for NULLs: a null key or time matches
+          // nothing. eval() returns a null REFERENCE there — the previous
+          // asInstanceOf[Long] silently unboxed it to 0L and bound null
+          // rows to key 0.
+          val keyV = lk.eval(l)
+          val timeV = lt.eval(l)
+          if (keyV == null || timeV == null) joined(l, nullRight)
+          else {
+            val key = keyV.asInstanceOf[Long]
+            val time = timeV.asInstanceOf[Long]
+            // consume right rows up to (key, time]; the LAST consumed row of
+            // this key is the match (sort order makes it max (time, tie))
+            var scanning = true
+            while (scanning && nextRight != null) {
+              val kV = rk.eval(nextRight)
+              val tV = rt.eval(nextRight)
+              if (kV == null || tV == null) {
+                // null-keyed/timed right rows can never match any probe
+                nextRight = if (rIter.hasNext) rIter.next() else null
+              } else {
+                val k = kV.asInstanceOf[Long]
+                val t = tV.asInstanceOf[Long]
+                if (k < key || (k == key && t <= time)) {
+                  if (k == key) { // rows for earlier keys never match again
+                    candidate = nextRight.copy()
+                    candidateKey = k
+                  }
+                  nextRight = if (rIter.hasNext) rIter.next() else null
+                } else scanning = false
+              }
             }
-            nextRight = if (rIter.hasNext) rIter.next() else null
+            if (candidate != null && candidateKey == key) joined(l, candidate)
+            else joined(l, nullRight)
           }
-          if (candidate != null && candidateKey == key) joined(l, candidate)
-          else joined(l, nullRight)
         }
       }
     }

@@ -46,6 +46,19 @@ class AsOfJoinPlanSpec extends SparkTestBase {
     assert(got(12L) == None, "key 2's only right row is later")
   }
 
+  test("null keys/times match nothing and never bind to key 0") {
+    val left = Seq((Option(0L), Option(100L), 1L), (Option.empty[Long], Option(100L), 2L),
+      (Option(0L), Option.empty[Long], 3L)).toDF("k", "t", "lid")
+    val right = Seq((Option.empty[Long], Option(40L), 11L, "nullkey"),
+      (Option(0L), Option(50L), 10L, "z")).toDF("k", "t", "rid", "v")
+    val got = AsOfJoinPlan.asof(left, right, "k", "t", "rid", Seq("v"))
+      .orderBy(col("lid")).collect()
+      .map(r => r.getLong(2) -> Option(r.getString(3))).toMap
+    assert(got(1L) == Some("z"), "a GENUINE key-0 probe still matches key-0 rows")
+    assert(got(2L) == None, "null key must not unbox to 0 and steal key-0 matches")
+    assert(got(3L) == None, "null time must not unbox to time 0")
+  }
+
   test("key predicates push through the node to BOTH children") {
     val (purchases, clicks) = eventsFixture
     val q = AsOfJoinPlan.asof(purchases, clicks, "user_id", "ts",

@@ -26,6 +26,32 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got.toSeq == Seq((1L, 2L, 1.0)))
   }
 
+  test("containment maxDf cap drops boilerplate-only evidence, default cap is inert") {
+    // docs 1/2: a genuine containment pair (2 embedded in 1). Docs 10-15: six
+    // docs sharing ONE boilerplate phrase ("cookie banner accept all") and
+    // nothing else pairwise-substantial.
+    val base = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "alpha beta gamma delta epsilon"))
+    val chrome = (10L to 15L).map(i =>
+      (i, s"cookie banner accept all unique$i filler$i words$i"))
+    val df = (base ++ chrome).toDF("doc_id", "text")
+    val uncapped = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.2,
+        maxDf = Long.MaxValue)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // default (high) cap binds nothing here: identical result
+    val dflt = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.2, maxDf = 10000L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == uncapped && uncapped.contains((1L, 2L)))
+    // cap below the boilerplate df (6 docs): chrome-only pairs vanish, the
+    // genuine containment pair survives (its shingles have df = 2)
+    val capped = Dedup.containmentPairs(df, "doc_id", "text", 3, 0.2, maxDf = 5L)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((1L, 2L)))
+    assert(!capped.exists { case (x, y) => x >= 10L && y >= 10L },
+      s"boilerplate-only pairs must be dropped by the cap, got $capped")
+  }
+
   test("minhash-LSH finds the high-jaccard pairs that exact jaccard finds") {
     val docs = Tables.documents(spark, sfDir).select($"doc_id", $"text")
     val corpus = docs.unionByName(docs.filter($"doc_id" % 5 === 0)

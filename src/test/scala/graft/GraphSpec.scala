@@ -33,6 +33,18 @@ class GraphSpec extends SparkTestBase {
     assert(total <= Graph.Scale && total > Graph.Scale - 1000L)
   }
 
+  test("pagerank: a source-only node keeps its teleport base rank, never vanishes") {
+    // 1 ⇄ 2 plus 3 → 1: node 3 has out-edges but NO in-edges
+    val edges = Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pagerankFixedPoint(edges, 2)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.map(_._1) == Seq(1L, 2L, 3L),
+      s"node 3 must stay in the rank relation across rounds: $got")
+    val base = (15L * (Graph.Scale / 3)) / 100L
+    assert(got.find(_._1 == 3L).get._2 == base,
+      "a node nobody points at holds exactly the teleport base")
+  }
+
   test("triangles: K4 plus a pendant edge yields exactly the 4 K4 triangles") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val edges = (k4 :+ ((4L, 5L))).toDF("u", "v")

@@ -569,6 +569,19 @@ class PipelineOpsSpec extends SparkTestBase {
     assert(sums(0) != sums(1) && sums(1) != sums(2))
   }
 
+  test("epochShuffleManifest: quote-bearing salt is literal data, not SQL text") {
+    val d = (1 to 50).map(i => (i.toLong, 10)).toDF("doc_id", "toks")
+    // a salt containing quotes/escapes would splice into the hash SQL if it
+    // were string-interpolated; as a Column literal it just changes the deal
+    val a = Packing.epochShuffleManifest(d, "doc_id", "toks", 1, 2, "o'br\\ien")
+      .collect()
+    val b = Packing.epochShuffleManifest(d, "doc_id", "toks", 1, 2, "").collect()
+    assert(a.map(_.getAs[Long]("n_docs")).sum == 50L)
+    val ck = (rs: Array[org.apache.spark.sql.Row]) =>
+      rs.map(r => (r.getAs[Long]("shard"), r.getAs[Long]("order_checksum"))).toSet
+    assert(ck(a) != ck(b), "different salts must deal different permutations")
+  }
+
   test("kneserNeyBigram matches the hand-computed smoothing on a tiny corpus") {
     val docs = Seq("a b", "c b", "a d").toDF("text")
     val r = TextAnalysis.kneserNeyBigram(docs, "text").collect()

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   * plain filter over the unclustered relation. */
 class ZorderLayoutSpec extends SparkTestBase {
 
+  test("quantize maps a degenerate (constant) dimension to cell 0, no NaN") {
+    import spark.implicits._
+    assert(Layout.quantizeDouble(5.0, 5.0, 5.0) == 0L)
+    assert(Layout.quantizeDouble(-3.0, 7.0, 7.0) == 0L)
+    val cells = Seq(1.0, 7.0, 9.5).toDF("v")
+      .select(Layout.quantize(col("v"), 7.0, 7.0).as("q"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(cells == Seq(0L, 0L, 0L),
+      "hi == lo must not divide by zero / float NaN through the clamp")
+  }
+
   test("Morton interleave puts x bits at odd, y bits at even positions") {
     // x=3 (011), y=5 (101) → z bits {1,3} ∪ {0,4} = 0b11011 = 27
     assert(Layout.interleaveLong(3, 5) == 27L)
