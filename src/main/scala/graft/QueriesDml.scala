@@ -364,6 +364,68 @@ object QueriesDml {
           |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
       doc = "RLS WITH CHECK write-violation batch (Rls.writeViolations, rls_tests.yaml 400-path)"),
 
+    // RLS, fourth matrix slice: authenticated CROSS-OWNER UPDATE-DENY.
+    // Same policy set as rls_owner_scoped, but the request operation is
+    // 'read', so the operation-gated upload window does NOT open bucket F —
+    // the only grant left is owner match, and every cross-owner row of the
+    // update batch violates (the reference's 403/"violates row-level
+    // security policy" path for updates, rls_tests.yaml update cells).
+    "rls_update_deny" -> Q(
+      fn = (s, dir) => {
+        val batch = Tables.objects(s, dir)
+          .filter(col("size").between(30000, 31000))
+          .select(col("bucket_id"), col("name"), col("owner_id"))
+        val policies = Seq(
+          Rls.Policy("owner_update", Set("authenticated"), "update",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false))),
+          Rls.Policy("upload_window_F", Set("authenticated"), "update",
+            _ => col("bucket_id") === "F", operations = Set("upload")))
+        Rls.writeViolations(batch, policies,
+          Rls.Context("authenticated", Some("user-7"), "read"), "update")
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_denied"),
+            countDistinct(col("owner_id")).as("n_owners"))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, count(*) AS n_denied,
+          |       count(DISTINCT owner_id) AS n_owners
+          |FROM objects
+          |WHERE size BETWEEN 30000 AND 31000 AND owner_id <> 'user-7'
+          |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "RLS cross-owner UPDATE-DENY: operation gate closed, owner grant only (rls_tests.yaml)"),
+
+    // RLS, fifth matrix slice: the SERVICE-ROLE DELETE-BYPASS as an
+    // operation, not just a visibility census — the same delete batch
+    // evaluated under the authenticated owner policy (cross-owner rows
+    // rejected) and under service_role (writeViolations short-circuits to
+    // empty: the reference's superuser connection skips RLS entirely).
+    "rls_delete_bypass" -> Q(
+      fn = (s, dir) => {
+        val batch = Tables.objects(s, dir)
+          .filter(col("size").between(15000, 15500))
+          .select(col("bucket_id"), col("name"), col("owner_id"))
+        val policies = Seq(
+          Rls.Policy("delete_own", Set("authenticated"), "delete",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false))))
+        def cell(role: String, uid: Option[String]) =
+          Rls.writeViolations(batch, policies,
+              Rls.Context(role, uid, "storage"), "delete")
+            .agg(count(lit(1)).as("n_rejected"))
+            .select(lit(role).as("ctx_role"), col("n_rejected"))
+        cell("authenticated", Some("user-7"))
+          .unionByName(cell("service_role", None))
+          .orderBy(col("ctx_role"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT 'authenticated' AS ctx_role, count(*) AS n_rejected
+          |FROM objects
+          |WHERE size BETWEEN 15000 AND 15500 AND owner_id <> 'user-7'
+          |UNION ALL
+          |SELECT 'service_role', CAST(0 AS BIGINT)
+          |ORDER BY ctx_role""".stripMargin)),
+      doc = "RLS service_role delete-bypass vs authenticated owner-scoped delete (rls_tests.yaml)"),
+
     // P10 MIME wildcard validation as a bulk predicate.
     "p10_mime_validation" -> Q(
       fn = (s, dir) => Tables.objects(s, dir)

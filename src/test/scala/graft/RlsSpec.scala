@@ -98,6 +98,34 @@ class RlsSpec extends SparkTestBase {
       Context("service_role", None, "object.list"), "delete").count() == 4)
   }
 
+  test("cross-owner update-deny: gate-closed operation leaves only the owner grant") {
+    val policies = Seq(
+      Policy("owner_update", Set("authenticated"), "update",
+        ctx => col("owner") === ctx.uid.orNull),
+      Policy("upload_window", Set("authenticated"), "update",
+        _ => col("mimetype").startsWith("image/"), operations = Set("upload")))
+    // operation 'object.get' ≠ 'upload': image window closed, u1 may only
+    // touch its own rows — c.png/d.txt (u2's) are denied
+    val deny = Context("authenticated", Some("u1"), "object.get")
+    assert(names(Rls.writeViolations(objects, policies, deny, "update"))
+      == Seq("c.png", "d.txt"))
+    // during 'upload' the image window opens: only the cross-owner NON-image
+    // row still violates
+    val open = Context("authenticated", Some("u1"), "upload")
+    assert(names(Rls.writeViolations(objects, policies, open, "update"))
+      == Seq("d.txt"))
+  }
+
+  test("service_role delete-bypass: the same batch rejects nothing") {
+    val policies = Seq(Policy("delete_own", Set("authenticated"), "delete",
+      ctx => col("owner") === ctx.uid.orNull))
+    val auth = Context("authenticated", Some("u1"), "storage")
+    assert(names(Rls.writeViolations(objects, policies, auth, "delete"))
+      == Seq("c.png", "d.txt"))
+    val svc = Context("service_role", None, "storage")
+    assert(Rls.writeViolations(objects, policies, svc, "delete").isEmpty)
+  }
+
   test("RLS predicate pushes into the scan (no post-filter barrier)") {
     val ctx = Context("authenticated", Some("u1"), "object.list")
     val plan = Rls.visible(objects, Seq(readOwn), ctx)
