@@ -928,8 +928,8 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
             .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
         val centroids = e.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         Dedup.semanticNearDupPairs(corpus, "vec_id", "embedding", centroids, 0.9)
           .orderBy(col("id_a"), col("id_b"))
       },

@@ -69,7 +69,9 @@ object QueriesVector {
     * *parameter*, exactly like the reference's `$q` bind value. */
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
     Tables.embeddings(s, dir).filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      // cast-to-double at select time: collect-side unboxing must not assume
+      // the stored element width (float32 today; a regen could widen it)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
 
   /** The LSH hyperplanes are seeded (Vectors.lshBuckets, seed 42), so the
     * oracle can carry them as SQL literals and recompute identical buckets:
@@ -327,8 +329,8 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val centroids = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         Vectors.ivfKnn(emb, "vec_id", "embedding", centroids, queryVec(s, dir), 10, 4)
           .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
       },
@@ -358,8 +360,8 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val centroids = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         Vectors.kmeansStep(emb, "embedding", centroids)
           .orderBy(col("cid"), col("dim"))
       },
@@ -390,8 +392,8 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val init = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         val refined = Vectors.kmeansRefine(emb, "embedding", init, 1)
         Vectors.ivfKnn(emb, "vec_id", "embedding", refined, queryVec(s, dir), 10, 4)
           .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
@@ -432,8 +434,8 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val codebooks = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("embedding")).collect()
-          .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+          .select(col("embedding").cast("array<double>")).collect()
+          .map(_.getSeq[Double](0).toSeq).toSeq
         Vectors.pqSearch(emb, "vec_id", "embedding", codebooks, 8,
           queryVec(s, dir), 10, payloadCols = Seq("label"))
       },
@@ -468,9 +470,9 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val sample = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
         val centroids = sample.map(r =>
-          (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         val codebooks = centroids.map(_._2)
         val q = queryVec(s, dir)
         val probes = centroids.map { case (cid, cv) =>
@@ -521,8 +523,8 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val centroids = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         val queries = emb.filter(col("vec_id") % 41 === 0)
         Vectors.knnJoin(queries, "vec_id", emb, "vec_id", "embedding",
           centroids, topK = 5, nProbe = 2)
@@ -587,13 +589,13 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val sample = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(8)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         val kcIds = Vectors.farthestPointInit(emb, "vec_id", "embedding", 8)
           .select(col("cid")).collect().map(_.getLong(0))
         val kc = emb.filter(col("vec_id").isin(kcIds: _*))
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
           .sortBy(_._1)
         def census(cents: Seq[(Long, Seq[Double])], tag: String) =
           Vectors.ivfAssign(emb, "embedding", cents)
@@ -673,8 +675,8 @@ object QueriesVector {
         val emb = Tables.embeddings(s, dir)
         val centroids = emb.filter(col("vec_id") % 97 === 3)
           .orderBy(col("vec_id")).limit(16)
-          .select(col("vec_id"), col("embedding")).collect()
-          .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
         val queries = emb.filter(col("vec_id") % 41 === 0)
         val approx = Vectors.knnJoin(queries, "vec_id", emb, "vec_id",
           "embedding", centroids, topK = 10, nProbe = 2)

@@ -105,10 +105,10 @@ class DedupVectorsSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)
       .orderBy(col("vec_id")).limit(16)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
     val ivf = Vectors.ivfKnn(emb, "vec_id", "embedding", centroids, q, 10, 4)
       .select("vec_id").collect().map(_.getLong(0)).toSeq
     val exact = Vectors.knn(emb, "vec_id", "embedding", q, "euclidean", 50)
@@ -125,8 +125,8 @@ class DedupVectorsSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sfDir)
     val samples = emb.filter(col("vec_id") % 97 === 3)
       .orderBy(col("vec_id")).limit(16)
-      .select(col("vec_id"), col("embedding")).collect()
-    val codebooks = samples.map(_.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+    val codebooks = samples.map(_.getSeq[Double](1).toSeq).toSeq
     val firstId = samples.head.getLong(0)
     // the row the first codebook entry was sampled from has all-zero
     // subspace distances to entry 1 → codes all 1
@@ -135,7 +135,7 @@ class DedupVectorsSpec extends SparkTestBase {
       .select(col("pq_code")).head.getSeq[Int](0)
     assert(codes == Seq.fill(8)(1))
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0)
     val run = () => Vectors.pqSearch(emb, "vec_id", "embedding", codebooks, 8, q, 10)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
     val r1 = run()
@@ -145,8 +145,8 @@ class DedupVectorsSpec extends SparkTestBase {
 
   test("ANN kNN results are a subset of the exact scan, same ordering") {
     val emb = Tables.embeddings(spark, sfDir)
-    val q = emb.filter($"vec_id" === 0).select($"embedding")
-      .head.getSeq[Float](0).map(_.toDouble)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
+      .head.getSeq[Double](0)
     val exact = Vectors.knn(emb, "vec_id", "embedding", q, "cosine", 100)
       .select("vec_id", "distance").collect()
       .map(r => r.getLong(0) -> r.getDouble(1)).toMap
@@ -169,8 +169,8 @@ class DedupVectorsSpec extends SparkTestBase {
 
   test("binary-sketch kNN: query self-match, exact distances, partition-stable") {
     val emb = Tables.embeddings(spark, sfDir)
-    val q = emb.filter($"vec_id" === 0).select($"embedding")
-      .head.getSeq[Float](0).map(_.toDouble)
+    val q = emb.filter($"vec_id" === 0).select($"embedding".cast("array<double>"))
+      .head.getSeq[Double](0)
     val bin = Vectors.binaryKnn(emb, "vec_id", "embedding", q, topK = 10,
         candidates = 50)
       .select("vec_id", "hamming", "distance").collect()
@@ -284,8 +284,8 @@ class DedupVectorsSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)
       .orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     val queries = emb.filter(col("vec_id") % 41 === 0)
     // probing every list removes the approximation: result must be exact
     val got = Vectors.knnJoin(queries, "vec_id", emb, "vec_id", "embedding",

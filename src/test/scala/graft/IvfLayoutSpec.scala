@@ -15,10 +15,10 @@ class IvfLayoutSpec extends SparkTestBase {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)
       .orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     val q = emb.filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toSeq
     val path = java.nio.file.Files.createTempDirectory("ivf_store").toString + "/vectors"
     Vectors.writeIvfPartitioned(emb, "embedding", centroids, path)
 

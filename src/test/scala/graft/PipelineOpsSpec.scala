@@ -365,8 +365,8 @@ class PipelineOpsSpec extends SparkTestBase {
         .select((col("vec_id") + 100000).as("vec_id"), col("embedding")))
     val centroids = e.filter(col("vec_id") % 97 === 3)
       .orderBy(col("vec_id")).limit(8)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toSeq)).toSeq
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
     val pairs = graft.operators.Dedup.semanticNearDupPairs(
       corpus, "vec_id", "embedding", centroids, 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -409,8 +409,8 @@ class PipelineOpsSpec extends SparkTestBase {
   test("kmeansRefine: matches local Lloyd reference and lowers distortion") {
     import graft.operators.Vectors
     val emb = Tables.embeddings(spark, sfDir)
-    val data = emb.select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+    val data = emb.select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val init = data.filter(_._1 % 7 == 3).sortBy(_._1).take(4)
       .map { case (id, v) => (id, v.toSeq) }.toSeq
 
