@@ -517,23 +517,35 @@ object Vectors {
     * the integer co-moment sum at 1e10 scale. */
   def covarianceMatrix(vectors: DataFrame, embCol: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val pairs = vectors.select(explode(expr(
-      s"""flatten(transform(sequence(0, size($embCol) - 1), i ->
-         |  transform(sequence(i, size($embCol) - 1), j ->
-         |    named_struct('i', i, 'j', j,
-         |      'qi', cast(floor(cast(element_at($embCol, i + 1) as double) * 100000.0) as bigint),
-         |      'qj', cast(floor(cast(element_at($embCol, j + 1) as double) * 100000.0) as bigint)))))"""
-        .stripMargin)).as("p"))
-      .select(col("p.i").cast("long").as("i"), col("p.j").cast("long").as("j"),
-        col("p.qi").as("qi"), col("p.qj").as("qj"))
-    pairs.groupBy(col("i"), col("j"))
-      .agg(count(lit(1)).as("n"),
-        sum((col("qi") * col("qj")).cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("sxy"),
-        sum(col("qi").cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("sx"),
-        sum(col("qj").cast(DecimalType(38, 0)))
-          .cast(DecimalType(38, 0)).as("sy"))
+    // d is a layout constant of the stored relation (like the centroid set,
+    // read driver-side once); the aggregate needs it to shape its buffer
+    val dim = vectors.select(size(col(embCol)).as("d"))
+      .filter(col("d") > 0).head.getInt(0)
+    val q = expr(
+      s"transform($embCol, x -> cast(floor(cast(x as double) * 100000.0) as bigint))")
+    // ONE aggregate pass: a [n, marginals, upper-triangle] long buffer per
+    // partition (≈17 KB at d=64) instead of exploding d(d+1)/2 pair rows per
+    // vector through the hash aggregate (~70M rows at sf0.1). Same exact
+    // integer sums — the fan-out to (i, j) rows below is over the d²-sized
+    // RESULT, not the corpus.
+    val m = vectors.agg(
+      graft.functions.VectorExprs.quantizedCoMoment(q, dim).as("m"))
+    m.select(explode(expr(
+      s"""flatten(transform(sequence(0, ${dim - 1}), i ->
+         |  transform(sequence(i, ${dim - 1}), j ->
+         |    named_struct(
+         |      'i', cast(i as bigint), 'j', cast(j as bigint),
+         |      'n', element_at(m, 1),
+         |      'sxy', element_at(m, cast(
+         |        1 + $dim + ((i * $dim) - ((i * (i - 1)) div 2) + (j - i)) + 1
+         |        as int)),
+         |      'sx', element_at(m, 1 + i + 1),
+         |      'sy', element_at(m, 1 + j + 1)))))""".stripMargin)).as("p"))
+      .filter(col("p.n") > 0) // empty input → empty relation, like the groupBy
+      .select(col("p.i").as("i"), col("p.j").as("j"), col("p.n").as("n"),
+        col("p.sxy").cast(DecimalType(38, 0)).as("sxy"),
+        col("p.sx").cast(DecimalType(38, 0)).as("sx"),
+        col("p.sy").cast(DecimalType(38, 0)).as("sy"))
       .select(col("i"), col("j"), col("n"), col("sxy"),
         ((col("sxy").cast("double") / lit(1.0e10)
           - col("sx").cast("double") / lit(1.0e5)

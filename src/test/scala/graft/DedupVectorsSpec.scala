@@ -101,6 +101,33 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(four == brute3)
   }
 
+  test("covarianceMatrix one-pass aggregate: hand-recompute parity, ragged rows skipped") {
+    val rows = Seq(Seq(0.1f, -0.2f, 0.3f), Seq(0.0f, 0.5f, -0.1f),
+      Seq(0.2f, 0.2f, 0.2f))
+    val df = rows.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "embedding")
+      // a ragged row must be skipped, not corrupt the sums
+      .unionByName(Seq((99L, Seq(0.9f, 0.9f))).toDF("vec_id", "embedding"))
+    val got = Vectors.covarianceMatrix(df, "embedding").orderBy("i", "j").collect()
+    def q(x: Float): Long = math.floor(x.toDouble * 100000.0).toLong
+    val vs = rows.map(_.map(q))
+    assert(got.length == 6)
+    var idx = 0
+    for (i <- 0 until 3; j <- i until 3) {
+      val r = got(idx)
+      val sxy = vs.map(v => v(i) * v(j)).sum
+      val sx = vs.map(_(i)).sum
+      val sy = vs.map(_(j)).sum
+      assert(r.getLong(0) == i && r.getLong(1) == j)
+      assert(r.getLong(2) == 3L, "ragged row must not count")
+      assert(r.getDecimal(3).longValueExact == sxy, s"sxy($i,$j)")
+      val cov = (sxy.toDouble / 1.0e10
+        - sx.toDouble / 1.0e5 * (sy.toDouble / 1.0e5) / 3.0) / 3.0
+      assert(r.getDouble(4) == cov, s"cov($i,$j)")
+      idx += 1
+    }
+  }
+
   test("IVF kNN results are a subset of the exact L2 scan, same ordering") {
     val emb = Tables.embeddings(spark, sfDir)
     val centroids = emb.filter(col("vec_id") % 97 === 3)
