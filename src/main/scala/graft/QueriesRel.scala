@@ -558,13 +558,16 @@ object QueriesRel {
     // int supports; the item-support dim broadcasts.
     "basket_rules" -> Q(
       fn = (s, dir) => {
-        val items = Tables.lineitem(s, dir)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        // ONE basket pass: collect_set dedups (o, p) inside the groupBy, so
+        // the standalone distinct shuffle is pure overhead; item supports
+        // and the basket count both derive from the pinned basket relation
+        // (exploding deduped sets ≡ distinct (o, p)) — no second corpus scan
+        val baskets = Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
           .persist()
-        items.count() // pin: feeds baskets + two support lookups
-        val n = items.select(col("o")).distinct().count()
-        val pairs = items.groupBy(col("o"))
-          .agg(collect_set(col("p")).as("ps"))
+        val n = baskets.count() // pin: feeds pairs + supports; n = basket census
+        val pairs = baskets
           .select(explode(expr(
             """flatten(transform(ps, x -> transform(
               |  filter(ps, y -> y > x), y -> struct(x AS x, y AS y))))""".stripMargin))
@@ -572,7 +575,8 @@ object QueriesRel {
           .groupBy(col("pr.x").as("x"), col("pr.y").as("y"))
           .agg(count(lit(1)).as("s_pair"))
           .filter(col("s_pair") >= 3)
-        val sup = items.groupBy(col("p")).agg(count(lit(1)).as("s_item"))
+        val sup = baskets.select(explode(col("ps")).as("p"))
+          .groupBy(col("p")).agg(count(lit(1)).as("s_item"))
         val rules = pairs
           .select(col("x").as("ante"), col("y").as("cons"), col("s_pair"))
           .unionByName(pairs.select(col("y").as("ante"), col("x").as("cons"),

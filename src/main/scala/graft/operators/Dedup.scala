@@ -112,7 +112,11 @@ object Dedup {
     require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
     val sh = df.select(col(idCol).as("id"),
       graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
+    // persisted once: the df census, the anti-join, and the size recount all
+    // read this relation — without the cache the scan+shingle+md5 kernel
+    // re-runs per reader (the jaccardPairs capped-path discipline)
     val all = sh.select(col("id"), explode(col("hs")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // hot set is tiny by construction (only shingles in >maxDf docs) —
     // broadcast anti-join, no shuffle of the big side by shingle
     val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
