@@ -426,6 +426,87 @@ object QueriesDml {
           |ORDER BY ctx_role""".stripMargin)),
       doc = "RLS service_role delete-bypass vs authenticated owner-scoped delete (rls_tests.yaml)"),
 
+    // RLS, sixth matrix slice: the CONTENT-POLICY battery — the three WITH
+    // CHECK shapes rls_tests.yaml attaches beyond owner match, each evaluated
+    // alone (the yaml's one-policy-per-test design) plus the OR-combined
+    // grant: jsonb-field equality (insert_with_metadata_check,
+    // rls_tests.yaml:50-54), a mimetype LIKE class (insert_only_images,
+    // :56-60), and a numeric threshold (insert_max_size_limit, :62-66).
+    // NULL user_metadata must DENY (jsonb ->> on NULL is NULL → policy
+    // false), which Rls.grant's coalesce(pred, false) pins.
+    "rls_content_policies" -> Q(
+      fn = (s, dir) => {
+        val batch = Tables.objects(s, dir)
+          .filter(col("size").between(40000, 41000))
+          .select(col("name"), col("mimetype"), col("size"), col("user_metadata"))
+        val goldTier = Rls.Policy("insert_gold_tier", Set("authenticated"), "insert",
+          _ => get_json_object(col("user_metadata"), "$.tier") === "gold")
+        val onlyImages = Rls.Policy("insert_only_images", Set("authenticated"), "insert",
+          _ => col("mimetype").startsWith("image/"))
+        val maxSize = Rls.Policy("insert_max_size", Set("authenticated"), "insert",
+          _ => col("size") <= 40500L)
+        val ctx = Rls.Context("authenticated", Some("user-7"), "upload")
+        def cell(label: String, ps: Seq[Rls.Policy]) =
+          Rls.writeViolations(batch, ps, ctx, "insert")
+            .agg(count(lit(1)).as("n_rejected"))
+            .select(lit(label).as("policy"), col("n_rejected"))
+        cell("any_policy", Seq(goldTier, onlyImages, maxSize))
+          .unionByName(cell("insert_gold_tier", Seq(goldTier)))
+          .unionByName(cell("insert_only_images", Seq(onlyImages)))
+          .unionByName(cell("insert_max_size", Seq(maxSize)))
+          .orderBy(col("policy"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, batch AS (SELECT name, mimetype, size, user_metadata
+          |  FROM objects WHERE size BETWEEN 40000 AND 41000)
+          |SELECT 'any_policy' AS policy, count(*) AS n_rejected FROM batch
+          |WHERE NOT (coalesce(json_extract_string(user_metadata, '$.tier') = 'gold', FALSE)
+          |           OR mimetype LIKE 'image/%' OR size <= 40500)
+          |UNION ALL
+          |SELECT 'insert_gold_tier', count(*) FROM batch
+          |WHERE NOT coalesce(json_extract_string(user_metadata, '$.tier') = 'gold', FALSE)
+          |UNION ALL
+          |SELECT 'insert_only_images', count(*) FROM batch
+          |WHERE NOT (mimetype LIKE 'image/%')
+          |UNION ALL
+          |SELECT 'insert_max_size', count(*) FROM batch WHERE NOT (size <= 40500)
+          |ORDER BY policy""".stripMargin)),
+      doc = "RLS WITH CHECK content battery: jsonb field / mime class / size cap (rls_tests.yaml:50-66)"),
+
+    // RLS, seventh matrix slice: OPERATION GATES — allow_only_operation
+    // (single-op set, rls_tests.yaml:72) vs allow_any_operation (multi-op
+    // set, :78), probed under three request operations. The delete-op row is
+    // the both-gates-closed DENY cell (no applicable policy → empty grant).
+    "rls_operation_gates" -> Q(
+      fn = (s, dir) => {
+        val objects = Tables.objects(s, dir)
+        val policies = Seq(
+          Rls.Policy("list_only_own", Set("authenticated"), "select",
+            ctx => ctx.uid.map(col("owner_id") === _).getOrElse(lit(false)),
+            operations = Set("object.list")),
+          Rls.Policy("list_or_get_F", Set("authenticated"), "select",
+            _ => col("bucket_id") === "F",
+            operations = Set("object.list", "object.get_authenticated")))
+        def cell(op: String) =
+          Rls.visible(objects, policies,
+              Rls.Context("authenticated", Some("user-7"), op), "select")
+            .agg(count(lit(1)).as("n_visible"))
+            .select(lit(op).as("op_name"), col("n_visible"))
+        cell("object.list")
+          .unionByName(cell("object.get_authenticated"))
+          .unionByName(cell("object.delete"))
+          .orderBy(col("op_name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT 'object.list' AS op_name, count(*) AS n_visible FROM objects
+          |WHERE owner_id = 'user-7' OR bucket_id = 'F'
+          |UNION ALL
+          |SELECT 'object.get_authenticated', count(*) FROM objects WHERE bucket_id = 'F'
+          |UNION ALL
+          |SELECT 'object.delete', CAST(0 AS BIGINT)
+          |ORDER BY op_name""".stripMargin)),
+      doc = "RLS allow_only vs allow_any operation gates incl. the closed-gate DENY cell (rls_tests.yaml:70-82)"),
+
     // P10 MIME wildcard validation as a bulk predicate.
     "p10_mime_validation" -> Q(
       fn = (s, dir) => Tables.objects(s, dir)
@@ -510,5 +591,58 @@ object QueriesDml {
           |  o_orderdate AS initiated
           |FROM orders WHERE concat('O/', o_orderkey, '.bin') LIKE 'O/1%'
           |ORDER BY key, upload_id LIMIT 200""".stripMargin),
-      doc = "ListMultipartUploads shape (s3-handler.ts:290-293)"))
+      doc = "ListMultipartUploads shape (s3-handler.ts:290-293)"),
+
+    // S4 object-byte analytics: a REAL distributed byte scan. The documents
+    // corpus is materialized as a blob tree (one file per doc, executor-side
+    // writes), read back via `binaryFile`, and per-object byte work runs as
+    // codegen'd expressions: md5(content) is S3's single-part ETag
+    // (headObject, backend/adapter.ts:79-110), and two Range headers —
+    // `bytes=100-199` and the suffix form `bytes=-50` — resolve per object
+    // exactly as range.ts:9-56 (NULL = 416 unsatisfiable). The oracle never
+    // sees the files: it recomputes every column from `documents.text`,
+    // which certifies the write→scan→digest round trip byte-for-byte.
+    "s4_blob_etag_scan" -> Q(
+      fn = (s, dir) => {
+        val root = graft.sources.BlobStore.ensureBlobTree(s, dir)
+        graft.sources.BlobStore.byteScan(s, root)
+          .withColumn("mid_start", when(col("size") > 100, lit(100L)))
+          .withColumn("mid_end", when(col("size") > 100, least(lit(199L), col("size") - 1)))
+          .withColumn("tail_start", greatest(col("size") - 50, lit(0L)))
+          .withColumn("tail_len", col("size") - greatest(col("size") - 50, lit(0L)))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        """SELECT doc_id, octet_length(encode(text)) AS size, md5(text) AS etag,
+          |  CASE WHEN octet_length(encode(text)) > 100 THEN CAST(100 AS BIGINT) END AS mid_start,
+          |  CASE WHEN octet_length(encode(text)) > 100
+          |       THEN least(CAST(199 AS BIGINT), octet_length(encode(text)) - 1) END AS mid_end,
+          |  greatest(octet_length(encode(text)) - 50, 0) AS tail_start,
+          |  octet_length(encode(text)) - greatest(octet_length(encode(text)) - 50, 0) AS tail_len
+          |FROM documents ORDER BY doc_id""".stripMargin),
+      doc = "S4 distributed byte scan: binaryFile ETag digests + bulk Range resolution (adapter.ts:79-249, range.ts:9-56)"),
+
+    // S4/D11: the S3 COMPOSITE multipart ETag — md5 over the ordered part
+    // digests plus a `-<n>` part-count suffix (CompleteMultipartUpload,
+    // s3-handler.ts + uploader.ts finalize). Digest concatenation is over
+    // the hex forms (portable across both engines; S3 proper concatenates
+    // raw digest bytes — same structure, different alphabet). Duplicate
+    // (upload, part_number) fixture rows carry identical etags, so the
+    // ordered concat is tie-insensitive and deterministic.
+    "s4_multipart_etag" -> Q(
+      fn = (s, dir) => Tables.multipartParts(s, dir)
+        .groupBy(col("upload_id"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("size")).as("total_bytes"),
+          expr("md5(array_join(transform(array_sort(collect_list(struct(part_number, etag))), p -> p.etag), ''))").as("digest"))
+        .filter(col("n_parts") >= 6)
+        .select(col("upload_id"), col("n_parts"), col("total_bytes"),
+          concat(col("digest"), lit("-"), col("n_parts")).as("composite_etag"))
+        .orderBy(col("upload_id")),
+      oracle = Some(Oracle.withParts(
+        """SELECT upload_id, count(*) AS n_parts, CAST(sum(size) AS BIGINT) AS total_bytes,
+          |  concat(md5(string_agg(etag, '' ORDER BY part_number, etag)), '-', count(*)) AS composite_etag
+          |FROM parts GROUP BY upload_id HAVING count(*) >= 6
+          |ORDER BY upload_id""".stripMargin)),
+      doc = "S4 composite multipart ETag: ordered part-digest md5 + -n suffix (CompleteMultipartUpload)"))
 }

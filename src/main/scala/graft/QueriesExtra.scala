@@ -1161,6 +1161,40 @@ object QueriesExtra {
     // Sketches.kmvIntersectionEstimate — membership-in-union-sample, not
     // inclusion–exclusion). The k-min is a distributed top-k; estimates
     // are unrounded IEEE chains the oracle replays bit-for-bit.
+    // Quantile estimation as a MERGEABLE sketch: deterministic bottom-k
+    // uniform sample by the md5-60-bit key hash (the KMV construction,
+    // read out for order statistics instead of cardinality). The k=256
+    // bottom-k runs as TakeOrderedAndProject (per-task heaps, no global
+    // sort); deciles are raw stored values — zero double arithmetic — so
+    // the oracle hash-matches bit-for-bit. Completes the sketch family:
+    // HLL (distinct), CMS (frequency), KMV (set algebra), Bloom
+    // (membership), bottom-k (quantiles).
+    "sketch_bottomk_quantiles" -> Q(
+      fn = (s, dir) => {
+        val keyed = Tables.lineitem(s, dir).select(
+          col("l_extendedprice").as("v"),
+          concat_ws("|", col("l_orderkey"), col("l_linenumber"),
+            col("l_suppkey"), col("l_partkey"),
+            floor(col("l_extendedprice")).cast("long"),
+            unix_millis(col("l_shipdate").cast("timestamp")),
+            col("l_linestatus")).as("key"))
+        graft.operators.Sketches.bottomKQuantiles(keyed, k = 256)
+      },
+      oracle = Some(
+        """WITH s AS (SELECT l_extendedprice AS v,
+          |    CAST('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,
+          |      l_suppkey, l_partkey, CAST(floor(l_extendedprice) AS BIGINT),
+          |      epoch_ms(l_shipdate), l_linestatus)), 1, 15) AS BIGINT) AS h
+          |  FROM lineitem),
+          |k AS (SELECT v, h FROM s ORDER BY h LIMIT 256),
+          |r AS (SELECT v, row_number() OVER (ORDER BY v, h) AS rn,
+          |             count(*) OVER () AS n FROM k)
+          |SELECT d.decile, r.v AS est_value, r.n AS sample_n
+          |FROM (SELECT unnest(range(1, 10)) AS decile) d
+          |JOIN r ON r.rn = 1 + ((r.n - 1) * d.decile) // 10
+          |ORDER BY d.decile""".stripMargin),
+      doc = "bottom-k-by-hash quantile sketch: mergeable KMV sample, order-statistic readout, TakeOrderedAndProject plan"),
+
     "sketch_kmv_distinct" -> Q(
       fn = (s, dir) => {
         val a = Tables.lineitem(s, dir)

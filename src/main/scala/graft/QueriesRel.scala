@@ -483,6 +483,104 @@ object QueriesRel {
           |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin),
       doc = "headline: 6-way star join, tiny dims broadcast, fact joins shuffled"),
 
+    // TPC-H Q13 shape: order-count distribution INCLUDING zero-order
+    // customers. Orders pre-aggregate to per-customer counts BEFORE the
+    // outer join (the join carries one row per customer instead of one per
+    // order — at 100 TB that's the difference between shuffling the fact
+    // table and shuffling a key-count sketch of it); the left join +
+    // coalesce(n, 0) preserves customers with no orders.
+    "q13_order_distribution" -> Q(
+      fn = (s, dir) => {
+        val perCust = Tables.orders(s, dir)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .groupBy(col("o_custkey")).agg(count(lit(1)).as("n"))
+        Tables.customer(s, dir)
+          .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+          .select(coalesce(col("n"), lit(0L)).as("n_orders"))
+          .groupBy(col("n_orders")).agg(count(lit(1)).as("n_customers"))
+          .orderBy(col("n_customers").desc, col("n_orders").desc)
+      },
+      oracle = Some(
+        """SELECT n_orders, count(*) AS n_customers
+          |FROM (SELECT c_custkey, count(o_orderkey) AS n_orders
+          |      FROM customer LEFT JOIN orders
+          |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+          |      GROUP BY c_custkey) t
+          |GROUP BY n_orders
+          |ORDER BY n_customers DESC, n_orders DESC""".stripMargin),
+      doc = "Q13 shape: zero-preserving outer join + two-level distribution (pre-aggregated probe side)"),
+
+    // TPC-H Q15 shape: top supplier(s) by quarterly revenue — a global
+    // argmax WITH tie preservation. The max is a 1-row aggregate
+    // broadcast back against the per-supplier revenue relation (NOT an
+    // empty-partition window, which would serialize the whole relation
+    // through one task — PlanAudit rejects that shape). Revenue compares
+    // in exact DECIMAL so the equality is engine-identical; the double
+    // cast happens only at output.
+    "q15_top_supplier" -> Q(
+      fn = (s, dir) => {
+        val rev = Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= to_timestamp(lit("1996-01-01 00:00:00")) &&
+            col("l_shipdate") < to_timestamp(lit("1996-04-01 00:00:00")))
+          .groupBy(col("l_suppkey"))
+          .agg(sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .cast(DecimalType(18, 4))).as("r"))
+        val mx = rev.agg(max(col("r")).as("mx"))
+        rev.join(broadcast(mx), col("r") === col("mx"))
+          .join(broadcast(Tables.supplier(s, dir)),
+            col("l_suppkey") === col("s_suppkey"))
+          .select(col("s_suppkey"), col("s_name"),
+            col("r").cast("double").as("total_rev"))
+          .orderBy(col("s_suppkey"))
+      },
+      oracle = Some(
+        """WITH rev AS (SELECT l_suppkey,
+          |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS r
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          |    AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_rev
+          |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          |WHERE r = (SELECT max(r) FROM rev)
+          |ORDER BY s_suppkey""".stripMargin),
+      doc = "Q15 shape: exact-decimal global argmax with ties, 1-row broadcast instead of a global window"),
+
+    // TPC-H Q22 shape: global scalar threshold + anti-join. "Wealthy but
+    // idle" customers: above-average positive balance AND no orders. The
+    // average is never materialized as a division — the gate compares
+    // bal·n > Σbal in exact DECIMAL (cross-multiplied form; a double
+    // division would put customers sitting exactly on the boundary at
+    // last-ulp cross-engine risk). The anti-join shuffles on custkey.
+    "q22_idle_customers" -> Q(
+      fn = (s, dir) => {
+        val cust = Tables.customer(s, dir)
+          .withColumn("bal", round(col("c_acctbal"), 2).cast(DecimalType(18, 2)))
+        val g = cust.filter(col("c_acctbal") > 0.0)
+          .agg(sum(col("bal")).as("s"), count(lit(1)).as("n"))
+        cust.join(broadcast(g))
+          .filter(col("bal") * col("n") > col("s"))
+          .join(Tables.orders(s, dir),
+            col("c_custkey") === col("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("n_custs"),
+            sum(col("bal")).cast("double").as("total_bal"))
+          .orderBy(col("c_nationkey"))
+      },
+      oracle = Some(
+        """WITH pos AS (SELECT
+          |    sum(CAST(round(c_acctbal, 2) AS DECIMAL(18,2))) AS s, count(*) AS n
+          |  FROM customer WHERE c_acctbal > 0),
+          |idle AS (SELECT c_nationkey,
+          |    CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) AS bal
+          |  FROM customer, pos
+          |  WHERE CAST(round(c_acctbal, 2) AS DECIMAL(18,2)) * n > s
+          |    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey))
+          |SELECT c_nationkey, count(*) AS n_custs,
+          |       CAST(sum(bal) AS DOUBLE) AS total_bal
+          |FROM idle GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      doc = "Q22 shape: cross-multiplied scalar threshold + anti-join (no double-division boundary)"),
+
     // RFM customer segmentation: recency/frequency/monetary quintiles.
     // The quintile boundary is a GLOBAL order statistic, so the scale-safe
     // form is the distributed two-pass rank (Prefix.withRankAndCumSum —

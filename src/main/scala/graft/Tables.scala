@@ -92,6 +92,22 @@ object Tables {
     * materializations under /tmp are never reused. */
   private val synthVersion = "v2"
 
+  /** Fingerprint of the driver testdata the synthesized relations derive
+    * from. The driver regenerates /root/testdata between rounds (it did at
+    * r5→r6 and again mid-r7); a cache keyed only on (version, dir) would
+    * silently serve relations built from the OLD data. mtime+size of every
+    * source parquet folds into the cache path, so a regen — even one that
+    * keeps schemas identical — forces a rebuild. */
+  private[graft] def sourceFingerprint(dir: String): String = {
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val sig = files.map(f => s"${f.getName}:${f.lastModified}:${f.length}").mkString("|")
+    // md5 keeps the path short; collisions irrelevant at this cardinality
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+  }
+
   /** Materialize a synthesized relation once per (relation, sfDir) as parquet
     * — the storage layout a real deployment would have (the reference's
     * `storage.objects` is a stored table, not a per-query derivation).
@@ -104,7 +120,7 @@ object Tables {
                            partCol: Option[String], sortCol: String)
                           (build: => DataFrame): DataFrame = {
     val safe = dir.replace('/', '_')
-    val out = s"/tmp/graft_tables/$synthVersion/$safe/$name"
+    val out = s"/tmp/graft_tables/$synthVersion/$safe-${sourceFingerprint(dir)}/$name"
     if (!new java.io.File(s"$out/_SUCCESS").exists()) {
       val w = partCol match {
         case Some(p) => build.repartition(col(p)).sortWithinPartitions(col(sortCol))

@@ -400,6 +400,41 @@ object Sketches {
     * estimate is a pure IEEE chain (one multiply, one divide — shipped
     * unrounded, bit-identical cross-engine). Exact counts ride along for
     * error visibility, as everywhere in this file. */
+  /** Hash-order bottom-k quantile sketch: the k rows with the SMALLEST
+    * 60-bit md5 key-hashes form a deterministic uniform sample, and the
+    * sample's exact order statistics estimate the corpus quantiles.
+    *
+    * Why this shape at 100 TB:
+    *  - bottom-k-by-hash is a semilattice (bottom-k of a union = bottom-k
+    *    of the parts' bottom-ks), so partial aggregation / shard-local
+    *    sketches merge losslessly — the same property KMV exploits for
+    *    distinct counts, reused here for quantiles (SketchesSpec pins the
+    *    merge law). Spark executes the global bottom-k as
+    *    TakeOrderedAndProject: each task keeps k rows, the driver merges
+    *    heaps — no full sort, no shuffle of data rows.
+    *  - unlike approx_percentile, the result is bit-reproducible across
+    *    partitionings and engines: the sample is a pure function of the
+    *    key hash, and the readout is an order statistic (a raw stored
+    *    value — zero arithmetic on doubles).
+    *
+    * Input must carry `v` (value) and `key` (unique row identity string).
+    * Decile d reads rank 1 + (n-1)·d div 10 (1-based, ties broken by
+    * hash) — replayed verbatim by the oracle.
+    */
+  def bottomKQuantiles(df: DataFrame, k: Int): DataFrame = {
+    val hash = expr("cast(conv(substring(md5(key), 1, 15), 16, 10) as bigint)")
+    val sample = df.select(col("v"), hash.as("h"))
+      .orderBy(col("h")).limit(k)
+    sample
+      .agg(sort_array(collect_list(struct(col("v"), col("h")))).as("a"),
+        count(lit(1)).as("n"))
+      .select(explode(expr("sequence(1, 9)")).as("d"), col("a"), col("n"))
+      .select(col("d").cast("long").as("decile"),
+        expr("element_at(a, cast(1 + ((n - 1) * d) div 10 as int)).v").as("est_value"),
+        col("n").as("sample_n"))
+      .orderBy(col("decile"))
+  }
+
   def kmvIntersectionEstimate(a: DataFrame, b: DataFrame,
                               k: Int = 64): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK

@@ -364,4 +364,51 @@ object EventStream {
           out.result().iterator
       }
   }
+
+  final case class SampleRow(g: String, v: Double, key: String)
+  final case class HV(h: Long, v: Double)
+  final case class BottomKState(hv: Seq[HV])
+  final case class DecileEstimate(g: String, decile: Int,
+                                  est_value: Double, sample_n: Int)
+
+  /** Streaming twin of [[graft.operators.Sketches.bottomKQuantiles]]: a
+    * per-group bottom-k-by-hash sample maintained as keyed custom state,
+    * decile estimates re-emitted whenever a group's sample changes.
+    *
+    * The state is BOUNDED at k (h, v) pairs per group forever — the
+    * semilattice property (bottom-k of a union = bottom-k of bottom-ks)
+    * means merging each micro-batch into the retained sample loses
+    * nothing, so batch/stream parity is EXACT, not approximate-parity
+    * (StreamingSpec pins it against the batch operator). Re-delivered
+    * keys (at-least-once upstream) are absorbed by the set-union:
+    * an identical (h, v) pair dedups instead of double-inserting.
+    * The hash is the repo's portable md5-60-bit kernel, bit-identical
+    * to the SQL `conv(substring(md5(key),1,15),16,10)` form. */
+  def streamingBottomK(rows: Dataset[SampleRow], k: Int): Dataset[DecileEstimate] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[BottomKState, DecileEstimate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[SampleRow], state: GroupState[BottomKState]) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          def h60(s: String): Long = {
+            val hex = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              .map("%02x".format(_)).mkString
+            java.lang.Long.parseLong(hex.substring(0, 15), 16)
+          }
+          val prev = state.getOption.map(_.hv).getOrElse(Seq.empty)
+          val merged = (prev ++ it.map(r => HV(h60(r.key), r.v)))
+            .distinct.sortBy(x => (x.h, x.v)).take(k)
+          if (merged == prev) Iterator.empty
+          else {
+            state.update(BottomKState(merged))
+            val byV = merged.sortBy(x => (x.v, x.h))
+            val n = byV.size
+            (1 to 9).iterator.map { d =>
+              val rank = (1L + ((n - 1).toLong * d) / 10L).toInt
+              DecileEstimate(g, d, byV(rank - 1).v, n)
+            }
+          }
+      }
+  }
 }

@@ -215,6 +215,29 @@ class SketchesSpec extends SparkTestBase {
     assert(d.getAs[Double]("kmv_common") < 300.0)
   }
 
+  test("bottom-k quantiles: accurate on uniform data, merge law holds") {
+    // values 1..10000 with unique keys: true decile d is ~1000·d
+    val df = (1 to 10000).map(i => (i.toDouble, s"key-$i")).toDF("v", "key")
+    val got = Sketches.bottomKQuantiles(df, k = 256).collect()
+    assert(got.length == 9 && got.forall(_.getAs[Long]("sample_n") == 256L))
+    got.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val est = r.getAs[Double]("est_value")
+      // k=256 → binomial sd of the d-th decile rank ≈ sqrt(k·p·q)/k ≤ ~3.2%
+      // of the range; assert a loose 12% absolute envelope
+      assert(math.abs(est - 1000.0 * d) < 1200.0,
+        s"decile $d estimate $est too far from ${1000 * d}")
+    }
+    // partitioning independence + semilattice: bottom-k of the union ==
+    // bottom-k over the parts (TakeOrderedAndProject merges per-task heaps)
+    val again = Sketches.bottomKQuantiles(df.repartition(13), k = 256).collect()
+    assert(got.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    val halves = Sketches.bottomKQuantiles(
+      df.filter(col("v") <= 5000).unionByName(df.filter(col("v") > 5000)),
+      k = 256).collect()
+    assert(got.map(_.toSeq).toSeq == halves.map(_.toSeq).toSeq)
+  }
+
   test("KMV estimate is partitioning-independent (k-min is a semilattice)") {
     def rel(ids: Seq[Int]) = ids.map(i => s"u$i").toDF("val")
     val a = rel(1 to 3000)

@@ -44,6 +44,24 @@ class SourcesSpec extends SparkTestBase {
     assert(got == Set("a/x.dat", "a/y.dat", "b/z.dat"))
   }
 
+  test("S4 blob tree round-trips documents byte-for-byte (binaryFile scan)") {
+    val dir = "/root/testdata/sf0.001"
+    val root = graft.sources.BlobStore.ensureBlobTree(spark, dir)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val scanned = graft.sources.BlobStore.byteScan(spark, root)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(scanned.length == docs.size)
+    scanned.foreach { case (id, size, etag) =>
+      val bytes = docs(id).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      assert(size == bytes.length, s"doc $id size")
+      val expected = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes).map("%02x".format(_)).mkString
+      assert(etag == expected, s"doc $id etag")
+    }
+  }
+
   test("feeds the orphan anti-joins (J2/J3) directly") {
     val root = mkTree()
     val listing = FileListing.listFiles(spark, root).select($"key", $"size")

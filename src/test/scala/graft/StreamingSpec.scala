@@ -163,6 +163,40 @@ class StreamingSpec extends SparkTestBase {
       ("e3", "delivered", 1)))
   }
 
+  test("streaming bottom-k sample: bounded state, EXACT batch parity") {
+    import graft.streaming.EventStream.{SampleRow, DecileEstimate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[SampleRow]
+    val q = EventStream.streamingBottomK(input.toDS(), k = 64)
+      .writeStream.format("memory").queryName("bk_out")
+      .outputMode("append").start()
+    val batch1 = (1 to 300).map(i => SampleRow("g", i.toDouble, s"key-$i"))
+    val batch2 = (301 to 600).map(i => SampleRow("g", i.toDouble, s"key-$i"))
+    input.addData(batch1: _*)
+    q.processAllAvailable()
+    input.addData(batch2: _*)
+    q.processAllAvailable()
+    // re-delivery (at-least-once): identical keys must not change the state
+    input.addData(batch2.take(50): _*)
+    q.processAllAvailable()
+    q.stop()
+    val emitted = spark.table("bk_out").as[DecileEstimate].collect()
+    // the final 9 rows (last emission) must equal the BATCH sketch over
+    // the full data — exact parity through the semilattice merge
+    val last = emitted.grouped(9).toSeq.last
+      .map(e => (e.decile.toLong, e.est_value, e.sample_n.toLong)).toSet
+    val batchDf = (batch1 ++ batch2)
+      .map(r => (r.v, r.key)).toDF("v", "key")
+    val expect = graft.operators.Sketches.bottomKQuantiles(batchDf, k = 64)
+      .collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Double]("est_value"),
+        r.getAs[Long]("sample_n"))).toSet
+    assert(last == expect, "streaming final deciles must equal the batch sketch")
+    // re-delivery emitted nothing new: 2 state-changing batches → 18 rows
+    assert(emitted.length == 18, s"expected 18 emissions, got ${emitted.length}")
+  }
+
   test("E6: delete-all-before worker — events drive the D7 cutoff delete per batch") {
     // the object:admin:delete-all-before consumer (events/objects/
     // object-admin-delete-all-before.ts:21): each event carries a bucket +
