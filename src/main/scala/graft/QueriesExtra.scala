@@ -1050,6 +1050,43 @@ object QueriesExtra {
           |FROM f ORDER BY media_id""".stripMargin),
       doc = "Multimodal frame sampling (every 1000ms, ≤8 frames)"),
 
+    // Multimodal: VAD segmentation over audio blobs — silence-split
+    // utterance census for ASR corpus prep. Framing, thresholding, and the
+    // maximal-run detection are one row-local mapPartitions pass (zero
+    // shuffle); the stub energy kernel (md5-derived, see Multimodal) keeps
+    // the whole path oracle-replayable: the oracle re-derives every frame
+    // energy and rebuilds the runs with gaps-and-islands SQL.
+    "mm_audio_vad" -> Q(
+      fn = (s, dir) => Multimodal.vadSegments(
+          Multimodal.syntheticMedia(s, dir).filter(col("kind") === "audio"))
+        .orderBy(col("media_id")),
+      oracle = Some(
+        """WITH audio AS (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms,
+          |    md5(text) AS hex
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |base AS (SELECT media_id, hex,
+          |    CAST(least(greatest(duration_ms // 100, 1), 64) AS BIGINT) AS n_frames
+          |  FROM audio),
+          |fr AS (SELECT media_id, hex, n_frames,
+          |    unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f FROM base),
+          |en AS (SELECT media_id, f,
+          |    CAST('0x' || substr(md5(concat(hex, '#', f)), 1, 4) AS INT) AS e FROM fr),
+          |v AS (SELECT media_id, f FROM en WHERE e >= 32768),
+          |isl AS (SELECT media_id, f,
+          |    f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS g FROM v),
+          |seg AS (SELECT media_id, g, count(*) AS run FROM isl GROUP BY 1, 2),
+          |sa AS (SELECT media_id, CAST(sum(run) AS BIGINT) AS n_voice,
+          |    count(*) AS n_segments, CAST(max(run) AS BIGINT) AS max_run
+          |  FROM seg GROUP BY 1)
+          |SELECT b.media_id, b.n_frames,
+          |  coalesce(sa.n_voice, 0) AS n_voice,
+          |  CAST(coalesce(sa.n_segments, 0) AS BIGINT) AS n_segments,
+          |  coalesce(sa.max_run, 0) AS max_run,
+          |  coalesce(sa.n_voice, 0) * 100 AS total_voice_ms
+          |FROM base b LEFT JOIN sa USING (media_id)
+          |ORDER BY media_id""".stripMargin),
+      doc = "Multimodal audio VAD: stub energy, real framing/run-census plumbing (islands-replayed oracle)"),
+
     // Multimodal: per-partition feature extraction (stubbed decode kernel) —
     // not SQL-expressible, driver records a rows-only check.
     // The stub kernel emits dyadic k/65536 bins (md5-derived), so the

@@ -75,7 +75,7 @@ object QueriesText {
        |          SELECT e.src, r.label FROM edges e JOIN reach r ON r.id = e.dst)""".stripMargin
 
   /** DuckDB twin of [[graft.operators.Dedup.minhashLshPairs]] (16 bands × 4
-    * rows): portable md5-derived double hashing h_i = h1 + i·h2m, band join on
+    * rows): portable md5-derived double hashing h_i = (h1 + i·h2) mod 2^60, band join on
     * slice equality (Spark joins on xxhash64 of the same slice — equality-
     * equivalent), signature-agreement estimate. The 64 min-aggregates are
     * generated here rather than hand-written. `tail` replaces the default
@@ -83,7 +83,13 @@ object QueriesText {
     * chain — used by the split-leakage queries to consume `pairs`). */
   private def minhashOracle(corpus: String, pairFilter: String = "",
                             tail: String = ""): String = {
-    val minExprs = (0 until 64).map(i => s"min(h1 + $i*h2m) AS s$i").mkString(", ")
+    // sig_i = (h1 + i·h2) mod 2^60 with FULL-width h2 (the Spark kernel's
+    // wrap-and-mask, see MinHashMd5Sig). int64-safe replay: split h2 into
+    // lo (54 bits) + hi (6 bits); i·h2 ≡ i·lo + ((i·hi) mod 2^6)·2^54
+    // (mod 2^60), every term < 2^61 — no BIGINT overflow.
+    val minExprs = (0 until 64).map(i =>
+      s"min((h1 + $i*h2lo + (($i*h2hi) % 64) * 18014398509481984) " +
+        s"% 1152921504606846976) AS s$i").mkString(", ")
     val sigArr = (0 until 64).map(i => s"s$i").mkString("[", ", ", "]")
     val bandArr = (0 until 16).map(b =>
       s"struct_pack(band := $b, bucket := array_to_string(sig[${b * 4 + 1}:${b * 4 + 4}], ','))")
@@ -93,8 +99,9 @@ object QueriesText {
        |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
        |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
        |e AS (SELECT id, unnest(shl) AS s FROM sh),
-       |h AS (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
-       |        CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) % 1000000007 AS h2m FROM e),
+       |h AS (SELECT id, h1, h2 % 18014398509481984 AS h2lo, h2 // 18014398509481984 AS h2hi
+       |      FROM (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+       |              CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) AS h2 FROM e)),
        |sig AS (SELECT id, $sigArr AS sig FROM (SELECT id, $minExprs FROM h GROUP BY id)),
        |bands AS (SELECT id, bb.band AS band, bb.bucket AS bucket
        |          FROM (SELECT id, unnest($bandArr) AS bb FROM sig)),
@@ -349,6 +356,60 @@ object QueriesText {
       oracle = Some(minhashOracle(nearDupCte,
         " AND (a.id >= 1000000 OR b.id >= 1000000)")),
       doc = "incremental MinHash-LSH over bucketed signature tables (corpus-shuffle-free)"),
+
+    // Sketch-calibration audit: for EVERY LSH candidate pair (threshold 0),
+    // the MinHash agreement count (of 64) against the EXACT shingle-set
+    // overlap, censused per agreement level — the production check that the
+    // banded estimator tracks ground truth before a threshold is trusted at
+    // corpus scale. Entirely integer outputs (agreement, Σ|∩|, Σ|∪|); the
+    // exact side rides the candidate pairs (Dedup.exactJaccardFor), never a
+    // corpus-scale pairwise pass.
+    "dedup_minhash_calibration" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        // three overlap regimes so the census has levels to calibrate:
+        // near-identical (+tail marker, J≈0.95), half-documents (J≈0.5 —
+        // ~64% band-collide at b=16,r=4), and the untouched corpus
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+          .unionByName(d.filter(col("doc_id") % 7 === 1)
+            .withColumn("w", split(lower(trim(col("text"))), "\\s+"))
+            .select((col("doc_id") + 2000000).as("doc_id"),
+              expr("array_join(slice(w, 1, greatest(size(w) div 2, 3)), ' ')").as("text")))
+        val cand = Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.0)
+          .select(col("id_a"), col("id_b"),
+            round(col("est_jaccard") * 64).cast("long").as("s_agree"))
+        Dedup.exactJaccardFor(cand, corpus, "doc_id", "text", 3)
+          .groupBy(col("s_agree"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("n_inter")).as("total_inter"),
+            sum(col("n_union")).as("total_union"))
+          .orderBy(col("s_agree"))
+      },
+      oracle = Some(minhashOracle(
+        s"""corpus AS (
+           |  SELECT doc_id, text FROM documents
+           |  UNION ALL
+           |  SELECT doc_id + 1000000 AS doc_id,
+           |         concat(text, ' quality data pipeline tail marker') AS text
+           |  FROM documents WHERE doc_id % 5 = 0
+           |  UNION ALL
+           |  SELECT doc_id + 2000000 AS doc_id,
+           |         array_to_string(($wordsSql)[1:greatest(len($wordsSql)//2, 3)], ' ') AS text
+           |  FROM documents WHERE doc_id % 7 = 1
+           |)""".stripMargin, tail =
+        """, x AS (SELECT e.id_a, e.id_b,
+          |    CAST(round(e.est_jaccard * 64) AS BIGINT) AS s_agree,
+          |    len(list_intersect(a.shl, b.shl)) AS n_inter,
+          |    len(a.shl) + len(b.shl) - len(list_intersect(a.shl, b.shl)) AS n_union
+          |  FROM est e JOIN sh a ON e.id_a = a.id JOIN sh b ON e.id_b = b.id)
+          |SELECT s_agree, count(*) AS n_pairs,
+          |  CAST(sum(n_inter) AS BIGINT) AS total_inter,
+          |  CAST(sum(n_union) AS BIGINT) AS total_union
+          |FROM x GROUP BY s_agree ORDER BY s_agree""".stripMargin)),
+      doc = "MinHash-vs-exact calibration census over all LSH candidates (integer ground-truth audit)"),
 
     // SimHash near-dup pairs — hash-checked (portable 60-bit fingerprints).
     "dedup_simhash" -> Q(
@@ -1010,6 +1071,39 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |SELECT lang_pred, count(*) AS n FROM pred
            |GROUP BY lang_pred ORDER BY lang_pred""".stripMargin),
       doc = "language-ID stopword heuristic"),
+
+    // Language-ID EVAL against the corpus's ground-truth `lang` column: the
+    // full confusion matrix plus per-cell hit flag — the audit that turns
+    // "we have a lang-ID heuristic" into a measured precision/recall story
+    // (and exposes that the stopword heuristic cannot see zh/ja at all —
+    // those rows land in 'und'). One row-local prediction + one combinable
+    // census; evals must not cost more than the op they grade.
+    "text_langid_confusion" -> Q(
+      fn = (s, dir) => Tables.documents(s, dir)
+        .select(col("lang").as("lang_true"),
+          TextAnalysis.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_true"), col("lang_pred"))
+        .agg(count(lit(1)).as("n"),
+          max(when(col("lang_true") === col("lang_pred"), 1L).otherwise(0L)).as("is_hit"))
+        .orderBy(col("lang_true"), col("lang_pred")),
+      oracle = Some(
+        s"""WITH scored AS (SELECT lang,
+           |  len(list_filter($wordsSql, w -> w IN ('the','a','and','of','to','in','is'))) AS s_en,
+           |  len(list_filter($wordsSql, w -> w IN ('el','la','de','que','y','en','los'))) AS s_es,
+           |  len(list_filter($wordsSql, w -> w IN ('der','die','und','das','von','ist','ein'))) AS s_de,
+           |  len(list_filter($wordsSql, w -> w IN ('le','la','et','les','des','est','une'))) AS s_fr
+           |  FROM documents),
+           |pred AS (SELECT lang AS lang_true, CASE
+           |  WHEN s_fr > greatest(s_de, s_es, s_en, 0) THEN 'fr'
+           |  WHEN s_de > greatest(s_es, s_en, 0) THEN 'de'
+           |  WHEN s_es > greatest(s_en, 0) THEN 'es'
+           |  WHEN s_en > 0 THEN 'en'
+           |  ELSE 'und' END AS lang_pred FROM scored)
+           |SELECT lang_true, lang_pred, count(*) AS n,
+           |  CAST(max(CASE WHEN lang_true = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS is_hit
+           |FROM pred GROUP BY lang_true, lang_pred
+           |ORDER BY lang_true, lang_pred""".stripMargin),
+      doc = "language-ID confusion matrix vs ground truth (eval census)"),
 
     // Gopher-style repetition signals: row-local sorted-run multiplicities,
     // oracle via explode+group (the oracle may shuffle; the operator may not).

@@ -351,6 +351,41 @@ object QueriesVector {
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (IVF-flat, nProbe=4/16) — partition-pruned scale path"),
 
+    // Clustering-quality eval for the IVF/SemDeDup layout: the simplified
+    // (centroid-based) silhouette census — mean (b−a)/max(a,b) per cluster
+    // where a/b are distances to the nearest/second-nearest centroid. One
+    // scan + one combinable agg (O(n·k·d)); the exact pairwise silhouette
+    // is O(n²·d) and is the form that does NOT survive 100 TB. n_negative
+    // doubles as the assignment invariant (nearest-centroid ⇒ a ≤ b ⇒ 0).
+    "embedding_silhouette" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        Vectors.silhouetteCensus(emb, "embedding", centroids)
+      },
+      oracle = Some(
+        """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |d AS (SELECT e.vec_id, c.cid,
+          |    list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+          |      z -> (z[1]-z[2])*(z[1]-z[2]))) AS d2
+          |  FROM embeddings e CROSS JOIN cents c WHERE e.embedding IS NOT NULL),
+          |r AS (SELECT vec_id, cid, d2,
+          |    row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+          |ab AS (SELECT a.vec_id, a.cid, sqrt(a.d2) AS a_d, sqrt(b.d2) AS b_d
+          |  FROM r a JOIN r b ON a.vec_id = b.vec_id AND a.rn = 1 AND b.rn = 2),
+          |s AS (SELECT cid, CASE WHEN greatest(a_d, b_d) = 0 THEN 0
+          |    ELSE (b_d - a_d) / greatest(a_d, b_d) END AS s FROM ab)
+          |SELECT cid, count(*) AS n_points,
+          |  CAST(sum(CAST(round(s, 9) AS DECIMAL(38,9))) AS DOUBLE) / count(*)
+          |    AS mean_silhouette,
+          |  CAST(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative
+          |FROM s GROUP BY cid ORDER BY cid""".stripMargin),
+      doc = "simplified silhouette census: per-cluster quality in one scan, no pairwise join"),
+
     // Distributed Lloyd step refining the IVF centroids: assignment via the
     // same argmin-L2 subquery as v3_ann_ivf, then per-(centroid, dim) decimal
     // means — k·dim partial sums per task is the whole shuffle. The refined

@@ -157,7 +157,16 @@ case class MinHashMd5Sig(child: Expression, n: Int, k: Int) extends UnaryExpress
     case t => TypeCheckResult.TypeCheckFailure(s"need array<string>, got ${t.sql}")
   }
 
-  private val prime = 1000000007L
+  // Kirsch-Mitzenmacher double hashing sig_j = (h1 + j·h2) mod 2^60 with h2
+  // spanning the FULL 60-bit space. An earlier revision used h2 mod 1e9+7,
+  // whose maximum stride 63·h2m ≈ 6e10 was 5 orders of magnitude below the
+  // typical per-doc min-h1 (~2e16): every slot's argmin collapsed to the
+  // argmin-h1 shingle, i.e. 64 copies of ONE permutation — est_jaccard was
+  // binary 0-or-64 and LSH "candidates" with true J≈0.07 scored as exact
+  // dups. Caught by the dedup_minhash_calibration ground-truth census.
+  // Java + wraps mod 2^64; 2^60 | 2^64, so wrap-then-mask IS mod 2^60 —
+  // the oracle replays it with an int64-safe lo/hi decomposition.
+  private val mask60 = (1L << 60) - 1
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -167,10 +176,9 @@ case class MinHashMd5Sig(child: Expression, n: Int, k: Int) extends UnaryExpress
     var i = 0
     while (i < m) {
       val p = Md5Hash.window60(arr, i, math.min(i + n, w))
-      val h2m = p(1) % prime
       var j = 0
       while (j < k) {
-        val v = p(0) + j.toLong * h2m
+        val v = (p(0) + j.toLong * p(1)) & mask60
         if (v < sig(j)) sig(j) = v
         j += 1
       }
@@ -187,7 +195,6 @@ case class MinHashMd5Sig(child: Expression, n: Int, k: Int) extends UnaryExpress
       val m = ctx.freshName("m")
       val p = ctx.freshName("p")
       val v = ctx.freshName("v")
-      val h2m = ctx.freshName("h2m")
       val sig = ctx.freshName("sig")
       s"""
          |int $w = $a.numElements();
@@ -196,9 +203,8 @@ case class MinHashMd5Sig(child: Expression, n: Int, k: Int) extends UnaryExpress
          |java.util.Arrays.fill($sig, Long.MAX_VALUE);
          |for (int $i = 0; $i < $m; $i++) {
          |  long[] $p = graft.functions.Md5Hash.window60($a, $i, java.lang.Math.min($i + $n, $w));
-         |  long $h2m = $p[1] % ${prime}L;
          |  for (int $j = 0; $j < $k; $j++) {
-         |    long $v = $p[0] + (long) $j * $h2m;
+         |    long $v = ($p[0] + (long) $j * $p[1]) & ${mask60}L;
          |    if ($v < $sig[$j]) $sig[$j] = $v;
          |  }
          |}

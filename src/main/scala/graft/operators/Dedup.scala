@@ -91,6 +91,29 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Exact shingle-set overlap for an EXPLICIT pair list: |A∩B| and |A∪B|
+    * per (id_a, id_b). The pair relation is expected to be candidate-sized
+    * (LSH output, audit samples — orders of magnitude below the corpus),
+    * so the shingle-hash ARRAYS ride the two id joins and the intersection
+    * evaluates row-locally — no exploded shared-shingle self-join, whose
+    * cost scales with the corpus rather than with the pairs being scored.
+    * This is the ground-truth side of sketch-calibration audits
+    * (`dedup_minhash_calibration`). */
+  def exactJaccardFor(pairs: DataFrame, df: DataFrame, idCol: String,
+                      textCol: String, n: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+        graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sh.count() // pin: both pair-side joins read it
+    pairs
+      .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
+      .withColumn("n_union",
+        (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("n_inter"))
+      .drop("hs_a", "hs_b")
+  }
+
   /** Asymmetric containment near-dup pairs: C = |A∩B| / min(|A|,|B|) ≥
     * threshold — catches a short document EMBEDDED in a longer one, which
     * symmetric Jaccard misses (the big doc's union dilutes the score to
@@ -184,7 +207,7 @@ object Dedup {
     *
     * Signature derivation is ROW-LOCAL ([[graft.functions.MinHashMd5Sig]]):
     * one codegen'd pass per doc computes sig[i] = min over shingles of
-    * (h1 + i·h2m) where h1/h2m are the two 60-bit halves of md5(shingle) —
+    * (h1 + i·h2) mod 2^60 where h1/h2 are the two 60-bit halves of md5(shingle) —
     * Kirsch-Mitzenmacher double hashing over a portable digest. No explode,
     * no shuffle: the DuckDB oracle reproduces every value from
     * `substr(md5(s),…)` substrings, which the hash-check proves. (This

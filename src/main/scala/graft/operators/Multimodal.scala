@@ -88,6 +88,57 @@ object Multimodal {
       }
   }
 
+  /** Voice-activity segmentation over audio blobs — the ASR-corpus
+    * preparation pass (silence-split utterances for training). Per media:
+    * frame the payload at `frameMs`, score per-frame energy, threshold,
+    * and census the maximal voice runs (count / longest / total voiced) —
+    * run detection is a row-local loop, so the whole operator is one
+    * `mapPartitions` pass + no shuffle at all; the census rides out with
+    * the row.
+    *
+    * STUB energy kernel (same contract as [[extractFeatures]]'s `???`
+    * decode): a real implementation decodes PCM per partition and takes
+    * per-frame RMS; here frame f's energy is the first 4 hex chars of
+    * md5(md5hex(payload) || '#' || f) as k ∈ [0, 65536) — deterministic
+    * and oracle-replayable, so the distributed plumbing (framing, run
+    * detection, census) is hash-checked end-to-end. */
+  def vadSegments(media: DataFrame, frameMs: Long = 100L, maxFrames: Int = 64,
+                  threshold: Int = 32768): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_voice", LongType),
+      StructField("n_segments", LongType),
+      StructField("max_run", LongType),
+      StructField("total_voice_ms", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("duration_ms"), col("bytes"))
+      .mapPartitions { rows =>
+        // per-partition init (a real impl loads the audio codec here)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
+        rows.map { r =>
+          val dur = r.getLong(1)
+          val hex = hx(r.getAs[Array[Byte]]("bytes"))
+          val n = math.min(math.max(dur / frameMs, 1L), maxFrames.toLong).toInt
+          var voice = 0L; var segs = 0L; var run = 0L; var maxRun = 0L
+          var f = 0
+          while (f < n) {
+            // STUB — replace with per-frame PCM RMS from the decoded payload
+            val e = Integer.parseInt(
+              hx((hex + "#" + f).getBytes("UTF-8")).substring(0, 4), 16)
+            if (e >= threshold) {
+              voice += 1; run += 1
+              if (run > maxRun) maxRun = run
+              if (run == 1L) segs += 1
+            } else run = 0
+            f += 1
+          }
+          Row(r.getLong(0), n.toLong, voice, segs, maxRun, voice * frameMs)
+        }
+      }
+  }
+
   /** Metadata-only projection — must NOT read the binary column. Verified by
     * MultimodalSpec via the physical plan's ReadSchema. */
   def mediaStats(media: DataFrame): DataFrame =

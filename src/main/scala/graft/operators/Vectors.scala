@@ -114,6 +114,41 @@ object Vectors {
       .filter(col("lsh_bucket").isin(probes: _*)), keyCol, embCol, query, "cosine", topK)
   }
 
+  /** Simplified (centroid-based) silhouette census — the standard scalable
+    * clustering-quality metric: per point, a = distance to its own (nearest)
+    * centroid, b = distance to the second-nearest, s = (b−a)/max(a,b) ∈
+    * [0, 1] here (with centroid assignment BY nearest, a ≤ b always; the
+    * n_negative column is the invariant check). One scan, k distance
+    * expressions per row against broadcast centroid literals, one combinable
+    * aggregation — O(n·k·d) with no pairwise joins, the only silhouette
+    * variant that survives 100 TB (the exact pairwise form is O(n²·d)).
+    * Numerics: per-point s is a fixed IEEE chain (l2Sq fold + correctly
+    * rounded sqrt/÷), rounded to 1e-9 before the exact DECIMAL sum.
+    */
+  def silhouetteCensus(vectors: DataFrame, embCol: String,
+                       centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cands = centroids.map { case (cid, cv) =>
+      struct(graft.functions.VectorExprs.l2Sq(col(embCol), typedLit(cv)).as("d"),
+        lit(cid).as("c"))
+    }
+    val a = sqrt(col("ds")(0).getField("d"))
+    val b = sqrt(col("ds")(1).getField("d"))
+    val s = when(greatest(a, b) === 0d, lit(0d))
+      .otherwise((b - a) / greatest(a, b))
+    vectors.filter(col(embCol).isNotNull)
+      .withColumn("ds", array_sort(array(cands: _*)))
+      .select(col("ds")(0).getField("c").as("cid"), s.as("s"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(round(col("s"), 9).cast(DecimalType(38, 9))).as("s_sum"),
+        sum(when(col("s") < 0, 1L).otherwise(0L)).as("n_negative"))
+      .select(col("cid"), col("n_points"),
+        (col("s_sum").cast("double") / col("n_points")).as("mean_silhouette"),
+        col("n_negative"))
+      .orderBy(col("cid"))
+  }
+
   /** IVF-flat coarse quantization — the second ANN scale path beside
     * [[lshBuckets]]: assign each vector to its nearest centroid (L2,
     * centroid-id tiebreak via lexicographic struct min), probe only the

@@ -204,9 +204,10 @@ class PropertySpec extends SparkTestBase {
       val hs = shingles.map { s =>
         val d = md.digest(s.getBytes("UTF-8"))
         def be(off: Int) = (0 until 8).foldLeft(0L)((v, i) => (v << 8) | (d(off + i) & 0xffL))
-        (be(0) >>> 4, (be(8) >>> 4) % 1000000007L)
+        (be(0) >>> 4, be(8) >>> 4)
       }
-      (0 until 8).map(i => hs.map { case (h1, h2m) => h1 + i * h2m }.min)
+      (0 until 8).map(i =>
+        hs.map { case (h1, h2) => (h1 + i * h2) & ((1L << 60) - 1) }.min)
     }
     assert(kernel.toSeq == local)
   }
