@@ -1305,6 +1305,47 @@ object QueriesExtra {
       },
       doc = "synchronous label-propagation communities: integer argmax, round lineage oracle-replayed"),
 
+    // Core peeling over the co-purchase graph — the graph-curation gate
+    // (spam rings / boilerplate link farms live outside dense cores).
+    // The gate is MEAN-degree (deg·n ≥ Σdeg, cross-multiplied ints): a
+    // fixed k peels nothing at 10× the corpus density, this rule adapts
+    // with zero tuned constants. Three synchronous rounds; per-round
+    // census of surviving nodes/edges, all exact integers, every round
+    // replayed by the oracle as a generated CTE chain.
+    "graph_kcore" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Graph.meanCorePeel(e, rounds = 3)
+      },
+      oracle = Some {
+        val roundCtes = (1 to 3).map { r =>
+          s"""d$r AS (SELECT src, count(*) AS deg FROM e${r - 1} GROUP BY src),
+             |t$r AS (SELECT count(*) AS n, CAST(sum(deg) AS BIGINT) AS s FROM d$r),
+             |k$r AS (SELECT src AS v FROM d$r, t$r WHERE deg * n >= s),
+             |e$r AS (SELECT e.src, e.dst FROM e${r - 1} e
+             |  JOIN k$r a ON e.src = a.v JOIN k$r b ON e.dst = b.v)""".stripMargin
+        }.mkString(",\n")
+        val arms = (1 to 3).map { r =>
+          s"""SELECT CAST($r AS BIGINT) AS round,
+             |  (SELECT count(*) FROM k$r) AS n_nodes,
+             |  (SELECT count(*) FROM e$r) AS n_edges""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH e0 AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |$roundCtes
+           |$arms
+           |ORDER BY round""".stripMargin
+      },
+      doc = "mean-degree core peeling census: 3 rounds, scale-free integer gate + semi-joins, lineage oracle-replayed"),
+
     // Functional-dependency audit (the Metanome/data-profiling primitive
     // behind schema inference and key discovery): for each candidate
     // X→Y, the count of X-groups carrying >1 distinct Y. Each candidate

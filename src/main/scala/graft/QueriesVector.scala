@@ -291,6 +291,107 @@ object QueriesVector {
            |FROM cand, q ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 ANN (LSH-bucketed) — scale path"),
 
+    // LSH recall eval — the ANN-eval matrix twin of v3_ann_recall (IVF):
+    // recall@10 of single-probe 4-plane sign-LSH against the exact cosine
+    // top-10, per query. After the MinHash-stride lesson, every
+    // approximate candidate generator gets a ground-truth audit; this one
+    // also surfaces LSH's known failure mode (a query whose true
+    // neighbors straddle a hyperplane loses them — that's what
+    // multi-probe recovers, v3_ann_lsh_multiprobe).
+    "v3_ann_lsh_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = Vectors.lshBuckets(emb, "embedding", 64, nPlanes = 4)
+          .select(col("vec_id").as("c_key"),
+            col("embedding").cast("array<double>").as("c_emb"),
+            col("lsh_bucket").as("b"))
+        val queries = Vectors.lshBuckets(
+            emb.filter(col("vec_id") % 41 === 0), "embedding", 64, nPlanes = 4)
+          .select(col("vec_id").as("q_key"),
+            col("embedding").cast("array<double>").as("q_emb"),
+            col("lsh_bucket").as("b"))
+          .persist()
+        queries.count() // pin: approx probe + exact cross both read it
+        val dist = round(Vectors.cosineDistance(col("c_emb"), col("q_emb")), 9) + 0.0
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+        val approx = corpus.join(queries, Seq("b"))
+          .withColumn("distance", dist)
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .select(col("q_key"), col("c_key"))
+        val exact = corpus.drop("b")
+          .crossJoin(broadcast(queries.drop("b")))
+          .withColumn("distance", dist)
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .select(col("q_key"), col("c_key"))
+          .persist()
+        exact.count() // pin: census + the semi-join probe
+        val matched = exact.join(approx, Seq("q_key", "c_key"), "left_semi")
+          .groupBy(col("q_key")).agg(count(lit(1)).as("n_matched"))
+        exact.groupBy(col("q_key")).agg(count(lit(1)).as("n_exact"))
+          .join(matched, Seq("q_key"), "left")
+          .select(col("q_key"), col("n_exact"),
+            coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+            (coalesce(col("n_matched"), lit(0L)).cast("double")
+              / col("n_exact").cast("double")).as("recall"))
+          .orderBy(col("q_key"))
+      },
+      oracle = Some(
+        s"""WITH qs AS (SELECT vec_id AS q_key, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id % 41 = 0),
+           |qb AS (SELECT q_key, qv, ${lshBucketSql("qv", 4, 64)} AS b FROM qs),
+           |cb AS (SELECT vec_id AS c_key, CAST(embedding AS DOUBLE[]) AS cv,
+           |    ${lshBucketSql("CAST(embedding AS DOUBLE[])", 4, 64)} AS b
+           |  FROM embeddings),
+           |scored AS (SELECT qb.q_key, cb.c_key, ${cosSql("cb.cv")} AS distance
+           |  FROM qb JOIN cb ON qb.b = cb.b),
+           |ar AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM scored)
+           |  WHERE rnk <= 10),
+           |escore AS (SELECT qb.q_key, cb.c_key, ${cosSql("cb.cv")} AS distance
+           |  FROM qb CROSS JOIN cb),
+           |er AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM escore)
+           |  WHERE rnk <= 10),
+           |m AS (SELECT e.q_key, count(*) AS n_matched FROM er e
+           |  WHERE EXISTS (SELECT 1 FROM ar a
+           |    WHERE a.q_key = e.q_key AND a.c_key = e.c_key)
+           |  GROUP BY e.q_key)
+           |SELECT er.q_key, count(*) AS n_exact,
+           |  coalesce(max(m.n_matched), 0) AS n_matched,
+           |  CAST(coalesce(max(m.n_matched), 0) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall
+           |FROM er LEFT JOIN m ON er.q_key = m.q_key
+           |GROUP BY er.q_key ORDER BY er.q_key""".stripMargin),
+      doc = "LSH recall@10 vs exact cosine top-10 per query (ANN ground-truth audit)"),
+
+    // The SQL surface end-to-end: the cosine kNN expressed as PURE
+    // `spark.sql` text over a registered view, reaching the codegen'd
+    // VecDot kernel through the GraftFunctions registration (the
+    // spark.sql.extensions seam a BI tool / notebook %%sql client would
+    // use). Same Expression node, same numerics as the Column API —
+    // graded against the same oracle shape as v3_knn_cosine.
+    "sql_surface_knn" -> Q(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.install(s)
+        Tables.embeddings(s, dir).createOrReplaceTempView("graft_embeddings")
+        s.sql(
+          """WITH q AS (SELECT CAST(embedding AS ARRAY<DOUBLE>) AS qv
+            |  FROM graft_embeddings WHERE vec_id = 0)
+            |SELECT vec_id, label,
+            |  round(1.0 - vec_dot(CAST(embedding AS ARRAY<DOUBLE>), qv)
+            |    / (sqrt(vec_dot(CAST(embedding AS ARRAY<DOUBLE>),
+            |                    CAST(embedding AS ARRAY<DOUBLE>)))
+            |     * sqrt(vec_dot(qv, qv))), 9) + CAST(0.0 AS DOUBLE) AS distance
+            |FROM graft_embeddings, q
+            |ORDER BY distance, vec_id LIMIT 10""".stripMargin)
+      },
+      oracle = Some(
+        s"""WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+           |SELECT vec_id, label, ${cosSql("embedding")} AS distance
+           |FROM embeddings, q ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "pure-SQL cosine kNN through the injected vec_dot kernel (SQL client surface)"),
+
     // ANN via 1-bit binary sketch: sign-bit Hamming candidate filter (32×
     // smaller than the floats — the RAM-resident relation at 100 TB), exact
     // cosine re-rank of the survivors. Hamming is EXACT integer arithmetic

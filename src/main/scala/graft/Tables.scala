@@ -23,8 +23,31 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  /** Normalize a time column to a µs TimestampType instant equal to the
+    * file's naive value read as UTC — the same contract as [[events]]'s
+    * `ts`, applied to every loader time column so a driver regen that
+    * flips the physical shape (TIMESTAMP(NANOS) ↔ timestamp[us]/NTZ ↔
+    * DATE — it has happened twice) can never break the query surface.
+    * DuckDB's naive reads match 1:1, so oracles are unaffected. */
+  private def tsNormalized(spark: SparkSession, df: DataFrame,
+                           cols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types.{DateType, LongType, TimestampNTZType}
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cols.foldLeft(df) { (d, c) =>
+      d.schema.fields.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) => // nanos-as-long regen: integer div, not `/`
+          d.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+        case Some(TimestampNTZType) | Some(DateType) =>
+          d.withColumn(c, col(c).cast("timestamp")) // identity under UTC
+        case _ => d
+      }
+    }
+  }
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame =
+    tsNormalized(spark, table(spark, dir, "lineitem"), Seq("l_shipdate"))
+  def orders(spark: SparkSession, dir: String): DataFrame =
+    tsNormalized(spark, table(spark, dir, "orders"), Seq("o_orderdate"))
   def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
   def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
   def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
@@ -90,7 +113,7 @@ object Tables {
 
   /** Bump when any synthesized-relation expression changes, so stale
     * materializations under /tmp are never reused. */
-  private val synthVersion = "v2"
+  private val synthVersion = "v3" // v3: loader time columns normalized to instants
 
   /** Fingerprint of the driver testdata the synthesized relations derive
     * from. The driver regenerates /root/testdata between rounds (it did at

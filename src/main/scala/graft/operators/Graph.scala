@@ -126,6 +126,66 @@ object Graph {
     * bucketed stored table); each round joins node-sized labels against
     * the pinned edge relation and shuffles only (dst, label) count
     * pairs with map-side combine. Lineage cut per round. */
+  /** k-core peeling census: `rounds` synchronous rounds of "drop every node
+    * with degree < k, then drop edges touching dropped nodes". The k-core
+    * (the fixpoint) is the standard graph-curation gate — spam/bot rings
+    * and boilerplate link farms live OUTSIDE dense cores, and a bounded
+    * number of peel rounds is the production form (full convergence is a
+    * while-loop over the same body).
+    *
+    * Each round is one degree aggregation (map-side combinable) + two
+    * semi-joins of the edge relation against the node-sized keep set —
+    * no pair explosion; lineage cut per round (localCheckpoint). Returns
+    * the per-round census (round, n_nodes, n_edges) — node counts are the
+    * degree-test survivors, edge counts the directed surviving edges —
+    * exact integers a SQL oracle replays round by round. */
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1, got $k")
+    peel(edges, rounds, deg => deg.filter(col("deg") >= k))
+  }
+
+  /** Mean-degree peeling — the scale-free sibling of [[kcorePeel]] (the
+    * greedy densest-subgraph flavor): each round drops nodes whose degree
+    * is below the CURRENT graph's mean degree. The gate compares
+    * deg·n ≥ Σdeg as cross-multiplied integers (no division), so the rule
+    * adapts to any corpus density with zero tuned constants — a fixed k
+    * that peels nothing at 10× the data is the failure mode this avoids. */
+  def meanCorePeel(edges: DataFrame, rounds: Int): DataFrame =
+    peel(edges, rounds, { deg =>
+      val row = deg.agg(count(lit(1)).as("n"), sum(col("deg")).as("s")).head
+      val n = row.getLong(0)
+      val s = if (row.isNullAt(1)) 0L else row.getLong(1) // fully peeled graph
+      deg.filter(col("deg") * n >= s)
+    })
+
+  private def peel(edges: DataFrame, rounds: Int,
+                   keepRule: DataFrame => DataFrame): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    var e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+      .persist(mem)
+    e.count()
+    val census = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg")).persist(mem)
+      val keep = keepRule(deg).select(col("src").as("v")).persist(mem)
+      val nNodes = keep.count()
+      val pruned = e
+        .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
+        .localCheckpoint()
+      e.unpersist()
+      deg.unpersist()
+      keep.unpersist()
+      e = pruned
+      census += ((r, nNodes, e.count()))
+    }
+    census.result().toDF("round", "n_nodes", "n_edges")
+      .select(col("round").cast("long").as("round"), col("n_nodes"), col("n_edges"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val nPart = edges.sparkSession.conf

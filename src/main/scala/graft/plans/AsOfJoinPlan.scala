@@ -178,11 +178,13 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
 }
 
 /** `spark.sql.extensions`-style registration (the config path a cluster
-  * would use): injects the planner strategy and the pushdown rule. */
+  * would use): injects the planner strategy, the pushdown rule, and the
+  * SQL-surface function registrations ([[graft.functions.GraftFunctions]]). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectOptimizerRule(_ => PushKeyFilterThroughAsOfJoin)
+    graft.functions.GraftFunctions.register(ext)
   }
 }
 

@@ -365,6 +365,59 @@ object EventStream {
       }
   }
 
+  final case class HHItem(g: String, item: String)
+  final case class MGState(counters: Map[String, Long], n_seen: Long)
+  final case class HHCandidate(g: String, item: String, mg_count: Long, n_seen: Long)
+
+  /** Streaming twin of [[graft.operators.TextAnalysis.heavyHitters]]'s
+    * candidate stage: a per-group Misra–Gries summary (4k counters) as
+    * keyed custom state — the "trending tokens over an unbounded stream"
+    * shape, state bounded at 4k counters per group FOREVER.
+    *
+    * Guarantee carried over from the batch op's pigeonhole argument: any
+    * item whose share of the group's stream is ≥ 1/(4k+1) is guaranteed
+    * present in the current candidate set (MG with b counters never evicts
+    * anything above share 1/(b+1)), so share-≥1/k items always survive.
+    * Candidates are a SUPERSET with lower-bound counts — the exact-count
+    * confirmation join stays a batch job, exactly as in the two-pass
+    * batch operator. The fold is deterministic in arrival order (insert
+    * gated only on size, decrement-all hits every counter equally), so
+    * the streaming state after N batches equals one sequential MG pass
+    * over the concatenated stream — StreamingSpec pins that parity.
+    * Re-emitted each batch with the group's running n_seen. */
+  def streamingHeavyHitters(rows: Dataset[HHItem], k: Int): Dataset[HHCandidate] = {
+    require(k >= 2, s"heavy hitters needs k >= 2, got $k")
+    val budget = 4 * k
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_.g)
+      .flatMapGroupsWithState[MGState, HHCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[HHItem], state: GroupState[MGState]) =>
+          val prev = state.getOption.getOrElse(MGState(Map.empty, 0L))
+          val counters = scala.collection.mutable.HashMap.empty[String, Long]
+          counters ++= prev.counters
+          var seen = prev.n_seen
+          it.foreach { r =>
+            seen += 1
+            counters.get(r.item) match {
+              case Some(c) => counters(r.item) = c + 1
+              case None if counters.size < budget => counters(r.item) = 1L
+              case None =>
+                val dead = List.newBuilder[String]
+                counters.keysIterator.foreach { key =>
+                  val c = counters(key) - 1
+                  if (c == 0) dead += key else counters(key) = c
+                }
+                dead.result().foreach(counters.remove)
+            }
+          }
+          state.update(MGState(counters.toMap, seen))
+          val snap = seen
+          counters.toSeq.sortBy(x => (-x._2, x._1)).iterator
+            .map { case (item, c) => HHCandidate(g, item, c, snap) }
+      }
+  }
+
   final case class SampleRow(g: String, v: Double, key: String)
   final case class HV(h: Long, v: Double)
   final case class BottomKState(hv: Seq[HV])

@@ -45,6 +45,31 @@ class GraphSpec extends SparkTestBase {
       "a node nobody points at holds exactly the teleport base")
   }
 
+  test("kcore: a K4 clique survives k=3 peeling, its pendant chain dies round by round") {
+    // K4 (degree 3 each) + chain 4-5-6: node 6 (deg 1) dies in round 1,
+    // node 5 in round 2 (its degree fell to 1), then K4 is the fixpoint
+    val und = (for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)) ++
+      Seq((4L, 5L), (5L, 6L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.kcorePeel(edges, k = 3, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // round 1: {1,2,3,4} pass deg>=3 (4 has deg 4); 5 (2), 6 (1) drop
+    // round 2+: K4 stable — 4 nodes, 12 directed edges
+    assert(got == Seq((1L, 4L, 12L), (2L, 4L, 12L), (3L, 4L, 12L)), s"got $got")
+  }
+
+  test("meanCorePeel: star leaves die at the mean gate, empty graph is stable") {
+    // star 1-{2..6}: center directed deg 5, leaves 1; mean = 10/6 → round 1
+    // keeps only the center; its edges all vanish → rounds 2-3 are empty
+    val und = (2L to 6L).map(l => (1L, l))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.meanCorePeel(edges, rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)), s"got $got")
+  }
+
   test("triangles: K4 plus a pendant edge yields exactly the 4 K4 triangles") {
     val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
     val edges = (k4 :+ ((4L, 5L))).toDF("u", "v")

@@ -163,6 +163,45 @@ class StreamingSpec extends SparkTestBase {
       ("e3", "delivered", 1)))
   }
 
+  test("streaming Misra-Gries heavy hitters: bounded state, sequential-fold parity") {
+    import graft.streaming.EventStream.{HHItem, HHCandidate}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val k = 3 // budget 12
+    // skewed stream: 'hot' 40%, 'warm' 20%, 100 distinct cold fillers
+    def mk(seq: Seq[String]) = seq.map(HHItem("g", _))
+    val b1 = (1 to 50).flatMap(i => Seq("hot", if (i % 2 == 0) "warm" else s"cold-$i"))
+    val b2 = (51 to 100).flatMap(i => Seq("hot", if (i % 2 == 0) "warm" else s"cold-$i"))
+    val input = MemoryStream[HHItem]
+    val q = EventStream.streamingHeavyHitters(input.toDS(), k)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode("append").start()
+    input.addData(mk(b1): _*); q.processAllAvailable()
+    input.addData(mk(b2): _*); q.processAllAvailable()
+    q.stop()
+    val all = spark.table("hh_out").as[HHCandidate].collect()
+    val total = (b1 ++ b2).size.toLong
+    val last = all.filter(_.n_seen == total)
+      .map(c => c.item -> c.mg_count).toMap
+    // parity: one sequential MG fold over the concatenated stream
+    val ref = scala.collection.mutable.HashMap.empty[String, Long]
+    (b1 ++ b2).foreach { x =>
+      ref.get(x) match {
+        case Some(c) => ref(x) = c + 1
+        case None if ref.size < 4 * k => ref(x) = 1L
+        case None =>
+          val keys = ref.keysIterator.toList
+          keys.foreach { kk =>
+            val c = ref(kk) - 1
+            if (c == 0) ref.remove(kk) else ref(kk) = c
+          }
+      }
+    }
+    assert(last == ref.toMap, "streaming state must equal the sequential MG fold")
+    // the MG guarantee: share-≥1/k items are present
+    assert(last.contains("hot") && last.contains("warm"))
+  }
+
   test("streaming bottom-k sample: bounded state, EXACT batch parity") {
     import graft.streaming.EventStream.{SampleRow, DecileEstimate}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
