@@ -10,6 +10,36 @@ import org.apache.spark.sql.functions._
   */
 object QueriesExtra {
 
+  /** DuckDB twin of [[graft.operators.Multimodal.vadSegments]] over the
+    * audio slice of the synthetic media: framing, stub energies, and the
+    * gaps-and-islands run census, ending in a `vad` CTE with one row per
+    * media (media_id, n_frames, n_voice, n_segments, max_run,
+    * total_voice_ms). Shared by mm_audio_vad and pipeline_asr_corpus. */
+  private val vadCtes: String =
+    """audio AS (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms,
+      |    md5(text) AS hex
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |base AS (SELECT media_id, hex,
+      |    CAST(least(greatest(duration_ms // 100, 1), 64) AS BIGINT) AS n_frames
+      |  FROM audio),
+      |frm AS (SELECT media_id, hex, n_frames,
+      |    unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f FROM base),
+      |enr AS (SELECT media_id, f,
+      |    CAST('0x' || substr(md5(concat(hex, '#', f)), 1, 4) AS INT) AS e FROM frm),
+      |voi AS (SELECT media_id, f FROM enr WHERE e >= 32768),
+      |isl AS (SELECT media_id, f,
+      |    f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS g FROM voi),
+      |seg AS (SELECT media_id, g, count(*) AS run FROM isl GROUP BY 1, 2),
+      |sa AS (SELECT media_id, CAST(sum(run) AS BIGINT) AS n_voice,
+      |    count(*) AS n_segments, CAST(max(run) AS BIGINT) AS max_run
+      |  FROM seg GROUP BY 1),
+      |vad AS (SELECT b.media_id, b.n_frames,
+      |    coalesce(sa.n_voice, 0) AS n_voice,
+      |    CAST(coalesce(sa.n_segments, 0) AS BIGINT) AS n_segments,
+      |    coalesce(sa.max_run, 0) AS max_run,
+      |    coalesce(sa.n_voice, 0) * 100 AS total_voice_ms
+      |  FROM base b LEFT JOIN sa USING (media_id))""".stripMargin
+
   /** DuckDB twin of [[graft.operators.Sketches.hllRegisters]] with
     * CTE-name prefix `p` over source CTE `src` — emitted once per operand
     * in the sketch-algebra oracles. */
@@ -1061,31 +1091,53 @@ object QueriesExtra {
           Multimodal.syntheticMedia(s, dir).filter(col("kind") === "audio"))
         .orderBy(col("media_id")),
       oracle = Some(
-        """WITH audio AS (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms,
-          |    md5(text) AS hex
-          |  FROM documents WHERE doc_id % 3 = 1),
-          |base AS (SELECT media_id, hex,
-          |    CAST(least(greatest(duration_ms // 100, 1), 64) AS BIGINT) AS n_frames
-          |  FROM audio),
-          |fr AS (SELECT media_id, hex, n_frames,
-          |    unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f FROM base),
-          |en AS (SELECT media_id, f,
-          |    CAST('0x' || substr(md5(concat(hex, '#', f)), 1, 4) AS INT) AS e FROM fr),
-          |v AS (SELECT media_id, f FROM en WHERE e >= 32768),
-          |isl AS (SELECT media_id, f,
-          |    f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS g FROM v),
-          |seg AS (SELECT media_id, g, count(*) AS run FROM isl GROUP BY 1, 2),
-          |sa AS (SELECT media_id, CAST(sum(run) AS BIGINT) AS n_voice,
-          |    count(*) AS n_segments, CAST(max(run) AS BIGINT) AS max_run
-          |  FROM seg GROUP BY 1)
-          |SELECT b.media_id, b.n_frames,
-          |  coalesce(sa.n_voice, 0) AS n_voice,
-          |  CAST(coalesce(sa.n_segments, 0) AS BIGINT) AS n_segments,
-          |  coalesce(sa.max_run, 0) AS max_run,
-          |  coalesce(sa.n_voice, 0) * 100 AS total_voice_ms
-          |FROM base b LEFT JOIN sa USING (media_id)
-          |ORDER BY media_id""".stripMargin),
+        s"""WITH $vadCtes
+           |SELECT media_id, n_frames, n_voice, n_segments, max_run, total_voice_ms
+           |FROM vad ORDER BY media_id""".stripMargin),
       doc = "Multimodal audio VAD: stub energy, real framing/run-census plumbing (islands-replayed oracle)"),
+
+    // The ASR-corpus capstone: VAD → voice-ratio admission gate →
+    // duration-packed training shards. Composes mm_audio_vad's census, a
+    // cross-multiplied admission gate (voiced ≥ 40% of frames), and the
+    // keyed prefix-sum next-fit packing kernel (store_compaction_plan's
+    // shape) into per-language ~60 s shard manifests — the end-to-end
+    // speech-data preparation pipeline, all exact integers.
+    "pipeline_asr_corpus" -> Q(
+      fn = (s, dir) => {
+        val vad = Multimodal.vadSegments(
+          Multimodal.syntheticMedia(s, dir).filter(col("kind") === "audio"))
+        val kept = vad.filter(col("n_voice") * 5 >= col("n_frames") * 2 &&
+          col("n_segments") >= 1)
+        val langs = Tables.documents(s, dir)
+          .select(col("doc_id").as("media_id"), col("lang"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("media_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        kept.join(langs, Seq("media_id"))
+          .withColumn("cum", coalesce(sum(col("total_voice_ms")).over(w), lit(0L)))
+          .withColumn("shard", expr("cum div 60000"))
+          .groupBy(col("lang"), col("shard"))
+          .agg(count(lit(1)).as("n_utts"),
+            sum(col("total_voice_ms")).as("shard_ms"),
+            min(col("media_id")).as("first_utt"),
+            max(col("media_id")).as("last_utt"))
+          .orderBy(col("lang"), col("shard"))
+      },
+      oracle = Some(
+        s"""WITH $vadCtes,
+           |kept AS (SELECT v.*, d.lang FROM vad v
+           |  JOIN documents d ON v.media_id = d.doc_id
+           |  WHERE n_voice * 5 >= n_frames * 2 AND n_segments >= 1),
+           |c AS (SELECT *, CAST(coalesce(sum(total_voice_ms) OVER (
+           |    PARTITION BY lang ORDER BY media_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+           |  FROM kept),
+           |sh AS (SELECT lang, media_id, total_voice_ms, cum // 60000 AS shard FROM c)
+           |SELECT lang, shard, count(*) AS n_utts,
+           |  CAST(sum(total_voice_ms) AS BIGINT) AS shard_ms,
+           |  min(media_id) AS first_utt, max(media_id) AS last_utt
+           |FROM sh GROUP BY lang, shard ORDER BY lang, shard""".stripMargin),
+      doc = "ASR corpus capstone: VAD gate + per-language duration-packed shard manifests (exact ints)"),
 
     // Multimodal: per-partition feature extraction (stubbed decode kernel) —
     // not SQL-expressible, driver records a rows-only check.

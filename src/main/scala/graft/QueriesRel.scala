@@ -581,6 +581,35 @@ object QueriesRel {
           |FROM idle GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
       doc = "Q22 shape: cross-multiplied scalar threshold + anti-join (no double-division boundary)"),
 
+    // TPC-H Q11 shape: groups whose share of a GLOBAL aggregate exceeds a
+    // threshold — here the scale-free ABOVE-MEAN gate value·n > total in
+    // exact DECIMAL (cross-multiplied — no double division against a
+    // boundary, and no tuned constant that degenerates at another SF);
+    // the global (total, n) is a 1-row broadcast against the per-part
+    // relation.
+    "q11_part_share" -> Q(
+      fn = (s, dir) => {
+        val perPart = Tables.lineitem(s, dir)
+          .groupBy(col("l_partkey"))
+          .agg(sum((col("l_extendedprice") * col("l_quantity"))
+            .cast(DecimalType(18, 2))).as("value"))
+        val total = perPart.agg(sum(col("value")).as("total"),
+          count(lit(1)).as("n"))
+        perPart.join(broadcast(total))
+          .filter(col("value") * col("n") > col("total"))
+          .select(col("l_partkey"), col("value").cast("double").as("part_value"))
+          .orderBy(col("l_partkey"))
+      },
+      oracle = Some(
+        """WITH pp AS (SELECT l_partkey,
+          |    sum(CAST(l_extendedprice * l_quantity AS DECIMAL(18,2))) AS value
+          |  FROM lineitem GROUP BY l_partkey)
+          |SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+          |FROM pp WHERE value * (SELECT count(*) FROM pp)
+          |               > (SELECT sum(value) FROM pp)
+          |ORDER BY l_partkey""".stripMargin),
+      doc = "Q11 shape: above-mean share of a global aggregate, cross-multiplied DECIMAL gate"),
+
     // RFM customer segmentation: recency/frequency/monetary quintiles.
     // The quintile boundary is a GLOBAL order statistic, so the scale-safe
     // form is the distributed two-pass rank (Prefix.withRankAndCumSum —

@@ -304,49 +304,82 @@ object QueriesVector {
         val corpus = Vectors.lshBuckets(emb, "embedding", 64, nPlanes = 4)
           .select(col("vec_id").as("c_key"),
             col("embedding").cast("array<double>").as("c_emb"),
-            col("lsh_bucket").as("b"))
+            col("lsh_bucket").as("cb_b"))
+        val rnd = new scala.util.Random(42L) // the lshBuckets seed
+        val planes = Array.fill(4, 64)(rnd.nextGaussian())
+        val projCols = planes.zipWithIndex.map { case (p, i) =>
+          graft.functions.VectorExprs.vecDot(col("q_emb"), typedLit(p.toSeq))
+            .as(s"proj$i")
+        }
         val queries = Vectors.lshBuckets(
             emb.filter(col("vec_id") % 41 === 0), "embedding", 64, nPlanes = 4)
-          .select(col("vec_id").as("q_key"),
+          .select(Seq(col("vec_id").as("q_key"),
             col("embedding").cast("array<double>").as("q_emb"),
-            col("lsh_bucket").as("b"))
+            col("lsh_bucket").as("b")) ++ projCols: _*)
+          // boundary-nearest planes: the 2 smallest |projection| (ties → idx)
+          .withColumn("pr", array_sort(array((0 until 4).map(i =>
+            struct(abs(col(s"proj$i")).as("a"), lit(i).as("i"))): _*)))
+          .withColumn("probes", expr(
+            "array(b, b ^ shiftleft(cast(1 as bigint), pr[0].i), " +
+              "b ^ shiftleft(cast(1 as bigint), pr[1].i))"))
           .persist()
-        queries.count() // pin: approx probe + exact cross both read it
+        queries.count() // pin: single-probe, multiprobe, and exact all read it
         val dist = round(Vectors.cosineDistance(col("c_emb"), col("q_emb")), 9) + 0.0
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
-        val approx = corpus.join(queries, Seq("b"))
+        def top10(cand: org.apache.spark.sql.DataFrame) = cand
           .withColumn("distance", dist)
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
           .select(col("q_key"), col("c_key"))
-        val exact = corpus.drop("b")
-          .crossJoin(broadcast(queries.drop("b")))
-          .withColumn("distance", dist)
-          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
-          .select(col("q_key"), col("c_key"))
+        val approx = top10(corpus.join(queries, col("cb_b") === col("b")))
+        val approxMp = top10(corpus.join(
+          queries.select(col("q_key"), col("q_emb"), explode(col("probes")).as("pb")),
+          col("cb_b") === col("pb")))
+        val exact = top10(corpus.crossJoin(
+            broadcast(queries.select(col("q_key"), col("q_emb")))))
           .persist()
-        exact.count() // pin: census + the semi-join probe
-        val matched = exact.join(approx, Seq("q_key", "c_key"), "left_semi")
-          .groupBy(col("q_key")).agg(count(lit(1)).as("n_matched"))
+        exact.count() // pin: census + both semi-join probes
+        def census(ar: org.apache.spark.sql.DataFrame, nm: String) =
+          exact.join(ar, Seq("q_key", "c_key"), "left_semi")
+            .groupBy(col("q_key")).agg(count(lit(1)).as(nm))
         exact.groupBy(col("q_key")).agg(count(lit(1)).as("n_exact"))
-          .join(matched, Seq("q_key"), "left")
+          .join(census(approx, "n_matched"), Seq("q_key"), "left")
+          .join(census(approxMp, "n_matched_mp"), Seq("q_key"), "left")
           .select(col("q_key"), col("n_exact"),
             coalesce(col("n_matched"), lit(0L)).as("n_matched"),
             (coalesce(col("n_matched"), lit(0L)).cast("double")
-              / col("n_exact").cast("double")).as("recall"))
+              / col("n_exact").cast("double")).as("recall"),
+            coalesce(col("n_matched_mp"), lit(0L)).as("n_matched_mp"),
+            (coalesce(col("n_matched_mp"), lit(0L)).cast("double")
+              / col("n_exact").cast("double")).as("recall_mp"))
           .orderBy(col("q_key"))
       },
       oracle = Some(
         s"""WITH qs AS (SELECT vec_id AS q_key, CAST(embedding AS DOUBLE[]) AS qv
            |  FROM embeddings WHERE vec_id % 41 = 0),
+           |${planesCte(4, 64)},
            |qb AS (SELECT q_key, qv, ${lshBucketSql("qv", 4, 64)} AS b FROM qs),
            |cb AS (SELECT vec_id AS c_key, CAST(embedding AS DOUBLE[]) AS cv,
            |    ${lshBucketSql("CAST(embedding AS DOUBLE[])", 4, 64)} AS b
            |  FROM embeddings),
+           |qproj AS (SELECT q_key, i,
+           |    list_sum(list_transform(list_zip(qv, p), z -> z[1]*z[2])) AS d
+           |  FROM qs CROSS JOIN planes),
+           |flips AS (SELECT q_key, i FROM (SELECT q_key, i,
+           |    row_number() OVER (PARTITION BY q_key ORDER BY abs(d), i) AS rn
+           |  FROM qproj) WHERE rn <= 2),
+           |probes AS (SELECT q_key, b FROM qb
+           |  UNION ALL SELECT f.q_key, xor(qb.b, CAST(1 << f.i AS BIGINT))
+           |  FROM flips f JOIN qb ON f.q_key = qb.q_key),
            |scored AS (SELECT qb.q_key, cb.c_key, ${cosSql("cb.cv")} AS distance
            |  FROM qb JOIN cb ON qb.b = cb.b),
            |ar AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
            |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM scored)
+           |  WHERE rnk <= 10),
+           |mscored AS (SELECT p.q_key, cb.c_key, ${cosSql("cb.cv")} AS distance
+           |  FROM probes p JOIN qb ON p.q_key = qb.q_key JOIN cb ON cb.b = p.b),
+           |mar AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM mscored)
            |  WHERE rnk <= 10),
            |escore AS (SELECT qb.q_key, cb.c_key, ${cosSql("cb.cv")} AS distance
            |  FROM qb CROSS JOIN cb),
@@ -356,14 +389,22 @@ object QueriesVector {
            |m AS (SELECT e.q_key, count(*) AS n_matched FROM er e
            |  WHERE EXISTS (SELECT 1 FROM ar a
            |    WHERE a.q_key = e.q_key AND a.c_key = e.c_key)
+           |  GROUP BY e.q_key),
+           |m2 AS (SELECT e.q_key, count(*) AS n_matched_mp FROM er e
+           |  WHERE EXISTS (SELECT 1 FROM mar a
+           |    WHERE a.q_key = e.q_key AND a.c_key = e.c_key)
            |  GROUP BY e.q_key)
            |SELECT er.q_key, count(*) AS n_exact,
            |  coalesce(max(m.n_matched), 0) AS n_matched,
            |  CAST(coalesce(max(m.n_matched), 0) AS DOUBLE)
-           |    / CAST(count(*) AS DOUBLE) AS recall
+           |    / CAST(count(*) AS DOUBLE) AS recall,
+           |  coalesce(max(m2.n_matched_mp), 0) AS n_matched_mp,
+           |  CAST(coalesce(max(m2.n_matched_mp), 0) AS DOUBLE)
+           |    / CAST(count(*) AS DOUBLE) AS recall_mp
            |FROM er LEFT JOIN m ON er.q_key = m.q_key
+           |LEFT JOIN m2 ON er.q_key = m2.q_key
            |GROUP BY er.q_key ORDER BY er.q_key""".stripMargin),
-      doc = "LSH recall@10 vs exact cosine top-10 per query (ANN ground-truth audit)"),
+      doc = "LSH recall@10 single-probe vs multi-probe vs exact cosine ground truth (ANN audit)"),
 
     // The SQL surface end-to-end: the cosine kNN expressed as PURE
     // `spark.sql` text over a registered view, reaching the codegen'd
