@@ -1,7 +1,7 @@
 package graft
 
 import graft.functions.Validators
-import graft.operators.{IcebergCatalog, ObjectStore, Rls, S3Response, Scanner}
+import graft.operators.{IcebergCatalog, Listing, Locks, ObjectStore, PrefixIndex, Rls, S3Response, Scanner, Tus}
 import org.apache.spark.sql.functions._
 
 /** DML batch forms (D1–D7), Iceberg catalog (I1–I5), RLS, validators, and S3
@@ -644,5 +644,205 @@ object QueriesDml {
           |  concat(md5(string_agg(etag, '' ORDER BY part_number, etag)), '-', count(*)) AS composite_etag
           |FROM parts GROUP BY upload_id HAVING count(*) >= 6
           |ORDER BY upload_id""".stripMargin)),
-      doc = "S4 composite multipart ETag: ordered part-digest md5 + -n suffix (CompleteMultipartUpload)"))
+      doc = "S4 composite multipart ETag: ordered part-digest md5 + -n suffix (CompleteMultipartUpload)"),
+
+    // W2 skip-scan peek, declarative twin: what the reference's repeated
+    // ORDER BY name LIMIT 1 seek loop (0050:228-316) RETURNS — each folder
+    // with its peeked minimum key. min(name) combines map-side, so the
+    // shuffle carries one row per folder at any scale. The faithful seek
+    // loop itself is Listing.skipScanFolders (SkipScanSpec pins loop ≡ this).
+    "w2_skipscan_folders" -> Q(
+      fn = (s, dir) => Listing.foldersPeek(Tables.objects(s, dir), "F", "R/"),
+      oracle = Some(Oracle.withObjects(
+        """, scoped AS (SELECT name FROM objects WHERE bucket_id = 'F' AND name LIKE 'R/%'),
+          |wcp AS (SELECT name, CASE WHEN strpos(substr(name, 3), '/') > 0
+          |  THEN concat('R/', substr(substr(name, 3), 1, strpos(substr(name, 3), '/')))
+          |  ELSE NULL END AS cp FROM scoped)
+          |SELECT cp AS folder, min(name) AS first_key, count(*) AS n_entries
+          |FROM wcp WHERE cp IS NOT NULL GROUP BY cp ORDER BY folder""".stripMargin)),
+      doc = "W2 skip-scan peek: first-key-per-folder relation (0050:228-316)"),
+
+    // D8 advisory-lock grant schedule: the reference's concurrency machinery
+    // (pg_try/pg_advisory_xact_lock keyed by hashStringToInt, pg.ts:1255-1422)
+    // as an auditable relation. Lock requests synthesized one per lineitem on
+    // the object's FOLDER key (bucket/flag/orderkey — multiple lines per
+    // order contend for the same lock, queue depth 1-7). The DJB2-uint32 key
+    // kernel (string-to-int.ts:1-9) is graded bit-for-bit; FIFO order and
+    // try-lock outcomes fall out of one window per lock key.
+    "d8_lock_schedule" -> Q(
+      fn = (s, dir) => {
+        val reqs = Tables.lineitem(s, dir).select(
+          concat(col("l_linestatus"), lit("/"), col("l_returnflag"), lit("/"),
+            col("l_orderkey")).as("key_str"),
+          col("l_shipdate").as("ts"),
+          concat(lit("user-"), col("l_suppkey") % 50).as("requester"),
+          col("l_linenumber").as("seq"))
+        Locks.schedule(reqs, Seq(col("key_str"), col("seq"), col("requester")))
+          .withColumn("n_q", count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy(col("lock_key"))))
+          .filter(col("n_q") >= 5)
+          .select(col("lock_key"), col("key_str"), col("requester"),
+            col("grant_order").cast("long").as("grant_order"),
+            col("try_acquired"), col("wait_ahead").cast("long").as("wait_ahead"))
+          .orderBy(col("lock_key"), col("grant_order"))
+      },
+      oracle = Some(
+        """WITH reqs AS (
+          |  SELECT concat(l_linestatus, '/', l_returnflag, '/', l_orderkey) AS key_str,
+          |    l_shipdate AS ts, concat('user-', l_suppkey % 50) AS requester,
+          |    l_linenumber AS seq
+          |  FROM lineitem),
+          |hashed AS (
+          |  SELECT *, list_reduce(
+          |    list_prepend(CAST(5381 AS BIGINT),
+          |      [CAST(unicode(x) AS BIGINT) for x in string_split(key_str, '')]),
+          |    (h, c) -> xor((h * 33) % 4294967296, c)) AS lock_key
+          |  FROM reqs),
+          |sched AS (
+          |  SELECT lock_key, key_str, requester,
+          |    row_number() OVER (PARTITION BY lock_key
+          |      ORDER BY ts, key_str, seq, requester) AS grant_order,
+          |    count(*) OVER (PARTITION BY lock_key) AS n_q
+          |  FROM hashed)
+          |SELECT lock_key, key_str, requester,
+          |  CAST(grant_order AS BIGINT) AS grant_order,
+          |  grant_order = 1 AS try_acquired,
+          |  CAST(grant_order - 1 AS BIGINT) AS wait_ahead
+          |FROM sched WHERE n_q >= 5 ORDER BY lock_key, grant_order""".stripMargin),
+      doc = "D8 advisory locks as batch grant schedule; DJB2-uint32 key kernel graded (pg.ts:1255-1422)"),
+
+    // D9 delete-protection trigger (0055-prevent-direct-deletes.sql): a
+    // delete-request log partitioned into executed (API-layer, GUC set) vs
+    // blocked (direct SQL, ERRCODE 42501). Pure projection — the trigger is
+    // a row-local predicate; the expensive delete stays the D4 anti-join.
+    "d9_delete_protection" -> Q(
+      fn = (s, dir) => {
+        val reqs = Tables.objects(s, dir)
+          .filter(col("bucket_id") === "F" && col("size").between(50000, 52000))
+          .select(col("bucket_id"), col("name"),
+            (col("size") % 2 === 0).as("allow_delete_query"))
+        ObjectStore.protectDeletes(reqs)
+          .select(col("bucket_id"), col("name"), col("disposition"), col("error_code"))
+          .orderBy(col("name"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, reqs AS (SELECT bucket_id, name, size % 2 = 0 AS allow
+          |  FROM objects WHERE bucket_id = 'F' AND size BETWEEN 50000 AND 52000)
+          |SELECT bucket_id, name,
+          |  CASE WHEN allow THEN 'executed' ELSE 'blocked' END AS disposition,
+          |  CASE WHEN NOT allow THEN '42501' END AS error_code
+          |FROM reqs ORDER BY name""".stripMargin)),
+      doc = "D9 delete-protection trigger as request disposition (0055:1-27)"),
+
+    // D10 prefix-hierarchy trigger maintenance (0026:113-169): the cascade's
+    // fixed point as a batch delta. Deleting every depth-3 item of orders
+    // ≡3 (mod 10) empties their level-2 folders (op=delete rows); inserting
+    // two keys under a brand-new Z/ tree creates three prefixes (op=insert).
+    "d10_prefix_maintenance" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val before = Tables.objects(s, dir).filter(col("bucket_id") === "F")
+          .select(col("bucket_id"), col("name"))
+        val doomed = before.filter(
+          size(split(col("name"), "/")) === 3 &&
+            element_at(split(col("name"), "/"), 2).cast("long") % 10 === 3)
+        val inserted = Seq(("F", "Z/new/deep/file.dat"), ("F", "Z/new/other.dat"))
+          .toDF("bucket_id", "name")
+        val after = before.join(doomed, Seq("bucket_id", "name"), "left_anti")
+          .unionByName(inserted)
+        PrefixIndex.prefixDelta(before, after)
+          .orderBy(col("op"), col("bucket_id"), col("prefix"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, before_rel AS (SELECT bucket_id, name FROM objects WHERE bucket_id = 'F'),
+          |doomed AS (SELECT bucket_id, name FROM before_rel
+          |  WHERE len(string_split(name, '/')) = 3
+          |    AND TRY_CAST(string_split(name, '/')[2] AS BIGINT) % 10 = 3),
+          |after_rel AS (
+          |  SELECT b.bucket_id, b.name FROM before_rel b
+          |  WHERE NOT EXISTS (SELECT 1 FROM doomed d
+          |    WHERE d.bucket_id = b.bucket_id AND d.name = b.name)
+          |  UNION ALL SELECT 'F', 'Z/new/deep/file.dat'
+          |  UNION ALL SELECT 'F', 'Z/new/other.dat'),
+          |pb AS (SELECT DISTINCT bucket_id, array_to_string(parts[1:i], '/') AS prefix,
+          |    CAST(i AS BIGINT) AS level
+          |  FROM (SELECT bucket_id, parts,
+          |      unnest(generate_series(1, len(parts) - 1)) AS i
+          |    FROM (SELECT bucket_id, string_split(name, '/') AS parts FROM before_rel))),
+          |pa AS (SELECT DISTINCT bucket_id, array_to_string(parts[1:i], '/') AS prefix,
+          |    CAST(i AS BIGINT) AS level
+          |  FROM (SELECT bucket_id, parts,
+          |      unnest(generate_series(1, len(parts) - 1)) AS i
+          |    FROM (SELECT bucket_id, string_split(name, '/') AS parts FROM after_rel)))
+          |SELECT bucket_id, prefix, level, op FROM (
+          |  SELECT b.*, 'delete' AS op FROM pb b
+          |  WHERE NOT EXISTS (SELECT 1 FROM pa a
+          |    WHERE a.bucket_id = b.bucket_id AND a.prefix = b.prefix)
+          |  UNION ALL
+          |  SELECT a.*, 'insert' AS op FROM pa a
+          |  WHERE NOT EXISTS (SELECT 1 FROM pb b
+          |    WHERE b.bucket_id = a.bucket_id AND b.prefix = a.prefix))
+          |ORDER BY op, bucket_id, prefix""".stripMargin)),
+      doc = "D10 prefix triggers as derived-fixed-point delta (0026:26-169)"),
+
+    // D12 TUS resumable upload: the offset-tracked append log replayed to
+    // terminal state. Faults injected at part 3 of orders ≡0 (mod 13)
+    // (declared offset +7 — the 409 class), declared length padded +100 for
+    // orders ≡0 (mod 17) (still-resumable class), so all three terminal
+    // states appear and every number is exact integer arithmetic.
+    "d12_tus_resume" -> Q(
+      fn = (s, dir) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("upload_id")).orderBy(col("part_number"))
+        val prior = w.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        val per = org.apache.spark.sql.expressions.Window.partitionBy(col("upload_id"))
+        val appends = Tables.multipartParts(s, dir)
+          // the parts fixture carries ~20% duplicate (upload, part) rows by
+          // construction; a TUS stream has one append per offset
+          .groupBy(col("upload_id"), col("part_number"))
+          .agg(min(col("size")).as("size"))
+          .withColumn("seq", col("part_number"))
+          .withColumn("clean", coalesce(sum(col("size")).over(prior), lit(0L)))
+          .withColumn("okey", expr("CAST(substr(upload_id, 8) AS BIGINT)"))
+          .withColumn("declared_offset", col("clean") +
+            when(col("okey") % 13 === 0 && col("part_number") === 3, lit(7L))
+              .otherwise(lit(0L)))
+          .withColumn("upload_length", sum(col("size")).over(per) +
+            when(col("okey") % 17 === 0, lit(100L)).otherwise(lit(0L)))
+          .drop("clean", "okey", "part_number")
+        Tus.replay(appends)
+          .select(col("upload_id"), col("upload_length"), col("committed_offset"),
+            col("n_appends"), col("n_accepted"), col("n_rejected"), col("status"))
+          .orderBy(col("upload_id"))
+      },
+      oracle = Some(Oracle.withParts(
+        """, dedup AS (SELECT upload_id, part_number, min(size) AS size
+          |  FROM parts GROUP BY upload_id, part_number),
+          |base AS (SELECT upload_id, part_number, size,
+          |    CAST(coalesce(sum(size) OVER (PARTITION BY upload_id ORDER BY part_number
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS clean,
+          |    CAST(substr(upload_id, 8) AS BIGINT) AS okey,
+          |    CAST(sum(size) OVER (PARTITION BY upload_id) AS BIGINT) AS total
+          |  FROM dedup),
+          |app AS (SELECT upload_id, part_number AS seq, size, clean,
+          |    clean + CASE WHEN okey % 13 = 0 AND part_number = 3 THEN 7 ELSE 0 END AS declared_offset,
+          |    total + CASE WHEN okey % 17 = 0 THEN 100 ELSE 0 END AS upload_length
+          |  FROM base),
+          |flagged AS (SELECT *,
+          |    min(CASE WHEN declared_offset <> clean THEN seq END)
+          |      OVER (PARTITION BY upload_id) AS first_fault
+          |  FROM app),
+          |acc AS (SELECT *, (first_fault IS NULL OR seq < first_fault) AS accepted
+          |  FROM flagged)
+          |SELECT upload_id, CAST(upload_length AS BIGINT) AS upload_length,
+          |  CAST(sum(CASE WHEN accepted THEN size ELSE 0 END) AS BIGINT) AS committed_offset,
+          |  count(*) AS n_appends,
+          |  CAST(sum(CASE WHEN accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+          |  CAST(sum(CASE WHEN NOT accepted THEN 1 ELSE 0 END) AS BIGINT) AS n_rejected,
+          |  CASE WHEN sum(CASE WHEN NOT accepted THEN 1 ELSE 0 END) > 0 THEN 'conflict'
+          |       WHEN CAST(sum(CASE WHEN accepted THEN size ELSE 0 END) AS BIGINT) = upload_length
+          |       THEN 'complete' ELSE 'active' END AS status
+          |FROM acc GROUP BY upload_id, upload_length ORDER BY upload_id""".stripMargin)),
+      doc = "D12 TUS resumable append log replayed to terminal state (protocols/tus/file-store.ts, upload-id.ts)"))
 }

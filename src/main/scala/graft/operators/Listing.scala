@@ -220,6 +220,66 @@ object Listing {
     ordered.offset(offset).limit(limit)
   }
 
+  /** W2 skip-scan peek, declarative twin: first-key-per-folder under a
+    * prefix. The reference's skip-scan loop (0050:228-316) enumerates
+    * folders by repeated `ORDER BY name COLLATE "C" LIMIT 1` seeks — each
+    * iteration peeks the smallest name past an advancing lower bound and
+    * jumps over the whole subtree. What the loop RETURNS is exactly this
+    * relation: each folder with the peeked (minimum) key beneath it — plus
+    * `n_entries`, which the index-seek version can't see without heap reads
+    * (its O(k·log n) win is precisely NOT counting). One partial-agg shuffle
+    * over pruned row groups; `min(name)` combines map-side, so at 100 TB the
+    * shuffle carries one row per folder, not per object. [[skipScanFolders]]
+    * replays the reference's actual seek loop; `SkipScanSpec` pins loop ≡
+    * relation. */
+  def foldersPeek(objects: DataFrame, bucket: String, prefix: String): DataFrame =
+    objects
+      .filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
+      .withColumn("cp", commonPrefix(col("name"), prefix, "/"))
+      .filter(col("cp").isNotNull)
+      .groupBy(col("cp").as("folder"))
+      .agg(min(col("name")).as("first_key"), count(lit(1)).as("n_entries"))
+      .orderBy(col("folder"))
+
+  /** W2 skip-scan peek, faithful replay of the reference loop
+    * (0050:228-316): peek the smallest name above the seek bound; if it
+    * opens a folder, emit the folder and seek to the successor of
+    * `folder || '/'` (skipping its whole subtree in one jump); if it's a
+    * leaf file, advance past the file. O(k) limit-1 Spark jobs for k
+    * folders — each an index-seek analog (pushed bucket/name predicates +
+    * TakeOrderedAndProject(1)). The batch idiom [[foldersPeek]] beats this
+    * whenever k is large; the loop exists for parity with the reference's
+    * O(k·log n) plan shape and for listings where k ≪ row count and the
+    * relation is name-sorted parquet (row-group min/max stats make each
+    * peek touch ~1 row group — the btree-seek replacement, SURVEY §4). */
+  def skipScanFolders(objects: DataFrame, bucket: String, prefix: String,
+                      maxFolders: Int = 1000): Seq[(String, String)] = {
+    val scoped = objects
+      .filter(col("bucket_id") === bucket && hasPrefix(col("name"), prefix))
+      .select(col("name"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var lower = prefix // seek bound: next peek is the min name STRICTLY above
+    var done = false
+    while (!done && out.size < maxFolders) {
+      val peek = scoped.filter(col("name") > lit(lower))
+        .orderBy(col("name")).limit(1).collect()
+      if (peek.isEmpty) done = true
+      else {
+        val name = peek(0).getString(0)
+        val rest = name.substring(prefix.length)
+        val slash = rest.indexOf('/')
+        if (slash < 0) lower = name // leaf at this level: step past the file
+        else {
+          val folder = prefix + rest.substring(0, slash + 1)
+          out += ((folder, name))
+          // jump the subtree: successor('x/') = 'x0' ('/'+1 = '0' in bytes)
+          lower = folder.init + (folder.last + 1).toChar
+        }
+      }
+    }
+    out.toSeq
+  }
+
   /** O5 continuation-token page: decode → [[sortedListing]] — the wiring the
     * reference does in `ListObjectsV2` when `nextToken` carries a
     * `sortColumnAfter` row-value cursor (pg.ts:633-651, object.ts:676-712). */

@@ -88,6 +88,27 @@ object ObjectStore {
       .filter(!(col("bucket_id") === bucket && col("name") === srcName))
   }
 
+  /** D9 delete-protection in batch form (migration
+    * 0055-prevent-direct-deletes.sql:1-27): the reference blocks DELETE on
+    * `storage.objects`/`storage.buckets` unless the session GUC
+    * `storage.allow_delete_query` is 'true' — only the Storage API layer
+    * (which sets the GUC around its own deletes) may remove rows; ad-hoc SQL
+    * gets ERRCODE 42501. Batch form: partition a delete-request log into the
+    * deletes that execute and the ones the trigger rejects, by each request's
+    * `allow_delete_query` flag (true = came through the API layer). Returns
+    * one row per request with `disposition` ∈ {executed, blocked} — plus,
+    * via [[deleteWhere]] on the executed set, the surviving relation.
+    *
+    * `requests` must carry `bucket_id`, `name`, and boolean
+    * `allow_delete_query`. Pure projection — no shuffle; the expensive part
+    * (applying the executed deletes) stays the D4 anti-join. */
+  def protectDeletes(requests: DataFrame): DataFrame =
+    requests.withColumn("disposition",
+      when(col("allow_delete_query"), lit("executed"))
+        .otherwise(lit("blocked")))
+      .withColumn("error_code",
+        when(!col("allow_delete_query"), lit("42501")).cast("string"))
+
   /** D7 emptyBucket / delete-all-before: cutoff delete (storage.ts:326-343,
     * object-admin-delete-all-before.ts:21). The reference batches ≤500 rows
     * per delete because each is a Postgres transaction; one partitioned batch
