@@ -646,6 +646,101 @@ object QueriesDml {
           |ORDER BY upload_id""".stripMargin)),
       doc = "S4 composite multipart ETag: ordered part-digest md5 + -n suffix (CompleteMultipartUpload)"),
 
+    // RLS, seventh matrix slice: COMPOUND operations — the yaml's
+    // move/copy/upsert cells (rls_tests.yaml:440-521) where an operation
+    // needs a CONJUNCTION of permissions: move = select+update, copy =
+    // select+insert, upsert = insert+update, delete = delete. Policy set
+    // grants read_all + update_own + insert_all and NO delete, so copy
+    // always passes, move/upsert pass only on owned rows, delete never does
+    // — and the error string differs by failure mode exactly as the
+    // reference's: RLS-filtered deletes read as "Object not found" (empty
+    // RETURNING), failed write checks as the 42501 policy violation.
+    "rls_compound_ops" -> Q(
+      fn = (s, dir) => {
+        val ctx = Rls.Context("authenticated", Some("user-7"), "storage")
+        val policies = Seq(
+          Rls.Policy("read_all", Set("authenticated"), "select", _ => lit(true)),
+          Rls.Policy("update_own", Set("authenticated"), "update",
+            c => c.uid.map(col("owner_id") === _).getOrElse(lit(false))),
+          Rls.Policy("insert_all", Set("authenticated"), "insert", _ => lit(true)))
+        def canP(p: String) = Rls.can(policies, ctx, p)
+        val reqs = Tables.objects(s, dir)
+          .filter(col("size").between(60000, 61000))
+          .select(col("bucket_id"), col("name"), col("owner_id"),
+            element_at(array(lit("move"), lit("copy"), lit("delete"), lit("upsert")),
+              (col("size") % 4 + 1).cast("int")).as("op"))
+        reqs
+          .withColumn("allowed",
+            when(col("op") === "move", canP("select") && canP("update"))
+              .when(col("op") === "copy", canP("select") && canP("insert"))
+              .when(col("op") === "upsert", canP("insert") && canP("update"))
+              .otherwise(canP("delete")))
+          .withColumn("status", when(col("allowed"), 200L).otherwise(400L))
+          .withColumn("error",
+            when(col("allowed"), lit(null).cast("string"))
+              .when(col("op") === "delete", lit("Object not found"))
+              .otherwise(lit("new row violates row-level security policy")))
+          .groupBy(col("op"), col("status"), col("error"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("owner_id")).as("n_owners"))
+          .orderBy(col("op"), col("status"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, reqs AS (
+          |  SELECT owner_id,
+          |    ['move','copy','delete','upsert'][CAST(size % 4 AS INTEGER) + 1] AS op,
+          |    owner_id = 'user-7' AS owned
+          |  FROM objects WHERE size BETWEEN 60000 AND 61000),
+          |graded AS (
+          |  SELECT op, owner_id,
+          |    CASE WHEN op = 'move' THEN owned
+          |         WHEN op = 'copy' THEN TRUE
+          |         WHEN op = 'upsert' THEN owned
+          |         ELSE FALSE END AS allowed
+          |  FROM reqs)
+          |SELECT op, CAST(CASE WHEN allowed THEN 200 ELSE 400 END AS BIGINT) AS status,
+          |  CASE WHEN allowed THEN NULL
+          |       WHEN op = 'delete' THEN 'Object not found'
+          |       ELSE 'new row violates row-level security policy' END AS error,
+          |  count(*) AS n, count(DISTINCT owner_id) AS n_owners
+          |FROM graded GROUP BY op, status, error ORDER BY op, status""".stripMargin)),
+      doc = "RLS compound operations: move/copy/upsert permission conjunctions (rls_tests.yaml:440-521)"),
+
+    // RLS, eighth matrix slice: the bucket.empty gate
+    // (rls_tests.yaml:185-196) — emptying a bucket is a bulk delete that
+    // only touches RLS-visible rows; with no delete grant the RETURNING set
+    // is empty and the reference reports 400 "Object not found". With an
+    // owner-scoped delete policy the outcome is per-bucket: all rows
+    // deletable → emptied, none → the yaml's 400, some → partial (the API
+    // deletes what it may and the bucket stays non-empty).
+    "rls_empty_bucket_gate" -> Q(
+      fn = (s, dir) => {
+        val ctx = Rls.Context("authenticated", Some("user-7"), "storage")
+        val policies = Seq(
+          Rls.Policy("delete_own", Set("authenticated"), "delete",
+            c => c.uid.map(col("owner_id") === _).getOrElse(lit(false))))
+        Tables.objects(s, dir)
+          .filter(col("size").between(70000, 72000))
+          .withColumn("deletable", Rls.can(policies, ctx, "delete"))
+          .groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_objects"),
+            sum(when(col("deletable"), 1L).otherwise(0L)).as("n_deletable"))
+          .withColumn("outcome",
+            when(col("n_deletable") === 0, lit("400 Object not found"))
+              .when(col("n_deletable") === col("n_objects"), lit("200 emptied"))
+              .otherwise(lit("206 partial")))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT bucket_id, count(*) AS n_objects,
+          |  CAST(sum(CASE WHEN owner_id = 'user-7' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletable,
+          |  CASE WHEN sum(CASE WHEN owner_id = 'user-7' THEN 1 ELSE 0 END) = 0
+          |       THEN '400 Object not found'
+          |       WHEN sum(CASE WHEN owner_id = 'user-7' THEN 1 ELSE 0 END) = count(*)
+          |       THEN '200 emptied' ELSE '206 partial' END AS outcome
+          |FROM objects WHERE size BETWEEN 70000 AND 72000
+          |GROUP BY bucket_id ORDER BY bucket_id""".stripMargin)),
+      doc = "RLS bucket.empty gate: delete-scoped bulk delete outcomes (rls_tests.yaml:185-196)"),
+
     // W2 skip-scan peek, declarative twin: what the reference's repeated
     // ORDER BY name LIMIT 1 seek loop (0050:228-316) RETURNS — each folder
     // with its peeked minimum key. min(name) combines map-side, so the

@@ -451,5 +451,60 @@ object QueriesJoins {
           |SELECT s_name, count(*) AS numwait
           |FROM qual JOIN supplier ON l_suppkey = s_suppkey
           |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25""".stripMargin),
-      doc = "Q21 shape: sole-late-supplier census, decorrelated EXISTS pair"))
+      doc = "Q21 shape: sole-late-supplier census, decorrelated EXISTS pair"),
+
+    // Q2 shape: min-cost supplier per part — the correlated scalar-min
+    // subquery decorrelated to a per-part min joined back with equality
+    // (ties preserved, as TPC-H requires). Cost is the cheapest observed
+    // line price per (part, supplier) in region EUROPE; pure MIN over
+    // stored doubles — no arithmetic, so equality is exact.
+    "q2_min_cost_supplier" -> Q(
+      fn = (s, dir) => {
+        val euroSupp = Tables.supplier(s, dir)
+          .join(broadcast(Tables.nation(s, dir)
+            .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+        val offers = Tables.lineitem(s, dir)
+          .join(euroSupp, col("l_suppkey") === col("s_suppkey"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(min(col("l_extendedprice")).as("cost"))
+        val minCost = offers.groupBy(col("l_partkey").as("mc_partkey"))
+          .agg(min(col("cost")).as("min_cost"))
+        // fresh aliased projection — offers derives from euroSupp, so a raw
+        // re-join would carry duplicate attribute ids into the condition
+        val suppInfo = euroSupp.select(col("s_suppkey").as("es_suppkey"),
+          col("s_name"), col("s_acctbal"), col("n_name"))
+        offers
+          .join(minCost, col("l_partkey") === col("mc_partkey") &&
+            col("cost") === col("min_cost"))
+          .join(broadcast(Tables.part(s, dir)
+            .filter(col("p_size") === 25 && col("p_type") === "LARGE")),
+            col("l_partkey") === col("p_partkey"))
+          .join(broadcast(suppInfo), col("l_suppkey") === col("es_suppkey"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_name"), col("cost"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      oracle = Some(
+        """WITH euro AS (
+          |  SELECT s_suppkey, s_name, s_acctbal, n_name
+          |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'EUROPE'),
+          |offers AS (
+          |  SELECT l_partkey, l_suppkey, min(l_extendedprice) AS cost
+          |  FROM lineitem JOIN euro ON l_suppkey = s_suppkey
+          |  GROUP BY l_partkey, l_suppkey),
+          |mc AS (SELECT l_partkey, min(cost) AS min_cost FROM offers GROUP BY l_partkey)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name, cost
+          |FROM offers
+          |JOIN mc USING (l_partkey)
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN euro ON l_suppkey = s_suppkey
+          |WHERE cost = min_cost AND p_size = 25 AND p_type = 'LARGE'
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+      doc = "Q2 shape: decorrelated min-cost-supplier argmin join-back with ties"))
 }

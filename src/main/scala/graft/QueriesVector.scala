@@ -918,5 +918,43 @@ object QueriesVector {
           |SELECT e2.q_key, e2.n_exact, coalesce(m.n_matched, 0) AS n_matched,
           |  CAST(coalesce(m.n_matched, 0) AS DOUBLE) / CAST(e2.n_exact AS DOUBLE) AS recall
           |FROM e2 LEFT JOIN m ON e2.q_key = m.q_key ORDER BY e2.q_key""".stripMargin),
-      doc = "ANN recall@10 eval: IVF kNN-join vs sampled exact brute force, per-query census"))
+      doc = "ANN recall@10 eval: IVF kNN-join vs sampled exact brute force, per-query census"),
+
+    // int8 symmetric quantization census — the 4× compression every
+    // RAM-resident ANN index takes at 100 TB. Per vector: amax-scaled
+    // `clamp(floor(x·127/amax + 0.5))` codes (multiply-then-divide order
+    // fixed — two correctly-rounded IEEE ops, engine-identical), graded by
+    // INTEGER aggregates only (saturated dims, Σ|q|, Σq²) so no float
+    // summation ever reaches the hash. amax itself is a MAX of exact
+    // float→double values — no arithmetic. Zero vectors quantize to zero.
+    "embedding_quantization" -> Q(
+      fn = (s, dir) => Tables.embeddings(s, dir)
+        .withColumn("ev", col("embedding").cast("array<double>"))
+        .withColumn("amax", expr("aggregate(ev, CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, abs(v)))"))
+        .withColumn("q", expr(
+          "CASE WHEN amax = 0.0 THEN transform(ev, v -> 0L) ELSE " +
+            "transform(ev, v -> greatest(CAST(-127 AS BIGINT), least(CAST(127 AS BIGINT), " +
+            "CAST(floor(v * 127.0 / amax + 0.5) AS BIGINT)))) END"))
+        .select(col("vec_id"), size(col("ev")).cast("long").as("dim"),
+          col("amax"),
+          expr("size(filter(q, v -> abs(v) = 127))").cast("long").as("n_saturated"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + abs(v))").as("sum_abs_q"),
+          expr("aggregate(q, CAST(0 AS BIGINT), (a, v) -> a + v * v)").as("sum_sq_q"))
+        .orderBy(col("vec_id")),
+      oracle = Some(
+        """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev FROM embeddings),
+          |a AS (SELECT vec_id, ev,
+          |    coalesce(list_max(list_transform(ev, x -> abs(x))), 0.0) AS amax FROM v),
+          |q AS (SELECT vec_id, ev, amax,
+          |    CASE WHEN amax = 0.0 THEN list_transform(ev, x -> CAST(0 AS BIGINT))
+          |         ELSE list_transform(ev, x -> greatest(CAST(-127 AS BIGINT),
+          |           least(CAST(127 AS BIGINT),
+          |             CAST(floor(x * 127.0 / amax + 0.5) AS BIGINT)))) END AS qv
+          |  FROM a)
+          |SELECT vec_id, CAST(len(ev) AS BIGINT) AS dim, amax,
+          |  CAST(len(list_filter(qv, x -> abs(x) = 127)) AS BIGINT) AS n_saturated,
+          |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
+          |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq_q
+          |FROM q ORDER BY vec_id""".stripMargin),
+      doc = "int8 symmetric quantization census: integer-graded code stats, IEEE-exact scale"))
 }

@@ -47,6 +47,16 @@ object Rls {
     if (ctx.role == "service_role") incoming.limit(0)
     else incoming.filter(!grant(policies, ctx, permission))
 
+  /** Per-row grant predicate for one permission — the building block of
+    * COMPOUND operations: the reference's move is delete-free but needs
+    * select+update, copy needs select+insert, upsert needs insert+update
+    * (rls_tests.yaml:440-521 — move/copy succeed under exactly those policy
+    * pairs and nothing less). AND the [[can]] columns per required
+    * permission to grade a compound request. */
+  def can(policies: Seq[Policy], ctx: Context, permission: String): Column =
+    if (ctx.role == "service_role") lit(true)
+    else grant(policies, ctx, permission)
+
   private def grant(policies: Seq[Policy], ctx: Context, permission: String): Column = {
     val applicable = policies.filter(p =>
       p.permission == permission && p.roles.contains(ctx.role) &&

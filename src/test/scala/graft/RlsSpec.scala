@@ -126,6 +126,25 @@ class RlsSpec extends SparkTestBase {
     assert(Rls.writeViolations(objects, policies, svc, "delete").isEmpty)
   }
 
+  test("compound operations AND the per-permission grants (move=select+update)") {
+    val policies = Seq(
+      Policy("read_all", Set("authenticated"), "select", _ => lit(true)),
+      Policy("update_own", Set("authenticated"), "update",
+        ctx => col("owner") === ctx.uid.orNull))
+    val ctx = Context("authenticated", Some("u1"), "storage")
+    val moveOk = objects
+      .filter(Rls.can(policies, ctx, "select") && Rls.can(policies, ctx, "update"))
+    // move needs select (granted on all) AND update (owner only): u1's rows
+    assert(names(moveOk) == Seq("a.png", "b.pdf"))
+    // copy = select+insert: no insert policy in this set -> nothing passes
+    val copyOk = objects
+      .filter(Rls.can(policies, ctx, "select") && Rls.can(policies, ctx, "insert"))
+    assert(copyOk.isEmpty)
+    // service_role: every permission short-circuits to true
+    val svc = Context("service_role", None, "storage")
+    assert(objects.filter(Rls.can(policies, svc, "delete")).count() == 4)
+  }
+
   test("RLS predicate pushes into the scan (no post-filter barrier)") {
     val ctx = Context("authenticated", Some("u1"), "object.list")
     val plan = Rls.visible(objects, Seq(readOwn), ctx)
