@@ -920,6 +920,66 @@ object QueriesVector {
           |FROM e2 LEFT JOIN m ON e2.q_key = m.q_key ORDER BY e2.q_key""".stripMargin),
       doc = "ANN recall@10 eval: IVF kNN-join vs sampled exact brute force, per-query census"),
 
+    // Sign-LSH angle calibration — the hyperplane twin of
+    // dedup_minhash_calibration: for every (query, corpus) pair, census
+    // sign-agreement level (0..4 planes) against EXACT cosine similarity.
+    // Theory says collision fraction ≈ 1 − θ/π per plane, so mean cosine
+    // must rise monotonically with agreement — a degenerate plane set (the
+    // MinHash-stride failure class) would flatten it. Exact cosines are
+    // quantized to integers (floor(cos·1e9)) BEFORE summation: the dot and
+    // norm folds are sequential in both engines (same op order, correctly
+    // rounded), so the quantized means are bit-reproducible with no float
+    // accumulation in the graded chain.
+    "v3_lsh_angle_calibration" -> Q(
+      fn = (s, dir) => {
+        val withB = Vectors.lshBuckets(Tables.embeddings(s, dir),
+          "embedding", 64, nPlanes = 4)
+        val corpus = withB.select(col("vec_id").as("c_key"),
+          col("embedding").cast("array<double>").as("cv"),
+          col("lsh_bucket").as("cb"))
+        val queries = withB.filter(col("vec_id") % 41 === 0)
+          .select(col("vec_id").as("q_key"),
+            col("embedding").cast("array<double>").as("qv"),
+            col("lsh_bucket").as("qb"))
+        corpus.crossJoin(broadcast(queries))
+          .filter(col("c_key") =!= col("q_key"))
+          .withColumn("agree",
+            (lit(4) - expr("bit_count(cb ^ qb)")).cast("long"))
+          .withColumn("dotp", expr(
+            "aggregate(zip_with(cv, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
+          .withColumn("nc", expr(
+            "aggregate(cv, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))
+          .withColumn("nq", expr(
+            "aggregate(qv, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))
+          .withColumn("qcos",
+            floor(col("dotp") / (sqrt(col("nc")) * sqrt(col("nq"))) * lit(1000000000.0))
+              .cast("long"))
+          .groupBy(col("agree"))
+          .agg(count(lit(1)).as("n_pairs"), sum(col("qcos")).as("sum_qcos"))
+          .withColumn("mean_cos", col("sum_qcos").cast("double") /
+            (col("n_pairs").cast("double") * lit(1000000000.0)))
+          .orderBy(col("agree"))
+      },
+      oracle = Some(
+        s"""WITH c AS (SELECT vec_id AS c_key, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+           |cb AS (SELECT c_key, cv, ${lshBucketSql("cv", 4, 64)} AS b FROM c),
+           |qb AS (SELECT c_key AS q_key, cv AS qv, b AS q_b FROM cb WHERE c_key % 41 = 0),
+           |pairs AS (SELECT cb.cv, cb.b, q.qv, q.q_b FROM cb, qb q WHERE cb.c_key <> q.q_key),
+           |m AS (SELECT CAST(4 - bit_count(xor(b, q_b)) AS BIGINT) AS agree,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(list_zip(cv, qv), z -> z[1] * z[2])), (a, v) -> a + v) AS dotp,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(cv, x -> x * x)), (a, v) -> a + v) AS nc,
+           |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |      list_transform(qv, x -> x * x)), (a, v) -> a + v) AS nq
+           |  FROM pairs)
+           |SELECT agree, count(*) AS n_pairs,
+           |  CAST(sum(CAST(floor(dotp / (sqrt(nc) * sqrt(nq)) * 1000000000.0) AS BIGINT)) AS BIGINT) AS sum_qcos,
+           |  CAST(sum(CAST(floor(dotp / (sqrt(nc) * sqrt(nq)) * 1000000000.0) AS BIGINT)) AS DOUBLE)
+           |    / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_cos
+           |FROM m GROUP BY agree ORDER BY agree""".stripMargin),
+      doc = "sign-LSH calibration: agreement-level census vs exact quantized cosine (monotone collision law)"),
+
     // int8 symmetric quantization census — the 4× compression every
     // RAM-resident ANN index takes at 100 TB. Per vector: amax-scaled
     // `clamp(floor(x·127/amax + 0.5))` codes (multiply-then-divide order

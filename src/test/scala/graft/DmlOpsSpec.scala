@@ -35,6 +35,27 @@ class DmlOpsSpec extends SparkTestBase {
     assert(Listing.skipScanFolders(objects, "F", "", maxFolders = 2).size == 2)
   }
 
+  test("skip-scan peek pushes bucket partition filter and name seek into the scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val objects = Tables.objects(spark, sfDir) // stored partitioned by bucket_id
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val peek = objects.filter(col("bucket_id") === "F" && col("name") > "R/2")
+        .orderBy(col("name")).limit(1)
+      peek.collect()
+      val scan = peek.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f }.head
+      // bucket_id is a partition column of the stored layout: the seek must
+      // prune at directory level, not post-filter
+      assert(scan.partitionFilters.exists(_.toString.contains("bucket_id")),
+        s"no partition filter in ${scan.partitionFilters}")
+      // the name lower bound must reach parquet (row-group min/max skipping
+      // on the name-sorted files — each peek touches ~1 row group)
+      assert(scan.metadata("PushedFilters").contains("GreaterThan(name"),
+        s"name seek not pushed: ${scan.metadata("PushedFilters")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   // ── D8: hash kernel + FIFO schedule ──
 
   test("hashStringToInt matches the reference DJB2-uint32 kernel") {
