@@ -1430,5 +1430,31 @@ object QueriesExtra {
         }.mkString("\nUNION ALL\n")
         Oracle.withObjects(s"$arms\nORDER BY lhs, rhs")
       },
-      doc = "functional-dependency audit: per-candidate two-level agg, the key/schema-discovery probe"))
+      doc = "functional-dependency audit: per-candidate two-level agg, the key/schema-discovery probe"),
+
+    // k-anonymity census over quasi-identifiers — the re-identification
+    // audit a PII-bearing corpus needs before release (complements
+    // text_pii_redaction's content scrubbing with a STRUCTURAL risk
+    // measure). Equivalence classes on (lang, source, size-bin); the
+    // class-size histogram shows how many rows sit in classes below the
+    // k=5 threshold. Two combinable aggregations — the first shuffles one
+    // row per class, the second one row per class SIZE.
+    "profile_k_anonymity" -> Q(
+      fn = (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"), col("source"),
+          expr("n_chars div 100").as("size_bin"))
+        .groupBy(col("lang"), col("source"), col("size_bin"))
+        .agg(count(lit(1)).as("k"))
+        .groupBy(col("k").as("class_size"))
+        .agg(count(lit(1)).as("n_classes"), sum(col("k")).as("n_rows"))
+        .withColumn("risky", col("class_size") < 5)
+        .orderBy(col("class_size")),
+      oracle = Some(
+        """WITH classes AS (
+          |  SELECT lang, source, n_chars // 100 AS size_bin, count(*) AS k
+          |  FROM documents GROUP BY 1, 2, 3)
+          |SELECT k AS class_size, count(*) AS n_classes,
+          |  CAST(sum(k) AS BIGINT) AS n_rows, k < 5 AS risky
+          |FROM classes GROUP BY k ORDER BY class_size""".stripMargin),
+      doc = "k-anonymity census: quasi-identifier class-size histogram, k<5 risk flag"))
 }

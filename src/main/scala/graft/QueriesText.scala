@@ -1751,6 +1751,56 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |FROM b GROUP BY 1, 2 ORDER BY shard, seq_id""".stripMargin),
       doc = "token-budget sequence packing (sharded cumulative-fill bins)"),
 
+    // Padding-waste census: WHY length-sorted batching matters, quantified.
+    // Fixed-size inference batches pad every sequence to the batch max;
+    // naive (ingest-order) batches mix lengths and waste is large,
+    // length-sorted batches are near-homogeneous and waste collapses. Both
+    // global orderings rank via the distributed two-pass prefix-sum
+    // (Prefix.withRankAndCumSum) — no empty-partition window at any scale —
+    // and every graded number is an exact integer until the final ratio of
+    // two exact longs.
+    "pack_padding_waste" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+        def arm(sortCols: Seq[org.apache.spark.sql.Column], strategy: String) =
+          graft.operators.Prefix.withRankAndCumSum(d, sortCols, col("toks"), 8)
+            .withColumn("batch", expr("(rnk - 1) div 32"))
+            .groupBy(col("batch"))
+            .agg(count(lit(1)).as("n_docs"), max(col("toks")).as("mx"),
+              sum(col("toks")).as("tok"))
+            .agg(count(lit(1)).as("n_batches"),
+              sum(col("tok")).as("total_tokens"),
+              sum(col("mx") * col("n_docs")).as("total_padded"))
+            .select(lit(strategy).as("strategy"), col("n_batches"),
+              col("total_tokens"), col("total_padded"),
+              ((col("total_padded") - col("total_tokens")).cast("double") /
+                col("total_padded").cast("double")).as("waste_pct"))
+        arm(Seq(col("doc_id")), "naive")
+          .unionByName(arm(Seq(col("toks"), col("doc_id")), "length_sorted"))
+          .orderBy(col("strategy"))
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id, CAST(len($wordsSql) AS BIGINT) AS toks FROM documents),
+           |rn AS (SELECT toks, row_number() OVER (ORDER BY doc_id) AS rnk FROM d),
+           |rs AS (SELECT toks, row_number() OVER (ORDER BY toks, doc_id) AS rnk FROM d),
+           |bn AS (SELECT (rnk - 1) // 32 AS batch, count(*) AS n_docs,
+           |    max(toks) AS mx, CAST(sum(toks) AS BIGINT) AS tok FROM rn GROUP BY 1),
+           |bs AS (SELECT (rnk - 1) // 32 AS batch, count(*) AS n_docs,
+           |    max(toks) AS mx, CAST(sum(toks) AS BIGINT) AS tok FROM rs GROUP BY 1),
+           |an AS (SELECT 'naive' AS strategy, count(*) AS n_batches,
+           |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+           |    CAST(sum(mx * n_docs) AS BIGINT) AS total_padded FROM bn),
+           |asrt AS (SELECT 'length_sorted' AS strategy, count(*) AS n_batches,
+           |    CAST(sum(tok) AS BIGINT) AS total_tokens,
+           |    CAST(sum(mx * n_docs) AS BIGINT) AS total_padded FROM bs)
+           |SELECT strategy, n_batches, total_tokens, total_padded,
+           |  CAST(total_padded - total_tokens AS DOUBLE)
+           |    / CAST(total_padded AS DOUBLE) AS waste_pct
+           |FROM (SELECT * FROM an UNION ALL SELECT * FROM asrt)
+           |ORDER BY strategy""".stripMargin),
+      doc = "padding-waste census: naive vs length-sorted batching, exact-integer waste accounting"),
+
     // Robust per-group outlier census: MAD-based flagging (50% breakdown —
     // the cutoff survives the tail it hunts, unlike mean/stddev). Both
     // medians are exact order statistics over keyed histograms; the k·MAD
