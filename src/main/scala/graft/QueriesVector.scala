@@ -920,6 +920,64 @@ object QueriesVector {
           |FROM e2 LEFT JOIN m ON e2.q_key = m.q_key ORDER BY e2.q_key""".stripMargin),
       doc = "ANN recall@10 eval: IVF kNN-join vs sampled exact brute force, per-query census"),
 
+    // Label-noise audit (Confident-Learning-style): for sampled vectors,
+    // how many of the 10 exact-cosine nearest neighbors share the vector's
+    // own label. Low agreement (≤2/10) flags probable label errors — the
+    // curation signal that decides what gets relabeled or dropped before
+    // training. Census per label: mean agreement + suspect count, all
+    // exact integers until the final ratio. Same broadcast-cross exact-kNN
+    // shape as the recall evals; at 100 TB the sample rides a real ANN
+    // index instead of the brute-force scan.
+    "embedding_label_noise" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("c_key"),
+          col("label").as("c_label"),
+          col("embedding").cast("array<double>").as("c_emb"))
+        val queries = emb.filter(col("vec_id") % 41 === 0)
+          .select(col("vec_id").as("q_key"), col("label").as("q_label"),
+            col("embedding").cast("array<double>").as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+        val nn = corpus.crossJoin(broadcast(queries))
+          .filter(col("c_key") =!= col("q_key"))
+          .withColumn("distance",
+            round(Vectors.cosineDistance(col("c_emb"), col("q_emb")), 9) + 0.0)
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+        nn.groupBy(col("q_key"), col("q_label"))
+          .agg(sum(when(col("c_label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_agree"))
+          .groupBy(col("q_label").as("label"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(col("n_agree")).as("sum_agree"),
+            sum(when(col("n_agree") <= 2, 1L).otherwise(0L)).as("n_suspect"))
+          .withColumn("mean_agree", col("sum_agree").cast("double") /
+            (col("n_queries").cast("double") * lit(10.0)))
+          .orderBy(col("label"))
+      },
+      oracle = Some(
+        """WITH qs AS (SELECT vec_id AS q_key, label AS q_label,
+          |    CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id % 41 = 0),
+          |sc AS (SELECT q_key, q_label, e.vec_id AS c_key, e.label AS c_label,
+          |    round(1.0 - list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), qv),
+          |        z -> z[1]*z[2]))
+          |      / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+          |       * sqrt(list_sum(list_transform(qv, x -> x*x)))), 9) + 0.0 AS distance
+          |  FROM qs, embeddings e WHERE e.vec_id <> q_key),
+          |nn AS (SELECT * FROM (SELECT *, row_number() OVER (
+          |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM sc)
+          |  WHERE rnk <= 10),
+          |pq AS (SELECT q_key, q_label,
+          |    CAST(sum(CASE WHEN c_label = q_label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+          |  FROM nn GROUP BY q_key, q_label)
+          |SELECT q_label AS label, count(*) AS n_queries,
+          |  CAST(sum(n_agree) AS BIGINT) AS sum_agree,
+          |  CAST(sum(CASE WHEN n_agree <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_suspect,
+          |  CAST(sum(n_agree) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 10.0) AS mean_agree
+          |FROM pq GROUP BY q_label ORDER BY label""".stripMargin),
+      doc = "label-noise audit: 10-NN label agreement census, suspect flag at <=2/10"),
+
     // Sign-LSH angle calibration — the hyperplane twin of
     // dedup_minhash_calibration: for every (query, corpus) pair, census
     // sign-agreement level (0..4 planes) against EXACT cosine similarity.
