@@ -2241,5 +2241,66 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |  CAST(sum(CASE WHEN is_new = 0 THEN len(chunk) ELSE 0 END) AS DOUBLE)
            |    / CAST(sum(len(chunk)) AS DOUBLE) AS reuse_ratio
            |FROM probe""".stripMargin),
-      doc = "CDC incremental backup plan: head-edited v2 vs v1 chunk store, re-aligned reuse census"))
+      doc = "CDC incremental backup plan: head-edited v2 vs v1 chunk store, re-aligned reuse census"),
+
+    // Distributed classifier TRAINING: the model is an L×B-bounded relation
+    // of integer sufficient statistics (token count + doc frequency per
+    // (label, hashed-feature bucket)) — NB and Rocchio both train from
+    // exactly these counts, and the map-side combine absorbs any corpus
+    // size. Split is the deterministic doc_id hash (80% train).
+    "text_classifier_train" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.classProfiles(
+          Tables.documents(s, dir).filter(col("doc_id") % 10 < 8),
+          "doc_id", "text", "lang", buckets = 256)
+          .orderBy(col("label"), col("bucket")),
+      oracle = Some(
+        s"""WITH tok AS (SELECT doc_id, lang AS label, unnest($wordsSql) AS w
+           |  FROM documents WHERE doc_id % 10 < 8),
+           |tb AS (SELECT doc_id, label,
+           |  CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 256 AS INT) AS bucket
+           |  FROM tok)
+           |SELECT label, bucket, count(*) AS n, count(DISTINCT doc_id) AS df
+           |FROM tb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "multinomial classifier training: hashed bag-of-words class profiles (integer sufficient statistics)"),
+
+    // Held-out eval of the trained profiles via Rocchio argmax — the argmax
+    // over score/N_l is EXACT (pairwise cross-multiplication in
+    // DECIMAL(38,0) / HUGEINT, smaller-label tiebreak; no float division
+    // anywhere in the graded chain). Graded: the confusion matrix.
+    "text_classifier_eval" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        TextAnalysis.rocchioPredict(
+          d.filter(col("doc_id") % 10 < 8), d.filter(col("doc_id") % 10 >= 8),
+          "doc_id", "text", "lang", buckets = 256)
+          .groupBy(col("label_true"), col("label_pred"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("label_true"), col("label_pred"))
+      },
+      oracle = Some(
+        s"""WITH tok AS (SELECT doc_id, lang,
+           |  CAST(CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 256 AS INT) AS bucket
+           |  FROM (SELECT doc_id, lang, unnest($wordsSql) AS w FROM documents)),
+           |prof AS (SELECT lang AS label, bucket, CAST(count(*) AS BIGINT) AS n
+           |  FROM tok WHERE doc_id % 10 < 8 GROUP BY 1, 2),
+           |tot AS (SELECT label, CAST(sum(n) AS BIGINT) AS nl FROM prof GROUP BY 1),
+           |dv AS (SELECT doc_id, lang AS label_true, bucket, CAST(count(*) AS BIGINT) AS c
+           |  FROM tok WHERE doc_id % 10 >= 8 GROUP BY 1, 2, 3),
+           |sc AS (SELECT dv.doc_id, p.label, CAST(sum(dv.c * p.n) AS BIGINT) AS s
+           |  FROM dv JOIN prof p USING (bucket) GROUP BY 1, 2),
+           |docs AS (SELECT DISTINCT doc_id, label_true FROM dv),
+           |dense AS (SELECT d.doc_id, d.label_true, t.label, t.nl,
+           |    COALESCE(sc.s, 0) AS s
+           |  FROM docs d CROSS JOIN tot t
+           |  LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.label = t.label),
+           |win AS (SELECT a.doc_id, a.label_true, a.label AS label_pred
+           |  FROM dense a JOIN dense b ON a.doc_id = b.doc_id
+           |  GROUP BY a.doc_id, a.label_true, a.label
+           |  HAVING sum(CASE WHEN CAST(b.s AS HUGEINT) * a.nl > CAST(a.s AS HUGEINT) * b.nl
+           |      OR (CAST(b.s AS HUGEINT) * a.nl = CAST(a.s AS HUGEINT) * b.nl
+           |          AND b.label < a.label) THEN 1 ELSE 0 END) = 0)
+           |SELECT label_true, label_pred, count(*) AS n
+           |FROM win GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "held-out classifier eval: Rocchio nearest-centroid confusion matrix, exact cross-multiplied argmax"))
 }

@@ -881,4 +881,77 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
   }
+
+  /** Hashed bag-of-words class profiles — the sufficient statistics of a
+    * multinomial text classifier (Naive Bayes and Rocchio/nearest-centroid
+    * both train FROM exactly these counts): token occurrences `n` and
+    * document frequency `df` per (label, feature bucket). Features are the
+    * portable md5-60-bit kernel mod `buckets` (the same hash family as
+    * [[qualityClassifierScore]]'s inference side), so TRAINING at 100 TB is
+    * one explode + groupBy with map-side combine onto an L×B-bounded
+    * relation: the model never exceeds n_labels × buckets rows no matter
+    * the corpus size, and the hot-bucket aggregation is skew-proof (partial
+    * aggregation absorbs any boilerplate token before the shuffle). */
+  def classProfiles(df: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, buckets: Int): DataFrame = {
+    val tok = df.select(col(idCol).as("id"), col(labelCol).as("label"),
+      explode(words(col(textCol))).as("w"))
+    val b = (expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
+      % buckets).cast("int")
+    tok.select(col("id"), col("label"), b.as("bucket"))
+      .groupBy(col("label"), col("bucket"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("id")).as("df"))
+  }
+
+  /** Rocchio / nearest-centroid prediction over [[classProfiles]] statistics
+    * with an EXACT integer argmax: score(d, l) = Σ_b c_db·n_lb and the
+    * winner maximizes score/N_l — compared pairwise by cross-multiplication
+    * (s_a·N_b vs s_b·N_a over DECIMAL(38,0), never a float division), ties
+    * broken by smaller label. Returns one row per test doc:
+    * (id, label_true, label_pred).
+    *
+    * Scale shape: the L×B profile is broadcast (bounded by construction);
+    * test docs reduce to per-bucket counts in one map-side-combined groupBy;
+    * the only shuffle is the per-doc argmax self-join keyed on id (L rows
+    * per doc, L = label count). Products are ≤ s_max·N_max ≈ 1e16·1e13 at
+    * 100 TB — beyond int64, inside DECIMAL(38,0); the oracle compares via
+    * HUGEINT. A doc whose buckets miss every profile row scores 0 for all
+    * labels and deterministically predicts the smallest label. */
+  def rocchioPredict(train: DataFrame, test: DataFrame, idCol: String,
+                     textCol: String, labelCol: String,
+                     buckets: Int): DataFrame = {
+    val prof = classProfiles(train, idCol, textCol, labelCol, buckets)
+      .select(col("label"), col("bucket"), col("n"))
+    val totals = prof.groupBy(col("label")).agg(sum(col("n")).as("nl"))
+    val b = (expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
+      % buckets).cast("int")
+    val docVec = test
+      .select(col(idCol).as("id"), col(labelCol).as("label_true"),
+        explode(words(col(textCol))).as("w"))
+      .select(col("id"), col("label_true"), b.as("bucket"))
+      .groupBy(col("id"), col("label_true"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+    val scores = docVec.join(broadcast(prof), Seq("bucket"))
+      .groupBy(col("id"), col("label"))
+      .agg(sum(col("c") * col("n")).as("s"))
+    val docs = docVec.select(col("id"), col("label_true")).distinct()
+    val dense = docs.crossJoin(broadcast(totals))
+      .join(scores, Seq("id", "label"), "left")
+      .select(col("id"), col("label_true"), col("label"), col("nl"),
+        coalesce(col("s"), lit(0L)).as("s"))
+    val a = dense.select(col("id"), col("label_true"), col("label").as("la"),
+      col("s").cast("decimal(38,0)").as("sa"),
+      col("nl").cast("decimal(38,0)").as("na"))
+    val bb = dense.select(col("id"), col("label").as("lb"),
+      col("s").cast("decimal(38,0)").as("sb"),
+      col("nl").cast("decimal(38,0)").as("nb"))
+    val beaten = (col("sb") * col("na") > col("sa") * col("nb")) ||
+      (col("sb") * col("na") === col("sa") * col("nb") &&
+        col("lb") < col("la"))
+    a.join(bb, Seq("id"))
+      .groupBy(col("id"), col("label_true"), col("la"))
+      .agg(sum(when(beaten, 1L).otherwise(0L)).as("losses"))
+      .filter(col("losses") === 0)
+      .select(col("id"), col("label_true"), col("la").as("label_pred"))
+  }
 }
