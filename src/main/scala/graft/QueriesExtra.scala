@@ -901,6 +901,38 @@ object QueriesExtra {
           |FROM est, ex""".stripMargin)),
       doc = "equi-depth range selectivity: exact decile bounds, 10-row estimate probe"),
 
+    // Zone-map pruning census: per-chunk min/max name under SORTED vs
+    // hash-NATURAL placement, probed by the 20 hottest folder ranges —
+    // chunks_sorted vs chunks_natural is the row-group-skipping I/O ratio
+    // clustered layout buys at 100 TB.
+    "stats_zonemap_pruning" -> Q(
+      fn = (s, dir) =>
+        graft.operators.Layout.zoneMapPruningCensus(
+          Tables.objects(s, dir), chunkRows = 256, topPrefixes = 20),
+      oracle = Some(Oracle.withObjects(
+        """, o AS (SELECT name FROM objects),
+          |r AS (SELECT name, row_number() OVER (ORDER BY name) - 1 AS rn FROM o),
+          |zs AS (SELECT rn // 256 AS chunk, min(name) AS zmin, max(name) AS zmax
+          |  FROM r GROUP BY 1),
+          |nc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM zs),
+          |zn AS (SELECT h % nc.n AS chunk, min(name) AS zmin, max(name) AS zmax
+          |  FROM (SELECT name,
+          |      CAST('0x' || substr(md5(name), 1, 15) AS BIGINT) AS h FROM o)
+          |    CROSS JOIN nc GROUP BY 1),
+          |f AS (SELECT concat(split_part(name, '/', 1), '/', split_part(name, '/', 2)) AS prefix,
+          |    count(*) AS n_objects
+          |  FROM o GROUP BY 1 ORDER BY n_objects DESC, prefix LIMIT 20),
+          |p AS (SELECT prefix, n_objects, prefix || '/' AS lo, prefix || '0' AS hi FROM f),
+          |cs AS (SELECT p.prefix, p.n_objects, count(zs.zmin) AS chunks_sorted
+          |  FROM p LEFT JOIN zs ON zs.zmax >= p.lo AND zs.zmin < p.hi GROUP BY 1, 2),
+          |cn AS (SELECT p.prefix, p.n_objects, count(zn.zmin) AS chunks_natural
+          |  FROM p LEFT JOIN zn ON zn.zmax >= p.lo AND zn.zmin < p.hi GROUP BY 1, 2)
+          |SELECT cs.prefix, cs.n_objects, cs.chunks_sorted, cn.chunks_natural,
+          |  nc.n AS total_chunks
+          |FROM cs JOIN cn ON cs.prefix = cn.prefix CROSS JOIN nc
+          |ORDER BY cs.prefix""".stripMargin)),
+      doc = "zone-map (min/max) chunk pruning: sorted vs natural layout I/O census over hot folder ranges"),
+
     // Bloom-filter runtime join pruning — the dynamic-filter pattern: an
     // 8 KB bitmap built from the SMALL join side cuts the big probe side
     // map-side (zero shuffle per pruned row) before the exact join runs.

@@ -2302,5 +2302,61 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |          AND b.label < a.label) THEN 1 ELSE 0 END) = 0)
            |SELECT label_true, label_pred, count(*) AS n
            |FROM win GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "held-out classifier eval: Rocchio nearest-centroid confusion matrix, exact cross-multiplied argmax"))
+      doc = "held-out classifier eval: Rocchio nearest-centroid confusion matrix, exact cross-multiplied argmax"),
+
+
+    // CCNet composed end-to-end (dedup -> langid -> LM score -> per-lang
+    // perplexity terciles). Boundary state is the BUCKETED score histogram
+    // (floor(mean_surprisal*100)) so the tercile computation is bounded per
+    // language; the graded census is (lang, tier) docs + tokens.
+    "pipeline_ccnet" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.ccnetTiers(Tables.documents(s, dir), "doc_id", "text", 4)
+          .orderBy(col("lang"), col("tier")),
+      oracle = Some(
+        s"""WITH d AS (SELECT doc_id AS id, $wordsSql AS ws FROM documents),
+           |l0 AS (SELECT id, unnest(list_transform(
+           |    generate_series(0, CAST(floor((len(ws) + 3) / 4) AS INT) - 1),
+           |    i -> struct_pack(line_no := i, line := array_to_string(ws[i*4+1 : i*4+4], ' ')))) AS u
+           |  FROM d),
+           |l AS (SELECT id, CAST(u.line_no AS BIGINT) AS line_no, u.line AS line FROM l0),
+           |win0 AS (SELECT line, min(id * 4294967296 + line_no) AS keep_key FROM l GROUP BY line),
+           |kept AS (SELECT id, line FROM l JOIN win0 USING (line)
+           |         WHERE id * 4294967296 + line_no = keep_key),
+           |tok AS (SELECT id, unnest(string_split_regex(line, '\\s+')) AS wd FROM kept),
+           |lm AS (SELECT wd, count(*) AS c FROM tok GROUP BY wd),
+           |nn AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM lm),
+           |sv AS (SELECT wd, CAST(round(ln(n / c), 6) AS DECIMAL(18,6)) AS surp FROM lm, nn),
+           |ds AS (SELECT id, count(*) AS n_tokens,
+           |    CAST(floor(round(CAST(sum(surp) AS DOUBLE) / count(*), 6) * 100) AS BIGINT) AS bucket
+           |  FROM tok JOIN sv USING (wd) GROUP BY id),
+           |ls AS (SELECT doc_id AS id,
+           |  len(list_filter($wordsSql, w -> w IN ('the','a','and','of','to','in','is'))) AS s_en,
+           |  len(list_filter($wordsSql, w -> w IN ('el','la','de','que','y','en','los'))) AS s_es,
+           |  len(list_filter($wordsSql, w -> w IN ('der','die','und','das','von','ist','ein'))) AS s_de,
+           |  len(list_filter($wordsSql, w -> w IN ('le','la','et','les','des','est','une'))) AS s_fr
+           |  FROM documents),
+           |lng AS (SELECT id, CASE
+           |  WHEN s_fr > greatest(s_de, s_es, s_en, 0) THEN 'fr'
+           |  WHEN s_de > greatest(s_es, s_en, 0) THEN 'de'
+           |  WHEN s_es > greatest(s_en, 0) THEN 'es'
+           |  WHEN s_en > 0 THEN 'en'
+           |  ELSE 'und' END AS lang FROM ls),
+           |db AS (SELECT ds.id, lng.lang, ds.n_tokens, ds.bucket FROM ds JOIN lng USING (id)),
+           |hist AS (SELECT lang, bucket, count(*) AS nb FROM db GROUP BY 1, 2),
+           |cum AS (SELECT lang, bucket, nb,
+           |    sum(nb) OVER (PARTITION BY lang ORDER BY bucket) AS cumn FROM hist),
+           |tot AS (SELECT lang, CAST(sum(nb) AS BIGINT) AS nl FROM hist GROUP BY 1),
+           |bnd AS (SELECT cum.lang,
+           |    min(CASE WHEN cumn * 3 >= nl THEN bucket END) AS b1,
+           |    min(CASE WHEN cumn * 3 >= nl * 2 THEN bucket END) AS b2
+           |  FROM cum JOIN tot ON cum.lang = tot.lang GROUP BY cum.lang),
+           |tier AS (SELECT db.lang,
+           |    CASE WHEN db.bucket <= b1 THEN 'head'
+           |         WHEN db.bucket <= b2 THEN 'middle' ELSE 'tail' END AS tier,
+           |    db.n_tokens
+           |  FROM db JOIN bnd ON db.lang = bnd.lang)
+           |SELECT lang, tier, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+           |FROM tier GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "CCNet pipeline capstone: line dedup -> lang ID -> LM surprisal -> per-lang perplexity terciles"))
 }

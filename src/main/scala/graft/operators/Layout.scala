@@ -165,4 +165,47 @@ object Layout {
         min(col("name")).as("first_name"), max(col("name")).as("last_name"))
       .orderBy(col("bucket_id"), col("folder"), col("bin"))
   }
+  /** Zone-map (min/max-per-chunk) pruning census — the quantitative case
+    * for clustered layout at 100 TB. Chunks of `chunkRows` names model
+    * parquet row-groups under two layouts: SORTED (name-ranked via
+    * [[Prefix.withRankAndCumSum]] — no global window) and NATURAL
+    * (md5-hash placement over the same chunk count — arrival order). For
+    * the `topPrefixes` hottest folders, counts how many chunks each
+    * folder-range predicate must read per layout: exactly the row-group
+    * min/max skipping a parquet scan does, so `chunks_sorted` vs
+    * `chunks_natural` IS the I/O ratio a 100 TB reader pays for ignoring
+    * layout. The zone-map relation is data/chunkRows rows; the predicate
+    * probe is a broadcast range join over it (O(preds × chunks), never
+    * O(data)). */
+  def zoneMapPruningCensus(objects: DataFrame, chunkRows: Int = 256,
+                           topPrefixes: Int = 20): DataFrame = {
+    val names = objects.select(col("name"))
+    val ranked = Prefix.withRankAndCumSum(names, Seq(col("name")), lit(1L), 32)
+      .select(col("name"), expr(s"(rnk - 1) div $chunkRows").as("chunk"))
+    val zSorted = ranked.groupBy(col("chunk"))
+      .agg(min(col("name")).as("zmin"), max(col("name")).as("zmax"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nChunks = zSorted.count() // chunk-count scalar, rides in as a literal
+    val h = expr("cast(conv(substring(md5(name), 1, 15), 16, 10) as bigint)")
+    val zNat = names.select(col("name"), (h % nChunks).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(min(col("name")).as("zmin"), max(col("name")).as("zmax"))
+    val folders = names
+      .select(concat(split_part(col("name"), lit("/"), lit(1)), lit("/"),
+        split_part(col("name"), lit("/"), lit(2))).as("prefix"))
+      .groupBy(col("prefix")).agg(count(lit(1)).as("n_objects"))
+      .orderBy(col("n_objects").desc, col("prefix")).limit(topPrefixes)
+    val preds = folders.select(col("prefix"), col("n_objects"),
+      concat(col("prefix"), lit("/")).as("lo"),
+      concat(col("prefix"), lit("0")).as("hi"))
+    def surviving(zm: DataFrame, out: String): DataFrame =
+      preds
+        .join(broadcast(zm), col("zmax") >= col("lo") && col("zmin") < col("hi"), "left")
+        .groupBy(col("prefix"), col("n_objects"))
+        .agg(count(col("zmin")).as(out))
+    surviving(zSorted, "chunks_sorted")
+      .join(surviving(zNat, "chunks_natural"), Seq("prefix", "n_objects"))
+      .withColumn("total_chunks", lit(nChunks))
+      .orderBy(col("prefix"))
+  }
 }

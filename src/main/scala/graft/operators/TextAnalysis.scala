@@ -954,4 +954,60 @@ object TextAnalysis {
       .filter(col("losses") === 0)
       .select(col("id"), col("label_true"), col("la").as("label_pred"))
   }
+  /** CCNet-style corpus pipeline (Wenzek et al. 2020) composed end-to-end:
+    * (1) cross-doc LINE dedup, first occurrence wins — the survivor's text
+    * is the payload, so this dedup shuffles line content (contrast
+    * [[lineDedupStats]], which ships only hash-narrow counts); (2) language
+    * ID on the original doc ([[langId]]); (3) unigram-LM surprisal scored
+    * over the DEDUPED token stream; (4) per-language perplexity TERCILES
+    * (head/middle/tail, CCNet's quality bands) over a BUCKETED score
+    * histogram — `floor(mean_surprisal·100)` — so the boundary state is
+    * ≤ ~2000 rows per language no matter the corpus (the windows below run
+    * on that bounded histogram, never on the doc stream). Returns the
+    * (lang, tier) census: docs + surviving tokens.
+    *
+    * Docs whose every line was claimed by an earlier doc leave the corpus
+    * (zero kept lines), exactly like the reference pipeline's empty-doc
+    * drop. */
+  def ccnetTiers(df: DataFrame, idCol: String, textCol: String,
+                 wordsPerLine: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lines = docLines(df, idCol, textCol, wordsPerLine)
+    val key = col("id") * 4294967296L + col("line_no")
+    val winners = lines.groupBy(col("line")).agg(min(key).as("keep_key"))
+    val kept = lines.join(winners, Seq("line"))
+      .filter(key === col("keep_key"))
+      .select(col("id"), col("line"))
+    val tok = kept.select(col("id"), explode(split(col("line"), "\\s+")).as("w"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lm = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val n = lm.agg(sum(col("c"))).head().getLong(0).toDouble
+    val scored = lm.select(col("w"),
+      round(log(lit(n) / col("c")), 6).cast("decimal(18,6)").as("surp"))
+    val ds = tok.join(scored, Seq("w"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("_ssum"))
+      .select(col("id"), col("n_tokens"),
+        floor(round(col("_ssum").cast("double") / col("n_tokens"), 6) * 100)
+          .cast("long").as("bucket"))
+    val langs = df.select(col(idCol).as("id"), langId(col(textCol)).as("lang"))
+    val db = ds.join(langs, Seq("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hist = db.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("nb"))
+    val wcum = Window.partitionBy(col("lang")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("cumn", sum(col("nb")).over(wcum))
+    val tot = hist.groupBy(col("lang")).agg(sum(col("nb")).as("nl"))
+    val bnd = cum.join(tot, Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(min(when(col("cumn") * 3 >= col("nl"), col("bucket"))).as("b1"),
+        min(when(col("cumn") * 3 >= col("nl") * 2, col("bucket"))).as("b2"))
+    val out = db.join(broadcast(bnd), Seq("lang"))
+      .withColumn("tier", when(col("bucket") <= col("b1"), "head")
+        .when(col("bucket") <= col("b2"), "middle").otherwise("tail"))
+      .groupBy(col("lang"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+    out
+  }
 }
