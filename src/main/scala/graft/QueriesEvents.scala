@@ -688,5 +688,34 @@ object QueriesEvents {
           |FROM events
           |GROUP BY CUBE (event_type, epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24)
           |ORDER BY gid, event_type, hour_of_day""".stripMargin),
-      doc = "CUBE grouping sets: one Expand pass, grouping_id-tagged, DECIMAL sums"))
+      doc = "CUBE grouping sets: one Expand pass, grouping_id-tagged, DECIMAL sums"),
+
+
+    // 15-minute OHLC bars per event type — the time-series resampling
+    // verb. open/close are exact arg-min/arg-max by an in-bar integer key
+    // (µs offset × 1e7 + event_id: unique, so zero tie surface); high/low
+    // plain min/max; no double is ever summed. One map-side-combined
+    // groupBy; the bar relation is (type × time)-bounded at any volume.
+    "t_resample_ohlc" -> Q(
+      fn = (s, dir) =>
+        Tables.events(s, dir)
+          .select(col("event_type"), col("value"),
+            expr("unix_micros(ts) div 900000000").as("bar"),
+            (expr("unix_micros(ts) % 900000000") * 10000000L + col("event_id")).as("k"))
+          .groupBy(col("event_type"), col("bar"))
+          .agg(min_by(col("value"), col("k")).as("open"),
+            max(col("value")).as("high"),
+            min(col("value")).as("low"),
+            max_by(col("value"), col("k")).as("close"),
+            count(lit(1)).as("n"))
+          .orderBy(col("event_type"), col("bar")),
+      oracle = Some(
+        """WITH e AS (SELECT event_type, event_id, value,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |b AS (SELECT event_type, us // 900000000 AS bar,
+          |    (us % 900000000) * 10000000 + event_id AS k, value FROM e)
+          |SELECT event_type, bar, arg_min(value, k) AS open, max(value) AS high,
+          |  min(value) AS low, arg_max(value, k) AS close, count(*) AS n
+          |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+      doc = "time-series resampling: 15-min OHLC bars with exact integer-keyed open/close"))
 }

@@ -498,6 +498,47 @@ object QueriesExtra {
       },
       doc = "fixed-point integer PageRank (bit-reproducible iterative graph kernel)"),
 
+
+    // Multi-source BFS over the co-purchase graph: hop-distance census
+    // from the id%1000 seed set. Frontier/visited stay node-sized; the
+    // oracle unrolls the same three supersteps as explicit CTEs.
+    "graph_bfs_layers" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+        val nodes = e.select(col("src").as("id")).distinct()
+        graft.operators.Graph.bfsLayers(e,
+          nodes.filter(col("id") % 1000 === 0), maxHops = 3)
+          .orderBy(col("dist"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |nodes AS (SELECT DISTINCT src AS id FROM e),
+          |v0 AS (SELECT id, 0 AS dist FROM nodes WHERE id % 1000 = 0),
+          |f1 AS (SELECT DISTINCT e.dst AS id FROM e JOIN v0 ON e.src = v0.id
+          |  WHERE e.dst NOT IN (SELECT id FROM v0)),
+          |v1 AS (SELECT * FROM v0 UNION ALL SELECT id, 1 FROM f1),
+          |f2 AS (SELECT DISTINCT e.dst AS id FROM e JOIN f1 ON e.src = f1.id
+          |  WHERE e.dst NOT IN (SELECT id FROM v1)),
+          |v2 AS (SELECT * FROM v1 UNION ALL SELECT id, 2 FROM f2),
+          |f3 AS (SELECT DISTINCT e.dst AS id FROM e JOIN f2 ON e.src = f2.id
+          |  WHERE e.dst NOT IN (SELECT id FROM v2)),
+          |v3 AS (SELECT * FROM v2 UNION ALL SELECT id, 3 FROM f3),
+          |r AS (SELECT dist, count(*) AS n_nodes FROM v3 GROUP BY 1
+          |      UNION ALL
+          |      SELECT -1 AS dist, count(*) AS n_nodes FROM nodes
+          |      WHERE id NOT IN (SELECT id FROM v3))
+          |SELECT dist, n_nodes FROM r WHERE n_nodes > 0 ORDER BY dist""".stripMargin),
+      doc = "multi-source BFS hop census: bounded Pregel supersteps, node-sized frontiers"),
+
     // Triangle enumeration over the support-thresholded co-purchase graph:
     // degree-ordered orientation bounds the wedge join by m^1.5 however
     // hot any hub node is; the support >= 2 floor is the frequent-itemset

@@ -1840,6 +1840,42 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           |GROUP BY 1 ORDER BY 1""".stripMargin),
       doc = "MAD outlier census: exact integer medians, drift-free robust quality gate"),
 
+
+    // Benford leading-digit audit over object sizes — the data-forensics
+    // census (fabricated/synthetic numeric columns flunk it). Shares and
+    // reference shares are scaled integers (micro-units, floor division);
+    // nothing floats. TPC-H's near-uniform prices SHOULD flunk — the
+    // excess column reports exactly how.
+    "profile_benford" -> Q(
+      fn = (s, dir) => {
+        val benford = typedLit(Map(1 -> 301029, 2 -> 176091, 3 -> 124938,
+          4 -> 96910, 5 -> 79181, 6 -> 66946, 7 -> 57991, 8 -> 51152,
+          9 -> 45757))
+        val sizes = Tables.objects(s, dir).select(col("size"))
+        val t = sizes.agg(count(lit(1)).as("total"))
+        sizes.select(substring(col("size").cast("string"), 1, 1).cast("int").as("digit"))
+          .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+          .crossJoin(t)
+          .select(col("digit"), col("n"), col("total"),
+            expr("(n * 1000000) div total").as("share_micro"),
+            element_at(benford, col("digit")).as("benford_micro"))
+          .withColumn("excess_micro", col("share_micro") - col("benford_micro"))
+          .orderBy(col("digit"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, s AS (SELECT CAST(substr(CAST(size AS VARCHAR), 1, 1) AS INT) AS digit
+          |  FROM objects),
+          |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM s),
+          |h AS (SELECT digit, count(*) AS n FROM s GROUP BY 1),
+          |b(digit, benford_micro) AS (VALUES (1, 301029), (2, 176091),
+          |  (3, 124938), (4, 96910), (5, 79181), (6, 66946), (7, 57991),
+          |  (8, 51152), (9, 45757))
+          |SELECT h.digit, h.n, t.total,
+          |  (h.n * 1000000) // t.total AS share_micro, b.benford_micro,
+          |  (h.n * 1000000) // t.total - b.benford_micro AS excess_micro
+          |FROM h JOIN b USING (digit) CROSS JOIN t ORDER BY h.digit""".stripMargin)),
+      doc = "Benford leading-digit forensics census: scaled-integer shares vs log10(1+1/d)"),
+
     // Epoch-shuffle shard manifest: a fresh deterministic permutation per
     // epoch (md5 keyed by epoch‖id), sharded; Σ rank·id per (epoch, shard)
     // pins the ENTIRE read order in one exact integer — the oracle match

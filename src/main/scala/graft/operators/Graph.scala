@@ -206,4 +206,37 @@ object Graph {
     }
     lab
   }
+
+  /** Multi-source BFS hop-distance census over an undirected edge relation:
+    * one (dist, n_nodes) row per hop 0..maxHops plus a `-1` row for nodes
+    * the wave never reaches. Bounded-iteration frontier expansion exactly
+    * like [[pagerankFixedPoint]]: each hop is one edges⋈frontier semi-join
+    * feeding an anti-join against the visited set — every intermediate is
+    * node-sized (never path-sized), the hot-hub fanout collapses in the
+    * per-hop `distinct`'s partial aggregation, and the census is exact
+    * integers end to end. maxHops is a small constant (plans stay bounded);
+    * at 100 TB each hop is one shuffle round, the textbook Pregel superstep. */
+  def bfsLayers(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(mem)
+    val nodes = e.select(col("src").as("id")).distinct().persist(mem)
+    var visited = sources.select(col("id")).distinct()
+      .withColumn("dist", lit(0)).persist(mem)
+    var frontier = visited.select(col("id"))
+    var k = 1
+    while (k <= maxHops) {
+      val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(k)).persist(mem)
+      visited = visited.unionByName(next).persist(mem)
+      frontier = next.select(col("id"))
+      k += 1
+    }
+    val reached = visited.groupBy(col("dist")).agg(count(lit(1)).as("n_nodes"))
+    val unreached = nodes.join(visited.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).as("dist"), col("n_nodes"))
+    reached.unionByName(unreached).filter(col("n_nodes") > 0)
+  }
 }

@@ -80,4 +80,14 @@ class GraphSpec extends SparkTestBase {
     // each triangle surfaces exactly once — no orientation double-count
     assert(got.distinct.size == got.size)
   }
+  test("bfsLayers: path-graph distances, hop cap, and unreached census") {
+    // undirected path 1-2-3-4-5 plus a disconnected edge 8-9
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (8L, 9L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val out = Graph.bfsLayers(edges, Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // 1@0, 2@1, 3@2, 4@3; node 5 needs hop 4 and 8/9 are disconnected
+    assert(out == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, -1 -> 3L), s"got $out")
+  }
 }
