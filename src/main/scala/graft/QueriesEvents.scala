@@ -691,6 +691,54 @@ object QueriesEvents {
       doc = "CUBE grouping sets: one Expand pass, grouping_id-tagged, DECIMAL sums"),
 
 
+
+    // Watermark-lateness census: for each event (in event_id arrival
+    // order), how far behind the running high-water mark its event time
+    // sits — the measurement that tunes withWatermark() delay. The running
+    // max is the two-pass prefix operator (no global window); lateness
+    // tiers are exact integer µs.
+    "events_watermark_lateness" -> Q(
+      fn = (s, dir) => {
+        // arrival model: event time + deterministic 0-2h delivery delay
+        // (md5 of event_id) — the realistic mostly-ordered stream whose
+        // stragglers a watermark has to absorb
+        val e = Tables.events(s, dir)
+          .select(col("event_id"), expr("unix_micros(ts)").as("us"))
+          .withColumn("arr", col("us") +
+            expr("cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint) % 7200000000"))
+        val late = graft.operators.Prefix
+          .withRunningMaxExcl(e, Seq(col("arr"), col("event_id")), col("us"), 32)
+          .select(greatest(lit(0L),
+            coalesce(col("run_max_excl") - col("us"), lit(0L))).as("late_us"))
+        late.select(
+          when(col("late_us") === 0, "a_ontime")
+            .when(col("late_us") <= 60000000L, "b_le_1min")
+            .when(col("late_us") <= 600000000L, "c_le_10min")
+            .when(col("late_us") <= 3600000000L, "d_le_1h")
+            .otherwise("e_gt_1h").as("tier"),
+          col("late_us"))
+          .groupBy(col("tier"))
+          .agg(count(lit(1)).as("n"), max(col("late_us")).as("max_late_us"))
+          .orderBy(col("tier"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT event_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |    epoch_us(CAST(ts AS TIMESTAMP))
+          |      + CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+          |        % 7200000000 AS arr FROM events),
+          |r AS (SELECT us, max(us) OVER (ORDER BY arr, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS rm FROM e),
+          |l AS (SELECT greatest(0, coalesce(rm - us, 0)) AS late_us FROM r),
+          |t AS (SELECT CASE WHEN late_us = 0 THEN 'a_ontime'
+          |    WHEN late_us <= 60000000 THEN 'b_le_1min'
+          |    WHEN late_us <= 600000000 THEN 'c_le_10min'
+          |    WHEN late_us <= 3600000000 THEN 'd_le_1h'
+          |    ELSE 'e_gt_1h' END AS tier, late_us FROM l)
+          |SELECT tier, count(*) AS n, max(late_us) AS max_late_us
+          |FROM t GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "watermark-lateness census: two-pass running high-water mark, integer-µs tiers"),
+
     // 15-minute OHLC bars per event type — the time-series resampling
     // verb. open/close are exact arg-min/arg-max by an in-bar integer key
     // (µs offset × 1e7 + event_id: unique, so zero tie surface); high/low

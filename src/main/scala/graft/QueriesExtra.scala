@@ -539,6 +539,71 @@ object QueriesExtra {
           |SELECT dist, n_nodes FROM r WHERE n_nodes > 0 ORDER BY dist""".stripMargin),
       doc = "multi-source BFS hop census: bounded Pregel supersteps, node-sized frontiers"),
 
+
+    // Consistent-hash ring placement: 8 servers x 16 virtual nodes on the
+    // md5-60-bit ring; each object lands on the first vnode clockwise from
+    // its hash (wrap to the ring minimum). Census per server: objects +
+    // bytes under the full ring, and objects GAINED when server s0
+    // departs — consistent hashing's whole point is that only s0's share
+    // moves (graded exactly). The ring is broadcast; assignment is one
+    // conditional min over ring-side rows with map-side combine.
+    "store_consistent_hashing" -> Q(
+      fn = (s, dir) => {
+        val ring = (for (srv <- 0 until 8; v <- 0 until 16) yield (srv, v))
+          .toList
+        val mk = (srv: Int, v: Int) =>
+          s"cast(conv(substring(md5('s$srv:$v'), 1, 15), 16, 10) as bigint)"
+        import s.implicits._
+        val ringDf = ring.toDF("server", "vnode")
+          .withColumn("pos", expr(
+            "cast(conv(substring(md5(concat('s', server, ':', vnode)), 1, 15), 16, 10) as bigint)"))
+          .select(col("server"), col("pos"))
+        val objs = Tables.objects(s, dir).select(col("name"), col("size"),
+          expr("cast(conv(substring(md5(name), 1, 15), 16, 10) as bigint)").as("h"))
+        def assign(rg: org.apache.spark.sql.DataFrame, outCol: String) = {
+          val cand = objs.crossJoin(broadcast(rg))
+            .groupBy(col("name"))
+            .agg(min(when(col("pos") >= col("h"),
+                struct(col("pos"), col("server")))).as("cw"),
+              min(struct(col("pos"), col("server"))).as("wrap"))
+            .select(col("name"),
+              coalesce(col("cw.server"), col("wrap.server")).as(outCol))
+          cand
+        }
+        val a1 = assign(ringDf, "srv_full")
+        val a2 = assign(ringDf.filter(col("server") =!= 0), "srv_minus0")
+        val j = objs.join(a1, Seq("name")).join(a2, Seq("name"))
+        j.groupBy(col("srv_full").as("server"))
+          .agg(count(lit(1)).as("n_objects"),
+            sum(col("size")).as("bytes"),
+            sum(when(col("srv_minus0") =!= col("srv_full"), 1L).otherwise(0L))
+              .as("n_moved_out"))
+          .orderBy(col("server"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, ring AS (SELECT srv.s AS server,
+          |    CAST('0x' || substr(md5('s' || srv.s || ':' || vn.v), 1, 15) AS BIGINT) AS pos
+          |  FROM generate_series(0, 7) srv(s) CROSS JOIN generate_series(0, 15) vn(v)),
+          |o AS (SELECT name, size,
+          |    CAST('0x' || substr(md5(name), 1, 15) AS BIGINT) AS h FROM objects),
+          |a1 AS (SELECT o.name,
+          |    coalesce(arg_min(CASE WHEN r.pos >= o.h THEN r.server END,
+          |                     CASE WHEN r.pos >= o.h THEN r.pos END),
+          |             arg_min(r.server, r.pos)) AS srv_full
+          |  FROM o CROSS JOIN ring r GROUP BY o.name),
+          |a2 AS (SELECT o.name,
+          |    coalesce(arg_min(CASE WHEN r.pos >= o.h THEN r.server END,
+          |                     CASE WHEN r.pos >= o.h THEN r.pos END),
+          |             arg_min(r.server, r.pos)) AS srv_minus0
+          |  FROM o CROSS JOIN ring r WHERE r.server <> 0 GROUP BY o.name)
+          |SELECT a1.srv_full AS server, count(*) AS n_objects,
+          |  CAST(sum(o.size) AS BIGINT) AS bytes,
+          |  CAST(sum(CASE WHEN a2.srv_minus0 <> a1.srv_full THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_moved_out
+          |FROM o JOIN a1 USING (name) JOIN a2 USING (name)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      doc = "consistent-hash ring placement + departure rebalance: only the lost server's share moves"),
+
     // Triangle enumeration over the support-thresholded co-purchase graph:
     // degree-ordered orientation bounds the wedge join by m^1.5 however
     // hot any hub node is; the support >= 2 floor is the frequent-itemset

@@ -42,4 +42,37 @@ object Prefix {
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
       .drop("_pid")
   }
+
+  /** `df` plus `run_max_excl` — the maximum of `value` (a LONG column) over
+    * all STRICTLY-preceding rows in the total order of `sortCols` (null on
+    * the global first row). The watermark primitive: what a streaming
+    * engine's high-water mark would have read when each row arrived. Same
+    * two-pass shape as [[withRankAndCumSum]]: range-partition on the sort
+    * key, one tiny per-partition max census to the driver, then a
+    * partition-local window seeded with the prefix max of earlier
+    * partitions — no global window at any size. */
+  def withRunningMaxExcl(df: DataFrame, sortCols: Seq[Column],
+                         value: Column, nPart: Int): DataFrame = {
+    val parted = df.repartitionByRange(nPart, sortCols: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val census = parted.groupBy(col("_pid")).agg(max(value).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val offs = census.scanLeft(Long.MinValue) {
+      case (acc, (_, m)) => math.max(acc, m)
+    }.init
+    val offMap = map(census.map(_._1).zip(offs)
+      .flatMap { case (p, o) => Seq(lit(p), lit(o)) }: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_pid")).orderBy(sortCols: _*)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    parted
+      .withColumn("_prior", greatest(
+        coalesce(max(value).over(w), lit(Long.MinValue)),
+        element_at(offMap, col("_pid"))))
+      .withColumn("run_max_excl",
+        when(col("_prior") === Long.MinValue, lit(null).cast("long"))
+          .otherwise(col("_prior")))
+      .drop("_pid", "_prior")
+  }
 }

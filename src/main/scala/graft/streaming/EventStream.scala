@@ -464,4 +464,22 @@ object EventStream {
           }
       }
   }
+
+
+  /** Streaming 15-minute OHLC bars — the `t_resample_ohlc` twin under a
+    * watermark: open/close via the same unique integer in-bar key
+    * (µs offset · 1e7 + event_id), so sealed bars match the batch op
+    * EXACTLY (StreamingSpec pins parity). State is one row per open
+    * (type, window) pair, sealed and evicted by the watermark. */
+  def streamingOhlc(events: DataFrame, watermarkDelay: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", watermarkDelay)
+      .withColumn("k", expr("unix_micros(ts) % 900000000") * 10000000L + col("event_id"))
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(min_by(col("value"), col("k")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("k")).as("close"),
+        count(lit(1)).as("n"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
 }

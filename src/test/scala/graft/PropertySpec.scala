@@ -244,4 +244,18 @@ class PropertySpec extends SparkTestBase {
       assert(got.toSeq == want, s"pair ($p1, $p2)")
     }
   }
+  test("withRunningMaxExcl equals the single-window running max on random data") {
+    val xs = sample(Gen.chooseNum(0L, 1000000L), 500)
+    val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
+    val got = graft.operators.Prefix
+      .withRunningMaxExcl(df.repartition(7), Seq(col("k")), col("v"), 5)
+      .select(col("k"), col("run_max_excl")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long])))
+      .toMap
+    var acc = Option.empty[Long]
+    xs.zipWithIndex.foreach { case (v, i) =>
+      assert(got(i.toLong) == acc, s"row $i")
+      acc = Some(acc.fold(v)(math.max(_, v)))
+    }
+  }
 }

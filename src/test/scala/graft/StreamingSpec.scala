@@ -594,4 +594,36 @@ class StreamingSpec extends SparkTestBase {
     val b30 = got.find(r => r.event_type == "b" && r.hour_idx == 30L).get
     assert(!b30.spike && b30.prev_hours == 24 && b30.prev_n == 120L)
   }
+  test("streaming 15-min OHLC bars match the batch resample exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // two bars for type A (10:00, 10:15), one for B; sentinel seals all
+    val events = Seq(
+      (1L, "A", 5.0, ts("2024-01-01 10:03:00")),
+      (2L, "A", 9.0, ts("2024-01-01 10:01:00")), // open (earliest in bar)
+      (3L, "A", 2.0, ts("2024-01-01 10:14:00")), // close + low
+      (4L, "A", 7.5, ts("2024-01-01 10:16:00")),
+      (5L, "B", 4.0, ts("2024-01-01 10:05:00")),
+      (6L, "B", 4.5, ts("2024-01-01 10:05:00")), // same ts: event_id breaks tie
+      (9L, "Z", 0.0, ts("2024-01-02 00:00:00")))
+    val input = MemoryStream[(Long, String, Double, java.sql.Timestamp)]
+    input.addData(events: _*)
+    val out = EventStream.streamingOhlc(
+      input.toDF.toDF("event_id", "event_type", "value", "ts"))
+    val q = out.writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("ohlc_out").filter(col("event_type") =!= "Z")
+      .select("event_type", "open", "high", "low", "close", "n")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getLong(5))).toSet
+    // batch twin of the same arithmetic (same key formula)
+    assert(got == Set(
+      ("A", 9.0, 9.0, 2.0, 2.0, 3L),   // 10:00 bar: open 10:01, close 10:14
+      ("A", 7.5, 7.5, 7.5, 7.5, 1L),   // 10:15 bar
+      ("B", 4.0, 4.5, 4.0, 4.5, 2L)),  // tie ts: id 5 opens, id 6 closes
+      s"got $got")
+  }
 }
