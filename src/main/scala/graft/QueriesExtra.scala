@@ -549,30 +549,38 @@ object QueriesExtra {
     // conditional min over ring-side rows with map-side combine.
     "store_consistent_hashing" -> Q(
       fn = (s, dir) => {
-        val ring = (for (srv <- 0 until 8; v <- 0 until 16) yield (srv, v))
-          .toList
-        val mk = (srv: Int, v: Int) =>
-          s"cast(conv(substring(md5('s$srv:$v'), 1, 15), 16, 10) as bigint)"
-        import s.implicits._
-        val ringDf = ring.toDF("server", "vnode")
-          .withColumn("pos", expr(
-            "cast(conv(substring(md5(concat('s', server, ':', vnode)), 1, 15), 16, 10) as bigint)"))
-          .select(col("server"), col("pos"))
+        // the ring is a compile-time CONSTANT (md5 of fixed vnode labels):
+        // compute it driver-side and ship the sorted (pos, server) arrays
+        // as literals — assignment is then a 128-entry successor lookup
+        // inside one codegen'd projection, zero joins and zero shuffles
+        // per object (the earlier relational crossJoin×groupBy form cost
+        // ~99 s at sf0.1; this form is one scan). The DuckDB oracle keeps
+        // the relational formulation — the hash-match proves the lookup
+        // and the relation agree ring-wide.
+        def md5pos(str: String): Long = {
+          val d = java.security.MessageDigest.getInstance("MD5")
+            .digest(str.getBytes("UTF-8"))
+          java.lang.Long.parseLong(
+            d.map("%02x".format(_)).mkString.substring(0, 15), 16)
+        }
+        val ring = for (srv <- 0 until 8; v <- 0 until 16)
+          yield (srv, md5pos(s"s$srv:$v"))
+        def assignCol(nodes: Seq[(Int, Long)],
+                      h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+          val sorted = nodes.sortBy(_._2)
+          val posArr = typedLit(sorted.map(_._2))
+          val srvArr = typedLit(sorted.map(_._1))
+          // index of the first vnode clockwise from h (count of pos < h),
+          // wrapping to the ring minimum when h is past the last vnode
+          val idx = size(filter(posArr, p => p < h))
+          element_at(srvArr,
+            when(idx === sorted.size, lit(0)).otherwise(idx) + 1)
+        }
         val objs = Tables.objects(s, dir).select(col("name"), col("size"),
           expr("cast(conv(substring(md5(name), 1, 15), 16, 10) as bigint)").as("h"))
-        def assign(rg: org.apache.spark.sql.DataFrame, outCol: String) = {
-          val cand = objs.crossJoin(broadcast(rg))
-            .groupBy(col("name"))
-            .agg(min(when(col("pos") >= col("h"),
-                struct(col("pos"), col("server")))).as("cw"),
-              min(struct(col("pos"), col("server"))).as("wrap"))
-            .select(col("name"),
-              coalesce(col("cw.server"), col("wrap.server")).as(outCol))
-          cand
-        }
-        val a1 = assign(ringDf, "srv_full")
-        val a2 = assign(ringDf.filter(col("server") =!= 0), "srv_minus0")
-        val j = objs.join(a1, Seq("name")).join(a2, Seq("name"))
+        val j = objs
+          .withColumn("srv_full", assignCol(ring, col("h")))
+          .withColumn("srv_minus0", assignCol(ring.filter(_._1 != 0), col("h")))
         j.groupBy(col("srv_full").as("server"))
           .agg(count(lit(1)).as("n_objects"),
             sum(col("size")).as("bytes"),

@@ -2394,5 +2394,62 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |  FROM db JOIN bnd ON db.lang = bnd.lang)
            |SELECT lang, tier, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
            |FROM tier GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "CCNet pipeline capstone: line dedup -> lang ID -> LM surprisal -> per-lang perplexity terciles"))
+      doc = "CCNet pipeline capstone: line dedup -> lang ID -> LM surprisal -> per-lang perplexity terciles"),
+    // The pretraining-corpus capstone: quality gates -> exact dedup ->
+    // lang ID -> alpha=0.5 temperature mix -> shard packing, one plan.
+    // Weight quantization (floor(sqrt*1e9)) and the DECIMAL/HUGEINT budget
+    // division keep every graded value an exact integer.
+    "pipeline_pretrain_mix" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.pretrainCorpusPlan(Tables.documents(s, dir),
+          "doc_id", "text", budgetTokens = 100000L, shardTokens = 4096)
+          .orderBy(col("lang")),
+      oracle = Some(
+        s"""WITH w0 AS (SELECT doc_id, $wordsSql AS w FROM documents),
+           |m AS (SELECT doc_id, len(w) AS n_words,
+           |    list_sum(list_transform(w, x -> len(x))) AS sum_chars,
+           |    len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS n_sym,
+           |    len(list_filter(w, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+           |    md5(array_to_string(list_sort(list_distinct(w)), ' ')) AS fp
+           |  FROM w0),
+           |ls AS (SELECT doc_id AS id,
+           |  len(list_filter($wordsSql, w -> w IN ('the','a','and','of','to','in','is'))) AS s_en,
+           |  len(list_filter($wordsSql, w -> w IN ('el','la','de','que','y','en','los'))) AS s_es,
+           |  len(list_filter($wordsSql, w -> w IN ('der','die','und','das','von','ist','ein'))) AS s_de,
+           |  len(list_filter($wordsSql, w -> w IN ('le','la','et','les','des','est','une'))) AS s_fr
+           |  FROM documents),
+           |lng AS (SELECT id, CASE
+           |  WHEN s_fr > greatest(s_de, s_es, s_en, 0) THEN 'fr'
+           |  WHEN s_de > greatest(s_es, s_en, 0) THEN 'de'
+           |  WHEN s_es > greatest(s_en, 0) THEN 'es'
+           |  WHEN s_en > 0 THEN 'en'
+           |  ELSE 'und' END AS lang FROM ls),
+           |base AS (SELECT m.doc_id AS id, lng.lang,
+           |    CAST(m.n_words AS BIGINT) AS n_words, m.fp,
+           |    NOT (m.n_words < 20 OR m.n_words > 100000
+           |      OR m.sum_chars < m.n_words * 3 OR m.sum_chars > m.n_words * 10
+           |      OR m.n_sym * 10 > m.n_words OR m.n_alpha * 5 < m.n_words * 4) AS keep
+           |  FROM m JOIN lng ON lng.id = m.doc_id),
+           |q AS (SELECT * FROM base WHERE keep),
+           |win AS (SELECT fp, min(id) AS keep_id FROM q GROUP BY fp),
+           |surv AS (SELECT q.* FROM q JOIN win ON q.fp = win.fp AND q.id = win.keep_id),
+           |pl AS (SELECT lang, count(*) AS docs_in,
+           |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS docs_quality
+           |  FROM base GROUP BY 1),
+           |sl AS (SELECT lang, count(*) AS docs_final,
+           |    CAST(sum(n_words) AS BIGINT) AS tokens FROM surv GROUP BY 1),
+           |j AS (SELECT pl.lang, pl.docs_in, pl.docs_quality,
+           |    coalesce(sl.docs_final, 0) AS docs_final,
+           |    coalesce(sl.tokens, 0) AS tokens
+           |  FROM pl LEFT JOIN sl ON pl.lang = sl.lang),
+           |j2 AS (SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000000.0)
+           |    AS BIGINT) AS wq FROM j),
+           |t AS (SELECT CAST(sum(wq) AS BIGINT) AS wq_total FROM j2),
+           |a AS (SELECT j2.*, CASE WHEN t.wq_total = 0 THEN 0
+           |    ELSE CAST((CAST(100000 AS HUGEINT) * j2.wq) // t.wq_total AS BIGINT)
+           |    END AS alloc_tokens FROM j2 CROSS JOIN t)
+           |SELECT lang, docs_in, docs_quality, docs_final, tokens, wq,
+           |  alloc_tokens, (alloc_tokens + 4095) // 4096 AS n_shards
+           |FROM a ORDER BY lang""".stripMargin),
+      doc = "pretraining-corpus capstone: quality gates -> dedup -> lang ID -> temperature mix -> shards"))
 }

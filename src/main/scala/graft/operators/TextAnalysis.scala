@@ -1010,4 +1010,61 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
     out
   }
+
+  /** The pretraining-corpus plan composed end to end — Gopher quality
+    * gates → exact fingerprint dedup → language ID → α=0.5 temperature
+    * mixing → shard packing — the whole curation funnel as ONE declarative
+    * plan, graded per language: docs in, docs surviving quality, docs
+    * surviving dedup, surviving tokens, the quantized mixing weight
+    * (floor(√tokens·1e9) — √ and × are correctly-rounded IEEE, so the int
+    * is bit-stable cross-engine), the allocated token budget
+    * (budget·w/Σw in DECIMAL(38,0)/HUGEINT integer division — no float),
+    * and ceil-packed shard counts.
+    *
+    * Scale shape: one scan computes flags + fingerprint + langid
+    * (row-local column expressions); dedup is one groupBy(fingerprint)
+    * argmin rejoin; the mixing arithmetic runs on the L-row language
+    * census. Nothing here grows with the corpus except the two inherent
+    * shuffles (dedup key, language census). */
+  def pretrainCorpusPlan(df: DataFrame, idCol: String, textCol: String,
+                         budgetTokens: Long = 100000L,
+                         shardTokens: Int = 4096): DataFrame = {
+    val w = words(col(textCol))
+    val nWords = size(w).cast("long")
+    val sumChars = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val nSym = size(filter(w, x => x.contains("#") || x.contains("..."))).cast("long")
+    val nAlpha = size(filter(w, x => x.rlike("[a-z]"))).cast("long")
+    // the language-bearing gates only (word stats + symbol/alpha ratios):
+    // the corpus is multilingual, so Gopher's English-stopword rule would
+    // zero the funnel (text_gopher_rules keeps it for the per-rule audit);
+    // the word floor is 20 — the fixture's docs run 10-99 words
+    val keep = !(nWords < 20 || nWords > 100000 ||
+      sumChars < nWords * 3 || sumChars > nWords * 10 ||
+      nSym * 10 > nWords || nAlpha * 5 < nWords * 4)
+    val base = df.select(col(idCol).as("id"), langId(col(textCol)).as("lang"),
+        nWords.as("n_words"), keep.as("keep"),
+        fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val q = base.filter(col("keep"))
+    val winners = q.groupBy(col("fp")).agg(min(col("id")).as("keep_id"))
+    val surv = q.join(winners, Seq("fp")).filter(col("id") === col("keep_id"))
+    val perLang = base.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_in"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("docs_quality"))
+    val survLang = surv.groupBy(col("lang"))
+      .agg(count(lit(1)).as("docs_final"), sum(col("n_words")).as("tokens"))
+    val j = perLang.join(survLang, Seq("lang"), "left")
+      .withColumn("docs_final", coalesce(col("docs_final"), lit(0L)))
+      .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
+      .withColumn("wq", floor(sqrt(col("tokens").cast("double")) * 1e9).cast("long"))
+    val tot = j.agg(sum(col("wq")).as("wq_total"))
+    j.crossJoin(tot)
+      .withColumn("alloc_tokens", when(col("wq_total") === 0, lit(0L))
+        .otherwise(expr(
+          s"(CAST($budgetTokens AS DECIMAL(38,0)) * CAST(wq AS DECIMAL(38,0))) div wq_total")))
+      .withColumn("n_shards", expr(s"(alloc_tokens + ${shardTokens - 1}) div $shardTokens"))
+      .select(col("lang"), col("docs_in"), col("docs_quality"),
+        col("docs_final"), col("tokens"), col("wq"), col("alloc_tokens"),
+        col("n_shards"))
+  }
 }

@@ -635,4 +635,27 @@ class PipelineOpsSpec extends SparkTestBase {
     val alloc = plan.map(_.getAs[Long]("alloc_tokens")).sum
     assert(alloc <= 3L * tot && alloc > 3L * tot - plan.length)
   }
+  test("pretrainCorpusPlan: funnel monotone, duplicates drop, budget conserved") {
+    // 6 docs >= 20 words; docs 5 and 6 are exact word-set duplicates of 4
+    val mk = (i: Int) => ("alpha beta gamma delta epsilon zeta eta theta " +
+      s"iota kappa lambda mu nu xi omicron pi rho sigma tau upsilon word$i x$i")
+    val docs = (Seq((1L, mk(1)), (2L, mk(2)), (3L, mk(3)), (4L, mk(4)),
+      (5L, mk(4)), (6L, mk(4))) :+ ((7L, "short doc")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.pretrainCorpusPlan(docs, "doc_id", "text",
+      budgetTokens = 1000L, shardTokens = 16).collect()
+    val docsIn = out.map(_.getAs[Long]("docs_in")).sum
+    val docsQ = out.map(_.getAs[Long]("docs_quality")).sum
+    val docsF = out.map(_.getAs[Long]("docs_final")).sum
+    assert(docsIn == 7L)
+    assert(docsQ == 6L, "the 2-word doc fails the word floor")
+    assert(docsF == 4L, "docs 5/6 dedup onto doc 4's fingerprint")
+    assert(docsF <= docsQ && docsQ <= docsIn)
+    // floor allocation never exceeds the budget; shards cover the alloc
+    val alloc = out.map(_.getAs[Long]("alloc_tokens"))
+    assert(alloc.sum <= 1000L)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_shards") * 16L >= r.getAs[Long]("alloc_tokens"))
+    }
+  }
 }
