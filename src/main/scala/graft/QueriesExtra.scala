@@ -1205,6 +1205,36 @@ object QueriesExtra {
           |FROM media GROUP BY kind ORDER BY kind""".stripMargin),
       doc = "Multimodal metadata-first stats; binary column pruned from scan"),
 
+    // Resize planning for the image lane: aspect-preserving 512-letterbox
+    // geometry as exact integer cross-multiplication; per-orientation
+    // padding-waste census. Metadata-only scan (binary column pruned).
+    "mm_resize_plan" -> Q(
+      fn = (s, dir) =>
+        // the fixture's ids are small, so syntheticMedia's %1920/%1080 dims
+        // collapse to squares — spread them with coprime multipliers (the
+        // oracle mirrors the same augmentation)
+        Multimodal.resizePlan(Multimodal.syntheticMedia(s, dir)
+          .withColumn("width", (pmod(col("media_id") * 37, lit(1920)) + 1).cast("int"))
+          .withColumn("height", (pmod(col("media_id") * 59, lit(1080)) + 1).cast("int")),
+          512)
+          .orderBy(col("orientation")),
+      oracle = Some(
+        """WITH media AS (SELECT CAST((doc_id * 37) % 1920 + 1 AS BIGINT) AS w,
+          |    CAST((doc_id * 59) % 1080 + 1 AS BIGINT) AS h
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |p AS (SELECT
+          |    CASE WHEN w > h THEN 'landscape' WHEN w < h THEN 'portrait'
+          |         ELSE 'square' END AS orientation,
+          |    CASE WHEN w >= h THEN CAST(512 AS BIGINT) ELSE (w * 512) // h END AS new_w,
+          |    CASE WHEN w >= h THEN (h * 512) // w ELSE CAST(512 AS BIGINT) END AS new_h
+          |  FROM media)
+          |SELECT orientation, count(*) AS n,
+          |  CAST(sum(262144 - new_w * new_h) AS BIGINT) AS pad_px,
+          |  CAST(max(262144 - new_w * new_h) AS BIGINT) AS max_pad_px,
+          |  CAST(sum(new_w * new_h) AS BIGINT) AS out_px
+          |FROM p GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "image resize plan: integer letterbox geometry + per-orientation padding census"),
+
     // Multimodal: frame-sampling plumbing (bounded per-media frame indexes).
     "mm_frame_sample" -> Q(
       fn = (s, dir) => Multimodal

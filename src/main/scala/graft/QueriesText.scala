@@ -115,6 +115,46 @@ object QueriesText {
            else "SELECT id_a, id_b, est_jaccard FROM pairs ORDER BY id_a, id_b"}""".stripMargin
   }
 
+
+  /** DuckDB twin of [[graft.operators.Dedup.minhashParamSweep]]: one shared
+    * 64-slot signature chain, one banded candidate CTE per (bands, rows)
+    * arm, each reduced to the S-curve census row. */
+  private def minhashSweepOracle(corpus: String, arms: Seq[(Int, Int)]): String = {
+    val minExprs = (0 until 64).map(i =>
+      s"min((h1 + $i*h2lo + (($i*h2hi) % 64) * 18014398509481984) " +
+        s"% 1152921504606846976) AS s$i").mkString(", ")
+    val sigArr = (0 until 64).map(i => s"s$i").mkString("[", ", ", "]")
+    def bandArr(b: Int, r: Int) = (0 until b).map(i =>
+      s"struct_pack(band := $i, bucket := array_to_string(sig[${i * r + 1}:${i * r + r}], ','))")
+      .mkString("[", ", ", "]")
+    val armCtes = arms.map { case (b, r) =>
+      s"""bands_${b}_$r AS (SELECT id, bb.band AS band, bb.bucket AS bucket
+         |  FROM (SELECT id, unnest(${bandArr(b, r)}) AS bb FROM sig)),
+         |cand_${b}_$r AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bands_${b}_$r a
+         |  JOIN bands_${b}_$r b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+         |arm_${b}_$r AS (SELECT $b AS bands, $r AS rows_per_band,
+         |    count(*) AS n_candidates,
+         |    coalesce(CAST(sum(agree) AS BIGINT), 0) AS sum_agreement,
+         |    coalesce(CAST(sum(CASE WHEN agree * 2 >= 64 THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_dup_pairs
+         |  FROM (SELECT CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS agree
+         |        FROM cand_${b}_$r c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id))""".stripMargin
+    }.mkString(",\n")
+    val unions = arms.map { case (b, r) => s"SELECT * FROM arm_${b}_$r" }
+      .mkString("\nUNION ALL ")
+    s"""WITH $corpus,
+       |sh AS (SELECT doc_id AS id, list_distinct(list_transform(
+       |    generate_series(1, greatest(len($wordsSql) - 2, 1)),
+       |    i -> array_to_string(($wordsSql)[i:i+2], ' '))) AS shl FROM corpus),
+       |e AS (SELECT id, unnest(shl) AS s FROM sh),
+       |h AS (SELECT id, h1, h2 % 18014398509481984 AS h2lo, h2 // 18014398509481984 AS h2hi
+       |      FROM (SELECT id, CAST('0x' || substr(md5(s), 1, 15) AS BIGINT) AS h1,
+       |              CAST('0x' || substr(md5(s), 17, 15) AS BIGINT) AS h2 FROM e)),
+       |sig AS (SELECT id, $sigArr AS sig FROM (SELECT id, $minExprs FROM h GROUP BY id)),
+       |$armCtes
+       |$unions
+       |ORDER BY bands""".stripMargin
+  }
+
   /** Deterministic train/val/test assignment, 8/1/1 by portable hash shard
     * — a narrow per-row expression (no shuffle, no RNG state), so split
     * membership survives reruns, repartitioning, and engine changes. */
@@ -1030,6 +1070,46 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    + length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS INT) AS n_subwords
            |FROM documents ORDER BY doc_id""".stripMargin),
       doc = "token counting (whitespace + BPE-ish regex)"),
+
+    // Tokenizer fertility by language (subwords per word, micro-units) —
+    // the multilingual tokenizer-eval metric: high fertility = the
+    // tokenizer fragments that language, inflating its effective cost.
+    "text_tokenizer_fertility" -> Q(
+      fn = (s, dir) => Tables.documents(s, dir)
+        .select(col("lang"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("nw"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("ns"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("nw")).as("n_words"),
+          sum(col("ns")).as("n_subwords"))
+        .withColumn("fertility_micro",
+          expr("(n_subwords * 1000000) div n_words"))
+        .orderBy(col("lang")),
+      oracle = Some(
+        s"""WITH c AS (SELECT lang,
+           |    CAST(len($wordsSql) AS BIGINT) AS nw,
+           |    CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), w -> len(w) > 0))
+           |      + length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS ns
+           |  FROM documents)
+           |SELECT lang, count(*) AS n_docs, CAST(sum(nw) AS BIGINT) AS n_words,
+           |  CAST(sum(ns) AS BIGINT) AS n_subwords,
+           |  (CAST(sum(ns) AS BIGINT) * 1000000) // CAST(sum(nw) AS BIGINT) AS fertility_micro
+           |FROM c GROUP BY 1 ORDER BY 1""".stripMargin),
+      doc = "tokenizer fertility per language: subwords/word in exact micro-units"),
+
+    // LSH (bands x rows) S-curve sweep over ONE shared signature table:
+    // re-banding is a projection, so three operating points cost one
+    // signature pass. Candidate volume vs admitted-pair strictness is THE
+    // dedup tuning decision at 100 TB.
+    "dedup_minhash_param_sweep" -> Q(
+      fn = (s, dir) =>
+        Dedup.minhashParamSweep(Tables.documents(s, dir), "doc_id", "text",
+          Seq((8, 8), (16, 4), (32, 2)))
+          .orderBy(col("bands")),
+      oracle = Some(minhashSweepOracle(
+        "corpus AS (SELECT doc_id, text FROM documents)",
+        Seq((8, 8), (16, 4), (32, 2)))),
+      doc = "MinHash-LSH parameter sweep: per-(bands,rows) candidate/agreement/dup census off one signature table"),
 
     // Quality metrics.
     "text_quality" -> Q(

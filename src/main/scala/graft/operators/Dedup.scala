@@ -840,4 +840,45 @@ object Dedup {
       .filter(col("cos_sim") >= simThreshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
   }
+
+  /** LSH parameter sweep over one shared signature table: each (bands,
+    * rows) arm with bands·rows == numHashes re-bands the SAME 64-slot
+    * signatures (banding is a projection, not a recompute), generates its
+    * candidate set, and reports the S-curve census — candidate count,
+    * summed slot agreement, and pairs clearing est ≥ 1/2. Many bands ×
+    * few rows catches low-similarity pairs (high recall, more candidates);
+    * few bands × many rows admits only near-identical pairs. At 100 TB
+    * the sweep costs one signature pass plus `arms` band-joins — the
+    * signatures never recompute and never reshuffle between arms. */
+  def minhashParamSweep(df: DataFrame, idCol: String, textCol: String,
+                        arms: Seq[(Int, Int)]): DataFrame = {
+    val nh = arms.map { case (b, r) => b * r }.distinct
+    require(nh.size == 1, s"arms must share numHashes, got $arms")
+    val numHashes = nh.head
+    val sig = minhashSignatures(df, idCol, textCol, arms.head._1, arms.head._2)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sig.count()
+    val per = arms.map { case (bands, rows) =>
+      val banded = bandSignatures(sig, bands, rows)
+      val a = banded.as("a")
+      val b = banded.as("b")
+      val cand = a.join(b, col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .filter(graft.functions.VectorExprs.firstEqIndex(
+          col("a.buckets"), col("b.buckets")) === col("a.band"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      cand
+        .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+        .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+        .select(graft.functions.VectorExprs.sigAgreement(
+          col("sig_a"), col("sig_b")).cast("long").as("agree"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(col("agree")), lit(0L)).as("sum_agreement"),
+          coalesce(sum(when(col("agree") * 2 >= numHashes, 1L).otherwise(0L)),
+            lit(0L)).as("n_dup_pairs"))
+        .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
+          col("n_candidates"), col("sum_agreement"), col("n_dup_pairs"))
+    }
+    per.reduce(_.unionByName(_))
+  }
 }

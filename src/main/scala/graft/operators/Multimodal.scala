@@ -181,4 +181,29 @@ object Multimodal {
       concat(lit("format:"), format))
     concat_ws("/", dim("height", height), dim("width", width), rt, q, f)
   }
+
+  /** Aspect-preserving resize PLAN into a `target`×`target` letterbox —
+    * the batch-planning half of an image-resize stage (the codec work
+    * stays in the decode stub; the geometry is what the cluster schedules
+    * on). Scaled dims are exact integer cross-multiplication
+    * (long·target div longSide — no float ratio), so the padding-waste
+    * census is bit-stable. One scan, metadata columns only: the binary
+    * payload is never read (same pruning contract as [[mediaStats]]). */
+  def resizePlan(media: DataFrame, target: Int = 512): DataFrame = {
+    val t = lit(target.toLong)
+    val w = col("width").cast("long")
+    val h = col("height").cast("long")
+    val newW = when(w >= h, t).otherwise(expr(s"(CAST(width AS BIGINT) * $target) div height"))
+    val newH = when(w >= h, expr(s"(CAST(height AS BIGINT) * $target) div width")).otherwise(t)
+    media.filter(col("kind") === "image")
+      .select(
+        when(w > h, "landscape").when(w < h, "portrait").otherwise("square")
+          .as("orientation"),
+        newW.as("new_w"), newH.as("new_h"))
+      .groupBy(col("orientation"))
+      .agg(count(lit(1)).as("n"),
+        sum(t * t - col("new_w") * col("new_h")).as("pad_px"),
+        max(t * t - col("new_w") * col("new_h")).as("max_pad_px"),
+        sum(col("new_w") * col("new_h")).as("out_px"))
+  }
 }
