@@ -406,6 +406,170 @@ object QueriesVector {
            |GROUP BY er.q_key ORDER BY er.q_key""".stripMargin),
       doc = "LSH recall@10 single-probe vs multi-probe vs exact cosine ground truth (ANN audit)"),
 
+    // Matryoshka truncation audit: recall@10 of cosine kNN using only the
+    // first 8/16/32 of 64 dims vs the full-width exact top-10 — the
+    // measurement behind shipping truncated embeddings (MRL-style) to cut
+    // index bytes. One persisted query×corpus frame feeds all four arms.
+    "embedding_matryoshka_recall" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("c_key"),
+          col("embedding").cast("array<double>").as("cv"))
+        val queries = emb.filter(col("vec_id") % 41 === 0)
+          .select(col("vec_id").as("q_key"),
+            col("embedding").cast("array<double>").as("qv"))
+        val joined = corpus.crossJoin(broadcast(queries)).persist()
+        joined.count() // pin: the exact arm + three truncation arms share it
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+        def top10(dcol: org.apache.spark.sql.Column) = joined
+          .withColumn("distance", dcol)
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .select(col("q_key"), col("c_key"))
+        def dist(d: Int) = round(Vectors.cosineDistance(
+          slice(col("cv"), 1, d), slice(col("qv"), 1, d)), 9) + 0.0
+        val exact = top10(round(
+          Vectors.cosineDistance(col("cv"), col("qv")), 9) + 0.0).persist()
+        exact.count()
+        val base = exact.groupBy(col("q_key")).agg(count(lit(1)).as("n_exact"))
+        Seq(8, 16, 32).foldLeft(base) { (acc, d) =>
+          val cen = exact.join(top10(dist(d)), Seq("q_key", "c_key"), "left_semi")
+            .groupBy(col("q_key")).agg(count(lit(1)).as(s"n_d$d"))
+          acc.join(cen, Seq("q_key"), "left")
+            .withColumn(s"n_d$d", coalesce(col(s"n_d$d"), lit(0L)))
+            .withColumn(s"recall_d$d",
+              col(s"n_d$d").cast("double") / col("n_exact").cast("double"))
+        }.orderBy(col("q_key"))
+      },
+      oracle = Some {
+        def cosT(d: String) =
+          s"""round(1.0 - list_sum(list_transform(list_zip(cv$d, qv$d), z -> z[1]*z[2]))
+             |    / (sqrt(list_sum(list_transform(cv$d, x -> x*x)))
+             |     * sqrt(list_sum(list_transform(qv$d, x -> x*x)))), 9) + 0.0""".stripMargin
+        def arm(d: Int) =
+          s"""s$d AS (SELECT q_key, c_key, ${cosT(s"[1:$d]")} AS distance
+             |  FROM qs CROSS JOIN cb),
+             |r$d AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM s$d)
+             |  WHERE rnk <= 10),
+             |m$d AS (SELECT e.q_key, count(*) AS n FROM er e
+             |  WHERE EXISTS (SELECT 1 FROM r$d a
+             |    WHERE a.q_key = e.q_key AND a.c_key = e.c_key)
+             |  GROUP BY e.q_key)""".stripMargin
+        s"""WITH qs AS (SELECT vec_id AS q_key, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id % 41 = 0),
+           |cb AS (SELECT vec_id AS c_key, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings),
+           |se AS (SELECT q_key, c_key, ${cosT("")} AS distance
+           |  FROM qs CROSS JOIN cb),
+           |er AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM se)
+           |  WHERE rnk <= 10),
+           |${arm(8)},
+           |${arm(16)},
+           |${arm(32)}
+           |SELECT er.q_key, count(*) AS n_exact,
+           |  coalesce(max(m8.n), 0) AS n_d8,
+           |  CAST(coalesce(max(m8.n), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_d8,
+           |  coalesce(max(m16.n), 0) AS n_d16,
+           |  CAST(coalesce(max(m16.n), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_d16,
+           |  coalesce(max(m32.n), 0) AS n_d32,
+           |  CAST(coalesce(max(m32.n), 0) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_d32
+           |FROM er LEFT JOIN m8 ON er.q_key = m8.q_key
+           |LEFT JOIN m16 ON er.q_key = m16.q_key
+           |LEFT JOIN m32 ON er.q_key = m32.q_key
+           |GROUP BY er.q_key ORDER BY er.q_key""".stripMargin
+      },
+      doc = "Matryoshka truncation audit: recall@10 at 8/16/32 of 64 dims vs full-width exact cosine"),
+
+    // IVF nprobe sweep — the third leaf of the ANN tuning matrix (LSH
+    // bands sweep, Matryoshka dims sweep, IVF probes sweep): recall@10 at
+    // nprobe 1/2/4 against the exact L2 top-10, micro-averaged over the
+    // query sample. One assigned-lists pass; each arm only widens the
+    // probe set.
+    "v3_ann_nprobe_sweep" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        val queries = emb.filter(col("vec_id") % 41 === 0)
+        val q2 = queries.select(col("vec_id").as("q_key"),
+          col("embedding").cast("array<double>").as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+        val exact = emb
+          .select(col("vec_id").as("c_key"),
+            col("embedding").cast("array<double>").as("c_emb"))
+          .crossJoin(broadcast(q2))
+          .withColumn("distance", round(sqrt(
+            graft.functions.VectorExprs.l2Sq(col("q_emb"), col("c_emb"))), 9) + 0.0)
+          .withColumn("rnk", row_number().over(w))
+          .filter(col("rnk") <= 10)
+          .select(col("q_key"), col("c_key"))
+          .persist()
+        exact.count() // pin: three probe arms + the totals read it
+        val totals = exact.agg(count(lit(1)).as("n_exact"),
+          countDistinct(col("q_key")).as("n_queries"))
+        Seq(1, 2, 4).map { np =>
+          val approx = Vectors.knnJoin(queries, "vec_id", emb, "vec_id",
+            "embedding", centroids, topK = 10, nProbe = np)
+            .select(col("q_key"), col("c_key"))
+          exact.join(approx, Seq("q_key", "c_key"), "left_semi")
+            .agg(coalesce(count(lit(1)), lit(0L)).as("n_matched"))
+            .select(lit(np).as("nprobe"), col("n_matched"))
+        }.reduce(_.unionByName(_))
+          .crossJoin(totals)
+          .withColumn("recall",
+            col("n_matched").cast("double") / col("n_exact").cast("double"))
+          .select(col("nprobe"), col("n_queries"), col("n_exact"),
+            col("n_matched"), col("recall"))
+          .orderBy(col("nprobe"))
+      },
+      oracle = Some {
+        def arm(np: Int) =
+          s"""qp$np AS (SELECT q.q_key, q.qv, p.cid
+             |  FROM qs q, LATERAL (SELECT c.cid FROM cents c
+             |     ORDER BY list_sum(list_transform(list_zip(q.qv, c.cv),
+             |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT $np) p),
+             |sc$np AS (SELECT qp.q_key, a.c_key,
+             |    round(sqrt(list_sum(list_transform(list_zip(qp.qv, a.ev),
+             |      z -> (z[1]-z[2])*(z[1]-z[2])))), 9) + 0.0 AS distance
+             |  FROM qp$np qp JOIN assigned a ON qp.cid = a.cid),
+             |ar$np AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+             |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM sc$np)
+             |  WHERE rnk <= 10),
+             |m$np AS (SELECT $np AS nprobe, count(*) AS n_matched FROM er e
+             |  WHERE EXISTS (SELECT 1 FROM ar$np a
+             |    WHERE a.q_key = e.q_key AND a.c_key = e.c_key))""".stripMargin
+        s"""WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+           |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+           |assigned AS (SELECT e.vec_id AS c_key, CAST(e.embedding AS DOUBLE[]) AS ev,
+           |    (SELECT c.cid FROM cents c
+           |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), c.cv),
+           |       z -> (z[1]-z[2])*(z[1]-z[2]))), c.cid LIMIT 1) AS cid
+           |  FROM embeddings e),
+           |qs AS (SELECT vec_id AS q_key, CAST(embedding AS DOUBLE[]) AS qv
+           |  FROM embeddings WHERE vec_id % 41 = 0),
+           |escore AS (SELECT q.q_key, e.vec_id AS c_key,
+           |    round(sqrt(list_sum(list_transform(list_zip(q.qv, CAST(e.embedding AS DOUBLE[])),
+           |      z -> (z[1]-z[2])*(z[1]-z[2])))), 9) + 0.0 AS distance
+           |  FROM qs q CROSS JOIN embeddings e),
+           |er AS (SELECT q_key, c_key FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM escore)
+           |  WHERE rnk <= 10),
+           |tot AS (SELECT count(*) AS n_exact, count(DISTINCT q_key) AS n_queries FROM er),
+           |${arm(1)},
+           |${arm(2)},
+           |${arm(4)}
+           |SELECT nprobe, tot.n_queries, tot.n_exact, n_matched,
+           |  CAST(n_matched AS DOUBLE) / CAST(tot.n_exact AS DOUBLE) AS recall
+           |FROM (SELECT * FROM m1 UNION ALL SELECT * FROM m2 UNION ALL SELECT * FROM m4)
+           |CROSS JOIN tot ORDER BY nprobe""".stripMargin
+      },
+      doc = "IVF nprobe sweep: micro-averaged recall@10 at 1/2/4 probes vs exact L2 ground truth"),
+
     // The SQL surface end-to-end: the cosine kNN expressed as PURE
     // `spark.sql` text over a registered view, reaching the codegen'd
     // VecDot kernel through the GraftFunctions registration (the
