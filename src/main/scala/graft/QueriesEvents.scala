@@ -692,6 +692,38 @@ object QueriesEvents {
 
 
 
+
+    // Exponentially-decayed activity leaderboard with INTEGER decay:
+    // weight = 2^(16 - min(age_days, 16)) — halve per day of age, floor at
+    // 1 — so the ranking is exact at any scale (float decay drifts under
+    // reassociation; bit shifts cannot). Reference time is the stream's
+    // own max(ts), so the query is rerun-stable.
+    "events_decay_leaderboard" -> Q(
+      fn = (s, dir) => {
+        val e = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val mx = e.agg(max(col("us")).as("mxus"))
+        e.crossJoin(mx)
+          .withColumn("halvings",
+            least(expr("(mxus - us) div 86400000000"), lit(16L)))
+          .withColumn("w", expr("shiftleft(cast(1 as bigint), cast(16 - halvings as int))"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"), sum(col("w")).as("score"))
+          .orderBy(col("score").desc, col("user_id"))
+          .limit(10)
+      },
+      oracle = Some(
+        """WITH e AS (SELECT user_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |mx AS (SELECT max(us) AS mxus FROM e),
+          |w AS (SELECT user_id,
+          |    (1::BIGINT << CAST(16 - least((mxus - us) // 86400000000, 16) AS INT)) AS w
+          |  FROM e CROSS JOIN mx)
+          |SELECT user_id, count(*) AS n_events, CAST(sum(w) AS BIGINT) AS score
+          |FROM w GROUP BY user_id
+          |ORDER BY score DESC, user_id LIMIT 10""".stripMargin),
+      doc = "decayed leaderboard: integer halving decay (bit shifts, reassociation-proof), top-10 by score"),
+
     // Watermark-lateness census: for each event (in event_id arrival
     // order), how far behind the running high-water mark its event time
     // sits — the measurement that tunes withWatermark() delay. The running
