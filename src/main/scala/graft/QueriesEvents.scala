@@ -797,5 +797,64 @@ object QueriesEvents {
           |SELECT event_type, bar, arg_min(value, k) AS open, max(value) AS high,
           |  min(value) AS low, arg_max(value, k) AS close, count(*) AS n
           |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
-      doc = "time-series resampling: 15-min OHLC bars with exact integer-keyed open/close"))
+      doc = "time-series resampling: 15-min OHLC bars with exact integer-keyed open/close"),
+
+    // Interval-OVERLAP join — the interval×interval sibling of t_range_join
+    // (point-in-range): which user activity windows [first event, last
+    // event] of each day overlapped each incident window, and for how long.
+    // Spark has no native interval join; the scale shape here is
+    // bucketization: activity intervals explode to the hour buckets they
+    // span (bounded by interval length — ≤ 25 per day-window), incidents
+    // are intra-hour so each lives in EXACTLY ONE bucket — which makes the
+    // bucket equi-join emit every overlapping pair exactly once with NO
+    // distinct pass (the usual dedup step of bucketed interval joins falls
+    // away when one side is bucket-bounded). Incident side broadcasts
+    // (bounded by distinct hours); overlap µs is exact integer arithmetic.
+    // The oracle proves the bucketed form ≡ a naive theta join.
+    "t_interval_join" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val act = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(min(col("ts")).as("a_start"), max(col("ts")).as("a_end"),
+            count(lit(1)).as("n_ev"))
+          .filter(col("n_ev") >= 2)
+        val inc = ev.select(date_trunc("hour", col("ts")).as("h")).distinct()
+          .filter(expr("cast(conv(substring(md5(concat('inc|', " +
+            "cast(unix_micros(h) div 3600000000 as string))), 1, 4), 16, 10) " +
+            "as bigint) % 5 = 0"))
+          .select(col("h").as("bucket"),
+            (col("h") + expr("INTERVAL 10 MINUTES")).as("i_start"),
+            (col("h") + expr("INTERVAL 40 MINUTES")).as("i_end"))
+        val exploded = act.withColumn("bucket",
+          explode(sequence(date_trunc("hour", col("a_start")),
+            date_trunc("hour", col("a_end")), expr("INTERVAL 1 HOUR"))))
+        val raw = expr("least(unix_micros(a_end), unix_micros(i_end)) - " +
+          "greatest(unix_micros(a_start), unix_micros(i_start))")
+        exploded.join(broadcast(inc), Seq("bucket"))
+          .filter(col("a_start") < col("i_end") && col("a_end") >= col("i_start"))
+          .groupBy(col("i_start"))
+          .agg(count(lit(1)).as("n_windows"),
+            countDistinct(col("user_id")).as("n_users"),
+            sum(greatest(raw, lit(0L))).as("total_overlap_us"),
+            max(greatest(raw, lit(0L))).as("max_overlap_us"))
+          .orderBy(col("i_start"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+          |act AS (SELECT user_id, min(ts) AS a_start, max(ts) AS a_end
+          |  FROM (SELECT user_id, ts, date_trunc('day', ts) AS day FROM e)
+          |  GROUP BY user_id, day HAVING count(*) >= 2),
+          |inc AS (SELECT h + INTERVAL 10 MINUTE AS i_start, h + INTERVAL 40 MINUTE AS i_end
+          |  FROM (SELECT DISTINCT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h FROM events)
+          |  WHERE CAST(('0x' || substr(md5('inc|' ||
+          |    CAST(epoch_us(h) // 3600000000 AS VARCHAR)), 1, 4)) AS BIGINT) % 5 = 0),
+          |ov AS (SELECT i.i_start, a.user_id,
+          |    least(epoch_us(a.a_end), epoch_us(i.i_end))
+          |      - greatest(epoch_us(a.a_start), epoch_us(i.i_start)) AS raw
+          |  FROM act a JOIN inc i ON a.a_start < i.i_end AND a.a_end >= i.i_start)
+          |SELECT i_start, count(*) AS n_windows, count(DISTINCT user_id) AS n_users,
+          |  CAST(sum(greatest(raw, 0)) AS BIGINT) AS total_overlap_us,
+          |  CAST(max(greatest(raw, 0)) AS BIGINT) AS max_overlap_us
+          |FROM ov GROUP BY i_start ORDER BY i_start""".stripMargin),
+      doc = "interval-overlap join via hour bucketization (dedup-free: incidents are intra-hour), broadcast incident side"))
 }

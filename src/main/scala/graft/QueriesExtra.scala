@@ -1632,5 +1632,141 @@ object QueriesExtra {
           |SELECT k AS class_size, count(*) AS n_classes,
           |  CAST(sum(k) AS BIGINT) AS n_rows, k < 5 AS risky
           |FROM classes GROUP BY k ORDER BY class_size""".stripMargin),
-      doc = "k-anonymity census: quasi-identifier class-size histogram, k<5 risk flag"))
+      doc = "k-anonymity census: quasi-identifier class-size histogram, k<5 risk flag"),
+
+    // Perceptual-hash near-dup detection for IMAGES — the visual twin of
+    // MinHash text dedup (a multimodal corpus dedups re-encoded/resized
+    // copies that byte-level hashing can never match). 64-bit aHash over
+    // the decoded 8×8 luma grid (stub decode, oracle-replayable), then
+    // Manku-style blocking: 4×16-bit blocks, candidates share ≥1 block
+    // (guaranteed complete for Hamming ≤ 3 by pigeonhole), verify ≤ 6.
+    // The banded self-join is O(n) — a 16-bit block collides for
+    // unrelated images w.p. ~2^-16, so candidates ≈ true pairs; never
+    // an all-pairs comparison. Hash relation persists+pins before the
+    // self-join (repo invariant: kernels must not run twice).
+    "mm_phash_dedup" -> Q(
+      fn = (s, dir) => {
+        val hashed = Multimodal.phashBlocks(Multimodal.imagesWithReencodes(s, dir))
+        hashed.persist(); hashed.count()
+        val melted = hashed.select(col("media_id"),
+          col("b0"), col("b1"), col("b2"), col("b3"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("band", "bval")))
+        val a = melted.alias("a"); val b = melted.alias("b")
+        a.join(b, col("a.band") === col("b.band") &&
+            col("a.bval") === col("b.bval") &&
+            col("a.media_id") < col("b.media_id"))
+          .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+            (expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+              "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)"))
+              .cast("long").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= 6)
+          .withColumn("reencode_pair", col("media_b") === col("media_a") + 1000000L)
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      oracle = Some(
+        """WITH img AS (SELECT doc_id AS media_id, md5(text) AS hex
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |orig AS (SELECT media_id, hex, list_transform(range(64), j ->
+          |    CAST(('0x' || substr(md5(hex || '~' || CAST(j AS VARCHAR)), 1, 4))
+          |      AS BIGINT)) AS luma
+          |  FROM img),
+          |tw AS (SELECT media_id + 1000000 AS media_id,
+          |    list_transform(range(64), j -> CASE WHEN j = p0 OR j = p1 OR j = p2
+          |      THEN (luma[j + 1] + 7777) % 65536 ELSE luma[j + 1] END) AS luma
+          |  FROM (SELECT media_id, luma,
+          |      CAST(('0x' || substr(md5(hex || '!0'), 1, 4)) AS BIGINT) % 64 AS p0,
+          |      CAST(('0x' || substr(md5(hex || '!1'), 1, 4)) AS BIGINT) % 64 AS p1,
+          |      CAST(('0x' || substr(md5(hex || '!2'), 1, 4)) AS BIGINT) % 64 AS p2
+          |    FROM orig WHERE media_id % 15 = 0)),
+          |allm AS (SELECT media_id, luma FROM orig
+          |  UNION ALL SELECT media_id, luma FROM tw),
+          |bits AS (SELECT media_id, list_transform(range(64), j ->
+          |    CASE WHEN 64 * luma[j + 1] > t THEN 1 ELSE 0 END) AS bv
+          |  FROM (SELECT media_id, luma, list_sum(luma) AS t FROM allm)),
+          |blk AS (SELECT media_id, list_transform(range(4), b ->
+          |    CAST(list_sum(list_transform(range(16),
+          |      j -> bv[16 * b + j + 1] * (1 << CAST(j AS INT)))) AS BIGINT)) AS blocks
+          |  FROM bits),
+          |melt AS (SELECT media_id, blocks, b AS band, blocks[b + 1] AS bval
+          |  FROM blk CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+          |    a.blocks AS ba, b.blocks AS bb
+          |  FROM melt a JOIN melt b ON a.band = b.band AND a.bval = b.bval
+          |    AND a.media_id < b.media_id)
+          |SELECT media_a, media_b, hamming, media_b = media_a + 1000000 AS reencode_pair
+          |FROM (SELECT media_a, media_b, CAST(list_sum(list_transform(range(4),
+          |    i -> bit_count(xor(ba[i + 1], bb[i + 1])))) AS BIGINT) AS hamming
+          |  FROM cand)
+          |WHERE hamming <= 6 ORDER BY media_a, media_b""".stripMargin),
+      doc = "perceptual-hash (aHash) image near-dup: stub luma grid, mean-threshold bits, 4x16-bit Manku blocking"),
+
+    // Scene-change detection over video blobs: the shot-boundary census a
+    // video-training pipeline runs before keyframe extraction (frames per
+    // scene decide sampling density; 1-scene clips are static slides).
+    // One mapPartitions pass, zero shuffle — the census rides out with
+    // the row; at 100 TB this is scan-bound embarrassing parallelism.
+    "mm_scene_cuts" -> Q(
+      fn = (s, dir) =>
+        Multimodal.sceneCuts(
+          Multimodal.syntheticMedia(s, dir).filter(col("kind") === "video"))
+          .orderBy(col("media_id")),
+      oracle = Some(
+        """WITH vid AS (SELECT doc_id AS media_id,
+          |    least(greatest((n_chars * 10) // 250, 1), 48) AS n, md5(text) AS hex
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |e AS (SELECT media_id, f,
+          |    CAST(('0x' || substr(md5(hex || '@' || CAST(f AS VARCHAR)), 1, 4))
+          |      AS BIGINT) AS e
+          |  FROM (SELECT media_id, hex, unnest(range(n)) AS f FROM vid)),
+          |d AS (SELECT media_id, f, e,
+          |    lag(e) OVER (PARTITION BY media_id ORDER BY f) AS pe FROM e),
+          |c AS (SELECT media_id, f, CASE WHEN pe IS NOT NULL
+          |      AND abs(e - pe) >= 24576 THEN 1 ELSE 0 END AS cut FROM d),
+          |sc AS (SELECT media_id, f, sum(cut) OVER (PARTITION BY media_id
+          |    ORDER BY f ROWS UNBOUNDED PRECEDING) AS scene FROM c),
+          |per AS (SELECT media_id, scene, count(*) AS len FROM sc GROUP BY 1, 2)
+          |SELECT media_id, CAST(sum(len) AS BIGINT) AS n_frames,
+          |  CAST(count(*) - 1 AS BIGINT) AS n_cuts, count(*) AS n_scenes,
+          |  CAST(max(len) AS BIGINT) AS longest_scene
+          |FROM per GROUP BY media_id ORDER BY media_id""".stripMargin),
+      doc = "video shot-boundary census: stub frame energies, consecutive-delta cuts, row-local scene runs"),
+
+    // Mutual-information census between two categorical columns — the
+    // data-card association measure (is `source` informative about
+    // `lang`? a skewed crawl shows up here before it skews training).
+    // All counts exact integers; PMI/MI terms are one exact int→double
+    // division then ln(), rounded 1e-9 per the repo invariant (last-ulp
+    // libm disagreement absorbed; everything before the ln is
+    // bit-identical cross-engine). Three combinable aggs + two broadcast
+    // joins + a 1-row broadcast total — no shuffle beyond the group-bys.
+    "profile_mutual_info" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir).select(col("lang"), col("source"))
+        val xy = d.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n_xy"))
+        val x = d.groupBy(col("lang")).agg(count(lit(1)).as("n_x"))
+        val y = d.groupBy(col("source")).agg(count(lit(1)).as("n_y"))
+        val t = d.agg(count(lit(1)).as("n"))
+        val ratio = (col("n") * col("n_xy")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")
+        xy.join(broadcast(x), "lang").join(broadcast(y), "source").crossJoin(t)
+          .select(col("lang"), col("source"), col("n_xy"), col("n_x"), col("n_y"),
+            round(log(ratio), 9).as("pmi"),
+            round((col("n_xy").cast("double") / col("n").cast("double")) *
+              log(ratio), 9).as("mi_term"))
+          .orderBy(col("lang"), col("source"))
+      },
+      oracle = Some(
+        """WITH xy AS (SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2),
+          |x AS (SELECT lang, count(*) AS n_x FROM documents GROUP BY 1),
+          |y AS (SELECT source, count(*) AS n_y FROM documents GROUP BY 1),
+          |t AS (SELECT count(*) AS n FROM documents)
+          |SELECT lang, source, n_xy, n_x, n_y,
+          |  round(ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9) AS pmi,
+          |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |    ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9) AS mi_term
+          |FROM xy JOIN x USING (lang) JOIN y USING (source) CROSS JOIN t
+          |ORDER BY lang, source""".stripMargin),
+      doc = "mutual-information census (lang x source): exact joint counts, round-9 PMI/MI terms"))
 }

@@ -1238,5 +1238,63 @@ object QueriesVector {
           |  CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS sum_abs_q,
           |  CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS sum_sq_q
           |FROM q ORDER BY vec_id""".stripMargin),
-      doc = "int8 symmetric quantization census: integer-graded code stats, IEEE-exact scale"))
+      doc = "int8 symmetric quantization census: integer-graded code stats, IEEE-exact scale"),
+
+    // Johnson–Lindenstrauss random-projection distortion census — the
+    // MEASURED basis for replacing 64-d distance work with a 16-d sketch
+    // (the cheap-first-pass trick behind coarse ANN filtering and dedup
+    // blocking). Projection matrix: 16 ±1 sign rows derived from md5
+    // (Achlioptas construction — database-friendly: no gaussian, exact
+    // dot products), baked driver-side as literal arrays so the executor
+    // chain is 16 codegen'd vec_dot calls per row. Distortion is measured
+    // on DIFFERENCE vectors of consecutive vec_ids — that IS pairwise
+    // distance preservation, via one narrow self-equi-join (vec_id + 1),
+    // never an all-pairs. r = ‖Pu‖²/(k·‖u‖²), round-9 (float-sum
+    // re-association, same absorber as the kNN distances); buckets floor
+    // the identical rounded double so no extra boundary risk.
+    "embedding_rand_projection" -> Q(
+      fn = (s, dir) => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hex1(t: String): Int = Integer.parseInt(
+          md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString.substring(0, 1), 16)
+        val signs: IndexedSeq[Seq[Double]] = (0 until 16).map { i =>
+          (0 until 64).map(j => if (hex1(s"jl|$i|$j") % 2 == 0) 1.0 else -1.0)
+        }
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("x"))
+        val nxt = emb.select((col("vec_id") - 1).as("vec_id"), col("x").as("x2"))
+        val dot = graft.functions.VectorExprs.vecDot _
+        val pairs = emb.join(nxt, "vec_id")
+          .select(col("vec_id"), zip_with(col("x"), col("x2"), (p, q) => p - q).as("u"))
+          .withColumn("nu", dot(col("u"), col("u")))
+          .filter(col("nu") > 0.0)
+          .withColumn("pu", array((0 until 16).map(i =>
+            dot(col("u"), typedLit(signs(i)))): _*))
+          .withColumn("r9", round(dot(col("pu"), col("pu")) /
+            (lit(16.0) * col("nu")), 9))
+        pairs.groupBy(floor(col("r9") * 10).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("n"),
+            min(col("r9")).as("min_ratio"), max(col("r9")).as("max_ratio"))
+          .orderBy(col("bucket"))
+      },
+      oracle = Some(
+        """WITH p AS (SELECT a.vec_id AS vec_id,
+          |    list_transform(list_zip(CAST(a.embedding AS DOUBLE[]),
+          |      CAST(b.embedding AS DOUBLE[])), z -> z[1] - z[2]) AS u
+          |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+          |n AS (SELECT vec_id, u, list_sum(list_transform(u, v -> v * v)) AS nu FROM p),
+          |sg AS (SELECT i, list_transform(range(64), j -> CASE WHEN
+          |    CAST(('0x' || substr(md5('jl|' || CAST(i AS VARCHAR) || '|'
+          |      || CAST(j AS VARCHAR)), 1, 1)) AS INT) % 2 = 0
+          |    THEN 1.0 ELSE -1.0 END) AS sv
+          |  FROM (SELECT unnest(range(16)) AS i)),
+          |pu AS (SELECT vec_id, nu,
+          |    list_sum(list_transform(list_zip(u, sv), z -> z[1] * z[2])) AS y
+          |  FROM n CROSS JOIN sg),
+          |r AS (SELECT vec_id, round(sum(y * y) / (16.0 * nu), 9) AS r9
+          |  FROM pu WHERE nu > 0 GROUP BY vec_id, nu)
+          |SELECT CAST(floor(r9 * 10) AS BIGINT) AS bucket, count(*) AS n,
+          |  min(r9) AS min_ratio, max(r9) AS max_ratio
+          |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin),
+      doc = "JL random-projection distortion census: md5-derived +/-1 matrix, pairwise difference vectors, 16 codegen'd dots"))
 }

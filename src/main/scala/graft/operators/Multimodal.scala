@@ -139,6 +139,121 @@ object Multimodal {
       }
   }
 
+  /** Image corpus with simulated RE-ENCODES for perceptual-hash dedup: every
+    * image from [[syntheticMedia]] plus, for media_id ≡ 0 (mod 15), a twin
+    * (media_id + 1000000, reencode = true) standing in for the same picture
+    * saved again at a different quality. The twin carries the SAME payload —
+    * the decode stub perturbs its luma grid (compression noise happens in
+    * pixel space, not byte space), so near-duplicate structure exists at the
+    * FEATURE level exactly as it would after a real decode. */
+  def imagesWithReencodes(spark: SparkSession, dir: String): DataFrame = {
+    val img = syntheticMedia(spark, dir).filter(col("kind") === "image")
+      .select(col("media_id"), col("bytes"))
+    img.withColumn("reencode", lit(false))
+      .unionByName(img.filter(col("media_id") % 15 === 0)
+        .select((col("media_id") + 1000000L).as("media_id"), col("bytes"),
+          lit(true).as("reencode")))
+  }
+
+  /** 64-bit perceptual hash (aHash family) over the decoded 8×8 luma grid,
+    * emitted as four 16-bit blocks for Manku-style Hamming blocking.
+    *
+    * STUB luma kernel (same contract as [[extractFeatures]]): a real
+    * implementation decodes the image and downsamples to 8×8 grayscale;
+    * here cell j's luma is the first 4 hex chars of
+    * md5(md5hex(payload) || '~' || j) as k ∈ [0, 65536). A re-encoded twin
+    * perturbs 3 md5-chosen cells by +7777 (mod 65536) — bounded pixel noise.
+    * Bit j = 1 iff 64·luma_j > Σluma (mean threshold, cross-multiplied
+    * integers — no float mean). Identical pictures at different encodings
+    * land within a few bits of Hamming distance; unrelated pictures sit
+    * near 32. All md5-derived, so a DuckDB oracle replays the hash
+    * bit-for-bit. Output: (media_id, reencode, b0..b3: Int). */
+  def phashBlocks(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("reencode", BooleanType),
+      StructField("b0", IntegerType), StructField("b1", IntegerType),
+      StructField("b2", IntegerType), StructField("b3", IntegerType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("reencode"), col("bytes"))
+      .mapPartitions { rows =>
+        // per-partition init (a real impl loads the image codec here)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
+        def hex4(s: String) = Integer.parseInt(hx(s.getBytes("UTF-8")).substring(0, 4), 16)
+        rows.map { r =>
+          val reenc = r.getBoolean(1)
+          val hex = hx(r.getAs[Array[Byte]]("bytes"))
+          // STUB — replace with decode + 8×8 grayscale downsample
+          val luma = Array.tabulate(64)(j => hex4(hex + "~" + j).toLong)
+          if (reenc) { // re-encode noise: ≤3 md5-chosen cells shift +7777.
+            // DISTINCT set: when two chosen indexes collide, the cell is
+            // perturbed once (set semantics — matches the oracle's
+            // `j = p0 OR j = p1 OR j = p2`, which cannot double-apply)
+            (0 until 3).map(i => hex4(hex + "!" + i) % 64).distinct
+              .foreach(p => luma(p) = (luma(p) + 7777L) % 65536L)
+          }
+          val total = luma.sum
+          val blocks = Array.tabulate(4) { b =>
+            var v = 0; var j = 0
+            while (j < 16) {
+              if (64L * luma(16 * b + j) > total) v |= (1 << j)
+              j += 1
+            }
+            v
+          }
+          Row(r.getLong(0), reenc, blocks(0), blocks(1), blocks(2), blocks(3))
+        }
+      }
+  }
+
+  /** Scene-change detection over video blobs — the frame-sampling sibling of
+    * [[vadSegments]] for video curation (shot boundaries pick keyframes; a
+    * one-scene video is a static slide). Per media: frame the payload at
+    * `frameMs`, score per-frame energy, cut where consecutive energies jump
+    * ≥ `cutDelta`, census the scenes. Row-local loop → one mapPartitions
+    * pass, zero shuffle.
+    *
+    * STUB energy kernel (same contract as [[vadSegments]]): frame f's energy
+    * is the first 4 hex chars of md5(md5hex(payload) || '@' || f) — a real
+    * implementation demuxes frames and takes per-frame luma histograms. */
+  def sceneCuts(media: DataFrame, frameMs: Long = 250L, maxFrames: Int = 48,
+                cutDelta: Int = 24576): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("n_frames", LongType),
+      StructField("n_cuts", LongType),
+      StructField("n_scenes", LongType),
+      StructField("longest_scene", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("duration_ms"), col("bytes"))
+      .mapPartitions { rows =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
+        rows.map { r =>
+          val dur = r.getLong(1)
+          val hex = hx(r.getAs[Array[Byte]]("bytes"))
+          val n = math.min(math.max(dur / frameMs, 1L), maxFrames.toLong).toInt
+          var cuts = 0L; var run = 0L; var maxRun = 0L; var prev = -1L
+          var f = 0
+          while (f < n) {
+            // STUB — replace with per-frame decoded-luma difference
+            val e = Integer.parseInt(
+              hx((hex + "@" + f).getBytes("UTF-8")).substring(0, 4), 16).toLong
+            if (prev >= 0 && math.abs(e - prev) >= cutDelta) {
+              cuts += 1
+              if (run > maxRun) maxRun = run
+              run = 1L
+            } else run += 1
+            prev = e
+            f += 1
+          }
+          if (run > maxRun) maxRun = run
+          Row(r.getLong(0), n.toLong, cuts, cuts + 1L, maxRun)
+        }
+      }
+  }
+
   /** Metadata-only projection — must NOT read the binary column. Verified by
     * MultimodalSpec via the physical plan's ReadSchema. */
   def mediaStats(media: DataFrame): DataFrame =
