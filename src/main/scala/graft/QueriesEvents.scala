@@ -856,5 +856,149 @@ object QueriesEvents {
           |  CAST(sum(greatest(raw, 0)) AS BIGINT) AS total_overlap_us,
           |  CAST(max(greatest(raw, 0)) AS BIGINT) AS max_overlap_us
           |FROM ov GROUP BY i_start ORDER BY i_start""".stripMargin),
-      doc = "interval-overlap join via hour bucketization (dedup-free: incidents are intra-hour), broadcast incident side"))
+      doc = "interval-overlap join via hour bucketization (dedup-free: incidents are intra-hour), broadcast incident side"),
+
+    // CUSUM changepoint census over hourly counts — the classical
+    // sequential detector S_i = max(0, S_{i-1} + (x_i - k)) looks
+    // inherently recursive, but it has a closed windowed form:
+    //   S_i = P_i - min_{j<=i} P_j   where P is the prefix sum of (x_i - k).
+    // That identity (spec-pinned in StatsSpec against the literal fold)
+    // turns the detector into two keyed running windows — fully parallel
+    // across event types, shuffle-free past the hourly pre-aggregation.
+    // All arithmetic is scaled-integer: with k = mean = total/n, work in
+    // units of 1/n (n·x_i - total), so P and S are exact BIGINTs — no
+    // float mean, no reassociation drift. The alarm gate S > 2·mean
+    // becomes cusum_scaled > 2·total in the same units.
+    "events_cusum_changepoint" -> Q(
+      fn = (s, dir) => {
+        val hours = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("x"))
+        val tot = hours.groupBy(col("event_type"))
+          .agg(sum(col("x")).as("total"), count(lit(1)).as("n"))
+        val wOrd = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = hours.join(broadcast(tot), "event_type")
+          .withColumn("pref", sum(col("n") * col("x")).over(wRun) -
+            row_number().over(wOrd).cast("long") * col("total"))
+          .withColumn("cusum", col("pref") - min(col("pref")).over(wRun))
+        c.withColumn("mx",
+            max(col("cusum")).over(Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            max(col("cusum")).as("max_cusum_scaled"),
+            min(when(col("cusum") === col("mx"), col("h"))).as("argmax_hour"),
+            sum(when(col("cusum") > lit(2L) * col("total"), 1L).otherwise(0L))
+              .as("n_alarm_hours"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH hc AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |tot AS (SELECT event_type, sum(x) AS total, count(*) AS n
+          |  FROM hc GROUP BY 1),
+          |p AS (SELECT hc.event_type, h, total,
+          |    sum(n * x) OVER (PARTITION BY hc.event_type ORDER BY h
+          |      ROWS UNBOUNDED PRECEDING)
+          |      - row_number() OVER (PARTITION BY hc.event_type ORDER BY h)
+          |        * total AS pref
+          |  FROM hc JOIN tot USING (event_type)),
+          |c AS (SELECT event_type, h, total,
+          |    pref - min(pref) OVER (PARTITION BY event_type ORDER BY h
+          |      ROWS UNBOUNDED PRECEDING) AS cusum
+          |  FROM p),
+          |c2 AS (SELECT *, max(cusum) OVER (PARTITION BY event_type) AS mx FROM c)
+          |SELECT event_type, count(*) AS n_hours,
+          |  CAST(max(cusum) AS BIGINT) AS max_cusum_scaled,
+          |  CAST(min(h) FILTER (WHERE cusum = mx) AS BIGINT) AS argmax_hour,
+          |  CAST(count(*) FILTER (WHERE cusum > 2 * total) AS BIGINT)
+          |    AS n_alarm_hours
+          |FROM c2 GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "CUSUM changepoint via the prefix-sum/running-min identity: scaled-integer units, two keyed windows, no recursion"),
+
+    // First-order Markov transition matrix over per-user event streams —
+    // the session-model census behind next-action prediction and bot
+    // detection (a user whose transition row is a delta function is a
+    // script). One keyed lag window (user_id partitions parallelize the
+    // sequence reconstruction), integer bigram counts, and transition
+    // probabilities as one exact int division rounded 1e-9. The matrix
+    // itself is |event types|² rows — driver-safe at any corpus size.
+    "events_markov_transition" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val b = Tables.events(s, dir)
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("nxt"))
+          .agg(count(lit(1)).as("n"))
+        val r = b.groupBy(col("prev")).agg(sum(col("n")).as("row_n"))
+        b.join(broadcast(r), "prev")
+          .select(col("prev"), col("nxt"), col("n"), col("row_n"),
+            round(col("n").cast("double") / col("row_n").cast("double"), 9)
+              .as("p"))
+          .orderBy(col("prev"), col("nxt"))
+      },
+      oracle = Some(
+        """WITH o AS (SELECT user_id, event_type,
+          |    lag(event_type) OVER (PARTITION BY user_id
+          |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+          |  FROM events),
+          |b AS (SELECT prev, event_type AS nxt, count(*) AS n
+          |  FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+          |r AS (SELECT prev, sum(n) AS row_n FROM b GROUP BY 1)
+          |SELECT prev, nxt, n, CAST(row_n AS BIGINT) AS row_n,
+          |  round(CAST(n AS DOUBLE) / row_n, 9) AS p
+          |FROM b JOIN r USING (prev) ORDER BY prev, nxt""".stripMargin),
+      doc = "first-order Markov transition matrix: keyed lag window, integer bigram counts, round-9 row-normalized probabilities"),
+
+    // Per-type linear trend forecast over hourly counts — ordinary least
+    // squares from INTEGER sufficient statistics (n, Σx, Σy, Σxy, Σx²),
+    // the classic combinable-aggregate shape: every statistic map-side
+    // combines, so the fit costs one keyed aggregation at any history
+    // length. x is re-based per type (hours since first activity) to keep
+    // the moments small; slope/intercept are the only doubles, derived
+    // from exact integers in one fixed expression and rounded 1e-9.
+    "events_forecast_linreg" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+        val z = h.withColumn("x",
+          col("t") - min(col("t")).over(Window.partitionBy(col("event_type"))))
+        val st = z.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+            sum(col("x") * col("x")).as("sxx"))
+        val num = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        val den = col("n") * col("sxx") - col("sx") * col("sx")
+        st.select(col("event_type"), col("n").as("n_hours"),
+            col("sx").as("sum_x"), col("sy").as("sum_y"),
+            col("sxy").as("sum_xy"), col("sxx").as("sum_xx"),
+            round(num / den, 9).as("slope"),
+            round((col("sy").cast("double") - (num / den) * col("sx")) /
+              col("n"), 9).as("intercept"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |z AS (SELECT event_type,
+          |    t - min(t) OVER (PARTITION BY event_type) AS x, y FROM h),
+          |s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+          |    sum(x * y) AS sxy, sum(x * x) AS sxx FROM z GROUP BY 1)
+          |SELECT event_type, CAST(n AS BIGINT) AS n_hours,
+          |  CAST(sx AS BIGINT) AS sum_x, CAST(sy AS BIGINT) AS sum_y,
+          |  CAST(sxy AS BIGINT) AS sum_xy, CAST(sxx AS BIGINT) AS sum_xx,
+          |  round(CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx), 9)
+          |    AS slope,
+          |  round((CAST(sy AS DOUBLE)
+          |    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx)
+          |    / n, 9) AS intercept
+          |FROM s ORDER BY event_type""".stripMargin),
+      doc = "OLS trend per event type: integer sufficient statistics (combinable), re-based hour axis, round-9 slope/intercept"))
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.functions.PathFns
 import graft.operators.{Multimodal, ObjectStore}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Remaining SURVEY §2 inventory: J4 child-existence semi-join, A2 counts,
@@ -1768,5 +1769,136 @@ object QueriesExtra {
           |    ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9) AS mi_term
           |FROM xy JOIN x USING (lang) JOIN y USING (source) CROSS JOIN t
           |ORDER BY lang, source""".stripMargin),
-      doc = "mutual-information census (lang x source): exact joint counts, round-9 PMI/MI terms"))
+      doc = "mutual-information census (lang x source): exact joint counts, round-9 PMI/MI terms"),
+
+    // Approximate-query-processing error census: a 10% hash-deterministic
+    // Bernoulli sample (md5 of doc_id — rerun-stable, no RNG state),
+    // per-group scaled estimates vs the exact counts. This is the
+    // measurement that licenses sample-first pipelines at 100 TB: the
+    // sample is a pushed-down filter on a scan (no shuffle), and the
+    // census quantifies the per-group error you buy with it. Estimates
+    // and errors are exact integers; rel_err is one exact-int division
+    // rounded 1e-9.
+    "stats_aqp_sample" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val est = d.filter(expr(
+            "cast(conv(substring(md5(concat('aqp|', cast(doc_id as string))), " +
+              "1, 4), 16, 10) as bigint) % 10 = 0"))
+          .groupBy(col("lang")).agg((count(lit(1)) * 10).as("est_docs"))
+        val exact = d.groupBy(col("lang")).agg(count(lit(1)).as("true_docs"))
+        val e = coalesce(col("est_docs"), lit(0L))
+        exact.join(est, Seq("lang"), "left")
+          .select(col("lang"), col("true_docs"), e.as("est_docs"),
+            abs(e - col("true_docs")).as("abs_err"),
+            round(abs(e - col("true_docs")).cast("double") /
+              col("true_docs").cast("double"), 9).as("rel_err"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        """WITH s AS (SELECT lang FROM documents
+          |  WHERE CAST(('0x' || substr(md5('aqp|' || CAST(doc_id AS VARCHAR)),
+          |    1, 4)) AS BIGINT) % 10 = 0),
+          |est AS (SELECT lang, 10 * count(*) AS est_docs FROM s GROUP BY 1),
+          |ex AS (SELECT lang, count(*) AS true_docs FROM documents GROUP BY 1)
+          |SELECT lang, true_docs, coalesce(est_docs, 0) AS est_docs,
+          |  CAST(abs(coalesce(est_docs, 0) - true_docs) AS BIGINT) AS abs_err,
+          |  round(CAST(abs(coalesce(est_docs, 0) - true_docs) AS DOUBLE)
+          |    / true_docs, 9) AS rel_err
+          |FROM ex LEFT JOIN est USING (lang) ORDER BY lang""".stripMargin),
+      doc = "AQP error census: 10% hash-Bernoulli sample, scaled integer estimates vs exact, round-9 relative error"),
+
+    // Gini concentration of the source mix per language — the data-card
+    // number that says "this slice of the corpus is dominated by a few
+    // crawls" before that skew becomes a training bias. Computed from the
+    // sorted-rank identity G = (2·Σi·x_i − (n+1)·Σx) / (n·Σx) over
+    // per-(lang,source) counts: one keyed row_number window over group
+    // cardinality (sources per lang — tiny at any corpus size), all
+    // integer until the final round-9 ratio. Exact numerator/denominator
+    // are graded alongside so the double never carries the comparison.
+    "profile_gini" -> Q(
+      fn = (s, dir) => {
+        val cnt = Tables.documents(s, dir)
+          .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("x"))
+        val w = Window.partitionBy(col("lang")).orderBy(col("x"), col("source"))
+        val num = lit(2L) * col("wsum") -
+          (col("n_sources") + lit(1L)) * col("n_docs")
+        val den = col("n_sources") * col("n_docs")
+        cnt.withColumn("i", row_number().over(w).cast("long"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_sources"), sum(col("x")).as("n_docs"),
+            sum(col("i") * col("x")).as("wsum"))
+          .select(col("lang"), col("n_sources"), col("n_docs"),
+            num.as("gini_num"), den.as("gini_den"),
+            round(num.cast("double") / den.cast("double"), 9).as("gini"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        """WITH cnt AS (SELECT lang, source, count(*) AS x
+          |  FROM documents GROUP BY 1, 2),
+          |r AS (SELECT lang, x, row_number() OVER (PARTITION BY lang
+          |    ORDER BY x, source) AS i FROM cnt),
+          |g AS (SELECT lang, count(*) AS n, sum(x) AS tot, sum(i * x) AS wsum
+          |  FROM r GROUP BY 1)
+          |SELECT lang, CAST(n AS BIGINT) AS n_sources, CAST(tot AS BIGINT) AS n_docs,
+          |  CAST(2 * wsum - (n + 1) * tot AS BIGINT) AS gini_num,
+          |  CAST(n * tot AS BIGINT) AS gini_den,
+          |  round(CAST(2 * wsum - (n + 1) * tot AS DOUBLE) / (n * tot), 9) AS gini
+          |FROM g ORDER BY lang""".stripMargin),
+      doc = "Gini source-concentration per lang: sorted-rank identity, exact integer num/den, round-9 ratio"),
+
+    // Two-sample Kolmogorov–Smirnov drift census: each language's doc-length
+    // distribution vs the `en` reference. The scalable shape is the merged
+    // CDF — union both samples tagged 0/1, ONE sort per comparison group,
+    // and cumulative counts from a RANGE-framed window (the frame includes
+    // value ties, which is exactly CDF-at-value semantics). D is the max of
+    // |c1·n2 − c2·n1| — cross-multiplied EXACT integers; the /n1·n2
+    // normalization happens once at the end, round-9. No correlated
+    // subqueries, no all-pairs: cost is a sort per comparison, and each
+    // comparison touches only its two groups.
+    "profile_ks_drift" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val langs = d.filter(col("lang") =!= "en")
+          .select(col("lang").as("cmp")).distinct()
+        val u = d.join(broadcast(langs),
+            col("lang") === col("cmp") || col("lang") === lit("en"))
+          .select(col("cmp"), col("n_chars"),
+            when(col("lang") === "en", 0L).otherwise(1L).as("g"))
+        val w = Window.partitionBy(col("cmp")).orderBy(col("n_chars"))
+          .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+        val c = u.withColumn("c1", sum(col("g")).over(w))
+          .withColumn("c2", sum(lit(1L) - col("g")).over(w))
+        val t = u.groupBy(col("cmp"))
+          .agg(sum(col("g")).as("n1"), sum(lit(1L) - col("g")).as("n2"))
+        c.join(broadcast(t), "cmp")
+          .groupBy(col("cmp"), col("n1"), col("n2"))
+          .agg(max(abs(col("c1") * col("n2") - col("c2") * col("n1")))
+            .as("ks_num"))
+          .select(col("cmp").as("lang"), col("n1").as("n_lang"),
+            col("n2").as("n_en"), col("ks_num"),
+            (col("n1") * col("n2")).as("ks_den"),
+            round(col("ks_num").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 9).as("ks_d"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        """WITH langs AS (SELECT DISTINCT lang FROM documents WHERE lang <> 'en'),
+          |u AS (SELECT l.lang AS cmp, d.n_chars,
+          |    CASE WHEN d.lang = 'en' THEN 0 ELSE 1 END AS g
+          |  FROM documents d JOIN langs l ON d.lang = l.lang OR d.lang = 'en'),
+          |c AS (SELECT cmp, n_chars, g,
+          |    sum(g) OVER w AS c1, sum(1 - g) OVER w AS c2
+          |  FROM u WINDOW w AS (PARTITION BY cmp ORDER BY n_chars
+          |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          |t AS (SELECT cmp, sum(g) AS n1, sum(1 - g) AS n2 FROM u GROUP BY 1)
+          |SELECT cmp AS lang, CAST(n1 AS BIGINT) AS n_lang,
+          |  CAST(n2 AS BIGINT) AS n_en,
+          |  CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS ks_num,
+          |  CAST(n1 * n2 AS BIGINT) AS ks_den,
+          |  round(CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE) / (n1 * n2), 9)
+          |    AS ks_d
+          |FROM c JOIN t USING (cmp) GROUP BY cmp, n1, n2
+          |ORDER BY lang""".stripMargin),
+      doc = "two-sample KS drift vs the en reference: merged-CDF window with tie-correct RANGE frame, exact cross-multiplied D"))
 }

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Wave-6 statistics operators: the CUSUM windowed identity, Gini closed
+  * forms, and the AQP sample contract.
+  */
+class StatsSpec extends SparkTestBase {
+
+  test("events_cusum_changepoint: windowed form equals the sequential fold") {
+    // The query computes S via S_i = P_i - min_{j<=i} P_j; re-derive the
+    // same statistic with the literal recursion S_i = max(0, S_{i-1} + d_i)
+    // from the raw hourly counts and compare per event type.
+    val res = Registry.all("events_cusum_changepoint").fn(spark, sfDir)
+      .select("event_type", "max_cusum_scaled", "n_alarm_hours")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    hours.foreach { case (et, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val total = xs.sum
+      val n = xs.length.toLong
+      // scaled units: d_i = n*x_i - total (k = mean)
+      var s = 0L; var mx = 0L; var alarms = 0L
+      xs.foreach { x =>
+        s = math.max(0L, s + (n * x - total))
+        mx = math.max(mx, s)
+        if (s > 2L * total) alarms += 1
+      }
+      assert(res(et) === (mx, alarms),
+        s"windowed CUSUM diverges from the sequential fold for $et")
+    }
+  }
+
+  test("profile_gini: closed forms — uniform is 0, one-hot approaches (n-1)/n") {
+    import spark.implicits._
+    // Re-express the query's arithmetic on crafted counts via the same
+    // sorted-rank identity, pinned to the analytic values.
+    def gini(counts: Seq[Long]): Double = {
+      val sorted = counts.sorted
+      val n = sorted.length.toLong
+      val tot = sorted.sum
+      val wsum = sorted.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      (2.0 * wsum - (n + 1) * tot) / (n.toDouble * tot)
+    }
+    assert(gini(Seq(7L, 7L, 7L, 7L)) === 0.0)
+    // (1,1,1,997): wsum = 1+2+3+4*997 = 3994; (2*3994 - 5*1000)/4000 = 0.747
+    assert(gini(Seq(1L, 1L, 1L, 997L)) === 0.747)
+    // and the registry query's values sit in [0, 1) with den = n*tot
+    val rows = Registry.all("profile_gini").fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0)
+      assert(r.getAs[Long]("gini_den") ===
+        r.getAs[Long]("n_sources") * r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("profile_ks_drift: windowed merged-CDF D equals the brute-force CDF scan") {
+    val res = Registry.all("profile_ks_drift").fn(spark, sfDir)
+      .select("lang", "ks_num").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val docs = Tables.documents(spark, sfDir)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val en = docs.filter(_._1 == "en").map(_._2).sorted
+    res.keys.foreach { l =>
+      val xs = docs.filter(_._1 == l).map(_._2).sorted
+      val pts = (xs ++ en).distinct
+      // brute force: CDF counts at every observed value, cross-multiplied
+      val d = pts.map { t =>
+        val c1 = xs.count(_ <= t).toLong
+        val c2 = en.count(_ <= t).toLong
+        math.abs(c1 * en.length - c2 * xs.length)
+      }.max
+      assert(res(l) === d, s"KS numerator diverges for $l")
+    }
+  }
+
+  test("events_markov_transition: rows are stochastic and bigrams conserve mass") {
+    val rows = Registry.all("events_markov_transition").fn(spark, sfDir).collect()
+    rows.groupBy(_.getString(0)).foreach { case (prev, rs) =>
+      val massP = rs.map(_.getAs[Double]("p")).sum
+      assert(math.abs(massP - 1.0) < 1e-6, s"row $prev not stochastic")
+      val rowN = rs.head.getAs[Long]("row_n")
+      assert(rs.map(_.getAs[Long]("n")).sum === rowN)
+    }
+  }
+
+  test("stats_aqp_sample: estimates are 10x a deterministic subset, rerun-stable") {
+    val a = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
+    val b = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
+    assert(a.toSeq === b.toSeq, "hash-Bernoulli sample must be rerun-stable")
+    a.foreach { r =>
+      assert(r.getAs[Long]("est_docs") % 10 === 0)
+      assert(r.getAs[Long]("abs_err") ===
+        math.abs(r.getAs[Long]("est_docs") - r.getAs[Long]("true_docs")))
+    }
+  }
+}
