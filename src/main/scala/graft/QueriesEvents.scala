@@ -1000,5 +1000,99 @@ object QueriesEvents {
           |    - (CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx)) * sx)
           |    / n, 9) AS intercept
           |FROM s ORDER BY event_type""".stripMargin),
-      doc = "OLS trend per event type: integer sufficient statistics (combinable), re-based hour axis, round-9 slope/intercept"))
+      doc = "OLS trend per event type: integer sufficient statistics (combinable), re-based hour axis, round-9 slope/intercept"),
+
+    // Exponentially-weighted moving average — the one statistic in this
+    // family that genuinely IS sequential (every prefix value feeds the
+    // next; no windowed identity exists). The portable-exactness trick:
+    // both engines fold the SAME doubles in the SAME order — collect the
+    // per-type hourly series as a sorted array and run the recurrence as
+    // an ordered higher-order aggregate (Spark `aggregate`, DuckDB
+    // `list_reduce`). IEEE ops are deterministic, so identical op
+    // sequences give bit-identical results; round-9 is belt-and-braces.
+    // Per-key state is bounded by the hourly history length (~10³ rows
+    // per type-year), and types parallelize — the collect is keyed,
+    // never global.
+    "events_ewma" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+        h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("tys"))
+          .withColumn("ys", transform(col("tys"), x => x.getField("y").cast("double")))
+          .select(col("event_type"),
+            size(col("ys")).cast("long").as("n_hours"),
+            element_at(col("ys"), -1).cast("long").as("last_y"),
+            round(aggregate(
+              slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+              element_at(col("ys"), 1),
+              (acc, y) => (acc + y) / lit(2.0)), 9).as("ewma_half"),
+            round(aggregate(
+              slice(col("ys"), lit(2), greatest(size(col("ys")) - 1, lit(0))),
+              element_at(col("ys"), 1),
+              (acc, y) => lit(0.75) * acc + lit(0.25) * y), 9).as("ewma_quarter"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |l AS (SELECT event_type, list(y ORDER BY t) AS ys FROM h GROUP BY 1)
+          |SELECT event_type, CAST(len(ys) AS BIGINT) AS n_hours,
+          |  CAST(ys[len(ys)] AS BIGINT) AS last_y,
+          |  round(list_reduce(list_transform(ys, y -> CAST(y AS DOUBLE)),
+          |    (acc, y) -> (acc + y) / 2.0), 9) AS ewma_half,
+          |  round(list_reduce(list_transform(ys, y -> CAST(y AS DOUBLE)),
+          |    (acc, y) -> 0.75 * acc + 0.25 * y), 9) AS ewma_quarter
+          |FROM l ORDER BY event_type""".stripMargin),
+      doc = "EWMA via ordered higher-order fold: identical IEEE op sequence on both engines, keyed collect bounded by history length"),
+
+    // Robust outlier census: median absolute deviation on hourly counts.
+    // Medians of integers are half-integers, so EVERYTHING is exact in
+    // doubled units: med2 = 2·median(x) (exact percentile, not approx),
+    // dev2 = |2x − med2|, mad4 = 2·median(dev2). The Hampel gate
+    // |x − med| > 3·MAD becomes 2·dev2 > 3·mad4 — pure int64. Unlike the
+    // mean/stddev census (profile_outliers), one wild hour cannot drag
+    // the threshold: the breakdown point is 50%.
+    "events_anomaly_mad" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("x"))
+        val m = h.groupBy(col("event_type"))
+          .agg((expr("percentile(x, 0.5)") * 2).cast("long").as("med2"))
+        val d = h.join(broadcast(m), "event_type")
+          .withColumn("dev2", abs(lit(2L) * col("x") - col("med2")))
+        val md = d.groupBy(col("event_type"))
+          .agg((expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+        d.join(broadcast(md), "event_type")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            max(col("med2")).as("med2"), max(col("mad4")).as("mad4"),
+            sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            max(col("dev2")).as("max_dev2"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, CAST(2 * median(x) AS BIGINT) AS med2
+          |  FROM h GROUP BY 1),
+          |d AS (SELECT h.event_type, t, x, med2, abs(2 * x - med2) AS dev2
+          |  FROM h JOIN m USING (event_type)),
+          |md AS (SELECT event_type, CAST(2 * median(dev2) AS BIGINT) AS mad4
+          |  FROM d GROUP BY 1)
+          |SELECT d.event_type, CAST(count(*) AS BIGINT) AS n_hours,
+          |  CAST(max(d.med2) AS BIGINT) AS med2, CAST(max(mad4) AS BIGINT) AS mad4,
+          |  CAST(count(*) FILTER (WHERE 2 * dev2 > 3 * mad4) AS BIGINT)
+          |    AS n_outliers,
+          |  CAST(max(dev2) AS BIGINT) AS max_dev2
+          |FROM d JOIN md USING (event_type) GROUP BY d.event_type
+          |ORDER BY d.event_type""".stripMargin),
+      doc = "MAD outlier census in doubled integer units: exact medians, Hampel gate 2*dev2 > 3*mad4, 50% breakdown point"))
 }

@@ -1900,5 +1900,69 @@ object QueriesExtra {
           |    AS ks_d
           |FROM c JOIN t USING (cmp) GROUP BY cmp, n1, n2
           |ORDER BY lang""".stripMargin),
-      doc = "two-sample KS drift vs the en reference: merged-CDF window with tie-correct RANGE frame, exact cross-multiplied D"))
+      doc = "two-sample KS drift vs the en reference: merged-CDF window with tie-correct RANGE frame, exact cross-multiplied D"),
+
+    // Audio near-dup detection via constellation fingerprints — the audio
+    // sibling of mm_phash_dedup (a speech/music corpus dedups re-encoded
+    // copies at the signal level, never the byte level). Landmarks are
+    // (peak-band, next-peak-band, Δt) hashes; matching is ONE equi-join on
+    // the hash (never all-pairs: ~1 media per hash value at any corpus
+    // size, so candidate volume ≈ true-pair volume). Gate ≥3 shared
+    // landmarks: at sf0.01 recovers 26/34 planted twins with 5 chance
+    // pairs; the 8 misses have ≤3 landmarks total (clips too short to
+    // fingerprint — inherent, and n_shared is emitted so callers can
+    // trade precision for recall). Hash relation persists+pins before the
+    // self-join (repo invariant: kernels must not run twice).
+    "mm_audio_fingerprint" -> Q(
+      fn = (s, dir) => {
+        val h = Multimodal.constellationHashes(
+          Multimodal.audioWithReencodes(s, dir))
+        h.persist(); h.count()
+        val a = h.alias("a"); val b = h.alias("b")
+        a.join(b, col("a.hash") === col("b.hash") &&
+            col("a.media_id") < col("b.media_id"))
+          .groupBy(col("a.media_id").as("media_a"),
+            col("b.media_id").as("media_b"))
+          .agg(count(lit(1)).as("n_shared"))
+          .filter(col("n_shared") >= 3)
+          .withColumn("is_reencode", col("media_b") === col("media_a") + 2000000L)
+          .orderBy(col("media_a"), col("media_b"))
+      },
+      oracle = Some(
+        """WITH aud AS (SELECT doc_id AS media_id, md5(text) AS hex,
+          |    CAST(least(greatest((n_chars * 10) // 100, 1), 64) AS BIGINT) AS n
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |orig AS (SELECT media_id, hex, n, f,
+          |    CAST(('0x' || substr(md5(hex || '#' || CAST(f AS VARCHAR)), 1, 4))
+          |      AS BIGINT) AS e
+          |  FROM (SELECT media_id, hex, n, unnest(range(n)) AS f FROM aud)),
+          |twsel AS (SELECT media_id, hex, n,
+          |    CAST(('0x' || substr(md5(hex || '!a0'), 1, 4)) AS BIGINT) % n AS q0,
+          |    CAST(('0x' || substr(md5(hex || '!a1'), 1, 4)) AS BIGINT) % n AS q1,
+          |    CAST(('0x' || substr(md5(hex || '!a2'), 1, 4)) AS BIGINT) % n AS q2
+          |  FROM aud WHERE media_id % 15 = 1),
+          |tw AS (SELECT t.media_id + 2000000 AS media_id, o.f,
+          |    CASE WHEN o.f = t.q0 OR o.f = t.q1 OR o.f = t.q2
+          |      THEN (o.e + 997) % 65536 ELSE o.e END AS e
+          |  FROM twsel t JOIN orig o ON o.media_id = t.media_id),
+          |alle AS (SELECT media_id, f, e FROM orig
+          |  UNION ALL SELECT media_id, f, e FROM tw),
+          |nb AS (SELECT media_id, f, e, lag(e) OVER w AS ep, lead(e) OVER w AS en
+          |  FROM alle WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+          |pk AS (SELECT media_id, f, e FROM nb
+          |  WHERE ep IS NOT NULL AND en IS NOT NULL AND e > ep AND e > en),
+          |lm AS (SELECT media_id, e AS e1, lead(e) OVER w AS e2,
+          |    lead(f) OVER w - f AS dt
+          |  FROM pk WINDOW w AS (PARTITION BY media_id ORDER BY f)),
+          |h AS (SELECT DISTINCT media_id,
+          |    (e1 // 2048) * 1024 + (e2 // 2048) * 32 + dt AS hash
+          |  FROM lm WHERE e2 IS NOT NULL AND dt <= 31),
+          |m AS (SELECT a.media_id AS media_a, b.media_id AS media_b,
+          |    count(*) AS n_shared
+          |  FROM h a JOIN h b ON a.hash = b.hash AND a.media_id < b.media_id
+          |  GROUP BY 1, 2)
+          |SELECT media_a, media_b, n_shared,
+          |  media_b = media_a + 2000000 AS is_reencode
+          |FROM m WHERE n_shared >= 3 ORDER BY media_a, media_b""".stripMargin),
+      doc = "audio constellation-fingerprint near-dup: stub frame energies, strict local peaks, (band,band,dt) landmark equi-join, gate >= 3 shared"))
 }

@@ -321,4 +321,70 @@ object Multimodal {
         max(t * t - col("new_w") * col("new_h")).as("max_pad_px"),
         sum(col("new_w") * col("new_h")).as("out_px"))
   }
+
+  /** Audio corpus with simulated RE-ENCODES for fingerprint dedup — the
+    * audio sibling of [[imagesWithReencodes]]: every audio from
+    * [[syntheticMedia]] plus, for media_id ≡ 1 (mod 15), a twin
+    * (media_id + 2000000, reencode = true) standing in for the same
+    * recording at a different bitrate. The twin carries the SAME payload;
+    * [[constellationHashes]] perturbs its frame energies (transcode noise
+    * lives in the signal domain, not the byte domain). */
+  def audioWithReencodes(spark: SparkSession, dir: String): DataFrame = {
+    val aud = syntheticMedia(spark, dir).filter(col("kind") === "audio")
+      .select(col("media_id"), col("duration_ms"), col("bytes"))
+    aud.withColumn("reencode", lit(false))
+      .unionByName(aud.filter(col("media_id") % 15 === 1)
+        .select((col("media_id") + 2000000L).as("media_id"),
+          col("duration_ms"), col("bytes"), lit(true).as("reencode")))
+  }
+
+  /** Constellation fingerprints (Shazam-style landmark hashing) over audio
+    * blobs: frame the payload, find local energy peaks (strictly above both
+    * neighbours — ties resolve to non-peak, deterministically), pair each
+    * peak with its successor within `maxDt` frames, and hash
+    * (band(e1), band(e2), Δt) into one integer landmark. Two recordings of
+    * the same audio share many landmarks; unrelated audios collide on
+    * ~|landmarks|²/32768 of them. Row-local loop → one mapPartitions pass,
+    * zero shuffle; the match step is an equi-join on the landmark hash.
+    *
+    * STUB energy kernel (same framing contract as [[vadSegments]]:
+    * 100 ms frames, ≤64): frame f's energy is the first 4 hex chars of
+    * md5(md5hex(payload) || '#' || f). A re-encoded twin perturbs 3
+    * md5-chosen frames by +997 (mod 65536) — DISTINCT set semantics, the
+    * [[phashBlocks]] lesson. A real implementation decodes PCM and takes
+    * STFT peak bins. Output: (media_id, hash) — distinct per media. */
+  def constellationHashes(media: DataFrame, frameMs: Long = 100L,
+                          maxFrames: Int = 64, maxDt: Long = 31L): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("hash", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("duration_ms"), col("bytes"),
+        col("reencode"))
+      .mapPartitions { rows =>
+        // per-partition init (a real impl loads the audio codec here)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        def hx(b: Array[Byte]) = md.digest(b).map("%02x".format(_)).mkString
+        def hex4(s: String) = Integer.parseInt(hx(s.getBytes("UTF-8")).substring(0, 4), 16)
+        rows.flatMap { r =>
+          val dur = r.getLong(1)
+          val hex = hx(r.getAs[Array[Byte]]("bytes"))
+          val n = math.min(math.max(dur / frameMs, 1L), maxFrames.toLong).toInt
+          // STUB — replace with per-frame STFT energy from decoded PCM
+          val e = Array.tabulate(n)(f => hex4(hex + "#" + f).toLong)
+          if (r.getBoolean(3)) {
+            (0 until 3).map(i => (hex4(hex + "!a" + i) % n).toInt).distinct
+              .foreach(q => e(q) = (e(q) + 997L) % 65536L)
+          }
+          val peaks = (1 until n - 1).filter(f => e(f) > e(f - 1) && e(f) > e(f + 1))
+          val hashes = scala.collection.mutable.LinkedHashSet.empty[Long]
+          peaks.sliding(2).foreach {
+            case Seq(p1, p2) if p2 - p1 <= maxDt =>
+              hashes += (e(p1) / 2048L) * 1024L + (e(p2) / 2048L) * 32L + (p2 - p1)
+            case _ =>
+          }
+          hashes.iterator.map(h => Row(r.getLong(0), h))
+        }
+      }
+  }
 }

@@ -126,4 +126,27 @@ class MultimodalSpec extends SparkTestBase {
       assert(scenes <= n)
     }
   }
+
+  test("constellationHashes: twins share most landmarks, unrelated audios few") {
+    val h = Multimodal.constellationHashes(
+        Multimodal.audioWithReencodes(spark, sfDir))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    val twins = h.keys.filter(id => id >= 2000000L && h.contains(id - 2000000L))
+    assert(twins.nonEmpty, "fixture must plant re-encode twins")
+    twins.foreach { t =>
+      val orig = h(t - 2000000L)
+      // a twin differs in <=3 frames of >=n-3 shared ones: when the clip is
+      // long enough to carry >=6 landmarks, at least half must survive
+      if (orig.size >= 6)
+        assert((orig & h(t)).size * 2 >= orig.size,
+          s"twin $t shares too few landmarks")
+    }
+    // landmark determinism across partitioning
+    val h2 = Multimodal.constellationHashes(
+        Multimodal.audioWithReencodes(spark, sfDir).repartition(5))
+      .collect().groupBy(_.getLong(0)).view
+      .mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert(h == h2, "fingerprints must not depend on partitioning")
+  }
 }

@@ -94,6 +94,36 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_ewma: the higher-order fold equals the literal recurrence") {
+    val res = Registry.all("events_ewma").fn(spark, sfDir)
+      .select("event_type", "ewma_half", "ewma_quarter").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    hours.foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var h = ys.head; var q = ys.head
+      ys.tail.foreach { y => h = (h + y) / 2.0; q = 0.75 * q + 0.25 * y }
+      def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(res(et) === (r9(h), r9(q)), s"fold diverges for $et")
+    }
+  }
+
+  test("events_anomaly_mad: doubled-unit medians are exact and gate is integral") {
+    val rows = Registry.all("events_anomaly_mad").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // med2/mad4 are 2x/2x medians of integers: parity-free exactness means
+      // they are plain longs, and outliers can never exceed the hour count
+      assert(r.getAs[Long]("med2") >= 0 && r.getAs[Long]("mad4") >= 0)
+      assert(r.getAs[Long]("n_outliers") <= r.getAs[Long]("n_hours"))
+      assert(r.getAs[Long]("max_dev2") >= 0)
+    }
+  }
+
   test("stats_aqp_sample: estimates are 10x a deterministic subset, rerun-stable") {
     val a = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
     val b = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
