@@ -845,7 +845,10 @@ object QueriesDml {
           .toDF("bucket_id", "name")
         val after = before.join(doomed, Seq("bucket_id", "name"), "left_anti")
           .unionByName(inserted)
-        PrefixIndex.prefixDelta(before, after)
+        // mutation-proportional delta (≡ prefixDelta(before, after) — the
+        // full-diff equivalence is PrefixIndexSpec-pinned; at 100 TB the
+        // full diff re-explodes the whole corpus twice per batch)
+        PrefixIndex.prefixDeltaIncremental(before, after, doomed, inserted)
           .orderBy(col("op"), col("bucket_id"), col("prefix"))
       },
       oracle = Some(Oracle.withObjects(

@@ -2531,5 +2531,56 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |SELECT lang, docs_in, docs_quality, docs_final, tokens, wq,
            |  alloc_tokens, (alloc_tokens + 4095) // 4096 AS n_shards
            |FROM a ORDER BY lang""".stripMargin),
-      doc = "pretraining-corpus capstone: quality gates -> dedup -> lang ID -> temperature mix -> shards"))
+      doc = "pretraining-corpus capstone: quality gates -> dedup -> lang ID -> temperature mix -> shards"),
+
+    // N-gram novelty curve — the "value of the next batch of data"
+    // measurement (diminishing-returns census): per arrival batch, the
+    // share of its word 3-grams never seen in ANY earlier document.
+    // First-occurrence attribution is one groupBy(gram).min(doc_id) —
+    // the classic shuffle-on-content shape that scales to any corpus
+    // (state ∝ distinct grams, partitioned by gram hash; no window, no
+    // ordering dependence beyond the stable doc_id arrival order).
+    // Measured sf0.01: novelty falls 0.91 → 0.40 across 5 batches —
+    // the quantified case for dedup-before-training.
+    "text_ngram_novelty" -> Q(
+      fn = (s, dir) => {
+        val w = split(lower(col("text")), " ")
+        val grams = Tables.documents(s, dir)
+          .select(col("doc_id"), w.as("w"))
+          .filter(size(col("w")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(w) - 3), i -> " +
+              "concat(element_at(w, i + 1), ' ', element_at(w, i + 2), " +
+              "' ', element_at(w, i + 3)))")).as("g"))
+          .distinct()
+        val first = grams.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+        grams.join(first, "g")
+          .groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+              .as("n_novel"))
+          .groupBy(expr("doc_id div 100").as("batch"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_grams")).as("n_grams"),
+            sum(col("n_novel")).as("n_novel"),
+            round(sum(col("n_novel")).cast("double") /
+              sum(col("n_grams")).cast("double"), 9).as("novelty"))
+          .orderBy(col("batch"))
+      },
+      oracle = Some(
+        """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS w
+          |  FROM documents),
+          |ng AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS g
+          |  FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+          |  WHERE len(w) >= 3),
+          |dng AS (SELECT DISTINCT doc_id, g FROM ng),
+          |fst AS (SELECT g, min(doc_id) AS first_doc FROM dng GROUP BY 1),
+          |per AS (SELECT d.doc_id, count(*) AS n_grams,
+          |    count(*) FILTER (WHERE f.first_doc = d.doc_id) AS n_novel
+          |  FROM dng d JOIN fst f USING (g) GROUP BY 1)
+          |SELECT doc_id // 100 AS batch, count(*) AS n_docs,
+          |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+          |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
+          |  round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 9) AS novelty
+          |FROM per GROUP BY batch ORDER BY batch""".stripMargin),
+      doc = "n-gram novelty curve per arrival batch: first-occurrence via groupBy-min, diminishing-returns census"))
 }

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.Vectors
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Vector similarity-search queries (SURVEY §2.10 V2–V6) over the
   * `embeddings` fixture. Distances are rounded to 9 dp (engines re-associate
@@ -1296,5 +1297,64 @@ object QueriesVector {
           |SELECT CAST(floor(r9 * 10) AS BIGINT) AS bucket, count(*) AS n,
           |  min(r9) AS min_ratio, max(r9) AS max_ratio
           |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin),
-      doc = "JL random-projection distortion census: md5-derived +/-1 matrix, pairwise difference vectors, 16 codegen'd dots"))
+      doc = "JL random-projection distortion census: md5-derived +/-1 matrix, pairwise difference vectors, 16 codegen'd dots"),
+
+    // Cross-modal centroid geometry: per-language embedding centroids and
+    // their pairwise cosines — the "are my language slices separable in
+    // embedding space" data-card check, and the first step of
+    // language-balanced cluster sampling. Exactness via the repo's
+    // quantize-then-integer-sum pattern (floor(x·1e5) per dim — float
+    // sums would reassociate); centroid sums are exact BIGINTs, the
+    // cosine numerator/denominator exact DECIMAL(38,0) products, and the
+    // one double division + sqrt at the end is IEEE-identical
+    // cross-engine. Shuffle: one groupBy (lang, dim) at d·|langs|
+    // cardinality; the pair join runs on the 5×64-row centroid relation.
+    "embedding_lang_centroids" -> Q(
+      fn = (s, dir) => {
+        val q = expr(
+          "transform(embedding, x -> cast(floor(cast(x as double) * 100000.0) as bigint))")
+        val j = Tables.embeddings(s, dir).select(col("vec_id"), q.as("q"))
+          .join(Tables.documents(s, dir)
+            .select(col("doc_id").as("vec_id"), col("lang")), "vec_id")
+        val cent = j.select(col("lang"),
+            posexplode(col("q")).as(Seq("i", "c")))
+          .groupBy(col("lang"), col("i"))
+          .agg(sum(col("c")).as("sq"), count(lit(1)).as("n"))
+        val a = cent.select(col("lang").as("lang_a"), col("i").as("ia"),
+          col("sq").cast(DecimalType(38, 0)).as("sa"), col("n").as("na"))
+        val b = cent.select(col("lang").as("lang_b"), col("i").as("ib"),
+          col("sq").cast(DecimalType(38, 0)).as("sb"), col("n").as("nb"))
+        a.join(b, col("lang_a") < col("lang_b") && col("ia") === col("ib"))
+          .groupBy(col("lang_a"), col("lang_b"), col("na"), col("nb"))
+          .agg(sum(col("sa") * col("sb")).cast(DecimalType(38, 0)).as("dot"),
+            sum(col("sa") * col("sa")).cast(DecimalType(38, 0)).as("nsa"),
+            sum(col("sb") * col("sb")).cast(DecimalType(38, 0)).as("nsb"))
+          .select(col("lang_a"), col("lang_b"), col("na"), col("nb"), col("dot"),
+            round(col("dot").cast("double") /
+              sqrt(col("nsa").cast("double") * col("nsb").cast("double")), 9)
+              .as("cos_sim"))
+          .orderBy(col("lang_a"), col("lang_b"))
+      },
+      oracle = Some(
+        """WITH j AS (SELECT d.lang, e.embedding AS v
+          |  FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+          |x AS (SELECT lang, i,
+          |    CAST(floor(CAST(v[i + 1] AS DOUBLE) * 100000.0) AS BIGINT) AS c
+          |  FROM (SELECT lang, v, unnest(range(len(v))) AS i FROM j)),
+          |cent AS (SELECT lang, i, CAST(sum(c) AS DECIMAL(38,0)) AS sq,
+          |    count(*) AS n
+          |  FROM x GROUP BY 1, 2),
+          |p AS (SELECT a.lang AS lang_a, b.lang AS lang_b,
+          |    a.n AS na, b.n AS nb,
+          |    CAST(sum(a.sq * b.sq) AS DECIMAL(38,0)) AS dot,
+          |    CAST(sum(a.sq * a.sq) AS DECIMAL(38,0)) AS nsa,
+          |    CAST(sum(b.sq * b.sq) AS DECIMAL(38,0)) AS nsb
+          |  FROM cent a JOIN cent b ON a.i = b.i AND a.lang < b.lang
+          |  GROUP BY 1, 2, 3, 4)
+          |SELECT lang_a, lang_b, CAST(na AS BIGINT) AS na,
+          |  CAST(nb AS BIGINT) AS nb, dot,
+          |  round(CAST(dot AS DOUBLE)
+          |    / sqrt(CAST(nsa AS DOUBLE) * CAST(nsb AS DOUBLE)), 9) AS cos_sim
+          |FROM p ORDER BY lang_a, lang_b""".stripMargin),
+      doc = "per-language embedding centroids + pairwise cosine: quantized integer sums, DECIMAL-exact dot, one IEEE division"))
 }
