@@ -1094,5 +1094,74 @@ object QueriesEvents {
           |  CAST(max(dev2) AS BIGINT) AS max_dev2
           |FROM d JOIN md USING (event_type) GROUP BY d.event_type
           |ORDER BY d.event_type""".stripMargin),
-      doc = "MAD outlier census in doubled integer units: exact medians, Hampel gate 2*dev2 > 3*mad4, 50% breakdown point"))
+      doc = "MAD outlier census in doubled integer units: exact medians, Hampel gate 2*dev2 > 3*mad4, 50% breakdown point"),
+
+    // Peak-concurrency census: the classic interval sweep (+1 at session
+    // start, −1 just after session end) made ORDER-FREE by aggregating
+    // deltas per distinct timestamp BEFORE the running sum — with unique
+    // (type, ts) keys there is no tie ordering to disagree on, and the
+    // running sum is an exact integer at every step. Sessions are the
+    // t_sessionize semantics (30-min idle gap per user). The cross-time
+    // scan is keyed by event_type so types parallelize; at unbounded
+    // per-type history the two-pass segmented-scan form
+    // (Prefix.withRunningMaxExcl, see events_watermark_lateness) replaces
+    // the keyed window — same algebra, one extra shuffle.
+    "events_peak_concurrency" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"),
+          expr("unix_micros(ts)").as("tu"))
+        val wu = Window.partitionBy(col("event_type"), col("user_id"))
+          .orderBy(col("tu"))
+        val sess = ev
+          .withColumn("gap", when(
+            col("tu") - lag(col("tu"), 1).over(wu) > 1800000000L || lag(col("tu"), 1).over(wu).isNull, 1L).otherwise(0L))
+          .withColumn("sid", sum(col("gap")).over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy(col("event_type"), col("user_id"), col("sid"))
+          .agg(min(col("tu")).as("t0"), max(col("tu")).as("t1"))
+        val deltas = sess.select(col("event_type"), col("t0").as("dts"), lit(1L).as("d"))
+          .unionByName(sess.select(col("event_type"),
+            (col("t1") + 1L).as("dts"), lit(-1L).as("d")))
+          .groupBy(col("event_type"), col("dts")).agg(sum(col("d")).as("net"))
+        val wt = Window.partitionBy(col("event_type")).orderBy(col("dts"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val run = deltas.withColumn("conc", sum(col("net")).over(wt))
+        run.withColumn("mx", max(col("conc")).over(
+            Window.partitionBy(col("event_type"))))
+          .groupBy(col("event_type"))
+          .agg(max(col("conc")).as("peak"),
+            min(when(col("conc") === col("mx"), col("dts"))).as("peak_at_us"))
+          .join(sess.groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n_sessions")), "event_type")
+          .select(col("event_type"), col("n_sessions"), col("peak"),
+            col("peak_at_us"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_type, user_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          |g AS (SELECT event_type, user_id, tu,
+          |    CASE WHEN lag(tu) OVER w IS NULL
+          |      OR tu - lag(tu) OVER w > 1800000000 THEN 1 ELSE 0 END AS gap
+          |  FROM ev WINDOW w AS (PARTITION BY event_type, user_id ORDER BY tu)),
+          |sg AS (SELECT event_type, user_id, tu,
+          |    sum(gap) OVER (PARTITION BY event_type, user_id ORDER BY tu
+          |      ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+          |sess AS (SELECT event_type, user_id, sid, min(tu) AS t0, max(tu) AS t1
+          |  FROM sg GROUP BY 1, 2, 3),
+          |del AS (SELECT event_type, dts, CAST(sum(d) AS BIGINT) AS net FROM (
+          |    SELECT event_type, t0 AS dts, 1 AS d FROM sess
+          |    UNION ALL SELECT event_type, t1 + 1, -1 FROM sess)
+          |  GROUP BY 1, 2),
+          |run AS (SELECT event_type, dts,
+          |    sum(net) OVER (PARTITION BY event_type ORDER BY dts
+          |      ROWS UNBOUNDED PRECEDING) AS conc FROM del),
+          |rm AS (SELECT *, max(conc) OVER (PARTITION BY event_type) AS mx FROM run),
+          |pk AS (SELECT event_type, CAST(max(conc) AS BIGINT) AS peak,
+          |    CAST(min(dts) FILTER (WHERE conc = mx) AS BIGINT) AS peak_at_us
+          |  FROM rm GROUP BY 1),
+          |ns AS (SELECT event_type, count(*) AS n_sessions FROM sess GROUP BY 1)
+          |SELECT event_type, n_sessions, peak, peak_at_us
+          |FROM pk JOIN ns USING (event_type) ORDER BY event_type""".stripMargin),
+      doc = "peak session concurrency: order-free interval sweep (per-timestamp aggregated deltas), exact integer running sum"))
 }

@@ -1964,5 +1964,79 @@ object QueriesExtra {
           |SELECT media_a, media_b, n_shared,
           |  media_b = media_a + 2000000 AS is_reencode
           |FROM m WHERE n_shared >= 3 ORDER BY media_a, media_b""".stripMargin),
-      doc = "audio constellation-fingerprint near-dup: stub frame energies, strict local peaks, (band,band,dt) landmark equi-join, gate >= 3 shared"))
+      doc = "audio constellation-fingerprint near-dup: stub frame energies, strict local peaks, (band,band,dt) landmark equi-join, gate >= 3 shared"),
+
+    // Community-quality evaluation: Newman modularity of the label-prop
+    // partition over the co-purchase graph — the metric that says whether
+    // the communities are real structure or noise before anything samples
+    // by them. Exact integers throughout: with R directed edge rows
+    // (2m endpoints), each community contributes
+    //   q_c = (R·w_c − d_c²) / R²
+    // where w_c = within-community directed rows and d_c = degree mass —
+    // the numerator is graded as an exact BIGINT, the round-9 ratio rides
+    // along. Cost beyond label-prop itself: two broadcast label joins +
+    // two keyed aggs; the community relation is label-cardinality-sized.
+    "graph_modularity" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+          // globally distinct: the same co-purchase pair recurs across
+          // orders, and degree/edge masses must count it once
+          .dropDuplicates("src", "dst")
+        val lab = graft.operators.Graph.labelPropagation(e, 3)
+        val r = e.agg(count(lit(1)).as("rr"))
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        val dc = deg.join(lab.withColumnRenamed("v", "src"), "src")
+          .groupBy(col("label"))
+          .agg(sum(col("deg")).as("d_c"), count(lit(1)).as("n_members"))
+        val wc = e
+          .join(lab.select(col("v").as("src"), col("label").as("slab")), "src")
+          .join(lab.select(col("v").as("dst"), col("label").as("dlab")), "dst")
+          .filter(col("slab") === col("dlab"))
+          .groupBy(col("slab").as("label")).agg(count(lit(1)).as("w_c"))
+        dc.join(wc, Seq("label"), "left").crossJoin(r)
+          .select(col("label"), col("n_members"), col("d_c"),
+            coalesce(col("w_c"), lit(0L)).as("w_c"), col("rr"),
+            (col("rr") * coalesce(col("w_c"), lit(0L)) -
+              col("d_c") * col("d_c")).as("q_num"),
+            round((col("rr") * coalesce(col("w_c"), lit(0L)) -
+              col("d_c") * col("d_c")).cast("double") /
+              (col("rr") * col("rr")).cast("double"), 9).as("q_c"))
+          .orderBy(col("n_members").desc, col("label")).limit(20)
+      },
+      oracle = Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""c$k AS (SELECT e.dst, l.label, count(*) AS c
+             |  FROM e JOIN lab${k - 1} l ON e.src = l.v GROUP BY 1, 2),
+             |lab$k AS (SELECT dst AS v, struct_extract(
+             |    min(struct_pack(nc := -c, l := label)), 'l') AS label
+             |  FROM c$k GROUP BY dst)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |lab0 AS (SELECT DISTINCT src AS v, src AS label FROM e),
+           |$iterCtes,
+           |r AS (SELECT count(*) AS rr FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+           |dc AS (SELECT l.label, CAST(sum(d.deg) AS BIGINT) AS d_c,
+           |    count(*) AS n_members
+           |  FROM deg d JOIN lab3 l ON d.src = l.v GROUP BY 1),
+           |wc AS (SELECT ls.label, count(*) AS w_c
+           |  FROM e JOIN lab3 ls ON e.src = ls.v JOIN lab3 ld ON e.dst = ld.v
+           |  WHERE ls.label = ld.label GROUP BY 1)
+           |SELECT label, n_members, d_c, coalesce(w_c, 0) AS w_c, rr,
+           |  CAST(rr * coalesce(w_c, 0) - d_c * d_c AS BIGINT) AS q_num,
+           |  round(CAST(rr * coalesce(w_c, 0) - d_c * d_c AS DOUBLE)
+           |    / CAST(rr * rr AS DOUBLE), 9) AS q_c
+           |FROM dc LEFT JOIN wc USING (label) CROSS JOIN r
+           |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
+      },
+      doc = "Newman modularity of the label-prop partition: exact BIGINT q_num = R*w_c - d_c^2 per community, round-9 ratio"))
 }

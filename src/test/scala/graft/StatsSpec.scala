@@ -124,6 +124,27 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_peak_concurrency: peak bounded by sessions and reached at a real instant") {
+    val rows = Registry.all("events_peak_concurrency").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (ns, peak) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("peak"))
+      assert(peak >= 1 && peak <= ns)
+      assert(r.getAs[Long]("peak_at_us") > 0)
+    }
+  }
+
+  test("graph_modularity: per-community terms are internally consistent") {
+    val rows = Registry.all("graph_modularity").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dc, wc, rr) = (r.getAs[Long]("d_c"), r.getAs[Long]("w_c"), r.getAs[Long]("rr"))
+      assert(wc <= dc, "within-community rows cannot exceed the degree mass")
+      assert(r.getAs[Long]("q_num") === rr * wc - dc * dc)
+      assert(math.abs(r.getAs[Double]("q_c")) <= 1.0)
+    }
+  }
+
   test("stats_aqp_sample: estimates are 10x a deterministic subset, rerun-stable") {
     val a = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
     val b = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
