@@ -1163,5 +1163,91 @@ object QueriesEvents {
           |ns AS (SELECT event_type, count(*) AS n_sessions FROM sess GROUP BY 1)
           |SELECT event_type, n_sessions, peak, peak_at_us
           |FROM pk JOIN ns USING (event_type) ORDER BY event_type""".stripMargin),
-      doc = "peak session concurrency: order-free interval sweep (per-timestamp aggregated deltas), exact integer running sum"))
+      doc = "peak session concurrency: order-free interval sweep (per-timestamp aggregated deltas), exact integer running sum"),
+
+    // DAU/WAU/MAU + stickiness — rolling DISTINCT actives, the product
+    // headline metric. Rolling distinct has no combinable sketch-free
+    // windowed form; the exact scalable shape is the BOUNDED explode:
+    // each (user, active-day) row contributes to the 7 / 30 target days
+    // it covers, then distinct + count per target day. Work is ≤ 30× the
+    // user-day relation — linear, shuffle-partitioned by (user, day),
+    // no window at all (a per-day window over users would single-key on
+    // the calendar). Target days restricted to observed days so the
+    // census never manufactures empty rows.
+    "events_dau_wau_mau" -> Q(
+      fn = (s, dir) => {
+        val ud = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"))
+          .distinct()
+        val days = ud.select(col("day")).distinct()
+        def rolling(span: Int, name: String) = ud
+          .select(col("user_id"),
+            explode(sequence(col("day"), col("day") + (span - 1))).as("day"))
+          .join(days, "day")
+          .distinct()
+          .groupBy(col("day")).agg(count(lit(1)).as(name))
+        val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+        dau.join(rolling(7, "wau"), "day").join(rolling(30, "mau"), "day")
+          .select(col("day"), col("dau"), col("wau"), col("mau"),
+            round(col("dau").cast("double") / col("mau").cast("double"), 9)
+              .as("stickiness"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(
+        """WITH ud AS (SELECT DISTINCT user_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day FROM events),
+          |days AS (SELECT DISTINCT day FROM ud),
+          |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY 1),
+          |w AS (SELECT DISTINCT u.user_id, d.day
+          |  FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 6),
+          |wau AS (SELECT day, count(*) AS wau FROM w GROUP BY 1),
+          |m AS (SELECT DISTINCT u.user_id, d.day
+          |  FROM ud u JOIN days d ON d.day BETWEEN u.day AND u.day + 29),
+          |mau AS (SELECT day, count(*) AS mau FROM m GROUP BY 1)
+          |SELECT day, dau, wau, mau,
+          |  round(CAST(dau AS DOUBLE) / mau, 9) AS stickiness
+          |FROM dau JOIN wau USING (day) JOIN mau USING (day)
+          |ORDER BY day""".stripMargin),
+      doc = "DAU/WAU/MAU + stickiness: exact rolling distinct via bounded 7x/30x explode, no calendar-keyed window"),
+
+    // Cohort LTV triangle: users keyed by first-activity day, purchase
+    // value accumulated per (cohort, age-week) with a running cumulative
+    // per cohort — the matrix every retention-revenue model trains on.
+    // Value sums are DECIMAL(30,6) end-to-end (the repo invariant: raw
+    // double summation reassociates; DECIMAL is exact and combinable),
+    // ages are integer day arithmetic, and the cumulative is a keyed
+    // window over age-week cardinality (≤ history/7 rows per cohort).
+    "events_cohort_ltv" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .withColumn("day", expr("unix_micros(ts) div 86400000000"))
+        val f = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+        val cell = ev.filter(col("event_type") === "purchase")
+          .join(broadcast(f), "user_id")
+          .groupBy(col("cohort"),
+            expr("(day - cohort) div 7").as("age_week"))
+          .agg(count(lit(1)).as("n_purch"),
+            sum(col("value").cast(DecimalType(30, 6)))
+              .cast(DecimalType(30, 6)).as("val"))
+        val w = Window.partitionBy(col("cohort")).orderBy(col("age_week"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        cell.withColumn("cum_val",
+            sum(col("val")).over(w).cast(DecimalType(30, 6)))
+          .orderBy(col("cohort"), col("age_week"))
+      },
+      oracle = Some(
+        """WITH f AS (SELECT user_id,
+          |    min(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS cohort
+          |  FROM events GROUP BY 1),
+          |ev AS (SELECT e.user_id, f.cohort,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 - f.cohort AS age,
+          |    CAST(value AS DECIMAL(30,6)) AS v
+          |  FROM events e JOIN f USING (user_id) WHERE event_type = 'purchase'),
+          |cell AS (SELECT cohort, age // 7 AS age_week, count(*) AS n_purch,
+          |    CAST(sum(v) AS DECIMAL(30,6)) AS val FROM ev GROUP BY 1, 2)
+          |SELECT cohort, age_week, n_purch, val,
+          |  CAST(sum(val) OVER (PARTITION BY cohort ORDER BY age_week
+          |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(30,6)) AS cum_val
+          |FROM cell ORDER BY cohort, age_week""".stripMargin),
+      doc = "cohort LTV triangle: first-activity cohorts, DECIMAL-exact value cells, keyed cumulative over age weeks"))
 }

@@ -145,6 +145,30 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_dau_wau_mau: rolling distinct actives nest (DAU <= WAU <= MAU)") {
+    val rows = Registry.all("events_dau_wau_mau").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, w, m) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"), r.getAs[Long]("mau"))
+      assert(d <= w && w <= m, s"window nesting violated: $d/$w/$m")
+      val s = r.getAs[Double]("stickiness")
+      assert(s > 0.0 && s <= 1.0)
+    }
+  }
+
+  test("events_cohort_ltv: cumulative value is monotone within each cohort") {
+    val rows = Registry.all("events_cohort_ltv").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, rs) =>
+      val cums = rs.sortBy(_.getAs[Long]("age_week"))
+        .map(_.getAs[java.math.BigDecimal]("cum_val"))
+      cums.sliding(2).foreach {
+        case Array(a, b) => assert(b.compareTo(a) >= 0)
+        case _ =>
+      }
+    }
+  }
+
   test("stats_aqp_sample: estimates are 10x a deterministic subset, rerun-stable") {
     val a = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
     val b = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
