@@ -1249,5 +1249,109 @@ object QueriesEvents {
           |  CAST(sum(val) OVER (PARTITION BY cohort ORDER BY age_week
           |    ROWS UNBOUNDED PRECEDING) AS DECIMAL(30,6)) AS cum_val
           |FROM cell ORDER BY cohort, age_week""".stripMargin),
-      doc = "cohort LTV triangle: first-activity cohorts, DECIMAL-exact value cells, keyed cumulative over age weeks"))
+      doc = "cohort LTV triangle: first-activity cohorts, DECIMAL-exact value cells, keyed cumulative over age weeks"),
+
+    // Hour-of-week seasonality with a chi-square uniformity statistic —
+    // "is this stream actually periodic, or is the heatmap pareidolia?"
+    // The χ² against uniform is an EXACT RATIONAL: with T events over 168
+    // cells, (o − T/168)²/(T/168) telescopes to (168·o − T)²/(168·T), so
+    // numerator and denominator are graded as exact BIGINTs and the
+    // round-9 ratio rides along. One keyed agg over ≤168 cells per type.
+    "events_seasonality_chi2" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("pmod(unix_micros(ts) div 3600000000, 168)").as("how"))
+          .agg(count(lit(1)).as("o"))
+        val t = c.groupBy(col("event_type"))
+          .agg(sum(col("o")).as("total"), count(lit(1)).as("n_cells"))
+        val dev = lit(168L) * col("o") - col("total")
+        c.join(broadcast(t), "event_type")
+          .groupBy(col("event_type"), col("total"), col("n_cells"))
+          .agg(sum(dev * dev).as("chi2_num"))
+          .select(col("event_type"), col("total"), col("n_cells"),
+            col("chi2_num"), (lit(168L) * col("total")).as("chi2_den"),
+            round(col("chi2_num").cast("double") /
+              (lit(168L) * col("total")).cast("double"), 9).as("chi2"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH c AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 168 AS how,
+          |    count(*) AS o
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS total,
+          |    count(*) AS n_cells FROM c GROUP BY 1)
+          |SELECT c.event_type, total, n_cells,
+          |  CAST(sum((168 * o - total) * (168 * o - total)) AS BIGINT)
+          |    AS chi2_num,
+          |  CAST(168 * total AS BIGINT) AS chi2_den,
+          |  round(CAST(sum((168 * o - total) * (168 * o - total)) AS DOUBLE)
+          |    / (168 * total), 9) AS chi2
+          |FROM c JOIN t USING (event_type) GROUP BY c.event_type, total, n_cells
+          |ORDER BY c.event_type""".stripMargin),
+      doc = "hour-of-week chi-square uniformity: exact rational (168*o - T)^2 / (168*T), BIGINT-graded num/den"),
+
+    // Bot-likeness census — the abuse-detection composite that gates a
+    // training corpus's behavioral slice: a scripted client shows (a)
+    // round-the-clock activity (≥20 distinct hours-of-day), (b) short,
+    // regular gaps (exact integer median in doubled units — the MAD
+    // trick), (c) a self-looping action stream (>1/3 repeated types).
+    // Every gate is exact integer arithmetic; the score is their sum.
+    // Per-user windows partition by user_id, so the census parallelizes
+    // over the user population; output is top-20 under a total order.
+    "events_bot_score" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("user_id"), col("event_id"),
+          col("event_type"), expr("unix_micros(ts)").as("tu"))
+        val wu = Window.partitionBy(col("user_id"))
+          .orderBy(col("tu"), col("event_id"))
+        val g = ev
+          .withColumn("gap", col("tu") - lag(col("tu"), 1).over(wu))
+          .withColumn("self_tr",
+            when(col("event_type") === lag(col("event_type"), 1).over(wu), 1L)
+              .otherwise(0L))
+          .filter(col("gap").isNotNull)
+        val per = g.groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (expr("percentile(gap, 0.5)") * 2).cast("long").as("med_gap2x"),
+            sum(col("self_tr")).as("n_self"))
+        val hrs = Tables.events(s, dir)
+          .groupBy(col("user_id"))
+          .agg(countDistinct(expr("pmod(unix_micros(ts) div 3600000000, 24)"))
+            .as("n_hours"))
+        per.join(hrs, "user_id")
+          .filter(col("n_events") >= 20)
+          .select(col("user_id"), col("n_events"), col("med_gap2x"),
+            col("n_self"), col("n_hours"),
+            (when(col("n_hours") >= 20, 1L).otherwise(0L) +
+              when(col("med_gap2x") < 2L * 3600000000L, 1L).otherwise(0L) +
+              when(lit(3L) * col("n_self") > col("n_events"), 1L).otherwise(0L))
+              .as("bot_score"))
+          .orderBy(col("bot_score").desc, col("n_events").desc, col("user_id"))
+          .limit(20)
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT user_id, event_id, event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events),
+          |g AS (SELECT user_id,
+          |    tu - lag(tu) OVER w AS gap,
+          |    CASE WHEN event_type = lag(event_type) OVER w THEN 1 ELSE 0 END
+          |      AS self_tr
+          |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY tu, event_id)),
+          |per AS (SELECT user_id, count(*) AS n_events,
+          |    CAST(2 * median(gap) AS BIGINT) AS med_gap2x,
+          |    CAST(sum(self_tr) AS BIGINT) AS n_self
+          |  FROM g WHERE gap IS NOT NULL GROUP BY 1),
+          |hrs AS (SELECT user_id, count(DISTINCT
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 % 24) AS n_hours
+          |  FROM events GROUP BY 1)
+          |SELECT p.user_id, n_events, med_gap2x, n_self, n_hours,
+          |  (CASE WHEN n_hours >= 20 THEN 1 ELSE 0 END
+          |   + CASE WHEN med_gap2x < 2 * 3600000000 THEN 1 ELSE 0 END
+          |   + CASE WHEN 3 * n_self > n_events THEN 1 ELSE 0 END) AS bot_score
+          |FROM per p JOIN hrs USING (user_id)
+          |WHERE n_events >= 20
+          |ORDER BY bot_score DESC, n_events DESC, user_id LIMIT 20""".stripMargin),
+      doc = "bot-likeness composite: 24/7-activity + short-regular-gap (exact median) + self-loop gates, all integer"))
 }

@@ -169,6 +169,36 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_seasonality_chi2: exact rational equals the textbook float form") {
+    val rows = Registry.all("events_seasonality_chi2").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val counts = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("pmod(unix_micros(ts) div 3600000000, 168)"))
+      .agg(count(lit(1)).as("o")).collect()
+      .map(r => (r.getString(0), r.getLong(2))).groupBy(_._1)
+    rows.foreach { r =>
+      val et = r.getString(0)
+      val e = r.getAs[Long]("total").toDouble / 168.0
+      // the query sums observed cells; (168·o − T)²/(168·T) ≡ (o − e)²/e
+      val direct = counts(et).map(_._2.toDouble)
+        .map(o => (o - e) * (o - e) / e).sum
+      assert(math.abs(r.getAs[Double]("chi2") - direct) < 1e-6,
+        s"telescoped rational diverges from the float form for $et")
+    }
+  }
+
+  test("events_bot_score: gates are consistent with the graded columns") {
+    val rows = Registry.all("events_bot_score").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expected =
+        (if (r.getAs[Long]("n_hours") >= 20) 1L else 0L) +
+          (if (r.getAs[Long]("med_gap2x") < 2L * 3600000000L) 1L else 0L) +
+          (if (3L * r.getAs[Long]("n_self") > r.getAs[Long]("n_events")) 1L else 0L)
+      assert(r.getAs[Long]("bot_score") === expected)
+    }
+  }
+
   test("stats_aqp_sample: estimates are 10x a deterministic subset, rerun-stable") {
     val a = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
     val b = Registry.all("stats_aqp_sample").fn(spark, sfDir).collect()
