@@ -1353,5 +1353,65 @@ object QueriesEvents {
           |FROM per p JOIN hrs USING (user_id)
           |WHERE n_events >= 20
           |ORDER BY bot_score DESC, n_events DESC, user_id LIMIT 20""".stripMargin),
-      doc = "bot-likeness composite: 24/7-activity + short-regular-gap (exact median) + self-loop gates, all integer"))
+      doc = "bot-likeness composite: 24/7-activity + short-regular-gap (exact median) + self-loop gates, all integer"),
+
+    // A/B experiment evaluation as a 2×2 contingency chi-square — the
+    // deterministic-assignment eval every data pipeline runs (arm =
+    // md5(user) parity: rerun-stable, no RNG state; conversion = an
+    // integer engagement gate). χ² = N(ad − bc)²/((a+b)(c+d)(a+c)(b+d))
+    // stays EXACT as DECIMAL(38,0) numerator/denominator — counts can
+    // reach 10⁹ users before the products need more than 38 digits —
+    // and the round-9 ratio is one division of those exact values. One
+    // keyed user rollup + one global agg; nothing scales past the
+    // user count.
+    "events_ab_contingency" -> Q(
+      fn = (s, dir) => {
+        val u = Tables.events(s, dir).groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("np"))
+          .select(
+            expr("cast(conv(substring(md5(concat('ab|', " +
+              "cast(user_id as string))), 1, 4), 16, 10) as bigint) % 2")
+              .as("arm"),
+            when(col("np") >= 15, 1L).otherwise(0L).as("conv"))
+        val c = u.agg(
+          sum(when(col("arm") === 0 && col("conv") === 1, 1L).otherwise(0L)).as("a"),
+          sum(when(col("arm") === 0 && col("conv") === 0, 1L).otherwise(0L)).as("b"),
+          sum(when(col("arm") === 1 && col("conv") === 1, 1L).otherwise(0L)).as("c"),
+          sum(when(col("arm") === 1 && col("conv") === 0, 1L).otherwise(0L)).as("d"))
+        val n = col("a") + col("b") + col("c") + col("d")
+        val delta = col("a") * col("d") - col("b") * col("c")
+        val num = (n.cast(DecimalType(38, 0)) * delta * delta)
+          .cast(DecimalType(38, 0))
+        val den = ((col("a") + col("b")).cast(DecimalType(38, 0)) *
+          (col("c") + col("d")) * (col("a") + col("c")) * (col("b") + col("d")))
+          .cast(DecimalType(38, 0))
+        c.select(col("a"), col("b"), col("c"), col("d"), n.as("n"),
+          num.as("chi2_num"), den.as("chi2_den"),
+          round(num.cast("double") / den.cast("double"), 9).as("chi2"))
+      },
+      oracle = Some(
+        """WITH u AS (SELECT user_id,
+          |    CAST(('0x' || substr(md5('ab|' || CAST(user_id AS VARCHAR)), 1, 4))
+          |      AS BIGINT) % 2 AS arm,
+          |    CASE WHEN count(*) FILTER (WHERE event_type = 'purchase') >= 15
+          |      THEN 1 ELSE 0 END AS converted
+          |  FROM events GROUP BY 1),
+          |c AS (SELECT
+          |    count(*) FILTER (WHERE arm = 0 AND converted = 1) AS a,
+          |    count(*) FILTER (WHERE arm = 0 AND converted = 0) AS b,
+          |    count(*) FILTER (WHERE arm = 1 AND converted = 1) AS c,
+          |    count(*) FILTER (WHERE arm = 1 AND converted = 0) AS d
+          |  FROM u)
+          |SELECT a, b, c, d, a + b + c + d AS n,
+          |  CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c)
+          |    AS DECIMAL(38,0)) AS chi2_num,
+          |  CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
+          |    AS DECIMAL(38,0)) AS chi2_den,
+          |  round(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a*d - b*c)
+          |      * (a*d - b*c) AS DOUBLE)
+          |    / CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
+          |      AS DOUBLE), 9) AS chi2
+          |FROM c""".stripMargin),
+      doc = "A/B 2x2 contingency chi-square: md5-parity arms, DECIMAL(38,0)-exact N(ad-bc)^2 over margin products, round-9 ratio"))
 }

@@ -2038,5 +2038,132 @@ object QueriesExtra {
            |FROM dc LEFT JOIN wc USING (label) CROSS JOIN r
            |ORDER BY n_members DESC, label LIMIT 20""".stripMargin
       },
-      doc = "Newman modularity of the label-prop partition: exact BIGINT q_num = R*w_c - d_c^2 per community, round-9 ratio"))
+      doc = "Newman modularity of the label-prop partition: exact BIGINT q_num = R*w_c - d_c^2 per community, round-9 ratio"),
+
+    // The multimodal-curation capstone: one admission plan across all
+    // three media kinds, composed from the operator family this round
+    // built — images drop perceptual-hash near-dups (aHash + Manku
+    // banding, reject the LATER copy of each matched pair), audio drops
+    // low-voice clips (VAD share < 50%, cross-multiplied ints), video
+    // drops static slides (single-scene shot census). Each branch is the
+    // already-verified kernel; this query certifies their COMPOSITION
+    // end-to-end against one oracle. Per-branch costs are the operators'
+    // own (banded self-join / zero-shuffle row-local passes).
+    "pipeline_multimodal_curation" -> Q(
+      fn = (s, dir) => {
+        // image branch: near-dup rejection via phash blocks
+        val hashed = Multimodal.phashBlocks(Multimodal.imagesWithReencodes(s, dir))
+        hashed.persist(); hashed.count()
+        val melted = hashed.select(col("media_id"),
+          col("b0"), col("b1"), col("b2"), col("b3"),
+          posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+            .as(Seq("band", "bval")))
+        val dup = melted.alias("a")
+          .join(melted.alias("b"), col("a.band") === col("b.band") &&
+            col("a.bval") === col("b.bval") &&
+            col("a.media_id") < col("b.media_id"))
+          .select(col("b.media_id").as("media_id"),
+            expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
+              "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)").as("hamming"))
+          .filter(col("hamming") <= 6)
+          .select(col("media_id")).distinct()
+        val imgBranch = hashed
+          .join(dup.withColumn("rej", lit(1L)), Seq("media_id"), "left")
+          .agg(lit("image").as("kind"), count(lit(1)).as("n_total"),
+            sum(coalesce(col("rej"), lit(0L))).as("n_rejected"))
+        // audio branch: voice share < 50%
+        val vad = Multimodal.vadSegments(
+          Multimodal.syntheticMedia(s, dir).filter(col("kind") === "audio"))
+        val audBranch = vad.agg(lit("audio").as("kind"),
+          count(lit(1)).as("n_total"),
+          sum(when(lit(2L) * col("n_voice") < col("n_frames"), 1L)
+            .otherwise(0L)).as("n_rejected"))
+        // video branch: single-scene statics
+        val scenes = Multimodal.sceneCuts(
+          Multimodal.syntheticMedia(s, dir).filter(col("kind") === "video"))
+        val vidBranch = scenes.agg(lit("video").as("kind"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("n_scenes") === 1L, 1L).otherwise(0L)).as("n_rejected"))
+        imgBranch.unionByName(audBranch).unionByName(vidBranch)
+          .select(col("kind"), col("n_total"), col("n_rejected"),
+            (col("n_total") - col("n_rejected")).as("n_admitted"))
+          .orderBy(col("kind"))
+      },
+      oracle = Some(
+        """WITH img AS (SELECT doc_id AS media_id, md5(text) AS hex
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |orig AS (SELECT media_id, hex, list_transform(range(64), j ->
+          |    CAST(('0x' || substr(md5(hex || '~' || CAST(j AS VARCHAR)), 1, 4))
+          |      AS BIGINT)) AS luma
+          |  FROM img),
+          |tw AS (SELECT media_id + 1000000 AS media_id,
+          |    list_transform(range(64), j -> CASE WHEN j = p0 OR j = p1 OR j = p2
+          |      THEN (luma[j + 1] + 7777) % 65536 ELSE luma[j + 1] END) AS luma
+          |  FROM (SELECT media_id, luma,
+          |      CAST(('0x' || substr(md5(hex || '!0'), 1, 4)) AS BIGINT) % 64 AS p0,
+          |      CAST(('0x' || substr(md5(hex || '!1'), 1, 4)) AS BIGINT) % 64 AS p1,
+          |      CAST(('0x' || substr(md5(hex || '!2'), 1, 4)) AS BIGINT) % 64 AS p2
+          |    FROM orig WHERE media_id % 15 = 0)),
+          |allm AS (SELECT media_id, luma FROM orig
+          |  UNION ALL SELECT media_id, luma FROM tw),
+          |bits AS (SELECT media_id, list_transform(range(64), j ->
+          |    CASE WHEN 64 * luma[j + 1] > t THEN 1 ELSE 0 END) AS bv
+          |  FROM (SELECT media_id, luma, list_sum(luma) AS t FROM allm)),
+          |blk AS (SELECT media_id, list_transform(range(4), b ->
+          |    CAST(list_sum(list_transform(range(16),
+          |      j -> bv[16 * b + j + 1] * (1 << CAST(j AS INT)))) AS BIGINT))
+          |    AS blocks
+          |  FROM bits),
+          |melt AS (SELECT media_id, blocks, b AS band, blocks[b + 1] AS bval
+          |  FROM blk CROSS JOIN (SELECT unnest(range(4)) AS b)),
+          |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+          |    a.blocks AS ba, b.blocks AS bb
+          |  FROM melt a JOIN melt b ON a.band = b.band AND a.bval = b.bval
+          |    AND a.media_id < b.media_id),
+          |dup AS (SELECT DISTINCT media_b FROM (
+          |  SELECT media_a, media_b, CAST(list_sum(list_transform(range(4),
+          |      i -> bit_count(xor(ba[i + 1], bb[i + 1])))) AS BIGINT) AS hamming
+          |  FROM cand) WHERE hamming <= 6),
+          |img_branch AS (SELECT 'image' AS kind, count(*) AS n_total,
+          |    CAST(count(*) FILTER (WHERE media_id IN (SELECT media_b FROM dup))
+          |      AS BIGINT) AS n_rejected
+          |  FROM allm),
+          |audio AS (SELECT doc_id AS media_id, n_chars * 10 AS duration_ms,
+          |    md5(text) AS hex
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |abase AS (SELECT media_id, hex,
+          |    CAST(least(greatest(duration_ms // 100, 1), 64) AS BIGINT)
+          |      AS n_frames FROM audio),
+          |afrm AS (SELECT media_id, n_frames, f,
+          |    CAST('0x' || substr(md5(concat(hex, '#', f)), 1, 4) AS INT) AS e
+          |  FROM (SELECT media_id, hex, n_frames,
+          |      unnest(generate_series(0, CAST(n_frames - 1 AS INT))) AS f
+          |    FROM abase)),
+          |avoice AS (SELECT media_id, any_value(n_frames) AS n_frames,
+          |    count(*) FILTER (WHERE e >= 32768) AS n_voice
+          |  FROM afrm GROUP BY media_id),
+          |aud_branch AS (SELECT 'audio' AS kind, count(*) AS n_total,
+          |    CAST(count(*) FILTER (WHERE 2 * n_voice < n_frames) AS BIGINT)
+          |      AS n_rejected
+          |  FROM avoice),
+          |vid AS (SELECT doc_id AS media_id,
+          |    least(greatest((n_chars * 10) // 250, 1), 48) AS n, md5(text) AS hex
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |ve AS (SELECT media_id, f,
+          |    CAST(('0x' || substr(md5(hex || '@' || CAST(f AS VARCHAR)), 1, 4))
+          |      AS BIGINT) AS e
+          |  FROM (SELECT media_id, hex, unnest(range(n)) AS f FROM vid)),
+          |vd AS (SELECT media_id, f, e,
+          |    lag(e) OVER (PARTITION BY media_id ORDER BY f) AS pe FROM ve),
+          |vs AS (SELECT media_id, CAST(1 + sum(CASE WHEN pe IS NOT NULL
+          |      AND abs(e - pe) >= 24576 THEN 1 ELSE 0 END) AS BIGINT)
+          |      AS n_scenes
+          |  FROM vd GROUP BY media_id),
+          |vid_branch AS (SELECT 'video' AS kind, count(*) AS n_total,
+          |    CAST(count(*) FILTER (WHERE n_scenes = 1) AS BIGINT) AS n_rejected
+          |  FROM vs)
+          |SELECT kind, n_total, n_rejected, n_total - n_rejected AS n_admitted
+          |FROM (SELECT * FROM img_branch UNION ALL SELECT * FROM aud_branch
+          |  UNION ALL SELECT * FROM vid_branch) ORDER BY kind""".stripMargin),
+      doc = "multimodal curation capstone: phash dedup + VAD voice gate + scene statics, one admission plan across kinds"))
 }

@@ -2582,5 +2582,111 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           |  CAST(sum(n_novel) AS BIGINT) AS n_novel,
           |  round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 9) AS novelty
           |FROM per GROUP BY batch ORDER BY batch""".stripMargin),
-      doc = "n-gram novelty curve per arrival batch: first-occurrence via groupBy-min, diminishing-returns census"))
+      doc = "n-gram novelty curve per arrival batch: first-occurrence via groupBy-min, diminishing-returns census"),
+
+    // ROUGE-2 overlap eval between reference docs and their synthetic
+    // variants — the summarization/near-copy eval harness as a relational
+    // operator: distinct-bigram sets, one equi-join on (pair, bigram) to
+    // count the intersection (never a cross join), exact integer
+    // overlap/counts, round-9 P/R/F1 (set-based F1 = 2·ov/(|ref|+|cand|),
+    // one division of exact integers). At corpus scale the join is
+    // partitioned by bigram content — the same shuffle class as exact
+    // dedup; the pairing key (doc_id ↔ doc_id + 10⁶) is the standard
+    // synthetic-variant splice used by the dedup family.
+    "text_rouge_overlap" -> Q(
+      fn = (s, dir) => {
+        val base = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
+        val corpus = base.select(col("doc_id"), col("text"))
+          .unionByName(base.select((col("doc_id") + 1000000).as("doc_id"),
+            concat(col("text"), lit(" quality data pipeline tail marker"))
+              .as("text")))
+        val w = split(lower(col("text")), " ")
+        val bg = corpus.select(col("doc_id"), w.as("wl"))
+          .filter(size(col("wl")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, size(wl) - 1), " +
+              "i -> concat(element_at(wl, i), ' ', element_at(wl, i + 1)))"))
+            .as("b"))
+          .distinct()
+        val n = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+        val ov = bg.select((col("doc_id") + 1000000).as("cand_id"), col("b"))
+          .join(bg.select(col("doc_id").as("cand_id"), col("b")),
+            Seq("cand_id", "b"))
+          .groupBy((col("cand_id") - 1000000).as("doc_id"))
+          .agg(count(lit(1)).as("overlap"))
+        val o = coalesce(col("overlap"), lit(0L))
+        n.join(n.select((col("doc_id") - 1000000).as("doc_id"),
+            col("nb").as("nc")), "doc_id")
+          .join(ov, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("nb").as("n_ref"), col("nc").as("n_cand"),
+            o.as("overlap"),
+            round(o.cast("double") / col("nc").cast("double"), 9).as("rouge_p"),
+            round(o.cast("double") / col("nb").cast("double"), 9).as("rouge_r"),
+            round((lit(2L) * o).cast("double") /
+              (col("nb") + col("nc")).cast("double"), 9).as("rouge_f1"))
+          .orderBy(col("doc_id"))
+      },
+      oracle = Some(
+        """WITH corpus AS (
+          |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 1000000, text || ' quality data pipeline tail marker'
+          |  FROM documents WHERE doc_id % 5 = 0),
+          |w AS (SELECT doc_id, string_split(lower(text), ' ') AS wl FROM corpus
+          |  ),
+          |bg AS (SELECT doc_id, list_distinct(list_transform(
+          |    generate_series(1, len(wl) - 1),
+          |    i -> wl[i] || ' ' || wl[i+1])) AS bl FROM w WHERE len(wl) >= 2),
+          |e AS (SELECT doc_id, unnest(bl) AS b FROM bg),
+          |n AS (SELECT doc_id, count(*) AS nb FROM e GROUP BY 1),
+          |ov AS (SELECT r.doc_id AS rid, count(*) AS overlap
+          |  FROM e r JOIN e c ON c.doc_id = r.doc_id + 1000000 AND r.b = c.b
+          |  GROUP BY 1)
+          |SELECT r.doc_id AS doc_id, r.nb AS n_ref, c.nb AS n_cand,
+          |  coalesce(overlap, 0) AS overlap,
+          |  round(CAST(coalesce(overlap, 0) AS DOUBLE) / c.nb, 9) AS rouge_p,
+          |  round(CAST(coalesce(overlap, 0) AS DOUBLE) / r.nb, 9) AS rouge_r,
+          |  round(CAST(2 * coalesce(overlap, 0) AS DOUBLE) / (r.nb + c.nb), 9)
+          |    AS rouge_f1
+          |FROM n r JOIN n c ON c.doc_id = r.doc_id + 1000000
+          |LEFT JOIN ov ON ov.rid = r.doc_id ORDER BY doc_id""".stripMargin),
+      doc = "ROUGE-2 set overlap eval: distinct bigrams, content-partitioned intersection join, exact counts, round-9 P/R/F1"),
+
+    // The SQL-client surface for the dedup family: MinHash-LSH near-dup
+    // detection as ONE pure spark.sql statement through the injected
+    // minhash_md5_sig kernel — proof that a SQL-only user of the engine
+    // can run the banded dedup path with no DataFrame code. Same banding
+    // algebra as Dedup.minhashLshPairs (16 bands × 4 rows, DISTINCT
+    // candidates, ≥32/64 agreement); the oracle is the SAME
+    // minhashOracle used by dedup_minhash_lsh, so the SQL surface is
+    // hash-certified against the kernel chain end-to-end.
+    "sql_surface_dedup" -> Q(
+      fn = (s, dir) => {
+        graft.functions.GraftFunctions.install(s)
+        Tables.documents(s, dir).createOrReplaceTempView("graft_documents")
+        s.sql(
+          """WITH corpus AS (
+            |  SELECT doc_id, text FROM graft_documents
+            |  UNION ALL
+            |  SELECT doc_id + 1000000 AS doc_id,
+            |         concat(text, ' quality data pipeline tail marker') AS text
+            |  FROM graft_documents WHERE doc_id % 5 = 0),
+            |sig AS (SELECT doc_id AS id,
+            |    minhash_md5_sig(split(lower(trim(text)), '\\s+'), 3, 64) AS sg
+            |  FROM corpus),
+            |bands AS (SELECT id, sg, b, slice(sg, b * 4 + 1, 4) AS bucket
+            |  FROM sig LATERAL VIEW explode(sequence(0, 15)) t AS b),
+            |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+            |  FROM bands a JOIN bands b
+            |  ON a.b = b.b AND a.bucket = b.bucket AND a.id < b.id),
+            |est AS (SELECT id_a, id_b,
+            |    round(CAST(size(filter(zip_with(sa.sg, sb.sg, (x, y) -> x = y),
+            |      v -> v)) AS DOUBLE) / CAST(64 AS DOUBLE), 6) AS est_jaccard
+            |  FROM cand JOIN sig sa ON cand.id_a = sa.id
+            |  JOIN sig sb ON cand.id_b = sb.id)
+            |SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+            |ORDER BY id_a, id_b""".stripMargin)
+      },
+      oracle = Some(minhashOracle(nearDupCte)),
+      doc = "pure-SQL MinHash-LSH dedup through the injected minhash_md5_sig kernel (SQL client surface)"))
 }

@@ -149,4 +149,18 @@ class MultimodalSpec extends SparkTestBase {
       .mapValues(_.map(_.getLong(1)).toSet).toMap
     assert(h == h2, "fingerprints must not depend on partitioning")
   }
+
+  test("pipeline_multimodal_curation partitions every kind and rejects all twins") {
+    val rows = Registry.all("pipeline_multimodal_curation").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("n_total"), r.getAs[Long]("n_rejected"),
+          r.getAs[Long]("n_admitted"))).toMap
+    assert(rows.keySet === Set("image", "audio", "video"))
+    rows.values.foreach { case (t, r, a) => assert(a + r === t && r >= 0) }
+    // every planted image twin is a later near-dup copy -> rejected
+    val twins = Multimodal.imagesWithReencodes(spark, sfDir)
+      .filter(col("reencode")).count()
+    assert(rows("image")._2 >= twins,
+      "curation must reject at least the planted re-encode twins")
+  }
 }
