@@ -482,4 +482,74 @@ object EventStream {
         count(lit(1)).as("n"))
       .select(col("window.start").as("bar_start"), col("event_type"),
         col("open"), col("high"), col("low"), col("close"), col("n"))
+
+  // ── events_ewma twin: keyed EWMA state fold ──
+  final case class EwmaPoint(g: String, t: Long, y: Double)
+  final case class EwmaState(lastT: Long, half: Double, quarter: Double, n: Long)
+  final case class EwmaOut(g: String, n: Long, ewma_half: Double,
+                           ewma_quarter: Double)
+
+  /** Streaming EWMA — the `events_ewma` twin as one Double-pair of keyed
+    * state per group (the smallest possible stream state: EWMA's whole
+    * point is that the summary IS the state). Points fold in (t) order —
+    * within a batch the iterator is sorted; across batches arrival must be
+    * monotone per key (enforce upstream with a watermark + sorted
+    * foreachBatch in production). Because the recurrence applies the SAME
+    * IEEE ops in the SAME order as the batch fold, sealed values match
+    * `events_ewma` bit-for-bit — StreamingSpec pins the parity. */
+  def streamingEwma(points: Dataset[EwmaPoint]): Dataset[EwmaOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.g)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[EwmaPoint], state: GroupState[EwmaState]) =>
+          val pts = it.toSeq.sortBy(_.t)
+          if (pts.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse {
+              val h = pts.head
+              EwmaState(h.t, h.y, h.y, 1L)
+            }
+            val rest = if (state.exists) pts else pts.tail
+            rest.foreach { p =>
+              st = EwmaState(p.t, (st.half + p.y) / 2.0,
+                0.75 * st.quarter + 0.25 * p.y, st.n + 1)
+            }
+            state.update(st)
+            Iterator.single(EwmaOut(g, st.n, st.half, st.quarter))
+          }
+      }
+  }
+
+  // ── events_peak_concurrency twin: keyed interval-sweep state ──
+  final case class ConcDelta(g: String, dts: Long, net: Long)
+  final case class ConcState(running: Long, peak: Long, peakAt: Long)
+  final case class ConcOut(g: String, peak: Long, peak_at_us: Long)
+
+  /** Streaming peak concurrency — the `events_peak_concurrency` twin:
+    * per-timestamp aggregated ±1 deltas fold through three longs of keyed
+    * state (running sum, peak, first peak instant). Same order-free
+    * algebra as the batch query (deltas pre-aggregated per distinct
+    * timestamp, so no tie semantics exist); deltas must arrive
+    * time-monotone per key across batches, sorted within each batch. */
+  def streamingPeakConcurrency(deltas: Dataset[ConcDelta]): Dataset[ConcOut] = {
+    import deltas.sparkSession.implicits._
+    deltas.groupByKey(_.g)
+      .flatMapGroupsWithState[ConcState, ConcOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[ConcDelta], state: GroupState[ConcState]) =>
+          var st = state.getOption.getOrElse(ConcState(0L, Long.MinValue, 0L))
+          val ds = it.toSeq.sortBy(_.dts)
+          if (ds.isEmpty) Iterator.empty
+          else {
+            ds.foreach { d =>
+              val r = st.running + d.net
+              st = if (r > st.peak) ConcState(r, r, d.dts)
+              else ConcState(r, st.peak, st.peakAt)
+            }
+            state.update(st)
+            Iterator.single(ConcOut(g, st.peak, st.peakAt))
+          }
+      }
+  }
 }

@@ -626,4 +626,56 @@ class StreamingSpec extends SparkTestBase {
       ("B", 4.0, 4.5, 4.0, 4.5, 2L)),  // tie ts: id 5 opens, id 6 closes
       s"got $got")
   }
+
+  test("streaming EWMA: keyed state fold, bit-exact batch parity") {
+    import graft.streaming.EventStream.{EwmaPoint, EwmaOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val series = (1 to 200).map(i => EwmaPoint("g", i.toLong, (i * 37 % 101).toDouble))
+    val input = MemoryStream[EwmaPoint]
+    val q = EventStream.streamingEwma(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("append").start()
+    input.addData(series.take(120): _*)
+    q.processAllAvailable()
+    input.addData(series.drop(120): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ewma_out").as[EwmaOut].collect().maxBy(_.n)
+    // the literal batch recurrence — identical IEEE op sequence
+    var h = series.head.y; var qu = series.head.y
+    series.tail.foreach { p => h = (h + p.y) / 2.0; qu = 0.75 * qu + 0.25 * p.y }
+    assert(last.n === 200L)
+    assert(last.ewma_half === h, "streaming half-decay must be bit-exact")
+    assert(last.ewma_quarter === qu, "streaming quarter-decay must be bit-exact")
+  }
+
+  test("streaming peak concurrency: keyed sweep state, batch-identical peak") {
+    import graft.streaming.EventStream.{ConcDelta, ConcOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // sessions as (start, end): peak 3 first reached at t=30
+    val sessions = Seq((10L, 50L), (20L, 60L), (30L, 40L), (55L, 70L), (65L, 80L))
+    val deltas = (sessions.map { case (s, _) => (s, 1L) } ++
+      sessions.map { case (_, e) => (e + 1, -1L) })
+      .groupBy(_._1).map { case (t, ds) => ConcDelta("g", t, ds.map(_._2).sum) }
+      .toSeq.sortBy(_.dts)
+    val input = MemoryStream[ConcDelta]
+    val q = EventStream.streamingPeakConcurrency(input.toDS())
+      .writeStream.format("memory").queryName("conc_out")
+      .outputMode("append").start()
+    input.addData(deltas.take(4): _*)
+    q.processAllAvailable()
+    input.addData(deltas.drop(4): _*)
+    q.processAllAvailable()
+    q.stop()
+    val outs = spark.table("conc_out").as[ConcOut].collect()
+    val fin = outs.last
+    assert(fin.peak === 3L && fin.peak_at_us === 30L,
+      s"expected peak 3 @30, got $fin")
+    // brute force: concurrency at every instant
+    val brute = (0L to 90L).map(t =>
+      sessions.count { case (s, e) => s <= t && t <= e }).max
+    assert(fin.peak === brute)
+  }
 }
