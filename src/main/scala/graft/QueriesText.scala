@@ -2688,5 +2688,62 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
             |ORDER BY id_a, id_b""".stripMargin)
       },
       oracle = Some(minhashOracle(nearDupCte)),
-      doc = "pure-SQL MinHash-LSH dedup through the injected minhash_md5_sig kernel (SQL client surface)"))
+      doc = "pure-SQL MinHash-LSH dedup through the injected minhash_md5_sig kernel (SQL client surface)"),
+
+    // Lexical diversity census: type-token ratio and MATTR (moving-average
+    // TTR, window 20) per language — the data-quality gate that catches
+    // keyword-stuffed or template text that length/punct filters miss
+    // (TTR alone penalizes long docs; MATTR's fixed window removes the
+    // length bias, which is why it grades beside it). Everything is
+    // row-local higher-order functions (windows never leave the row) and
+    // EXACT integers: MATTR = Σ_w distinct(w) / (20·n_windows) — BIGINT
+    // numerator/denominator graded beside the round-9 ratio. Zero
+    // shuffles beyond the per-language rollup.
+    "text_ttr_mattr" -> Q(
+      fn = (s, dir) => {
+        val wl = split(lower(col("text")), " ")
+        val t = Tables.documents(s, dir).select(col("lang"), wl.as("wl"))
+          .select(col("lang"), size(col("wl")).cast("long").as("n_tokens"),
+            size(array_distinct(col("wl"))).cast("long").as("n_types"),
+            when(size(col("wl")) >= 20, expr(
+              "aggregate(transform(sequence(1, size(wl) - 19), " +
+                "i -> size(array_distinct(slice(wl, i, 20)))), " +
+                "0L, (a, x) -> a + x)")).as("mattr_sum"),
+            when(size(col("wl")) >= 20, (size(col("wl")) - 19).cast("long"))
+              .as("n_windows"))
+        t.groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"),
+            sum(col("n_types")).as("types"),
+            sum(col("mattr_sum")).as("mattr_num"),
+            (lit(20L) * sum(col("n_windows"))).as("mattr_den"))
+          .select(col("lang"), col("n_docs"), col("tokens"), col("types"),
+            round(col("types").cast("double") / col("tokens").cast("double"), 9)
+              .as("ttr"),
+            col("mattr_num"), col("mattr_den"),
+            round(col("mattr_num").cast("double") /
+              col("mattr_den").cast("double"), 9).as("mattr"))
+          .orderBy(col("lang"))
+      },
+      oracle = Some(
+        """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS wl
+          |  FROM documents),
+          |t AS (SELECT doc_id, lang, len(wl) AS n_tokens,
+          |    len(list_distinct(wl)) AS n_types,
+          |    CASE WHEN len(wl) >= 20 THEN
+          |      list_sum(list_transform(range(len(wl) - 19),
+          |        i -> len(list_distinct(wl[i + 1:i + 20]))))
+          |    ELSE NULL END AS mattr_sum,
+          |    CASE WHEN len(wl) >= 20 THEN len(wl) - 19 ELSE NULL END
+          |      AS n_windows
+          |  FROM w)
+          |SELECT lang, count(*) AS n_docs,
+          |  CAST(sum(n_tokens) AS BIGINT) AS tokens,
+          |  CAST(sum(n_types) AS BIGINT) AS types,
+          |  round(CAST(sum(n_types) AS DOUBLE) / sum(n_tokens), 9) AS ttr,
+          |  CAST(sum(mattr_sum) AS BIGINT) AS mattr_num,
+          |  CAST(20 * sum(n_windows) AS BIGINT) AS mattr_den,
+          |  round(CAST(sum(mattr_sum) AS DOUBLE) / (20 * sum(n_windows)), 9)
+          |    AS mattr
+          |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
+      doc = "lexical diversity: TTR + windowed MATTR(20), row-local HOF windows, exact BIGINT num/den, round-9 ratios"))
 }
