@@ -1413,5 +1413,194 @@ object QueriesEvents {
           |    / CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
           |      AS DOUBLE), 9) AS chi2
           |FROM c""".stripMargin),
-      doc = "A/B 2x2 contingency chi-square: md5-parity arms, DECIMAL(38,0)-exact N(ad-bc)^2 over margin products, round-9 ratio"))
+      doc = "A/B 2x2 contingency chi-square: md5-parity arms, DECIMAL(38,0)-exact N(ad-bc)^2 over margin products, round-9 ratio"),
+
+    // M4 time-series downsampling (Jugel et al., VLDB 2014): per series
+    // (event_type) and pixel bucket, keep min/max/first/last — the exact
+    // four points a pixel-perfect line render needs, reducing any series
+    // to 4·B points with ZERO error in the rendered image. Bucketing is
+    // exact integer µs math off one 2-value global reduce; first/last are
+    // min_by/max_by over the unique (us, event_id) total order, so every
+    // graded double is a SELECTED value, never arithmetic. One keyed
+    // shuffle; B·|series| output rows at any input size.
+    "t_downsample_m4" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir).select(col("event_type"),
+          col("event_id"), expr("unix_micros(ts)").as("us"), col("value"))
+        val rng = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+        ev.crossJoin(rng)
+          .select(col("event_type"),
+            expr("((us - t0) * 16) div (t1 - t0 + 1)").as("px"),
+            col("us"), col("event_id"), col("value"))
+          .groupBy(col("event_type"), col("px"))
+          .agg(count(lit(1)).as("n"),
+            min(col("us")).as("us_min"), max(col("us")).as("us_max"),
+            min(col("value")).as("v_min"), max(col("value")).as("v_max"),
+            min_by(col("value"), struct(col("us"), col("event_id")))
+              .as("v_first"),
+            max_by(col("value"), struct(col("us"), col("event_id")))
+              .as("v_last"))
+          .orderBy(col("event_type"), col("px"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_type, event_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us, value FROM events),
+          |rng AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+          |b AS (SELECT event_type, ((us - t0) * 16) // (t1 - t0 + 1) AS px,
+          |    us, event_id, value,
+          |    lpad(CAST(us AS VARCHAR), 20, '0') || '|' ||
+          |      lpad(CAST(event_id AS VARCHAR), 12, '0') AS ord
+          |  FROM ev CROSS JOIN rng)
+          |SELECT event_type, px, count(*) AS n,
+          |  min(us) AS us_min, max(us) AS us_max,
+          |  min(value) AS v_min, max(value) AS v_max,
+          |  arg_min(value, ord) AS v_first, arg_max(value, ord) AS v_last
+          |FROM b GROUP BY 1, 2 ORDER BY event_type, px""".stripMargin),
+      doc = "M4 downsampling: min/max/first/last per (series, pixel bucket), exact integer bucketing, selection-only doubles"),
+
+    // Sequential pattern mining: the top-20 3-step event-type paths over
+    // per-user event order — the "what do users do next" census behind
+    // funnels and next-action recommendation. Two keyed leads over the
+    // unique (ts, event_id) order (partition = user, never global), one
+    // path rollup; path cardinality is |types|³-bounded so the final agg
+    // is tiny at any input size. Counts exact, total-ordered top-20.
+    "events_path_mining" -> Q(
+      fn = (s, dir) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        Tables.events(s, dir)
+          .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+          .withColumn("e2", lead(col("event_type"), 1).over(w))
+          .withColumn("e3", lead(col("event_type"), 2).over(w))
+          .filter(col("e3").isNotNull)
+          .select(concat_ws(">", col("event_type"), col("e2"), col("e3"))
+            .as("path"))
+          .groupBy(col("path")).agg(count(lit(1)).as("n"))
+          .orderBy(col("n").desc, col("path")).limit(20)
+      },
+      oracle = Some(
+        """WITH s AS (SELECT event_type AS e1,
+          |    lead(event_type, 1) OVER w AS e2,
+          |    lead(event_type, 2) OVER w AS e3
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id
+          |               ORDER BY CAST(ts AS TIMESTAMP), event_id))
+          |SELECT e1 || '>' || e2 || '>' || e3 AS path, count(*) AS n
+          |FROM s WHERE e3 IS NOT NULL
+          |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin),
+      doc = "top-20 3-step event-type paths: keyed leads over unique (ts,event_id) order, |types|^3-bounded rollup"),
+
+    // Behavioral-diversity census: Shannon entropy of each user's
+    // event-type distribution, top-20 most-diverse users — the feature
+    // behind "explorer vs single-purpose" segmentation and the bot gate's
+    // natural complement (scripted accounts have near-zero entropy).
+    // Float discipline follows text_perplexity: ln() is the one libm op
+    // (engines may differ in the last ulp), so each term is rounded to 9
+    // BEFORE the DECIMAL(18,9) sum — the sum is then exact and
+    // order-free — and only the final display cast rounds again. Counts
+    // are one keyed agg; the per-user window is keyed (never global).
+    "events_user_entropy" -> Q(
+      fn = (s, dir) => {
+        val c = Tables.events(s, dir)
+          .groupBy(col("user_id"), col("event_type"))
+          .agg(count(lit(1)).as("c"))
+        val w = Window.partitionBy(col("user_id"))
+        val t = c.withColumn("n", sum(col("c")).over(w))
+          .withColumn("term",
+            round((col("c").cast("double") / col("n").cast("double")) *
+              log(col("n").cast("double") / col("c").cast("double")), 9)
+              .cast(DecimalType(18, 9)))
+        t.groupBy(col("user_id"))
+          .agg(max(col("n")).as("n_events"), count(lit(1)).as("n_types"),
+            round(sum(col("term")).cast("double"), 9).as("entropy"))
+          .orderBy(col("entropy").desc, col("user_id")).limit(20)
+      },
+      oracle = Some(
+        """WITH c AS (SELECT user_id, event_type, count(*) AS c
+          |  FROM events GROUP BY 1, 2),
+          |t AS (SELECT user_id, c, sum(c) OVER (PARTITION BY user_id) AS n
+          |  FROM c)
+          |SELECT user_id, CAST(max(n) AS BIGINT) AS n_events,
+          |  count(*) AS n_types,
+          |  round(CAST(sum(CAST(round((c / CAST(n AS DOUBLE))
+          |      * ln(n / CAST(c AS DOUBLE)), 9) AS DECIMAL(18,9))) AS DOUBLE), 9)
+          |    AS entropy
+          |FROM t GROUP BY user_id
+          |ORDER BY entropy DESC, user_id LIMIT 20""".stripMargin),
+      doc = "per-user event-type Shannon entropy: round-9 terms before exact DECIMAL sum (perplexity discipline), top-20"),
+
+    // Kaplan-Meier survival: days from each user's first event to their
+    // first 'purchase', right-censored at the corpus horizon — the
+    // time-to-conversion curve behind activation dashboards. The risk set
+    // and the log-survival accumulate through TWO Prefix passes (the
+    // distributed two-pass prefix sum — no global window anywhere in the
+    // engine plan; the day table is tiny but the operator is the
+    // any-size-safe shape). Float discipline: each hazard term enters the
+    // running sum as floor(ln(1−d/n)·1e9) — an exact BIGINT — so the
+    // accumulation is order-free; exp() reconstructs survival per row and
+    // round-9 absorbs its last-ulp libm spread. d = n_risk (everyone
+    // exits) can only occur on the final row; survival pins to 0 there.
+    "events_survival_km" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val t0 = ev.groupBy(col("user_id")).agg(
+          min(col("ts")).as("t0"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+        val h = ev.agg(max(col("ts")).as("hmax"))
+        val u = t0.crossJoin(h).select(col("user_id"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("evf"),
+          when(col("tp").isNotNull,
+            expr("(unix_micros(tp) - unix_micros(t0)) div 86400000000"))
+            .otherwise(expr("(unix_micros(hmax) - unix_micros(t0)) div 86400000000"))
+            .as("day"))
+        val dt = u.groupBy(col("day"))
+          .agg(sum(col("evf")).as("d"), sum(lit(1L) - col("evf")).as("c"))
+        val nu = u.agg(count(lit(1)).as("nu"))
+        val r = graft.operators.Prefix.withRankAndCumSum(
+            dt.crossJoin(nu), Seq(col("day")), col("d") + col("c"), 8)
+          .withColumn("n_risk", col("nu") - col("cum") + col("d") + col("c"))
+          .select(col("day"), col("d"), col("c"), col("n_risk"))
+          .withColumn("t9", when(col("d") < col("n_risk"),
+            floor(log(lit(1.0) -
+              col("d").cast("double") / col("n_risk").cast("double")) * lit(1e9))
+              .cast("long")).otherwise(lit(0L)))
+        graft.operators.Prefix.withRankAndCumSum(
+            r, Seq(col("day")), col("t9"), 8)
+          .select(col("day"), col("n_risk"), col("d"), col("c"),
+            when(col("d") === col("n_risk"), lit(0.0))
+              .otherwise(round(exp(col("cum").cast("double") / lit(1e9)), 9))
+              .as("surv"))
+          .orderBy(col("day"))
+      },
+      oracle = Some(
+        """WITH t0 AS (SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t0,
+          |    min(CASE WHEN event_type = 'purchase'
+          |        THEN CAST(ts AS TIMESTAMP) END) AS tp
+          |  FROM events GROUP BY 1),
+          |h AS (SELECT max(CAST(ts AS TIMESTAMP)) AS hmax FROM events),
+          |u AS (SELECT user_id,
+          |    CASE WHEN tp IS NOT NULL THEN 1 ELSE 0 END AS evf,
+          |    CASE WHEN tp IS NOT NULL
+          |      THEN (epoch_us(tp) - epoch_us(t0)) // 86400000000
+          |      ELSE (epoch_us(hmax) - epoch_us(t0)) // 86400000000 END AS day
+          |  FROM t0 CROSS JOIN h),
+          |dt AS (SELECT day, CAST(sum(evf) AS BIGINT) AS d,
+          |    CAST(sum(1 - evf) AS BIGINT) AS c FROM u GROUP BY 1),
+          |n AS (SELECT count(*) AS nu FROM u),
+          |r AS (SELECT day, d, c,
+          |    CAST(nu - (sum(d + c) OVER (ORDER BY day)) + d + c AS BIGINT)
+          |      AS n_risk
+          |  FROM dt CROSS JOIN n),
+          |l AS (SELECT day, d, c, n_risk,
+          |    CASE WHEN d < n_risk
+          |      THEN CAST(floor(ln(1 - d / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT)
+          |      ELSE 0 END AS t9
+          |  FROM r),
+          |sv AS (SELECT day, n_risk, d, c,
+          |    sum(t9) OVER (ORDER BY day) AS cum FROM l)
+          |SELECT day, n_risk, d, c,
+          |  CASE WHEN d = n_risk THEN 0.0
+          |       ELSE round(exp(CAST(cum AS DOUBLE) / 1e9), 9) END AS surv
+          |FROM sv ORDER BY day""".stripMargin),
+      doc = "Kaplan-Meier time-to-purchase: two-pass prefix risk set, scaled-integer log-hazard accumulation, round-9 survival"))
 }

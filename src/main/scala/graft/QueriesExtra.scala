@@ -2165,5 +2165,163 @@ object QueriesExtra {
           |SELECT kind, n_total, n_rejected, n_total - n_rejected AS n_admitted
           |FROM (SELECT * FROM img_branch UNION ALL SELECT * FROM aud_branch
           |  UNION ALL SELECT * FROM vid_branch) ORDER BY kind""".stripMargin),
-      doc = "multimodal curation capstone: phash dedup + VAD voice gate + scene statics, one admission plan across kinds"))
+      doc = "multimodal curation capstone: phash dedup + VAD voice gate + scene statics, one admission plan across kinds"),
+
+    // Degree assortativity (Newman 2002) of the co-purchase graph: the
+    // Pearson correlation of excess degrees across edge endpoints — the
+    // one-number answer to "do hubs link to hubs?" that decides whether
+    // degree-based partitioning will skew. Both edge orientations are in
+    // the relation, so the two marginals are identical and
+    // r = (n·Σxy − (Σx)²) / (n·Σx² − (Σx)²). Moments are exact BIGINTs
+    // (one shuffle for degrees + one broadcastable degree join); only the
+    // n·Σ products need DECIMAL(38,0) — n·Σxy can pass 2^63 at corpus
+    // scale. Final ratio is one IEEE division, round-9.
+    "graph_assortativity" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+        graft.operators.Graph.assortativityMoments(e)
+      },
+      oracle = Some(
+        """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |deg AS (SELECT src, count(*) - 1 AS dx FROM e GROUP BY 1),
+          |j AS (SELECT ds.dx, dd.dx AS dy
+          |  FROM e JOIN deg ds ON e.src = ds.src JOIN deg dd ON e.dst = dd.src),
+          |m AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx,
+          |    CAST(sum(dx * dx) AS BIGINT) AS sxx,
+          |    CAST(sum(dx * dy) AS BIGINT) AS sxy FROM j),
+          |nn AS (SELECT count(*) AS n_nodes FROM deg)
+          |SELECT n, n_nodes, sx, sxx, sxy,
+          |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx
+          |    AS DECIMAL(38,0)) AS r_num,
+          |  CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+          |    AS DECIMAL(38,0)) AS r_den,
+          |  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
+          |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
+          |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
+          |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE), 9) AS assortativity
+          |FROM m CROSS JOIN nn""".stripMargin),
+      doc = "degree assortativity: exact BIGINT excess-degree moments, DECIMAL(38,0) n-products, one round-9 Pearson r"),
+
+    // Common-neighbor link prediction over the support-thresholded
+    // co-purchase graph: score every NON-adjacent pair by shared-neighbor
+    // count + Jaccard, keep the top 20 — the recommender primitive
+    // ("parts bought together with both of these"). The wedge join is the
+    // SAME Σd² shape as graph_triangles and shares its densification
+    // guard (the support ≥ 2 floor); the candidate set never goes through
+    // all-pairs. Scores are exact integers; Jaccard ships as num/den +
+    // one round-9 division.
+    "graph_link_prediction" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
+            .as("p"))
+          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("u"), col("v"))
+        graft.operators.Graph.commonNeighborPairs(e)
+          .orderBy(col("cn").desc, col("p"), col("q")).limit(20)
+      },
+      oracle = Some(
+        """WITH co AS (SELECT DISTINCT a.l_orderkey AS ok,
+          |    a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |e AS (SELECT u, v FROM co GROUP BY u, v HAVING count(*) >= 2),
+          |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT a, count(*) AS d FROM adj GROUP BY a),
+          |w AS (SELECT x.b AS p, y.b AS q, count(*) AS cn
+          |  FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b GROUP BY 1, 2),
+          |nw AS (SELECT w.p, w.q, w.cn
+          |  FROM w LEFT JOIN e ON w.p = e.u AND w.q = e.v WHERE e.u IS NULL)
+          |SELECT p, q, cn, dp.d AS deg_p, dq.d AS deg_q,
+          |  dp.d + dq.d - cn AS j_den,
+          |  round(CAST(cn AS DOUBLE) / (dp.d + dq.d - cn), 9) AS jaccard
+          |FROM nw JOIN deg dp ON nw.p = dp.a JOIN deg dq ON nw.q = dq.a
+          |ORDER BY cn DESC, p, q LIMIT 20""".stripMargin),
+      doc = "common-neighbor + Jaccard link prediction over non-adjacent pairs: wedge join with support-floor guard, top-20"),
+
+    // Pairwise Pearson correlation matrix over lineitem's numeric columns
+    // — the numeric-profiling companion of profile_mutual_info. Columns
+    // are quantized to exact integers FIRST (floor of one
+    // correctly-rounded multiply — the house float discipline), so every
+    // moment (Σx, Σx², Σxy) is exact; products route through
+    // DECIMAL(38,0) because Σxy·n passes 2^63 at corpus scale. The melt
+    // to (col_x, col_y) pairs is row-local (6 structs per row), the agg
+    // is one map-side-combinable groupBy over SIX keys; r is computed
+    // num/√den·√den with correctly-rounded IEEE ops only, round-9.
+    "profile_correlation_matrix" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val base = Tables.lineitem(s, dir).select(
+          floor(col("l_quantity")).cast("long").as("q"),
+          floor(col("l_extendedprice")).cast("long").as("p"),
+          floor(col("l_discount") * 100000).cast("long").as("d"),
+          floor(col("l_tax") * 100000).cast("long").as("t"))
+        def pr(nx: String, xc: String, ny: String, yc: String) =
+          struct(lit(nx).as("col_x"), lit(ny).as("col_y"),
+            col(xc).as("x"), col(yc).as("y"))
+        val pairs = base.select(explode(array(
+          pr("discount", "d", "extendedprice", "p"),
+          pr("discount", "d", "quantity", "q"),
+          pr("discount", "d", "tax", "t"),
+          pr("extendedprice", "p", "quantity", "q"),
+          pr("extendedprice", "p", "tax", "t"),
+          pr("quantity", "q", "tax", "t"))).as("pr"))
+          .select(col("pr.col_x"), col("pr.col_y"), col("pr.x"), col("pr.y"))
+        val m = pairs.groupBy(col("col_x"), col("col_y")).agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("x")).cast(DecimalType(38, 0)).as("sxx"),
+          sum(col("y").cast(DecimalType(38, 0)) * col("y")).cast(DecimalType(38, 0)).as("syy"),
+          sum(col("x").cast(DecimalType(38, 0)) * col("y")).cast(DecimalType(38, 0)).as("sxy"))
+        val num = (col("n").cast(DecimalType(38, 0)) * col("sxy") -
+          col("sx").cast(DecimalType(38, 0)) * col("sy")).cast(DecimalType(38, 0))
+        val vx = (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+          col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
+        val vy = (col("n").cast(DecimalType(38, 0)) * col("syy") -
+          col("sy").cast(DecimalType(38, 0)) * col("sy")).cast(DecimalType(38, 0))
+        m.select(col("col_x"), col("col_y"), col("n"), col("sx"), col("sy"),
+          col("sxx"), col("syy"), col("sxy"),
+          round(num.cast("double") /
+            (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 9).as("r"))
+          .orderBy(col("col_x"), col("col_y"))
+      },
+      oracle = Some(
+        """WITH base AS (SELECT CAST(floor(l_quantity) AS BIGINT) AS q,
+          |    CAST(floor(l_extendedprice) AS BIGINT) AS p,
+          |    CAST(floor(l_discount * 100000) AS BIGINT) AS d,
+          |    CAST(floor(l_tax * 100000) AS BIGINT) AS t
+          |  FROM lineitem),
+          |pairs AS (
+          |  SELECT 'discount' AS col_x, 'extendedprice' AS col_y, d AS x, p AS y FROM base
+          |  UNION ALL SELECT 'discount', 'quantity', d, q FROM base
+          |  UNION ALL SELECT 'discount', 'tax', d, t FROM base
+          |  UNION ALL SELECT 'extendedprice', 'quantity', p, q FROM base
+          |  UNION ALL SELECT 'extendedprice', 'tax', p, t FROM base
+          |  UNION ALL SELECT 'quantity', 'tax', q, t FROM base),
+          |m AS (SELECT col_x, col_y, count(*) AS n,
+          |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+          |    CAST(sum(CAST(x AS HUGEINT) * x) AS DECIMAL(38,0)) AS sxx,
+          |    CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
+          |    CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
+          |  FROM pairs GROUP BY 1, 2)
+          |SELECT col_x, col_y, n, sx, sy, sxx, syy, sxy,
+          |  round(CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+          |      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+          |    / (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+          |        - CAST(sx AS HUGEINT) * sx AS DOUBLE))
+          |     * sqrt(CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+          |        - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 9) AS r
+          |FROM m ORDER BY col_x, col_y""".stripMargin),
+      doc = "pairwise Pearson matrix: integer-quantized columns, exact DECIMAL(38,0) moments, round-9 r via IEEE sqrt/div"))
 }

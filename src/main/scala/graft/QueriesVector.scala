@@ -1356,5 +1356,58 @@ object QueriesVector {
           |  round(CAST(dot AS DOUBLE)
           |    / sqrt(CAST(nsa AS DOUBLE) * CAST(nsb AS DOUBLE)), 9) AS cos_sim
           |FROM p ORDER BY lang_a, lang_b""".stripMargin),
-      doc = "per-language embedding centroids + pairwise cosine: quantized integer sums, DECIMAL-exact dot, one IEEE division"))
+      doc = "per-language embedding centroids + pairwise cosine: quantized integer sums, DECIMAL-exact dot, one IEEE division"),
+
+    // Distance-based outlier census: mean 10-NN cosine distance per probe
+    // — the unsupervised twin of embedding_label_noise's agreement audit
+    // (far-from-everything points are mislabeled/garbage candidates in
+    // any curation pass). Per-neighbor distances are round-9 (the house
+    // float-distance discipline), their 10-term sum is EXACT in
+    // DECIMAL(18,9), and the top-20 order rides that exact sum — so the
+    // ranking can never flip on a last-ulp float. Probe slice broadcast
+    // against the corpus; at scale the brute-force scan swaps for the
+    // stored IVF topology exactly as v3_knn_join does.
+    "embedding_knn_outliers" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val corpus = emb.select(col("vec_id").as("c_key"),
+          col("embedding").cast("array<double>").as("c_emb"))
+        val probes = emb.filter(col("vec_id") % 37 === 0)
+          .select(col("vec_id").as("q_key"), col("label").as("q_label"),
+            col("embedding").cast("array<double>").as("q_emb"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
+        corpus.crossJoin(broadcast(probes))
+          .filter(col("c_key") =!= col("q_key"))
+          .withColumn("distance",
+            round(Vectors.cosineDistance(col("c_emb"), col("q_emb")), 9) + 0.0)
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
+          .groupBy(col("q_key"), col("q_label"))
+          .agg(sum(col("distance").cast(DecimalType(18, 9)))
+            .cast(DecimalType(18, 9)).as("sum_dist10"))
+          .select(col("q_key"), col("q_label"), col("sum_dist10"),
+            round(col("sum_dist10").cast("double") / lit(10.0), 9)
+              .as("mean_dist"))
+          .orderBy(col("sum_dist10").desc, col("q_key")).limit(20)
+      },
+      oracle = Some(
+        """WITH qs AS (SELECT vec_id AS q_key, label AS q_label,
+          |    CAST(embedding AS DOUBLE[]) AS qv
+          |  FROM embeddings WHERE vec_id % 37 = 0),
+          |sc AS (SELECT q_key, q_label, e.vec_id AS c_key,
+          |    round(1.0 - list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), qv),
+          |        z -> z[1]*z[2]))
+          |      / (sqrt(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]), x -> x*x)))
+          |       * sqrt(list_sum(list_transform(qv, x -> x*x)))), 9) + 0.0 AS distance
+          |  FROM qs, embeddings e WHERE e.vec_id <> q_key),
+          |nn AS (SELECT * FROM (SELECT *, row_number() OVER (
+          |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM sc)
+          |  WHERE rnk <= 10)
+          |SELECT q_key, q_label,
+          |  CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sum_dist10,
+          |  round(CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DOUBLE) / 10.0, 9)
+          |    AS mean_dist
+          |FROM nn GROUP BY q_key, q_label
+          |ORDER BY sum_dist10 DESC, q_key LIMIT 20""".stripMargin),
+      doc = "10-NN mean-distance outlier census: round-9 distances, exact DECIMAL(18,9) sum, rank rides the exact sum"))
 }

@@ -239,4 +239,67 @@ object Graph {
       .select(lit(-1).as("dist"), col("n_nodes"))
     reached.unionByName(unreached).filter(col("n_nodes") > 0)
   }
+
+  /** Degree assortativity (Newman 2002): Pearson correlation of EXCESS
+    * degrees across edge endpoints. Input: directed edge relation with
+    * BOTH orientations of every undirected edge present (so the two
+    * marginals coincide and r = (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²)).
+    * Dedups + pins internally (the relation feeds the degree agg AND the
+    * probe join). Moments are exact BIGINTs; the n·Σ products go through
+    * DECIMAL(38,0) — n·Σxy can pass 2^63 at corpus scale — and the final
+    * ratio is ONE IEEE division. Returns a single row
+    * (n, n_nodes, sx, sxx, sxy, r_num, r_den, assortativity). */
+  def assortativityMoments(edges: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst"))
+      .dropDuplicates("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count()
+    val deg = e.groupBy(col("src")).agg((count(lit(1)) - 1).as("dx"))
+    val j = e.join(deg, "src")
+      .join(deg.select(col("src").as("dst"), col("dx").as("dy")), "dst")
+    val m = j.agg(count(lit(1)).as("n"), sum(col("dx")).as("sx"),
+      sum(col("dx") * col("dx")).as("sxx"),
+      sum(col("dx") * col("dy")).as("sxy"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val num = (col("n").cast(DecimalType(38, 0)) * col("sxy") -
+      col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
+    val den = (col("n").cast(DecimalType(38, 0)) * col("sxx") -
+      col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
+    m.crossJoin(nn).select(col("n"), col("n_nodes"), col("sx"),
+      col("sxx"), col("sxy"), num.as("r_num"), den.as("r_den"),
+      round(num.cast("double") / den.cast("double"), 9).as("assortativity"))
+  }
+
+  /** Common-neighbor link prediction: score every NON-adjacent node pair
+    * of an undirected graph by shared-neighbor count and Jaccard
+    * (|Γp∩Γq| / |Γp∪Γq|). Input: one row per undirected edge, u < v,
+    * deduped (co-occurrence callers threshold first — the support floor
+    * is the densification guard, exactly as for [[triangles]]). The wedge
+    * join is the Σd² shape; candidates are two-hop pairs only, never
+    * all-pairs. Returns (p, q, cn, deg_p, deg_q, j_den, jaccard) with
+    * exact integer scores and ONE round-9 division. */
+  def commonNeighborPairs(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("u"), col("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    e.count() // feeds adj twice AND the anti-join probe
+    val adj = e.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(e.select(col("v").as("a"), col("u").as("b")))
+    val w = adj.alias("x").join(adj.alias("y"),
+        col("x.a") === col("y.a") && col("x.b") < col("y.b"))
+      .select(col("x.b").as("p"), col("y.b").as("q"))
+      .groupBy(col("p"), col("q")).agg(count(lit(1)).as("cn"))
+    val nonEdge = w.join(e,
+      w("p") === e("u") && w("q") === e("v"), "left_anti")
+    val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    nonEdge
+      .join(deg.select(col("a").as("p"), col("d").as("deg_p")), "p")
+      .join(deg.select(col("a").as("q"), col("d").as("deg_q")), "q")
+      .select(col("p"), col("q"), col("cn"), col("deg_p"), col("deg_q"),
+        (col("deg_p") + col("deg_q") - col("cn")).as("j_den"),
+        round(col("cn").cast("double") /
+          (col("deg_p") + col("deg_q") - col("cn")).cast("double"), 9)
+          .as("jaccard"))
+  }
 }

@@ -90,4 +90,30 @@ class GraphSpec extends SparkTestBase {
     // 1@0, 2@1, 3@2, 4@3; node 5 needs hop 4 and 8/9 are disconnected
     assert(out == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, -1 -> 3L), s"got $out")
   }
+
+  test("assortativity: star K1,3 is exactly -1, path P4 is exactly -0.5") {
+    // star: every edge joins excess degrees (2, 0) → perfect disassortativity
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val s = Graph.assortativityMoments(star).head
+    assert(s.getAs[Double]("assortativity") == -1.0, s"star: $s")
+    // P4 1-2-3-4: excess pairs (0,1)x2,(1,0)x2,(1,1)x2 →
+    // n=6 sx=4 sxx=4 sxy=2 → r = (12-16)/(24-16) = -0.5
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val p = Graph.assortativityMoments(p4).head
+    assert(p.getAs[Long]("n") == 6L && p.getAs[Long]("sx") == 4L &&
+      p.getAs[Long]("sxx") == 4L && p.getAs[Long]("sxy") == 2L, s"P4 moments: $p")
+    assert(p.getAs[Double]("assortativity") == -0.5, s"P4: $p")
+  }
+
+  test("commonNeighborPairs: C4 diagonals score cn=2 jaccard=1, edges are excluded") {
+    // cycle 1-2-3-4-1: the only non-adjacent pairs are the two diagonals,
+    // each sharing BOTH neighbors → Jaccard exactly 1
+    val c4 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("u", "v")
+    val got = Graph.commonNeighborPairs(c4).orderBy("p", "q")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getAs[Double]("jaccard"))).toSeq
+    assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
+  }
 }

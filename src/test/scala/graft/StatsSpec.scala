@@ -209,4 +209,49 @@ class StatsSpec extends SparkTestBase {
         math.abs(r.getAs[Long]("est_docs") - r.getAs[Long]("true_docs")))
     }
   }
+
+  test("events_survival_km: risk set telescopes, survival tracks the literal product") {
+    val rows = Registry.all("events_survival_km").fn(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d"), r.getAs[Long]("c"), r.getAs[Double]("surv")))
+    assert(rows.nonEmpty)
+    // exact telescoping: next risk set = this one minus this day's exits
+    rows.sliding(2).foreach {
+      case Array((_, n1, d1, c1, _), (_, n2, _, _, _)) =>
+        assert(n2 === n1 - d1 - c1, "risk set must telescope exactly")
+      case _ =>
+    }
+    // survival: nonincreasing, and within quantization error of the
+    // literal sequential product (floor at 1e-9 per term, |days| terms)
+    var prod = 1.0
+    var prev = Double.MaxValue
+    rows.foreach { case (_, n, d, _, surv) =>
+      prod *= 1.0 - d.toDouble / n.toDouble
+      assert(surv <= prev + 1e-12, "survival must be nonincreasing")
+      assert(math.abs(surv - prod) <= 1e-5 * prod + 1e-9,
+        s"survival $surv drifted from literal product $prod")
+      prev = surv
+    }
+  }
+
+  test("events_user_entropy: bounded by ln(n_types), zero iff one type") {
+    Registry.all("events_user_entropy").fn(spark, sfDir).collect().foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val k = r.getAs[Long]("n_types")
+      assert(h >= -1e-9 && h <= math.log(k.toDouble) + 1e-6,
+        s"entropy $h outside [0, ln($k)]")
+      if (k == 1L) assert(h === 0.0)
+    }
+  }
+
+  test("profile_correlation_matrix: six pairs, |r| <= 1, shared n") {
+    val rows = Registry.all("profile_correlation_matrix").fn(spark, sfDir).collect()
+    assert(rows.length === 6)
+    val ns = rows.map(_.getAs[Long]("n")).distinct
+    assert(ns.length === 1, "every pair sees the same row count")
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("r")) <= 1.0 + 1e-9,
+        s"Pearson r out of range: $r")
+    }
+  }
 }
