@@ -1602,5 +1602,71 @@ object QueriesEvents {
           |  CASE WHEN d = n_risk THEN 0.0
           |       ELSE round(exp(CAST(cum AS DOUBLE) / 1e9), 9) END AS surv
           |FROM sv ORDER BY day""".stripMargin),
-      doc = "Kaplan-Meier time-to-purchase: two-pass prefix risk set, scaled-integer log-hazard accumulation, round-9 survival"))
+      doc = "Kaplan-Meier time-to-purchase: two-pass prefix risk set, scaled-integer log-hazard accumulation, round-9 survival"),
+
+    // Autocorrelation of the hourly event-count series at calendar lags
+    // (1h, 2h, 3h, 6h, 12h, 24h) per event type — the quantitative
+    // companion of the chi-square seasonality verdict (a daily cycle
+    // shows as an acf_24 peak). Everything before the final division is
+    // EXACT integer arithmetic in n-scaled units: centering by the mean
+    // becomes (n·x_t − S), so no float ever enters the sums; products
+    // route through DECIMAL(38,0) (n·x can pass 2^31·counts at corpus
+    // scale). Lags pair by CALENDAR hour (t+k), so series gaps simply
+    // contribute no pair — no imputation. The lag join is an equi-join
+    // on (type, hour), bounded by |lags|·|hours|.
+    "events_autocorrelation" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("x"))
+        h.persist(); h.count() // feeds stats AND both sides of the lag join
+        val st = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
+        val hd = h.join(st, "event_type")
+          .select(col("event_type"), col("t"),
+            (col("n").cast(DecimalType(38, 0)) * col("x") -
+              col("sx").cast(DecimalType(38, 0))).cast(DecimalType(38, 0))
+              .as("dev"))
+        val den = hd.groupBy(col("event_type"))
+          .agg(sum(col("dev") * col("dev")).cast(DecimalType(38, 0)).as("den"))
+        val lagged = hd.withColumn("lag", explode(array(
+          lit(1L), lit(2L), lit(3L), lit(6L), lit(12L), lit(24L))))
+        val pr = lagged.alias("a").join(hd.alias("b"),
+            col("a.event_type") === col("b.event_type") &&
+              col("b.t") === col("a.t") + col("a.lag"))
+          .select(col("a.event_type").as("event_type"), col("a.lag").as("lag"),
+            (col("a.dev") * col("b.dev")).as("dd"))
+          .groupBy(col("event_type"), col("lag"))
+          .agg(count(lit(1)).as("m_pairs"),
+            sum(col("dd")).cast(DecimalType(38, 0)).as("num"))
+        pr.join(den, "event_type").join(st, "event_type")
+          .select(col("event_type"), col("lag"), col("n"), col("m_pairs"),
+            col("num"), col("den"),
+            round(col("num").cast("double") / col("den").cast("double"), 9)
+              .as("acf"))
+          .orderBy(col("event_type"), col("lag"))
+      },
+      oracle = Some(
+        """WITH h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |st AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx
+          |  FROM h GROUP BY 1),
+          |hd AS (SELECT h.event_type, t,
+          |    CAST(n AS HUGEINT) * x - sx AS dev
+          |  FROM h JOIN st USING (event_type)),
+          |den AS (SELECT event_type, CAST(sum(dev * dev) AS DECIMAL(38,0)) AS den
+          |  FROM hd GROUP BY 1),
+          |pr AS (SELECT a.event_type, lag, count(*) AS m_pairs,
+          |    CAST(sum(a.dev * b.dev) AS DECIMAL(38,0)) AS num
+          |  FROM hd a CROSS JOIN (SELECT unnest([1, 2, 3, 6, 12, 24]) AS lag) l
+          |  JOIN hd b ON a.event_type = b.event_type AND b.t = a.t + lag
+          |  GROUP BY 1, 2)
+          |SELECT pr.event_type, CAST(lag AS BIGINT) AS lag, st.n, m_pairs,
+          |  num, den.den,
+          |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 9) AS acf
+          |FROM pr JOIN den USING (event_type) JOIN st USING (event_type)
+          |ORDER BY event_type, lag""".stripMargin),
+      doc = "hourly-count autocorrelation at calendar lags: n-scaled integer centering, DECIMAL(38,0)-exact moments, round-9 acf"))
 }

@@ -2323,5 +2323,67 @@ object QueriesExtra {
           |     * sqrt(CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
           |        - CAST(sy AS HUGEINT) * sy AS DOUBLE))), 9) AS r
           |FROM m ORDER BY col_x, col_y""".stripMargin),
-      doc = "pairwise Pearson matrix: integer-quantized columns, exact DECIMAL(38,0) moments, round-9 r via IEEE sqrt/div"))
+      doc = "pairwise Pearson matrix: integer-quantized columns, exact DECIMAL(38,0) moments, round-9 r via IEEE sqrt/div"),
+
+    // Local clustering coefficient census over the support-thresholded
+    // co-purchase graph: cc(v) = 2·t(v) / d(v)(d(v)−1) — how close each
+    // node's neighborhood is to a clique, the standard cohesion feature
+    // next to assortativity's global mixing number. Triangle counts come
+    // from the SAME degree-ordered enumeration as graph_triangles (m^1.5
+    // bound, no hub blowup) exploded to per-node counts; the coefficient
+    // is an exact rational graded as num/den beside the round-9 ratio.
+    // Top-20 under the exact (t, node) total order.
+    "graph_clustering_coeff" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
+            .as("p"))
+          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
+          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+          .filter(col("c") >= 2).select(col("u"), col("v"))
+        e.persist(); e.count() // feeds triangles AND the degree census
+        val tv = graft.operators.Graph.triangles(e)
+          .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
+          .groupBy(col("node")).agg(count(lit(1)).as("t"))
+        val deg = e.select(col("u").as("node"))
+          .unionByName(e.select(col("v").as("node")))
+          .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        deg.join(tv, Seq("node"), "left")
+          .select(col("node"), col("d"),
+            coalesce(col("t"), lit(0L)).as("t"))
+          .filter(col("d") >= 2)
+          .select(col("node"), col("d"), col("t"),
+            (col("t") * 2).as("cc_num"),
+            (col("d") * (col("d") - 1)).as("cc_den"),
+            round((col("t") * 2).cast("double") /
+              (col("d") * (col("d") - 1)).cast("double"), 9).as("cc"))
+          .orderBy(col("t").desc, col("node")).limit(20)
+      },
+      oracle = Some(
+        """WITH co AS (SELECT DISTINCT a.l_orderkey AS ok,
+          |    a.l_partkey AS u, b.l_partkey AS v
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |e AS (SELECT u, v FROM co GROUP BY u, v HAVING count(*) >= 2),
+          |deg0 AS (SELECT n, count(*) AS d FROM
+          |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+          |o AS (SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS s,
+          |             CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS t
+          |      FROM e JOIN deg0 du ON e.u = du.n JOIN deg0 dv ON e.v = dv.n),
+          |tri AS (SELECT a.s AS x, a.t AS y, b.t AS z
+          |        FROM o a JOIN o b ON a.s = b.s AND a.t < b.t
+          |        JOIN o c ON c.s = a.t AND c.t = b.t),
+          |tv AS (SELECT node, count(*) AS t FROM
+          |  (SELECT unnest([x, y, z]) AS node FROM tri) GROUP BY node)
+          |SELECT d.n AS node, d.d, coalesce(tv.t, 0) AS t,
+          |  coalesce(tv.t, 0) * 2 AS cc_num, d.d * (d.d - 1) AS cc_den,
+          |  round(CAST(coalesce(tv.t, 0) * 2 AS DOUBLE)
+          |    / (d.d * (d.d - 1)), 9) AS cc
+          |FROM deg0 d LEFT JOIN tv ON d.n = tv.node
+          |WHERE d.d >= 2
+          |ORDER BY t DESC, node LIMIT 20""".stripMargin),
+      doc = "local clustering coefficients from degree-ordered triangle counts: exact 2t/d(d-1) rationals, top-20"))
 }

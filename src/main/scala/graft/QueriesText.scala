@@ -2745,5 +2745,68 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           |  round(CAST(sum(mattr_sum) AS DOUBLE) / (20 * sum(n_windows)), 9)
           |    AS mattr
           |FROM t GROUP BY lang ORDER BY lang""".stripMargin),
-      doc = "lexical diversity: TTR + windowed MATTR(20), row-local HOF windows, exact BIGINT num/den, round-9 ratios"))
+      doc = "lexical diversity: TTR + windowed MATTR(20), row-local HOF windows, exact BIGINT num/den, round-9 ratios"),
+
+    // Temperature-sweep mixing: the α ∈ {0.25, 0.5, 0.75} operating
+    // points of the pretraining language-mix decision measured off ONE
+    // shared per-language aggregate (the dedup_minhash_param_sweep
+    // pattern — tune by re-weighting a tiny stats table, never by
+    // re-scanning the corpus). tokens^α is built from IEEE
+    // correctly-rounded sqrt chains ONLY (α=0.25 → √√x, 0.5 → √x,
+    // 0.75 → √x·√√x), so no libm pow() enters the graded chain; weights
+    // follow the round-6-then-DECIMAL house discipline of mix_epoch_plan.
+    "mix_alpha_sweep" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.types.DecimalType
+        val g = Tables.documents(s, dir).filter(col("lang").isNotNull)
+          .select(col("lang"),
+            size(TextAnalysis.words(col("text"))).cast("long").as("t"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
+        g.persist(); g.count() // feeds the sweep AND the budget total
+        val tok = col("n_tokens").cast("double")
+        val w = g.select(col("lang"), col("n_docs"), col("n_tokens"),
+          explode(array(
+            struct(lit("a25").as("alpha"),
+              round(sqrt(sqrt(tok)), 6).as("weight")),
+            struct(lit("a50").as("alpha"),
+              round(sqrt(tok), 6).as("weight")),
+            struct(lit("a75").as("alpha"),
+              round(sqrt(tok) * sqrt(sqrt(tok)), 6).as("weight"))))
+            .as("aw"))
+          .select(col("lang"), col("n_docs"), col("n_tokens"),
+            col("aw.alpha").as("alpha"), col("aw.weight").as("weight"))
+        val tot = w.groupBy(col("alpha"))
+          .agg(sum(col("weight").cast(DecimalType(28, 6))).as("sum_w"))
+        val tt = g.agg(sum(col("n_tokens")).as("tot_tokens"))
+        w.join(tot, "alpha").crossJoin(tt)
+          .select(col("alpha"), col("lang"), col("n_docs"), col("n_tokens"),
+            col("weight"),
+            round(col("weight") / col("sum_w").cast("double"), 9).as("share"),
+            floor((col("tot_tokens") * 3).cast("double") * col("weight") /
+              col("sum_w").cast("double")).cast("long").as("alloc_tokens"))
+          .orderBy(col("alpha"), col("lang"))
+      },
+      oracle = Some(
+        s"""WITH d AS (SELECT lang, CAST(len($wordsSql) AS BIGINT) AS t
+           |  FROM documents WHERE lang IS NOT NULL),
+           |g AS (SELECT lang, count(*) AS n_docs,
+           |    CAST(sum(t) AS BIGINT) AS n_tokens FROM d GROUP BY 1),
+           |w AS (SELECT lang, n_docs, n_tokens, alpha,
+           |    CASE alpha
+           |      WHEN 'a25' THEN round(sqrt(sqrt(CAST(n_tokens AS DOUBLE))), 6)
+           |      WHEN 'a50' THEN round(sqrt(CAST(n_tokens AS DOUBLE)), 6)
+           |      ELSE round(sqrt(CAST(n_tokens AS DOUBLE))
+           |        * sqrt(sqrt(CAST(n_tokens AS DOUBLE))), 6) END AS weight
+           |  FROM g CROSS JOIN (SELECT unnest(['a25', 'a50', 'a75']) AS alpha) a),
+           |tot AS (SELECT alpha, sum(CAST(weight AS DECIMAL(28,6))) AS sum_w
+           |  FROM w GROUP BY 1),
+           |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens FROM g)
+           |SELECT w.alpha, lang, n_docs, n_tokens, weight,
+           |  round(weight / CAST(sum_w AS DOUBLE), 9) AS share,
+           |  CAST(floor(CAST(tot_tokens * 3 AS DOUBLE) * weight
+           |    / CAST(sum_w AS DOUBLE)) AS BIGINT) AS alloc_tokens
+           |FROM w JOIN tot USING (alpha) CROSS JOIN tt
+           |ORDER BY alpha, lang""".stripMargin),
+      doc = "temperature sweep: three alpha operating points off one language-stats table, sqrt-chain weights (no libm pow)"))
 }
