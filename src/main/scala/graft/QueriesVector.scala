@@ -983,13 +983,19 @@ object QueriesVector {
     // product xi·xj is EXACT in double (float·float), rounded to 9 dp and
     // summed as DECIMAL — order-free, bit-stable; the co-moment → cov
     // chain is then a fixed IEEE sequence both engines replay.
+    // GRADED OUTPUT RULE: the exact DECIMAL co-moment stays internal; the
+    // emitted `sxy` is cast to DOUBLE (exact here — |sxy| ≪ 2^53 even at
+    // sf1) because the driver's hasher canonicalizes decimal128 columns
+    // engine-differently (the r7 9-query hash-fail class).
     "embedding_covariance" -> Q(
       fn = (s, dir) =>
         Vectors.covarianceMatrix(Tables.embeddings(s, dir), "embedding")
+          .withColumn("sxy", col("sxy").cast("double"))
           .orderBy(col("i"), col("j")),
       oracle = Some(
         s"""WITH $covCtes
-           |SELECT i, j, n, sxy, cov FROM covm ORDER BY i, j""".stripMargin),
+           |SELECT i, j, n, CAST(sxy AS DOUBLE) AS sxy, cov
+           |FROM covm ORDER BY i, j""".stripMargin),
       doc = "covariance/co-moment matrix over embeddings: d²-bounded combinable agg (PCA/whitening stats)"),
 
     // Top principal component by fixed-round power iteration over the
@@ -1329,7 +1335,10 @@ object QueriesVector {
           .agg(sum(col("sa") * col("sb")).cast(DecimalType(38, 0)).as("dot"),
             sum(col("sa") * col("sa")).cast(DecimalType(38, 0)).as("nsa"),
             sum(col("sb") * col("sb")).cast(DecimalType(38, 0)).as("nsb"))
-          .select(col("lang_a"), col("lang_b"), col("na"), col("nb"), col("dot"),
+          // dot emits as DOUBLE (exact: |dot| ≪ 2^53 at graded SFs) — the
+          // DECIMAL stays internal per the graded-output rule (r7 verdict)
+          .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
+            col("dot").cast("double").as("dot"),
             round(col("dot").cast("double") /
               sqrt(col("nsa").cast("double") * col("nsb").cast("double")), 9)
               .as("cos_sim"))
@@ -1352,7 +1361,7 @@ object QueriesVector {
           |  FROM cent a JOIN cent b ON a.i = b.i AND a.lang < b.lang
           |  GROUP BY 1, 2, 3, 4)
           |SELECT lang_a, lang_b, CAST(na AS BIGINT) AS na,
-          |  CAST(nb AS BIGINT) AS nb, dot,
+          |  CAST(nb AS BIGINT) AS nb, CAST(dot AS DOUBLE) AS dot,
           |  round(CAST(dot AS DOUBLE)
           |    / sqrt(CAST(nsa AS DOUBLE) * CAST(nsb AS DOUBLE)), 9) AS cos_sim
           |FROM p ORDER BY lang_a, lang_b""".stripMargin),
@@ -1384,9 +1393,14 @@ object QueriesVector {
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 10)
           .groupBy(col("q_key"), col("q_label"))
           .agg(sum(col("distance").cast(DecimalType(18, 9)))
-            .cast(DecimalType(18, 9)).as("sum_dist10"))
-          .select(col("q_key"), col("q_label"), col("sum_dist10"),
-            round(col("sum_dist10").cast("double") / lit(10.0), 9)
+            .cast(DecimalType(18, 9)).as("sum_dist10d"))
+          // emit the exact decimal sum as DOUBLE (k/1e9 with k ≤ 2e10 —
+          // both engines round-to-nearest the same rational identically);
+          // the top-20 order still rides the exact value, which the cast
+          // preserves order-isomorphically at this magnitude
+          .select(col("q_key"), col("q_label"),
+            col("sum_dist10d").cast("double").as("sum_dist10"),
+            round(col("sum_dist10d").cast("double") / lit(10.0), 9)
               .as("mean_dist"))
           .orderBy(col("sum_dist10").desc, col("q_key")).limit(20)
       },
@@ -1404,7 +1418,8 @@ object QueriesVector {
           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM sc)
           |  WHERE rnk <= 10)
           |SELECT q_key, q_label,
-          |  CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sum_dist10,
+          |  CAST(CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DECIMAL(18,9))
+          |    AS DOUBLE) AS sum_dist10,
           |  round(CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DOUBLE) / 10.0, 9)
           |    AS mean_dist
           |FROM nn GROUP BY q_key, q_label
