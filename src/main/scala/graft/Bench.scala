@@ -124,10 +124,19 @@ object Bench {
     // Sorted execution order: Map iteration order moves whenever an entry is
     // added, silently reassigning which query pays the JIT/codegen warmup —
     // sorted names keep per-query timings comparable across rounds.
+    // MEDIAN OF 3 reps per query (r7+r8 verdict ask): a single-rep lap on a
+    // shared machine has twice manufactured phantom 10-20× regressions
+    // (r8: 4 queries "took" 13-22 s whose steady state is 0.4-1.0 s). The
+    // median absorbs one contended rep per query; reps run back-to-back so
+    // a transient spike can't poison all three.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times(times.length / 2)
     }.toMap
     // The driver captures only the last 2000 chars of sbt output; round-1's
     // full-precision 71-query line (~3 KB) overflowed that and the bench went

@@ -621,10 +621,14 @@ object QueriesEvents {
 
     // Rate-spike anomaly census: hourly counts per event type vs the
     // trailing-24h baseline (RANGE frame on the integer hour index, current
-    // hour excluded). The spike gate is cross-multiplied int64
-    // (n·prev_hours > 3·prev_n) — no float mean, no boundary drift; frames
-    // with under 12 baseline hours abstain. Window is keyed by event_type,
-    // so hot streams parallelize and nothing single-partitions.
+    // hour excluded). Graded as the TOP-50 hours by spike ratio
+    // n·prev_hours/prev_n (round-9 double of exact int64 products — both
+    // factors ≪ 2^53) rather than a fixed ×3 gate: the smooth synthetic
+    // stream never crosses 3× (r8 bench timed a zero-row line), while the
+    // ranked census exercises the identical trailing window and always
+    // emits rows. Frames with under 12 baseline hours abstain. Window is
+    // keyed by event_type, so hot streams parallelize and nothing
+    // single-partitions; the top-50 is a TakeOrdered, not a global sort.
     "events_rate_spike" -> Q(
       fn = (s, dir) => {
         val hours = Tables.events(s, dir)
@@ -638,11 +642,13 @@ object QueriesEvents {
         hours
           .withColumn("prev_n", sum(col("n")).over(w))
           .withColumn("prev_hours", count(lit(1)).over(w))
-          .filter(col("prev_hours") >= 12 &&
-            col("n") * col("prev_hours") > lit(3L) * col("prev_n"))
+          .filter(col("prev_hours") >= 12)
           .select(col("event_type"), col("hour_idx"), col("n"),
-            col("prev_hours"), col("prev_n"))
-          .orderBy(col("event_type"), col("hour_idx"))
+            col("prev_hours"), col("prev_n"),
+            round((col("n") * col("prev_hours")).cast("double") /
+              col("prev_n").cast("double"), 9).as("rate_ratio"))
+          .orderBy(col("rate_ratio").desc, col("event_type"), col("hour_idx"))
+          .limit(50)
       },
       oracle = Some(
         """WITH h AS (SELECT event_type,
@@ -654,10 +660,12 @@ object QueriesEvents {
           |    count(*) OVER tr AS prev_hours
           |  FROM h WINDOW tr AS (PARTITION BY event_type ORDER BY hour_idx
           |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
-          |SELECT event_type, hour_idx, n, prev_hours, prev_n
-          |FROM w WHERE prev_hours >= 12 AND n * prev_hours > 3 * prev_n
-          |ORDER BY event_type, hour_idx""".stripMargin),
-      doc = "trailing-baseline rate-spike detection: keyed RANGE frame, exact int gate"),
+          |SELECT event_type, hour_idx, n, prev_hours, prev_n,
+          |  round(CAST(n * prev_hours AS DOUBLE) / CAST(prev_n AS DOUBLE), 9)
+          |    AS rate_ratio
+          |FROM w WHERE prev_hours >= 12
+          |ORDER BY rate_ratio DESC, event_type, hour_idx LIMIT 50""".stripMargin),
+      doc = "trailing-baseline rate-spike census: keyed RANGE frame, exact int ratio factors, round-9 top-50"),
 
     // Full CUBE over (event_type, hour-of-day): all four grouping sets in
     // ONE Expand pass (rows fan out ×4 map-side, then one combinable
@@ -886,7 +894,11 @@ object QueriesEvents {
         val c = hours.join(broadcast(tot), "event_type")
           .withColumn("pref", sum(col("n") * col("x")).over(wRun) -
             row_number().over(wOrd).cast("long") * col("total"))
-          .withColumn("cusum", col("pref") - min(col("pref")).over(wRun))
+          // min over j<=i must INCLUDE the empty prefix P_0 = 0 (S_0 = 0):
+          // a series that opens above the mean has all P_j > 0 and the
+          // unclamped min would over-subtract. Hence least(min, 0).
+          .withColumn("cusum",
+            col("pref") - least(min(col("pref")).over(wRun), lit(0L)))
         c.withColumn("mx",
             max(col("cusum")).over(Window.partitionBy(col("event_type"))))
           .groupBy(col("event_type"))
@@ -910,8 +922,8 @@ object QueriesEvents {
           |        * total AS pref
           |  FROM hc JOIN tot USING (event_type)),
           |c AS (SELECT event_type, h, total,
-          |    pref - min(pref) OVER (PARTITION BY event_type ORDER BY h
-          |      ROWS UNBOUNDED PRECEDING) AS cusum
+          |    pref - least(min(pref) OVER (PARTITION BY event_type ORDER BY h
+          |      ROWS UNBOUNDED PRECEDING), 0) AS cusum
           |  FROM p),
           |c2 AS (SELECT *, max(cusum) OVER (PARTITION BY event_type) AS mx FROM c)
           |SELECT event_type, count(*) AS n_hours,
@@ -1274,12 +1286,16 @@ object QueriesEvents {
           .agg(count(lit(1)).as("o"))
         val t = c.groupBy(col("event_type"))
           .agg(sum(col("o")).as("total"), count(lit(1)).as("n_cells"))
-        val dev = lit(168L) * col("o") - col("total")
+        // dev^2 overflows int64 past ~1e9 events/type (dev ~ 168·T):
+        // route the sum through DECIMAL(38,0) and grade it as an exact
+        // digit string. chi2_den = 168·T stays < 2^53 at any real scale.
+        val dev = (lit(168L) * col("o") - col("total")).cast(DecimalType(38, 0))
         c.join(broadcast(t), "event_type")
           .groupBy(col("event_type"), col("total"), col("n_cells"))
-          .agg(sum(dev * dev).as("chi2_num"))
+          .agg(sum(dev * dev).cast(DecimalType(38, 0)).as("chi2_num"))
           .select(col("event_type"), col("total"), col("n_cells"),
-            col("chi2_num"), (lit(168L) * col("total")).as("chi2_den"),
+            col("chi2_num").cast("string").as("chi2_num"),
+            (lit(168L) * col("total")).as("chi2_den"),
             round(col("chi2_num").cast("double") /
               (lit(168L) * col("total")).cast("double"), 9).as("chi2"))
           .orderBy(col("event_type"))
@@ -1292,10 +1308,12 @@ object QueriesEvents {
           |t AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS total,
           |    count(*) AS n_cells FROM c GROUP BY 1)
           |SELECT c.event_type, total, n_cells,
-          |  CAST(sum((168 * o - total) * (168 * o - total)) AS BIGINT)
+          |  CAST(CAST(sum(CAST(168 * o - total AS HUGEINT)
+          |      * (168 * o - total)) AS DECIMAL(38,0)) AS VARCHAR)
           |    AS chi2_num,
           |  CAST(168 * total AS BIGINT) AS chi2_den,
-          |  round(CAST(sum((168 * o - total) * (168 * o - total)) AS DOUBLE)
+          |  round(CAST(sum(CAST(168 * o - total AS HUGEINT)
+          |      * (168 * o - total)) AS DOUBLE)
           |    / (168 * total), 9) AS chi2
           |FROM c JOIN t USING (event_type) GROUP BY c.event_type, total, n_cells
           |ORDER BY c.event_type""".stripMargin),
@@ -1395,8 +1413,10 @@ object QueriesEvents {
         val den = ((col("a") + col("b")).cast(DecimalType(38, 0)) *
           (col("c") + col("d")) * (col("a") + col("c")) * (col("b") + col("d")))
           .cast(DecimalType(38, 0))
+        // chi2_num/chi2_den can exceed 2^53 at scale (den ~ N^4): grade the
+        // exact DECIMAL(38,0) values as strings so neither engine rounds.
         c.select(col("a"), col("b"), col("c"), col("d"), n.as("n"),
-          num.as("chi2_num"), den.as("chi2_den"),
+          num.cast("string").as("chi2_num"), den.cast("string").as("chi2_den"),
           round(num.cast("double") / den.cast("double"), 9).as("chi2"))
       },
       oracle = Some(
@@ -1413,10 +1433,10 @@ object QueriesEvents {
           |    count(*) FILTER (WHERE arm = 1 AND converted = 0) AS d
           |  FROM u)
           |SELECT a, b, c, d, a + b + c + d AS n,
-          |  CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c)
-          |    AS DECIMAL(38,0)) AS chi2_num,
-          |  CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
-          |    AS DECIMAL(38,0)) AS chi2_den,
+          |  CAST(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a*d - b*c) * (a*d - b*c)
+          |    AS DECIMAL(38,0)) AS VARCHAR) AS chi2_num,
+          |  CAST(CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
+          |    AS DECIMAL(38,0)) AS VARCHAR) AS chi2_den,
           |  round(CAST(CAST(a + b + c + d AS DECIMAL(38,0)) * (a*d - b*c)
           |      * (a*d - b*c) AS DOUBLE)
           |    / CAST(CAST(a + b AS DECIMAL(38,0)) * (c + d) * (a + c) * (b + d)
@@ -1649,9 +1669,12 @@ object QueriesEvents {
           .groupBy(col("event_type"), col("lag"))
           .agg(count(lit(1)).as("m_pairs"),
             sum(col("dd")).cast(DecimalType(38, 0)).as("num"))
+        // num/den are DECIMAL(38,0) sums of dev^2-scale products that pass
+        // 2^53 well below corpus scale: grade them as exact digit strings.
         pr.join(den, "event_type").join(st, "event_type")
           .select(col("event_type"), col("lag"), col("n"), col("m_pairs"),
-            col("num"), col("den"),
+            col("num").cast("string").as("num"),
+            col("den").cast("string").as("den"),
             round(col("num").cast("double") / col("den").cast("double"), 9)
               .as("acf"))
           .orderBy(col("event_type"), col("lag"))
@@ -1673,7 +1696,7 @@ object QueriesEvents {
           |  JOIN hd b ON a.event_type = b.event_type AND b.t = a.t + lag
           |  GROUP BY 1, 2)
           |SELECT pr.event_type, CAST(lag AS BIGINT) AS lag, st.n, m_pairs,
-          |  num, den.den,
+          |  CAST(num AS VARCHAR) AS num, CAST(den.den AS VARCHAR) AS den,
           |  round(CAST(num AS DOUBLE) / CAST(den.den AS DOUBLE), 9) AS acf
           |FROM pr JOIN den USING (event_type) JOIN st USING (event_type)
           |ORDER BY event_type, lag""".stripMargin),

@@ -1640,7 +1640,10 @@ object QueriesExtra {
     // copies that byte-level hashing can never match). 64-bit aHash over
     // the decoded 8×8 luma grid (stub decode, oracle-replayable), then
     // Manku-style blocking: 4×16-bit blocks, candidates share ≥1 block
-    // (guaranteed complete for Hamming ≤ 3 by pigeonhole), verify ≤ 6.
+    // (guaranteed complete for Hamming ≤ 3 by pigeonhole), verify ≤ 3 —
+    // the gate matches the blocking's completeness radius, so the result
+    // is exactly "all pairs within Hamming 3", not a blocking-dependent
+    // subset (a ≤6 gate over 4 blocks drops pairs differing in all four).
     // The banded self-join is O(n) — a 16-bit block collides for
     // unrelated images w.p. ~2^-16, so candidates ≈ true pairs; never
     // an all-pairs comparison. Hash relation persists+pins before the
@@ -1662,7 +1665,7 @@ object QueriesExtra {
               "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)"))
               .cast("long").as("hamming"))
           .distinct()
-          .filter(col("hamming") <= 6)
+          .filter(col("hamming") <= 3)
           .withColumn("reencode_pair", col("media_b") === col("media_a") + 1000000L)
           .orderBy(col("media_a"), col("media_b"))
       },
@@ -1700,7 +1703,7 @@ object QueriesExtra {
           |FROM (SELECT media_a, media_b, CAST(list_sum(list_transform(range(4),
           |    i -> bit_count(xor(ba[i + 1], bb[i + 1])))) AS BIGINT) AS hamming
           |  FROM cand)
-          |WHERE hamming <= 6 ORDER BY media_a, media_b""".stripMargin),
+          |WHERE hamming <= 3 ORDER BY media_a, media_b""".stripMargin),
       doc = "perceptual-hash (aHash) image near-dup: stub luma grid, mean-threshold bits, 4x16-bit Manku blocking"),
 
     // Scene-change detection over video blobs: the shot-boundary census a
@@ -1749,8 +1752,11 @@ object QueriesExtra {
         val x = d.groupBy(col("lang")).agg(count(lit(1)).as("n_x"))
         val y = d.groupBy(col("source")).agg(count(lit(1)).as("n_y"))
         val t = d.agg(count(lit(1)).as("n"))
-        val ratio = (col("n") * col("n_xy")).cast("double") /
-          (col("n_x") * col("n_y")).cast("double")
+        // n·n_xy / n_x·n_y overflow int64 past ~3e9 rows: cast each factor
+        // to double FIRST — IEEE multiply is correctly rounded and order
+        // is fixed, so both engines produce the identical bits.
+        val ratio = (col("n").cast("double") * col("n_xy").cast("double")) /
+          (col("n_x").cast("double") * col("n_y").cast("double"))
         xy.join(broadcast(x), "lang").join(broadcast(y), "source").crossJoin(t)
           .select(col("lang"), col("source"), col("n_xy"), col("n_x"), col("n_y"),
             round(log(ratio), 9).as("pmi"),
@@ -1764,9 +1770,11 @@ object QueriesExtra {
           |y AS (SELECT source, count(*) AS n_y FROM documents GROUP BY 1),
           |t AS (SELECT count(*) AS n FROM documents)
           |SELECT lang, source, n_xy, n_x, n_y,
-          |  round(ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9) AS pmi,
+          |  round(ln((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+          |    / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9) AS pmi,
           |  round((CAST(n_xy AS DOUBLE) / CAST(n AS DOUBLE)) *
-          |    ln(CAST(n * n_xy AS DOUBLE) / CAST(n_x * n_y AS DOUBLE)), 9) AS mi_term
+          |    ln((CAST(n AS DOUBLE) * CAST(n_xy AS DOUBLE))
+          |      / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))), 9) AS mi_term
           |FROM xy JOIN x USING (lang) JOIN y USING (source) CROSS JOIN t
           |ORDER BY lang, source""".stripMargin),
       doc = "mutual-information census (lang x source): exact joint counts, round-9 PMI/MI terms"),
@@ -2065,7 +2073,7 @@ object QueriesExtra {
           .select(col("b.media_id").as("media_id"),
             expr("bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1) + " +
               "bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3)").as("hamming"))
-          .filter(col("hamming") <= 6)
+          .filter(col("hamming") <= 3)
           .select(col("media_id")).distinct()
         val imgBranch = hashed
           .join(dup.withColumn("rej", lit(1L)), Seq("media_id"), "left")
@@ -2123,7 +2131,7 @@ object QueriesExtra {
           |dup AS (SELECT DISTINCT media_b FROM (
           |  SELECT media_a, media_b, CAST(list_sum(list_transform(range(4),
           |      i -> bit_count(xor(ba[i + 1], bb[i + 1])))) AS BIGINT) AS hamming
-          |  FROM cand) WHERE hamming <= 6),
+          |  FROM cand) WHERE hamming <= 3),
           |img_branch AS (SELECT 'image' AS kind, count(*) AS n_total,
           |    CAST(count(*) FILTER (WHERE media_id IN (SELECT media_b FROM dup))
           |      AS BIGINT) AS n_rejected
@@ -2199,10 +2207,10 @@ object QueriesExtra {
           |    CAST(sum(dx * dy) AS BIGINT) AS sxy FROM j),
           |nn AS (SELECT count(*) AS n_nodes FROM deg)
           |SELECT n, n_nodes, sx, sxx, sxy,
-          |  CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx
-          |    AS DECIMAL(38,0)) AS r_num,
-          |  CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
-          |    AS DECIMAL(38,0)) AS r_den,
+          |  CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx
+          |    AS DECIMAL(38,0)) AS VARCHAR) AS r_num,
+          |  CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx
+          |    AS DECIMAL(38,0)) AS VARCHAR) AS r_den,
           |  round(CAST(CAST(n AS DECIMAL(38,0)) * sxy
           |        - CAST(sx AS DECIMAL(38,0)) * sx AS DOUBLE)
           |    / CAST(CAST(n AS DECIMAL(38,0)) * sxx
@@ -2290,8 +2298,12 @@ object QueriesExtra {
           col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
         val vy = (col("n").cast(DecimalType(38, 0)) * col("syy") -
           col("sy").cast(DecimalType(38, 0)) * col("sy")).cast(DecimalType(38, 0))
+        // sxx/syy/sxy are DECIMAL(38,0) second moments that pass 2^53 at
+        // corpus scale: grade them as exact digit strings.
         m.select(col("col_x"), col("col_y"), col("n"), col("sx"), col("sy"),
-          col("sxx"), col("syy"), col("sxy"),
+          col("sxx").cast("string").as("sxx"),
+          col("syy").cast("string").as("syy"),
+          col("sxy").cast("string").as("sxy"),
           round(num.cast("double") /
             (sqrt(vx.cast("double")) * sqrt(vy.cast("double"))), 9).as("r"))
           .orderBy(col("col_x"), col("col_y"))
@@ -2315,7 +2327,9 @@ object QueriesExtra {
           |    CAST(sum(CAST(y AS HUGEINT) * y) AS DECIMAL(38,0)) AS syy,
           |    CAST(sum(CAST(x AS HUGEINT) * y) AS DECIMAL(38,0)) AS sxy
           |  FROM pairs GROUP BY 1, 2)
-          |SELECT col_x, col_y, n, sx, sy, sxx, syy, sxy,
+          |SELECT col_x, col_y, n, sx, sy,
+          |  CAST(sxx AS VARCHAR) AS sxx, CAST(syy AS VARCHAR) AS syy,
+          |  CAST(sxy AS VARCHAR) AS sxy,
           |  round(CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
           |      - CAST(sx AS HUGEINT) * sy AS DOUBLE)
           |    / (sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)

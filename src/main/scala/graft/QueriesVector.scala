@@ -984,17 +984,17 @@ object QueriesVector {
     // summed as DECIMAL — order-free, bit-stable; the co-moment → cov
     // chain is then a fixed IEEE sequence both engines replay.
     // GRADED OUTPUT RULE: the exact DECIMAL co-moment stays internal; the
-    // emitted `sxy` is cast to DOUBLE (exact here — |sxy| ≪ 2^53 even at
-    // sf1) because the driver's hasher canonicalizes decimal128 columns
-    // engine-differently (the r7 9-query hash-fail class).
+    // emitted `sxy` is graded as an exact digit STRING — its magnitude is
+    // Σ(~1e10/row) and passes 2^53 beyond ~1e6 vectors, where decimal→
+    // double conversion double-rounds engine-differently (r8 ADVICE).
     "embedding_covariance" -> Q(
       fn = (s, dir) =>
         Vectors.covarianceMatrix(Tables.embeddings(s, dir), "embedding")
-          .withColumn("sxy", col("sxy").cast("double"))
+          .withColumn("sxy", col("sxy").cast("string"))
           .orderBy(col("i"), col("j")),
       oracle = Some(
         s"""WITH $covCtes
-           |SELECT i, j, n, CAST(sxy AS DOUBLE) AS sxy, cov
+           |SELECT i, j, n, CAST(sxy AS VARCHAR) AS sxy, cov
            |FROM covm ORDER BY i, j""".stripMargin),
       doc = "covariance/co-moment matrix over embeddings: d²-bounded combinable agg (PCA/whitening stats)"),
 
@@ -1335,10 +1335,10 @@ object QueriesVector {
           .agg(sum(col("sa") * col("sb")).cast(DecimalType(38, 0)).as("dot"),
             sum(col("sa") * col("sa")).cast(DecimalType(38, 0)).as("nsa"),
             sum(col("sb") * col("sb")).cast(DecimalType(38, 0)).as("nsb"))
-          // dot emits as DOUBLE (exact: |dot| ≪ 2^53 at graded SFs) — the
-          // DECIMAL stays internal per the graded-output rule (r7 verdict)
+          // dot scales with d·n_lang²·1e10 and passes 2^53 at corpus
+          // scale: grade it as an exact digit string (r8 ADVICE medium)
           .select(col("lang_a"), col("lang_b"), col("na"), col("nb"),
-            col("dot").cast("double").as("dot"),
+            col("dot").cast("string").as("dot"),
             round(col("dot").cast("double") /
               sqrt(col("nsa").cast("double") * col("nsb").cast("double")), 9)
               .as("cos_sim"))
@@ -1361,7 +1361,7 @@ object QueriesVector {
           |  FROM cent a JOIN cent b ON a.i = b.i AND a.lang < b.lang
           |  GROUP BY 1, 2, 3, 4)
           |SELECT lang_a, lang_b, CAST(na AS BIGINT) AS na,
-          |  CAST(nb AS BIGINT) AS nb, CAST(dot AS DOUBLE) AS dot,
+          |  CAST(nb AS BIGINT) AS nb, CAST(dot AS VARCHAR) AS dot,
           |  round(CAST(dot AS DOUBLE)
           |    / sqrt(CAST(nsa AS DOUBLE) * CAST(nsb AS DOUBLE)), 9) AS cos_sim
           |FROM p ORDER BY lang_a, lang_b""".stripMargin),
@@ -1396,13 +1396,16 @@ object QueriesVector {
             .cast(DecimalType(18, 9)).as("sum_dist10d"))
           // emit the exact decimal sum as DOUBLE (k/1e9 with k ≤ 2e10 —
           // both engines round-to-nearest the same rational identically);
-          // the top-20 order still rides the exact value, which the cast
-          // preserves order-isomorphically at this magnitude
-          .select(col("q_key"), col("q_label"),
+          // the top-20 ORDER is taken on the exact decimal BEFORE the
+          // cast (both engines), so sums that collapse to the same double
+          // still rank by the exact value, tie-broken by q_key
+          .select(col("q_key"), col("q_label"), col("sum_dist10d"),
             col("sum_dist10d").cast("double").as("sum_dist10"),
             round(col("sum_dist10d").cast("double") / lit(10.0), 9)
               .as("mean_dist"))
-          .orderBy(col("sum_dist10").desc, col("q_key")).limit(20)
+          .orderBy(col("sum_dist10d").desc, col("q_key")).limit(20)
+          .select(col("q_key"), col("q_label"), col("sum_dist10"),
+            col("mean_dist"))
       },
       oracle = Some(
         """WITH qs AS (SELECT vec_id AS q_key, label AS q_label,
@@ -1417,12 +1420,11 @@ object QueriesVector {
           |nn AS (SELECT * FROM (SELECT *, row_number() OVER (
           |    PARTITION BY q_key ORDER BY distance, c_key) AS rnk FROM sc)
           |  WHERE rnk <= 10)
-          |SELECT q_key, q_label,
-          |  CAST(CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DECIMAL(18,9))
-          |    AS DOUBLE) AS sum_dist10,
-          |  round(CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DOUBLE) / 10.0, 9)
-          |    AS mean_dist
-          |FROM nn GROUP BY q_key, q_label
-          |ORDER BY sum_dist10 DESC, q_key LIMIT 20""".stripMargin),
+          |SELECT q_key, q_label, CAST(sd AS DOUBLE) AS sum_dist10,
+          |  round(CAST(sd AS DOUBLE) / 10.0, 9) AS mean_dist
+          |FROM (SELECT q_key, q_label,
+          |    CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sd
+          |  FROM nn GROUP BY q_key, q_label)
+          |ORDER BY sd DESC, q_key LIMIT 20""".stripMargin),
       doc = "10-NN mean-distance outlier census: round-9 distances, exact DECIMAL(18,9) sum, rank rides the exact sum"))
 }

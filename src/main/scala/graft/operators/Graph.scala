@@ -267,8 +267,11 @@ object Graph {
       col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
     val den = (col("n").cast(DecimalType(38, 0)) * col("sxx") -
       col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
+    // r_num/r_den are DECIMAL(38,0) n·Σ products that pass 2^53 at scale:
+    // grade them as exact digit strings so neither engine rounds.
     m.crossJoin(nn).select(col("n"), col("n_nodes"), col("sx"),
-      col("sxx"), col("sxy"), num.as("r_num"), den.as("r_den"),
+      col("sxx"), col("sxy"),
+      num.cast("string").as("r_num"), den.cast("string").as("r_den"),
       round(num.cast("double") / den.cast("double"), 9).as("assortativity"))
   }
 

@@ -512,6 +512,13 @@ object EventStream {
             }
             val rest = if (state.exists) pts else pts.tail
             rest.foreach { p =>
+              // cross-batch monotonicity is a CONTRACT, not a hope: a
+              // point older than sealed state would fold into the wrong
+              // position and silently corrupt the recurrence. Fail loud.
+              require(p.t >= st.lastT,
+                s"streamingEwma: out-of-order point for key '$g' " +
+                  s"(t=${p.t} < sealed lastT=${st.lastT}); enforce a " +
+                  "watermark + per-key monotone delivery upstream")
               st = EwmaState(p.t, (st.half + p.y) / 2.0,
                 0.75 * st.quarter + 0.25 * p.y, st.n + 1)
             }

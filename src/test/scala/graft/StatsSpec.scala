@@ -38,6 +38,33 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("CUSUM identity clamps P_0 = 0: a series opening ABOVE the mean") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // x = (9, 9, 0, 0, 2) with k = mean = 4: d_i (n-scaled, n=5, total=20)
+    // opens positive, so every prefix P_j > 0 until hour 3 — the unclamped
+    // min(pref) would over-subtract for the first hours. The fold gives
+    // S = (25, 50, 30, 10, 0) in n-scaled units; max = 50 at hour 2.
+    val xs = Seq(9L, 9L, 0L, 0L, 2L)
+    val n = xs.length.toLong
+    val total = xs.sum
+    var s = 0L; var mx = 0L
+    xs.foreach { x => s = math.max(0L, s + (n * x - total)); mx = math.max(mx, s) }
+    assert(mx === 50L)
+
+    val df = xs.zipWithIndex.map { case (x, h) => (h.toLong, x) }.toDF("h", "x")
+    val wOrd = Window.orderBy(col("h"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val got = df
+      .withColumn("pref", sum(lit(n) * col("x")).over(wRun) -
+        row_number().over(wOrd).cast("long") * lit(total))
+      .withColumn("cusum",
+        col("pref") - least(min(col("pref")).over(wRun), lit(0L)))
+      .agg(max(col("cusum"))).head.getLong(0)
+    assert(got === mx,
+      "windowed CUSUM must clamp the running min at P_0 = 0")
+  }
+
   test("profile_gini: closed forms — uniform is 0, one-hot approaches (n-1)/n") {
     import spark.implicits._
     // Re-express the query's arithmetic on crafted counts via the same
@@ -161,9 +188,9 @@ class StatsSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.groupBy(_.getAs[Long]("cohort")).foreach { case (_, rs) =>
       val cums = rs.sortBy(_.getAs[Long]("age_week"))
-        .map(_.getAs[java.math.BigDecimal]("cum_val"))
+        .map(_.getAs[Number]("cum_val").doubleValue())
       cums.sliding(2).foreach {
-        case Array(a, b) => assert(b.compareTo(a) >= 0)
+        case Array(a, b) => assert(b >= a)
         case _ =>
       }
     }

@@ -140,6 +140,16 @@ def main():
             if lbad:
                 results[name] = f"LIST-TYPED-COLUMN (ungradeable): {lbad}"
                 continue
+            # DECIMAL-typed graded columns hash through the driver's pandas
+            # path as object/Decimal vs float and silently mismatch above
+            # 2^53 (r7/r8 DECIMAL(38,0) class). Hard-reject like LIST:
+            # grade a DOUBLE (if |v| < 2^53 provably) or a digit string.
+            dbad = sorted(c for c in gc
+                          if gt.get(c, "").startswith("DECIMAL")
+                          or et.get(c, "").startswith("DECIMAL"))
+            if dbad:
+                results[name] = f"DECIMAL-TYPED-COLUMN (ungradeable): {dbad}"
+                continue
         except Exception as e:
             results[name] = f"TYPE-CHECK-FAIL: {e}"
             continue
