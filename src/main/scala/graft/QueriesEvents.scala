@@ -225,6 +225,123 @@ object QueriesEvents {
           |FROM after GROUP BY 1, 2 ORDER BY queue, state""".stripMargin),
       doc = "E6 move-jobs worker: pending-state queue relocation (move-jobs.ts:14-126)"),
 
+    // E1 webhook emit surface in batch form (webhook.ts:102-195): every
+    // lifecycle event shapes the POST body {type:'Webhook', event:{type,
+    // payload:{bucketId,name}}, tenant:{ref}} and the log's objectPath
+    // `${tenant}/${bucketId}/${name}`; shouldSend (webhook.ts:121-137)
+    // suppresses tenants whose disabledEvents list matches either
+    // `Webhook:<type>` or the object-scoped `Webhook:<type>:<bucket>/<name>`.
+    // Events synthesize from objects (mimetype → lifecycle type); the
+    // disable rules are md5-deterministic so both engines replay them.
+    // `sentAt` (transport wall-clock) is intentionally absent — it is not
+    // part of the shaping semantics. Body built via concat (NOT to_json:
+    // engine-specific field ordering/spacing); one combinable groupBy.
+    "e1_webhook_payloads" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.objects(s, dir).select(
+          concat(lit("tenant-"), expr("substring(owner_id, 6)")).as("tenant_ref"),
+          when(col("mimetype") === "image/png", "ObjectCreated:Post")
+            .when(col("mimetype") === "text/plain", "ObjectCreated:Put")
+            .otherwise("ObjectRemoved:Delete").as("event_type"),
+          col("bucket_id"), col("name"))
+        val shaped = ev.select(col("tenant_ref"), col("event_type"),
+          concat_ws("/", col("tenant_ref"), col("bucket_id"), col("name"))
+            .as("object_path"),
+          concat(lit("{\"type\":\"Webhook\",\"event\":{\"type\":\""),
+            col("event_type"),
+            lit("\",\"payload\":{\"bucketId\":\""), col("bucket_id"),
+            lit("\",\"name\":\""), col("name"),
+            lit("\"}},\"tenant\":{\"ref\":\""), col("tenant_ref"),
+            lit("\"}}")).as("body"),
+          ((expr("cast(conv(substring(md5(concat('dis|', tenant_ref)), 1, 4), " +
+            "16, 10) as bigint) % 5") === 0 &&
+            col("event_type") === "ObjectRemoved:Delete") ||
+            expr("cast(conv(substring(md5(concat('dis|', event_type, ':', " +
+              "bucket_id, '/', name)), 1, 4), 16, 10) as bigint) % 97") === 0)
+            .as("suppressed"))
+        shaped.groupBy(col("tenant_ref"), col("event_type"))
+          .agg(count(lit(1)).as("n_total"),
+            sum(when(col("suppressed"), 1L).otherwise(0L)).as("n_suppressed"),
+            (count(lit(1)) -
+              sum(when(col("suppressed"), 1L).otherwise(0L))).as("n_sent"),
+            min(col("object_path")).as("first_path"),
+            min_by(col("body"), col("object_path")).as("sample_body"))
+          .orderBy(col("tenant_ref"), col("event_type"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """SELECT tenant_ref, event_type, count(*) AS n_total,
+          |  CAST(count(*) FILTER (WHERE suppressed) AS BIGINT) AS n_suppressed,
+          |  CAST(count(*) - count(*) FILTER (WHERE suppressed) AS BIGINT)
+          |    AS n_sent,
+          |  min(object_path) AS first_path,
+          |  min_by(body, object_path) AS sample_body
+          |FROM (
+          |  SELECT tenant_ref, event_type,
+          |    concat_ws('/', tenant_ref, bucket_id, name) AS object_path,
+          |    concat('{"type":"Webhook","event":{"type":"', event_type,
+          |      '","payload":{"bucketId":"', bucket_id, '","name":"', name,
+          |      '"}},"tenant":{"ref":"', tenant_ref, '"}}') AS body,
+          |    (CAST(('0x' || substr(md5(concat('dis|', tenant_ref)), 1, 4))
+          |        AS BIGINT) % 5 = 0
+          |      AND event_type = 'ObjectRemoved:Delete')
+          |    OR CAST(('0x' || substr(md5(concat('dis|', event_type, ':',
+          |        bucket_id, '/', name)), 1, 4)) AS BIGINT) % 97 = 0
+          |      AS suppressed
+          |  FROM (
+          |    SELECT concat('tenant-', substr(owner_id, 6)) AS tenant_ref,
+          |      CASE WHEN mimetype = 'image/png' THEN 'ObjectCreated:Post'
+          |           WHEN mimetype = 'text/plain' THEN 'ObjectCreated:Put'
+          |           ELSE 'ObjectRemoved:Delete' END AS event_type,
+          |      bucket_id, name
+          |    FROM objects))
+          |GROUP BY 1, 2 ORDER BY tenant_ref, event_type""".stripMargin)),
+      doc = "E1 webhook payload shaping + shouldSend disable filters (webhook.ts:102-195, :121-137)"),
+
+    // E4 dead-letter routing in batch form (event.ts:60-62): every queue's
+    // DLQ is `<queue>-dead-letter`; a job that exhausts retryLimit (2, so 3
+    // attempts) routes there, a job that succeeds on attempt k ≤ 3 delivers
+    // after k-1 retries. Outcomes are md5-deterministic per job id (20%
+    // permanent failures; survivors need seed%3 retries), so both engines
+    // replay the same attempt ledger. One combinable groupBy per queue.
+    "e4_dlq_routing" -> Q(
+      fn = (s, dir) => {
+        val jobs = Tables.events(s, dir).select(
+          col("event_id").as("id"), col("event_type").as("queue"),
+          expr("cast(conv(substring(md5(concat('dlq|', cast(event_id as " +
+            "string))), 1, 4), 16, 10) as bigint) % 10").as("seed"))
+        jobs.select(col("queue"),
+            (col("seed") < 2).as("dead"),
+            when(col("seed") < 2, 3L).otherwise(col("seed") % 3 + 1)
+              .as("attempts"))
+          .groupBy(col("queue"))
+          .agg(count(lit(1)).as("n_jobs"),
+            sum(when(col("dead"), 0L).otherwise(1L)).as("n_delivered"),
+            sum(when(col("dead"), 1L).otherwise(0L)).as("n_dead_lettered"),
+            sum(col("attempts")).as("total_attempts"),
+            sum(col("attempts") - 1).as("total_retries"))
+          .withColumn("dlq_name", concat(col("queue"), lit("-dead-letter")))
+          .select(col("queue"), col("dlq_name"), col("n_jobs"),
+            col("n_delivered"), col("n_dead_lettered"),
+            col("total_attempts"), col("total_retries"))
+          .orderBy(col("queue"))
+      },
+      oracle = Some(
+        """WITH jobs AS (SELECT event_type AS queue,
+          |    CAST(('0x' || substr(md5(concat('dlq|',
+          |      CAST(event_id AS VARCHAR))), 1, 4)) AS BIGINT) % 10 AS seed
+          |  FROM events),
+          |led AS (SELECT queue, seed < 2 AS dead,
+          |    CASE WHEN seed < 2 THEN 3 ELSE seed % 3 + 1 END AS attempts
+          |  FROM jobs)
+          |SELECT queue, concat(queue, '-dead-letter') AS dlq_name,
+          |  count(*) AS n_jobs,
+          |  CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT) AS n_delivered,
+          |  CAST(count(*) FILTER (WHERE dead) AS BIGINT) AS n_dead_lettered,
+          |  CAST(sum(attempts) AS BIGINT) AS total_attempts,
+          |  CAST(sum(attempts - 1) AS BIGINT) AS total_retries
+          |FROM led GROUP BY queue ORDER BY queue""".stripMargin),
+      doc = "E4 dead-letter routing + retry ledger (event.ts:60-62, pg-boss retryLimit)"),
+
     // As-of join (an operator Spark lacks natively): every purchase picks
     // the LATEST click by the same user at or before its timestamp —
     // "most recent state at event time", the feature-lookup shape. The

@@ -66,6 +66,40 @@ object QueriesVector {
     s"""round(sqrt(list_sum(list_transform(list_zip(CAST($emb AS DOUBLE[]), qv),
        |    z -> (z[1]-z[2])*(z[1]-z[2])))), 9) + 0.0""".stripMargin
 
+  /** fp16 (halfvec, 0001-init.sql:14-19) truncate-mantissa quantization of an
+    * embedding array — the storage-precision parity arm. Keeps 10 mantissa
+    * bits by TRUNCATION via pure integer/power-of-two double math both
+    * engines replay exactly (no float→bits cast exists in either SQL
+    * surface): the exponent e = ⌊log₂|x|⌋ comes from the BINARY-STRING
+    * LENGTH of n = ⌊|x|·2⁴⁰⌋ (Spark `bin`, DuckDB `printf('%b')` — integer
+    * exact, no libm), then q = sgn(x)·⌊|x|·2^(10−e)⌋·2^(e−10). Every step
+    * is a power-of-two scale (exact), a floor (exact), or a ±1 multiply
+    * (exact), so both engines produce identical doubles. |x| < 2⁻⁴⁰
+    * flushes to 0 (below the scheme's exponent range — analogous to
+    * halfvec's subnormal floor, documented in SCALE.md). */
+  private def fp16Spark(arr: String): String = {
+    val a = "abs(cast(x as double))"
+    val n = s"cast(floor($a * 1099511627776.0D) as bigint)" // 2^40
+    val e = s"(length(bin($n)) - 41)"
+    s"""transform($arr, x -> CASE
+       |  WHEN cast(x as double) = 0.0D OR $n = 0L THEN 0.0D
+       |  ELSE (CASE WHEN cast(x as double) < 0.0D THEN -1.0D ELSE 1.0D END)
+       |    * floor($a * pow(2.0D, cast(10 - $e as double)))
+       |    * pow(2.0D, cast($e - 10 as double)) END)""".stripMargin
+  }
+
+  /** DuckDB twin of [[fp16Spark]] — byte-identical arithmetic. */
+  private def fp16Duck(arr: String): String = {
+    val a = "abs(x)"
+    val n = s"CAST(floor($a * 1099511627776.0) AS BIGINT)"
+    val e = s"(length(printf('%b', $n)) - 41)"
+    s"""list_transform(CAST($arr AS DOUBLE[]), x -> CASE
+       |  WHEN x = 0.0 OR $n = 0 THEN 0.0
+       |  ELSE (CASE WHEN x < 0.0 THEN -1.0 ELSE 1.0 END)
+       |    * floor($a * pow(2.0, CAST(10 - $e AS DOUBLE)))
+       |    * pow(2.0, CAST($e - 10 AS DOUBLE)) END)""".stripMargin
+  }
+
   /** Reads the query vector (vec_id = 0) driver-side — it is a query
     * *parameter*, exactly like the reference's `$q` bind value. */
   private def queryVec(s: org.apache.spark.sql.SparkSession, dir: String): Seq[Double] =
@@ -206,6 +240,33 @@ object QueriesVector {
            |FROM embeddings, q
            |ORDER BY distance, vec_id LIMIT 15""".stripMargin),
       doc = "V3 queryVectors euclidean top-k"),
+
+    // V3 fp16/halfvec storage-precision parity arm (0001-init.sql:14-19):
+    // pgvector stores index columns as halfvec (2 bytes/dim); this arm
+    // quantizes BOTH corpus and query through the truncate-mantissa fp16
+    // scheme ([[fp16Spark]]) before the cosine top-k, certifying that the
+    // engine's distance semantics hold at storage precision (at 100 TB the
+    // halved footprint doubles the RAM-resident corpus share). Quantization
+    // is per-element scan-local (codegen'd, no shuffle added over v3_knn).
+    "v3_knn_fp16" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+          .withColumn("qemb", expr(fp16Spark("embedding")))
+        // quantized query collected from the SAME expression (parameter
+        // read, like queryVec)
+        val qv = emb.filter(col("vec_id") === 0)
+          .select(col("qemb")).head.getSeq[Double](0)
+        Vectors.knn(emb, "vec_id", "qemb", qv, "cosine", 10)
+          .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
+      },
+      oracle = Some(
+        s"""WITH qe AS (SELECT vec_id, label, ${fp16Duck("embedding")} AS qemb
+           |  FROM embeddings),
+           |q AS (SELECT qemb AS qv FROM qe WHERE vec_id = 0)
+           |SELECT vec_id, label, ${cosSql("qemb")} AS distance
+           |FROM qe, q
+           |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 kNN at halfvec storage precision: truncate-mantissa fp16 quantization both sides (0001-init.sql:14-19)"),
 
     // V3 + P8: kNN restricted by a metadata-style filter (label predicate),
     // the reference's filtered query shape (index.ts:656-688).
