@@ -229,7 +229,13 @@ object Graph {
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(k)).persist(mem)
-      visited = visited.unionByName(next).persist(mem)
+      // localCheckpoint (not just persist): `visited` is a union-of-unions
+      // whose LINEAGE grows one join+union per hop — at 100× the plan/DAG
+      // depth, not the data, becomes the bottleneck (scheduler + codegen
+      // re-walk the whole history each superstep). Checkpointing pins the
+      // hop's result as a leaf, so plan depth is CONSTANT in maxHops —
+      // the same cut pagerankFixedPoint/labelPropagation/peel already make.
+      visited = visited.unionByName(next).localCheckpoint()
       frontier = next.select(col("id"))
       k += 1
     }

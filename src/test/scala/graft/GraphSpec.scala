@@ -91,6 +91,30 @@ class GraphSpec extends SparkTestBase {
     assert(out == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, -1 -> 3L), s"got $out")
   }
 
+  test("iterative family: plan depth is CONSTANT in the superstep count") {
+    // The 100×-scale property the per-superstep localCheckpoint buys: the
+    // analyzed plan of round k must not embed the plans of rounds 1..k-1.
+    // Depth is measured on the analyzed logical plan; a missing checkpoint
+    // makes depth grow linearly in iterations and this goes red.
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+           else p.children.map(c =>
+             depth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 7L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    def planDepths(iters: Int): (Int, Int, Int) = (
+      depth(Graph.bfsLayers(edges, Seq(1L).toDF("id"), iters)
+        .queryExecution.analyzed),
+      depth(Graph.labelPropagation(edges, iters).queryExecution.analyzed),
+      depth(Graph.pagerankFixedPoint(edges, iters).queryExecution.analyzed))
+    val (b2, l2, p2) = planDepths(2)
+    val (b6, l6, p6) = planDepths(6)
+    assert(b6 == b2, s"bfsLayers plan depth grew with hops: $b2 -> $b6")
+    assert(l6 == l2, s"labelPropagation plan depth grew with iters: $l2 -> $l6")
+    assert(p6 == p2, s"pagerank plan depth grew with iters: $p2 -> $p6")
+  }
+
   test("assortativity: star K1,3 is exactly -1, path P4 is exactly -0.5") {
     // star: every edge joins excess degrees (2, 0) → perfect disassortativity
     val star = Seq((0L, 1L), (0L, 2L), (0L, 3L))
