@@ -1182,6 +1182,70 @@ object QueriesEvents {
           |FROM l ORDER BY event_type""".stripMargin),
       doc = "EWMA via ordered higher-order fold: identical IEEE op sequence on both engines, keyed collect bounded by history length"),
 
+    // Holt double-exponential smoothing (level + trend) — the forecast the
+    // EWMA can't make: it tracks a LINEAR drift instead of flattening it.
+    // Same portable-exactness discipline as events_ewma: both engines fold
+    // the same doubles in the same order (Spark ordered `aggregate` with a
+    // struct state; DuckDB a recursive CTE carrying (l, b) — list_reduce
+    // can't hold a two-field state, the recursion can). Init l=y₂,
+    // b=y₂−y₁, fold from y₃ with α=1/2, β=1/4 (dyadic — exactly
+    // representable); l' = αy+(1−α)(l+b), b' = β(l'−l)+(1−β)b, identical
+    // literal op sequence both sides, round-9 only at the end. Keyed
+    // collect bounded by hourly-history length, exactly as events_ewma.
+    "events_holt_trend" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+        val lF = col("st").getField("l")
+        val bF = col("st").getField("b")
+        h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("tys"))
+          .withColumn("ys", transform(col("tys"), x => x.getField("y").cast("double")))
+          .filter(size(col("ys")) >= 2)
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(3), greatest(size(col("ys")) - 2, lit(0))),
+            struct(element_at(col("ys"), 2).as("l"),
+              (element_at(col("ys"), 2) - element_at(col("ys"), 1)).as("b")),
+            (acc, y) => {
+              val l = acc.getField("l")
+              val b = acc.getField("b")
+              val lNew = lit(0.5) * y + lit(0.5) * (l + b)
+              struct(lNew.as("l"),
+                (lit(0.25) * (lNew - l) + lit(0.75) * b).as("b"))
+            }))
+          .select(col("event_type"),
+            size(col("ys")).cast("long").as("n_hours"),
+            round(lF, 9).as("level"), round(bF, 9).as("trend"),
+            round(lF + lit(3.0) * bF, 9).as("forecast_h3"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |o AS (SELECT event_type, CAST(y AS DOUBLE) AS y,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+          |  FROM h),
+          |n AS (SELECT event_type, max(i) AS n FROM o GROUP BY 1),
+          |hw(event_type, i, l, b) AS (
+          |  SELECT a.event_type, CAST(2 AS BIGINT), b2.y, b2.y - a.y
+          |  FROM o a JOIN o b2
+          |    ON a.event_type = b2.event_type AND a.i = 1 AND b2.i = 2
+          |  UNION ALL
+          |  SELECT hw.event_type, hw.i + 1,
+          |    0.5 * o.y + 0.5 * (hw.l + hw.b),
+          |    0.25 * ((0.5 * o.y + 0.5 * (hw.l + hw.b)) - hw.l) + 0.75 * hw.b
+          |  FROM hw JOIN o
+          |    ON o.event_type = hw.event_type AND o.i = hw.i + 1)
+          |SELECT n.event_type, CAST(n.n AS BIGINT) AS n_hours,
+          |  round(hw.l, 9) AS level, round(hw.b, 9) AS trend,
+          |  round(hw.l + 3.0 * hw.b, 9) AS forecast_h3
+          |FROM hw JOIN n ON hw.event_type = n.event_type AND hw.i = n.n
+          |WHERE n.n >= 2 ORDER BY n.event_type""".stripMargin),
+      doc = "Holt level+trend smoothing: dyadic α/β, identical IEEE fold both engines, 3-hour-ahead forecast"),
+
     // Robust outlier census: median absolute deviation on hourly counts.
     // Medians of integers are half-integers, so EVERYTHING is exact in
     // doubled units: med2 = 2·median(x) (exact percentile, not approx),

@@ -540,6 +540,64 @@ object QueriesExtra {
           |SELECT dist, n_nodes FROM r WHERE n_nodes > 0 ORDER BY dist""".stripMargin),
       doc = "multi-source BFS hop census: bounded Pregel supersteps, node-sized frontiers"),
 
+    // Sampled harmonic centrality (Eppstein & Wang 2004 budget): per-probe
+    // BFS to 3 hops with a (root, id)-keyed frontier — all 8 probe waves
+    // advance in the same superstep, cost |S|·|V| not |V|², and the
+    // centrality Σ 1/d is graded as the EXACT integer 6·n1 + 3·n2 + 2·n3
+    // (×lcm(1..3) — no float division anywhere). Oracle unrolls the same
+    // three supersteps with root in the frontier key.
+    "graph_harmonic_centrality" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+        val seeds = e.select(col("src").as("id")).distinct()
+          .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
+        graft.operators.Graph.perSourceBfsCensus(e, seeds, maxHops = 3)
+          .groupBy(col("root"))
+          .agg(sum(when(col("dist") === 1, col("n_nodes")).otherwise(0L)).as("n1"),
+            sum(when(col("dist") === 2, col("n_nodes")).otherwise(0L)).as("n2"),
+            sum(when(col("dist") === 3, col("n_nodes")).otherwise(0L)).as("n3"))
+          .select(col("root"), col("n1"), col("n2"), col("n3"),
+            (col("n1") * 6 + col("n2") * 3 + col("n3") * 2).as("h6"))
+          .orderBy(col("root"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |s AS (SELECT DISTINCT src AS id FROM e WHERE src % 1000 = 0
+          |      ORDER BY id LIMIT 8),
+          |v0 AS (SELECT id AS root, id, 0 AS dist FROM s),
+          |f1 AS (SELECT DISTINCT v0.root, e.dst AS id
+          |  FROM e JOIN v0 ON e.src = v0.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM v0 p
+          |    WHERE p.root = v0.root AND p.id = e.dst)),
+          |v1 AS (SELECT * FROM v0 UNION ALL SELECT root, id, 1 FROM f1),
+          |f2 AS (SELECT DISTINCT f1.root, e.dst AS id
+          |  FROM e JOIN f1 ON e.src = f1.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM v1 p
+          |    WHERE p.root = f1.root AND p.id = e.dst)),
+          |v2 AS (SELECT * FROM v1 UNION ALL SELECT root, id, 2 FROM f2),
+          |f3 AS (SELECT DISTINCT f2.root, e.dst AS id
+          |  FROM e JOIN f2 ON e.src = f2.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM v2 p
+          |    WHERE p.root = f2.root AND p.id = e.dst)),
+          |v3 AS (SELECT * FROM v2 UNION ALL SELECT root, id, 3 FROM f3)
+          |SELECT root,
+          |  CAST(sum(CASE WHEN dist = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+          |  CAST(sum(CASE WHEN dist = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+          |  CAST(sum(CASE WHEN dist = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+          |  CAST(sum(CASE WHEN dist = 1 THEN 6 WHEN dist = 2 THEN 3
+          |      WHEN dist = 3 THEN 2 ELSE 0 END) AS BIGINT) AS h6
+          |FROM v3 WHERE dist > 0 GROUP BY root ORDER BY root""".stripMargin),
+      doc = "sampled harmonic centrality: per-probe 3-hop BFS, exact ×6 integer harmonic sum"),
+
 
     // Consistent-hash ring placement: 8 servers x 16 virtual nodes on the
     // md5-60-bit ring; each object lands on the first vnode clockwise from

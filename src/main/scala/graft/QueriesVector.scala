@@ -1487,5 +1487,42 @@ object QueriesVector {
           |    CAST(sum(CAST(distance AS DECIMAL(18,9))) AS DECIMAL(18,9)) AS sd
           |  FROM nn GROUP BY q_key, q_label)
           |ORDER BY sd DESC, q_key LIMIT 20""".stripMargin),
-      doc = "10-NN mean-distance outlier census: round-9 distances, exact DECIMAL(18,9) sum, rank rides the exact sum"))
+      doc = "10-NN mean-distance outlier census: round-9 distances, exact DECIMAL(18,9) sum, rank rides the exact sum"),
+
+    // SSL-prototype pruning (Sorscher et al. 2022): within each learned
+    // cluster, drop the most prototypical (centroid-nearest) 30% and keep
+    // the hard 70% — the data-pruning recipe that beats random sampling at
+    // scale. Assignment is the broadcast-argmin projection (no join);
+    // ranking is one cid shuffle; output is d²-bounded per-cluster rows
+    // whose keep-boundary distance certifies the whole within-cluster
+    // order. Oracle replays the argmin + rank chain per row (LATERAL-free,
+    // the dedup_semantic correlated-subquery pattern).
+    "embedding_prototype_prune" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        val centroids = emb.filter(col("vec_id") % 97 === 3)
+          .orderBy(col("vec_id")).limit(16)
+          .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+        Vectors.prototypePrune(emb, "vec_id", "embedding", centroids)
+          .orderBy(col("cid"))
+      },
+      oracle = Some(
+        """WITH cents AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          |  FROM embeddings WHERE vec_id % 97 = 3 ORDER BY vec_id LIMIT 16),
+          |v AS (SELECT e.vec_id AS id,
+          |    (SELECT ct.cid FROM cents ct
+          |     ORDER BY list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), ct.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2]))), ct.cid LIMIT 1) AS cid,
+          |    round(sqrt((SELECT min(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), ct.cv),
+          |       z -> (z[1]-z[2])*(z[1]-z[2])))) FROM cents ct)), 9) + 0.0 AS dist
+          |  FROM embeddings e),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY cid
+          |      ORDER BY dist DESC, id) AS rnk,
+          |    count(*) OVER (PARTITION BY cid) AS n FROM v)
+          |SELECT cid, CAST(max(n) AS BIGINT) AS n,
+          |  CAST(sum(CASE WHEN rnk * 10 <= n * 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+          |  min(CASE WHEN rnk * 10 <= n * 7 THEN dist END) AS dist_cut
+          |FROM r GROUP BY cid ORDER BY cid""".stripMargin),
+      doc = "SSL-prototype pruning census: keep the hard 70% per cluster, keep-boundary distance graded"))
 }

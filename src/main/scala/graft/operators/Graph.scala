@@ -246,6 +246,40 @@ object Graph {
     reached.unionByName(unreached).filter(col("n_nodes") > 0)
   }
 
+  /** Per-source bounded-hop BFS census — the reach profile behind SAMPLED
+    * harmonic centrality (Eppstein & Wang 2004 estimate closeness from a
+    * bounded probe set; same budget discipline here: |sources| is a small
+    * constant, never all nodes). The frontier key is (root, id), so the
+    * wave for every probe source advances in the SAME superstep — cost per
+    * hop is one edges⋈frontier shuffle with volume ≤ |S|·|V|, and the
+    * per-hop `distinct` collapses hub fanout map-side exactly as in
+    * [[bfsLayers]]. localCheckpoint per hop keeps plan depth constant in
+    * maxHops (the 100× DAG-depth cut all iterative kernels here make).
+    * Returns one (root, dist, n_nodes) row per probe source and hop ≥ 1. */
+  def perSourceBfsCensus(edges: DataFrame, sources: DataFrame,
+                         maxHops: Int): DataFrame = {
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col("src"), col("dst")).persist(mem)
+    var visited = sources.select(col("id").as("root"))
+      .distinct()
+      .select(col("root"), col("root").as("id"), lit(0).as("dist"))
+      .persist(mem)
+    var frontier = visited.select(col("root"), col("id"))
+    var k = 1
+    while (k <= maxHops) {
+      val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
+        .select(col("root"), col("dst").as("id")).distinct()
+        .join(visited.select(col("root"), col("id")),
+          Seq("root", "id"), "left_anti")
+        .withColumn("dist", lit(k))
+      visited = visited.unionByName(next).localCheckpoint()
+      frontier = next.select(col("root"), col("id"))
+      k += 1
+    }
+    visited.filter(col("dist") > 0)
+      .groupBy(col("root"), col("dist")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Degree assortativity (Newman 2002): Pearson correlation of EXCESS
     * degrees across edge endpoints. Input: directed edge relation with
     * BOTH orientations of every undirected edge present (so the two

@@ -165,6 +165,39 @@ object Vectors {
     vectors.withColumn("ivf_cid", array_min(array(candidates: _*)).getField("c"))
   }
 
+  /** SSL-prototype pruning census (Sorscher et al. 2022, "Beyond neural
+    * scaling laws": prune the most PROTOTYPICAL examples — those closest to
+    * their cluster centroid — and keep the hard ones). Assignment is the
+    * same argmin-over-broadcast-centroids projection as [[ivfAssign]] (zero
+    * joins, one codegen'd scan); the within-cluster ranking is ONE shuffle
+    * on `cid` shared by the rank and the cluster-size window. Per cluster:
+    * keep the `keepNum/keepDen` hardest rows (largest centroid distance,
+    * ties by key), emit (cid, n, n_keep, dist_cut) where `dist_cut` is the
+    * distance at the keep boundary — d²-bounded output however large the
+    * corpus, and the boundary value certifies the whole ranking. */
+  def prototypePrune(vectors: DataFrame, keyCol: String, embCol: String,
+                     centroids: Seq[(Long, Seq[Double])],
+                     keepNum: Int = 7, keepDen: Int = 10): DataFrame = {
+    val candidates = centroids.map { case (cid, cv) =>
+      struct(graft.functions.VectorExprs.l2Sq(col(embCol), typedLit(cv)).as("d"),
+        lit(cid).as("c"))
+    }
+    val best = array_min(array(candidates: _*))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cid")).orderBy(col("dist").desc, col(keyCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col("cid"))
+    vectors
+      .select(col(keyCol), best.getField("c").as("cid"),
+        (round(sqrt(best.getField("d")), 9) + 0.0).as("dist"))
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("keep", col("rnk") * keepDen <= col("n") * keepNum)
+      .groupBy(col("cid"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"),
+        min(when(col("keep"), col("dist"))).as("dist_cut"))
+  }
+
   /** IVF kNN: exact L2 top-k restricted to the query's nProbe nearest
     * centroid lists. */
   def ivfKnn(vectors: DataFrame, keyCol: String, embCol: String,

@@ -460,4 +460,25 @@ class DedupVectorsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((5L, 100005L, 1.0)))
   }
+
+  test("prototype prune: keeps the hard 70% per cluster, boundary distance exact") {
+    // cluster 0 at (0,0): 10 points, distances 0.1..1.0 → keep ranks 1..7
+    // (largest 7 distances 1.0..0.4), boundary = 0.4; cluster 1 at (10,0):
+    // 3 points, floor(3·7/10)=2 kept (0.7, 0.6), boundary = 0.6
+    val pts = (1 to 10).map(i => (i.toLong, Array(i / 10.0f, 0.0f))) ++
+      Seq((21L, Array(10.5f, 0.0f)), (22L, Array(10.6f, 0.0f)),
+        (23L, Array(10.7f, 0.0f)))
+    val df = pts.toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(0.0, 0.0)), (1L, Seq(10.0, 0.0)))
+    val got = Vectors.prototypePrune(df, "vec_id", "embedding", cents)
+      .orderBy("cid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(got.map(t => (t._1, t._2, t._3)) == Seq((0L, 10L, 7L), (1L, 3L, 2L)),
+      s"got $got")
+    // float 0.4f widens to ~0.4000000059…, round-9 keeps that exact value:
+    // assert against the same widened literal, not the decimal 0.4
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._4 == r9(0.4f.toDouble) && got(1)._4 == r9(math.sqrt((10.6f.toDouble - 10.0) * (10.6f.toDouble - 10.0))),
+      s"boundary distances: $got")
+  }
 }

@@ -131,6 +131,20 @@ class GraphSpec extends SparkTestBase {
     assert(p.getAs[Double]("assortativity") == -0.5, s"P4: $p")
   }
 
+  test("perSourceBfsCensus: path P5 hop counts per probe root, exact harmonic ×6") {
+    // undirected path 1—2—3—4—5, probes {1, 3}:
+    //   root 1: hop1={2} hop2={3} hop3={4}   → h6 = 6+3+2 = 11
+    //   root 3: hop1={2,4} hop2={1,5} hop3=∅ → h6 = 12+6  = 18
+    val p5 = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val seeds = Seq(1L, 3L).toDF("id")
+    val got = Graph.perSourceBfsCensus(p5, seeds, maxHops = 3)
+      .orderBy("root", "dist")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(got == Seq((1L, 1, 1L), (1L, 2, 1L), (1L, 3, 1L),
+      (3L, 1, 2L), (3L, 2, 2L)), s"got $got")
+  }
+
   test("commonNeighborPairs: C4 diagonals score cn=2 jaccard=1, edges are excluded") {
     // cycle 1-2-3-4-1: the only non-adjacent pairs are the two diagonals,
     // each sharing BOTH neighbors → Jaccard exactly 1

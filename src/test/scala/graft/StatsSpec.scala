@@ -139,6 +139,39 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_holt_trend: the struct fold equals the literal recurrence; linear series are tracked exactly") {
+    val res = Registry.all("events_holt_trend").fn(spark, sfDir)
+      .select("event_type", "level", "trend", "forecast_h3").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(res.nonEmpty)
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    def r9(x: Double) = BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    hours.filter(_._2.size >= 2).foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      var l = ys(1); var b = ys(1) - ys(0)
+      ys.drop(2).foreach { y =>
+        val lNew = 0.5 * y + 0.5 * (l + b)
+        b = 0.25 * (lNew - l) + 0.75 * b
+        l = lNew
+      }
+      assert(res(et) === ((r9(l), r9(b), r9(l + 3.0 * b))), s"Holt fold diverges for $et")
+    }
+    // closed form: on a perfectly linear series Holt is EXACT whatever α/β —
+    // l' = ½y₊ + ½(y+c) = y₊ and b' = ¼c + ¾c = c at every step
+    val lin = (0 until 6).map(_.toDouble * 3.0 + 10.0)
+    var l = lin(1); var b = lin(1) - lin(0)
+    lin.drop(2).foreach { y =>
+      val lNew = 0.5 * y + 0.5 * (l + b)
+      b = 0.25 * (lNew - l) + 0.75 * b
+      l = lNew
+    }
+    assert(l == lin.last && b == 3.0 && l + 3.0 * b == lin.last + 9.0)
+  }
+
   test("events_anomaly_mad: doubled-unit medians are exact and gate is integral") {
     val rows = Registry.all("events_anomaly_mad").fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
