@@ -1246,6 +1246,108 @@ object QueriesEvents {
           |WHERE n.n >= 2 ORDER BY n.event_type""".stripMargin),
       doc = "Holt level+trend smoothing: dyadic α/β, identical IEEE fold both engines, 3-hour-ahead forecast"),
 
+    // Holt-Winters ADDITIVE seasonal smoothing (m = 24, the diurnal cycle)
+    // — what Holt can't see: traffic that swings by hour-of-day. State is
+    // (level, trend, 24-slot seasonal queue); the queue head is always the
+    // seasonal factor for the CURRENT step, so update = pop + append —
+    // no modular indexing in the fold. Init: l₀ = mean(day 1),
+    // b₀ = (mean(day 2) − mean(day 1))/24², sᵢ = yᵢ − l₀; fold from hour 49
+    // with dyadic α=1/2, β=1/4, γ=1/2. Exactness discipline is
+    // events_holt_trend's: both engines run the IDENTICAL IEEE op sequence —
+    // Spark an ordered `aggregate` with a struct{l, b, s: array} state,
+    // DuckDB a recursive CTE carrying a LIST column — so every double
+    // matches bit-for-bit and round-9 is cosmetic. After the final step
+    // s[h] is the factor for hour n+h, so forecast_h3 = l + 3b + s[3].
+    // Keyed collect bounded by hourly history (~10³/type-year); types
+    // parallelize; at 100 TB the fold state is O(m) per key, constant.
+    "events_holt_winters" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+        val lF = col("st").getField("l")
+        val bF = col("st").getField("b")
+        val sF = col("st").getField("s")
+        h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("tys"))
+          .withColumn("ys", transform(col("tys"), x => x.getField("y").cast("double")))
+          .filter(size(col("ys")) >= 49)
+          .withColumn("a1", aggregate(slice(col("ys"), 1, 24),
+            lit(0.0), (a, v) => a + v))
+          .withColumn("a2", aggregate(slice(col("ys"), 25, 24),
+            lit(0.0), (a, v) => a + v))
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(49), size(col("ys")) - 48),
+            struct((col("a1") / lit(24.0)).as("l"),
+              ((col("a2") - col("a1")) / lit(576.0)).as("b"),
+              transform(slice(col("ys"), 1, 24),
+                y => y - col("a1") / lit(24.0)).as("s")),
+            (acc, y) => {
+              val l = acc.getField("l")
+              val b = acc.getField("b")
+              val sArr = acc.getField("s")
+              val sOld = element_at(sArr, 1)
+              val lNew = lit(0.5) * (y - sOld) + lit(0.5) * (l + b)
+              val bNew = lit(0.25) * (lNew - l) + lit(0.75) * b
+              val sNew = lit(0.5) * (y - lNew) + lit(0.5) * sOld
+              struct(lNew.as("l"), bNew.as("b"),
+                concat(slice(sArr, 2, 23), array(sNew)).as("s"))
+            }))
+          .select(col("event_type"),
+            size(col("ys")).cast("long").as("n_hours"),
+            round(lF, 9).as("level"),
+            (round(bF, 9) + 0.0).as("trend"),
+            (round(element_at(sF, 3), 9) + 0.0).as("s_h3"),
+            (round(array_max(sF) - array_min(sF), 9) + 0.0).as("seasonal_amp"),
+            (round(lF + lit(3.0) * bF + element_at(sF, 3), 9) + 0.0)
+              .as("forecast_h3"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |o AS (SELECT event_type, CAST(y AS DOUBLE) AS y,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+          |  FROM h),
+          |n AS (SELECT event_type, max(i) AS n FROM o GROUP BY 1
+          |  HAVING max(i) >= 49),
+          |ini AS (SELECT o.event_type, list(y ORDER BY i) AS ys
+          |  FROM o JOIN n ON o.event_type = n.event_type AND o.i <= 48
+          |  GROUP BY 1),
+          |i2 AS (SELECT event_type,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[1:24]),
+          |      (a, v) -> a + v) AS a1,
+          |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ys[25:48]),
+          |      (a, v) -> a + v) AS a2, ys
+          |  FROM ini),
+          |hw(event_type, i, l, b, s) AS (
+          |  SELECT event_type, CAST(48 AS BIGINT), a1 / 24.0,
+          |    (a2 - a1) / 576.0,
+          |    list_transform(ys[1:24], y -> y - a1 / 24.0)
+          |  FROM i2
+          |  UNION ALL
+          |  SELECT hw.event_type, hw.i + 1,
+          |    0.5 * (o.y - s[1]) + 0.5 * (hw.l + hw.b),
+          |    0.25 * ((0.5 * (o.y - s[1]) + 0.5 * (hw.l + hw.b)) - hw.l)
+          |      + 0.75 * hw.b,
+          |    list_append(s[2:24],
+          |      0.5 * (o.y - (0.5 * (o.y - s[1]) + 0.5 * (hw.l + hw.b)))
+          |        + 0.5 * s[1])
+          |  FROM hw JOIN o
+          |    ON o.event_type = hw.event_type AND o.i = hw.i + 1)
+          |SELECT n.event_type, CAST(n.n AS BIGINT) AS n_hours,
+          |  round(hw.l, 9) AS level,
+          |  round(hw.b, 9) + 0.0 AS trend,
+          |  round(hw.s[3], 9) + 0.0 AS s_h3,
+          |  round(list_aggregate(hw.s, 'max') - list_aggregate(hw.s, 'min'), 9)
+          |    + 0.0 AS seasonal_amp,
+          |  round(hw.l + 3.0 * hw.b + hw.s[3], 9) + 0.0 AS forecast_h3
+          |FROM hw JOIN n ON hw.event_type = n.event_type AND hw.i = n.n
+          |ORDER BY n.event_type""".stripMargin),
+      doc = "Holt-Winters additive m=24: (level, trend, seasonal-queue) fold, dyadic coefficients, identical IEEE chain both engines"),
+
     // Robust outlier census: median absolute deviation on hourly counts.
     // Medians of integers are half-integers, so EVERYTHING is exact in
     // doubled units: med2 = 2·median(x) (exact percentile, not approx),

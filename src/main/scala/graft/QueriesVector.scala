@@ -112,8 +112,9 @@ object QueriesVector {
     * oracle can carry them as SQL literals and recompute identical buckets:
     * double literals round-trip via toString, and both engines fold the dot
     * product left-to-right, so every sign bit matches bit-for-bit. */
-  private[graft] def lshBucketSql(emb: String, nPlanes: Int, dim: Int): String = {
-    val rnd = new scala.util.Random(42L)
+  private[graft] def lshBucketSql(emb: String, nPlanes: Int, dim: Int,
+                                  seed: Long = 42L): String = {
+    val rnd = new scala.util.Random(seed)
     val planes = Array.fill(nPlanes, dim)(rnd.nextGaussian())
     planes.zipWithIndex.map { case (p, i) =>
       val lit = "[" + p.map(_.toString).mkString(", ") + "]::DOUBLE[]"
@@ -1269,6 +1270,156 @@ object QueriesVector {
            |    / (CAST(count(*) AS DOUBLE) * 1000000000.0) AS mean_cos
            |FROM m GROUP BY agree ORDER BY agree""".stripMargin),
       doc = "sign-LSH calibration: agreement-level census vs exact quantized cosine (monotone collision law)"),
+
+    // k-NN-GRAPH construction via one NN-Descent round (Dong et al., WWW'11
+    // — the standard way UMAP/PyNNDescent build billion-point neighbor
+    // graphs; pgvector's HNSW build walks the same neighbor-of-neighbor
+    // structure, src/storage/protocols/vector/adapter/pgvector/index.ts:60).
+    // G0 seeds each node's top-5 from TWO INDEPENDENT sign-LSH tables
+    // (equi-joins, never all-pairs). Two tables is load-bearing, not a
+    // recall tweak: a single table's buckets are equivalence classes, so
+    // every G0 edge stays inside one bucket, neighbor-of-neighbor can never
+    // escape it, and G0 is already the exact in-bucket top-5 — the descent
+    // round is PROVABLY a no-op. With two tables a neighbor reached through
+    // table 1 exposes its table-2 bucket, so the closure crosses regions
+    // (the same reason NN-Descent inits randomly and LSH indexes stack
+    // tables). The descent round proposes neighbors-of-neighbors over the
+    // UNDIRECTED G0 (candidates per node ≤ (2K)² — bounded by the graph
+    // degree, independent of corpus size) and re-ranks. Audit: per sampled
+    // node, recall@5 vs exact ground truth before/after, plus exact
+    // quantized-distance sums. The descent inequality r1 ≥ r0 (and
+    // d1_sum9 ≤ d0_sum9 at equal degree) holds by construction — a total
+    // (d9, key) order means a displaced exact-NN edge is a contradiction —
+    // and DedupVectorsSpec asserts it. All graded numbers are integers:
+    // d9 = ⌊cos_dist·1e9⌋ with a single engine-identical IEEE chain
+    // (sequential folds, correctly-rounded sqrt/÷), so rank, recall and
+    // sums are bit-reproducible. 100 TB path: every stage is an equi-join
+    // (bucket, then node id) + per-node top-k — shuffle-bounded by
+    // |E| = n·K, no global sort, no crossJoin beyond the broadcast sampled
+    // ground-truth audit (SCALE.md round-9 wave).
+    "v3_knn_graph_descent" -> Q(
+      fn = (s, dir) => {
+        val K = 5
+        def d9(x: String, y: String): org.apache.spark.sql.Column = floor(
+          (lit(1.0) -
+            expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+            (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
+             sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
+            * lit(1000000000.0)).cast("long")
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("d9"), col("b"))
+        def bucketPairs(seed: Long) = {
+          val wb = Vectors.lshBuckets(emb, "v", 64, nPlanes = 4, seed = seed)
+          val l = wb.select(col("vec_id").as("a"), col("lsh_bucket").as("ba"))
+          val r = wb.select(col("vec_id").as("b"), col("lsh_bucket").as("bb"))
+          l.join(r, col("ba") === col("bb") && col("a") =!= col("b"))
+            .select(col("a"), col("b"))
+        }
+        val g0 = bucketPairs(42L).union(bucketPairs(1337L)).distinct()
+          .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+          .withColumn("d9", d9("va", "vb"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+          .select(col("a"), col("b"), col("d9")).persist()
+        g0.count() // pin: feeds candidates, degree census AND both recalls
+        val und = g0.select(col("a"), col("b"))
+          .union(g0.select(col("b").as("a"), col("a").as("b"))).distinct()
+        val cand = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+          .select(col("x.a").as("a"), col("y.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .union(g0.select(col("a"), col("b"))).distinct()
+        val g1 = cand
+          .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+          .withColumn("d9", d9("va", "vb"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+          .select(col("a"), col("b"), col("d9")).persist()
+        g1.count() // pin: degree census + recall probe
+        val qs = emb.filter(col("vec_id") % 41 === 0)
+          .select(col("vec_id").as("a"), col("v").as("qa"))
+        val exact = emb.select(col("vec_id").as("b"), col("v").as("vb"))
+          .crossJoin(broadcast(qs)).filter(col("a") =!= col("b"))
+          .withColumn("d9", d9("qa", "vb"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+          .select(col("a"), col("b")).persist()
+        exact.count() // pin: two semi-join probes
+        val r0 = exact.join(g0, Seq("a", "b"), "left_semi")
+          .groupBy(col("a")).agg(count(lit(1)).as("r0"))
+        val r1 = exact.join(g1, Seq("a", "b"), "left_semi")
+          .groupBy(col("a")).agg(count(lit(1)).as("r1"))
+        val deg0 = g0.groupBy(col("a"))
+          .agg(count(lit(1)).as("n0"), sum(col("d9")).as("d0_sum9"))
+        val deg1 = g1.groupBy(col("a"))
+          .agg(count(lit(1)).as("n1"), sum(col("d9")).as("d1_sum9"))
+        qs.select(col("a"))
+          .join(deg0, Seq("a"), "left").join(deg1, Seq("a"), "left")
+          .join(r0, Seq("a"), "left").join(r1, Seq("a"), "left")
+          .select(col("a").as("q_key"),
+            coalesce(col("n0"), lit(0L)).as("n0"),
+            coalesce(col("n1"), lit(0L)).as("n1"),
+            coalesce(col("r0"), lit(0L)).as("r0"),
+            coalesce(col("r1"), lit(0L)).as("r1"),
+            coalesce(col("d0_sum9"), lit(0L)).as("d0_sum9"),
+            coalesce(col("d1_sum9"), lit(0L)).as("d1_sum9"))
+          .orderBy(col("q_key"))
+      },
+      oracle = Some {
+        def d9sql(x: String, y: String): String =
+          s"""CAST(floor((1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip($x, $y), z -> z[1] * z[2])), (a, v) -> a + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform($x, p -> p * p)), (a, v) -> a + v))
+             |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform($y, p -> p * p)), (a, v) -> a + v))))
+             |  * 1000000000.0) AS BIGINT)""".stripMargin
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ebk1 AS (SELECT vec_id, v, ${lshBucketSql("v", 4, 64)} AS bk FROM e),
+           |ebk2 AS (SELECT vec_id, v, ${lshBucketSql("v", 4, 64, 1337L)} AS bk FROM e),
+           |pp AS (SELECT DISTINCT a, b FROM (
+           |    SELECT x.vec_id AS a, y.vec_id AS b
+           |      FROM ebk1 x JOIN ebk1 y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+           |    UNION ALL
+           |    SELECT x.vec_id, y.vec_id
+           |      FROM ebk2 x JOIN ebk2 y ON x.bk = y.bk AND x.vec_id <> y.vec_id)),
+           |p0 AS (SELECT p.a, p.b, ${d9sql("ea.v", "eb0.v")} AS d9
+           |  FROM pp p JOIN e ea ON ea.vec_id = p.a JOIN e eb0 ON eb0.vec_id = p.b),
+           |g0 AS (SELECT a, b, d9 FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY a ORDER BY d9, b) AS rnk FROM p0) WHERE rnk <= 5),
+           |und AS (SELECT DISTINCT a, b FROM (
+           |    SELECT a, b FROM g0 UNION ALL SELECT b, a FROM g0)),
+           |cand AS (SELECT DISTINCT a, b FROM (
+           |    SELECT x.a AS a, y.b AS b FROM und x JOIN und y ON x.b = y.a
+           |      WHERE x.a <> y.b
+           |    UNION ALL SELECT a, b FROM g0)),
+           |sc AS (SELECT c.a, c.b, ${d9sql("ea.v", "eb2.v")} AS d9
+           |  FROM cand c JOIN e ea ON ea.vec_id = c.a
+           |    JOIN e eb2 ON eb2.vec_id = c.b),
+           |g1 AS (SELECT a, b, d9 FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY a ORDER BY d9, b) AS rnk FROM sc) WHERE rnk <= 5),
+           |qs AS (SELECT vec_id AS a, v FROM e WHERE vec_id % 41 = 0),
+           |ex AS (SELECT a, b FROM (SELECT q.a, e2.vec_id AS b,
+           |      ${d9sql("q.v", "e2.v")} AS d9, row_number() OVER (
+           |      PARTITION BY q.a ORDER BY ${d9sql("q.v", "e2.v")}, e2.vec_id) AS rnk
+           |    FROM qs q JOIN e e2 ON e2.vec_id <> q.a) WHERE rnk <= 5),
+           |r0 AS (SELECT ex.a, count(*) AS r0 FROM ex
+           |  JOIN g0 ON ex.a = g0.a AND ex.b = g0.b GROUP BY 1),
+           |r1 AS (SELECT ex.a, count(*) AS r1 FROM ex
+           |  JOIN g1 ON ex.a = g1.a AND ex.b = g1.b GROUP BY 1),
+           |deg0 AS (SELECT a, count(*) AS n0, CAST(sum(d9) AS BIGINT) AS d0_sum9
+           |  FROM g0 GROUP BY 1),
+           |deg1 AS (SELECT a, count(*) AS n1, CAST(sum(d9) AS BIGINT) AS d1_sum9
+           |  FROM g1 GROUP BY 1)
+           |SELECT q.a AS q_key,
+           |  coalesce(n0, 0) AS n0, coalesce(n1, 0) AS n1,
+           |  coalesce(r0, 0) AS r0, coalesce(r1, 0) AS r1,
+           |  coalesce(d0_sum9, 0) AS d0_sum9, coalesce(d1_sum9, 0) AS d1_sum9
+           |FROM qs q LEFT JOIN deg0 ON q.a = deg0.a LEFT JOIN deg1 ON q.a = deg1.a
+           |  LEFT JOIN r0 ON q.a = r0.a LEFT JOIN r1 ON q.a = r1.a
+           |ORDER BY q_key""".stripMargin
+      },
+      doc = "kNN-graph build: 2-table-LSH-seeded top-5 + one NN-Descent neighbor-of-neighbor round, recall@5 audit before/after"),
 
     // int8 symmetric quantization census — the 4× compression every
     // RAM-resident ANN index takes at 100 TB. Per vector: amax-scaled

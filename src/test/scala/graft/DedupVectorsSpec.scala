@@ -481,4 +481,26 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(got(0)._4 == r9(0.4f.toDouble) && got(1)._4 == r9(math.sqrt((10.6f.toDouble - 10.0) * (10.6f.toDouble - 10.0))),
       s"boundary distances: $got")
   }
+
+  test("NN-descent: refinement never loses recall or degree, improves distance") {
+    // By construction the descent re-ranks over a candidate SUPERSET of G0's
+    // edges under a total (d9, key) order, so per node: degree can only
+    // grow, recall@5 can only grow, and at equal degree the quantized
+    // distance sum can only shrink. A violation means the candidate join or
+    // the ranking lost an edge.
+    val rows = Registry.all("v3_knn_graph_descent").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, n0, n1, r0, r1, d0, d1) = (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(n1 >= n0 && n1 <= 5, s"node $q degree: n0=$n0 n1=$n1")
+      assert(r1 >= r0 && r1 <= n1, s"node $q recall: r0=$r0 r1=$r1")
+      if (n1 == n0) assert(d1 <= d0, s"node $q distance sum grew: $d0 -> $d1")
+    }
+    // the descent must actually do something on real data: some node
+    // improves (recall or distance) across the corpus sample
+    assert(rows.exists(r => r.getLong(4) > r.getLong(3) ||
+      r.getLong(6) < r.getLong(5)),
+      "descent round was a no-op on every sampled node")
+  }
 }

@@ -38,6 +38,51 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_holt_winters: query fold matches an independent Scala recurrence") {
+    // Third implementation: collect the hourly series and run the literal
+    // Holt-Winters recurrence in plain Scala Doubles. The query (Spark
+    // `aggregate`) and the oracle (DuckDB recursive CTE) both fold the same
+    // IEEE op sequence, so this local fold must match BIT-EXACTLY before
+    // the round-9 — compare the unrounded recomputation at round-9.
+    val res = Registry.all("events_holt_winters").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(6))).toMap
+    assert(res.nonEmpty, "sf0.001 must have >= 49 hours per type")
+
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+    hours.foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      if (ys.length >= 49) {
+        var a1 = 0.0; ys.slice(0, 24).foreach(y => a1 += y)
+        var a2 = 0.0; ys.slice(24, 48).foreach(y => a2 += y)
+        var l = a1 / 24.0
+        var b = (a2 - a1) / 576.0
+        val s = scala.collection.mutable.Queue(
+          ys.slice(0, 24).map(y => y - a1 / 24.0): _*)
+        ys.drop(48).foreach { y =>
+          val sOld = s.dequeue()
+          val lNew = 0.5 * (y - sOld) + 0.5 * (l + b)
+          val bNew = 0.25 * (lNew - l) + 0.75 * b
+          s.enqueue(0.5 * (y - lNew) + 0.5 * sOld)
+          l = lNew; b = bNew
+        }
+        val (nH, lvl, tr, f3) = res(et)
+        assert(nH == ys.length.toLong)
+        assert(lvl == r9(l), s"$et level: query $lvl vs scala ${r9(l)}")
+        assert(tr == r9(b), s"$et trend: query $tr vs scala ${r9(b)}")
+        assert(f3 == r9(l + 3.0 * b + s(2)), s"$et forecast_h3 mismatch")
+      } else assert(!res.contains(et))
+    }
+  }
+
   test("CUSUM identity clamps P_0 = 0: a series opening ABOVE the mean") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
