@@ -1348,6 +1348,82 @@ object QueriesEvents {
           |ORDER BY n.event_type""".stripMargin),
       doc = "Holt-Winters additive m=24: (level, trend, seasonal-queue) fold, dyadic coefficients, identical IEEE chain both engines"),
 
+    // 1-D Kalman filter over the hourly rate (local-level model): state
+    // (x̂, P, K, Σinnov²), dyadic process noise q=1/4 and observation noise
+    // r=4, so each step is: P⁻ = P + q; K = P⁻/(P⁻ + r); x̂ += K·(y − x̂);
+    // P = (1−K)·P⁻. Unlike the EWMA family the gain ADAPTS — it starts
+    // high (trust the data while P is large) and converges to the
+    // steady-state Riccati fixed point; Σinnov² is the goodness-of-fit
+    // the anomaly queries threshold on. One division per step, otherwise
+    // +/·: every op correctly rounded, both engines run the IDENTICAL
+    // sequence (Spark ordered `aggregate` with a 4-field struct state,
+    // DuckDB a recursive CTE), so round-9 is cosmetic. Keyed collect
+    // bounded by hourly history; state O(1) per key at any scale.
+    "events_kalman_1d" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+        val xF = col("st").getField("x")
+        val pF = col("st").getField("p")
+        val kF = col("st").getField("k")
+        val ssiF = col("st").getField("ssi")
+        h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("tys"))
+          .withColumn("ys", transform(col("tys"), x => x.getField("y").cast("double")))
+          .filter(size(col("ys")) >= 2)
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(2), size(col("ys")) - 1),
+            struct(element_at(col("ys"), 1).as("x"), lit(1.0).as("p"),
+              lit(0.0).as("k"), lit(0.0).as("ssi")),
+            (acc, y) => {
+              val x = acc.getField("x")
+              val p = acc.getField("p")
+              val pp = p + lit(0.25)
+              val k = pp / (pp + lit(4.0))
+              val innov = y - x
+              struct((x + k * innov).as("x"),
+                ((lit(1.0) - k) * pp).as("p"), k.as("k"),
+                (acc.getField("ssi") + innov * innov).as("ssi"))
+            }))
+          .select(col("event_type"),
+            size(col("ys")).cast("long").as("n_hours"),
+            round(xF, 9).as("x_hat"),
+            (round(pF, 9) + 0.0).as("p_cov"),
+            (round(kF, 9) + 0.0).as("gain"),
+            (round(ssiF, 9) + 0.0).as("ssi"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |o AS (SELECT event_type, CAST(y AS DOUBLE) AS y,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+          |  FROM h),
+          |n AS (SELECT event_type, max(i) AS n FROM o GROUP BY 1),
+          |kal(event_type, i, x, p, k, ssi) AS (
+          |  SELECT event_type, CAST(1 AS BIGINT), y, CAST(1.0 AS DOUBLE),
+          |    CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)
+          |  FROM o WHERE i = 1
+          |  UNION ALL
+          |  SELECT kal.event_type, kal.i + 1,
+          |    kal.x + ((kal.p + 0.25) / ((kal.p + 0.25) + 4.0)) * (o.y - kal.x),
+          |    (1.0 - ((kal.p + 0.25) / ((kal.p + 0.25) + 4.0))) * (kal.p + 0.25),
+          |    ((kal.p + 0.25) / ((kal.p + 0.25) + 4.0)),
+          |    kal.ssi + (o.y - kal.x) * (o.y - kal.x)
+          |  FROM kal JOIN o
+          |    ON o.event_type = kal.event_type AND o.i = kal.i + 1)
+          |SELECT n.event_type, CAST(n.n AS BIGINT) AS n_hours,
+          |  round(kal.x, 9) AS x_hat,
+          |  round(kal.p, 9) + 0.0 AS p_cov,
+          |  round(kal.k, 9) + 0.0 AS gain,
+          |  round(kal.ssi, 9) + 0.0 AS ssi
+          |FROM kal JOIN n ON kal.event_type = n.event_type AND kal.i = n.n
+          |WHERE n.n >= 2 ORDER BY n.event_type""".stripMargin),
+      doc = "1-D Kalman filter (local-level): adaptive gain to the Riccati fixed point, innovation energy graded, identical IEEE chain both engines"),
+
     // Robust outlier census: median absolute deviation on hourly counts.
     // Medians of integers are half-integers, so EVERYTHING is exact in
     // doubled units: med2 = 2·median(x) (exact percentile, not approx),

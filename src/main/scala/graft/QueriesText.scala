@@ -2808,5 +2808,107 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    / CAST(sum_w AS DOUBLE)) AS BIGINT) AS alloc_tokens
            |FROM w JOIN tot USING (alpha) CROSS JOIN tt
            |ORDER BY alpha, lang""".stripMargin),
-      doc = "temperature sweep: three alpha operating points off one language-stats table, sqrt-chain weights (no libm pow)"))
+      doc = "temperature sweep: three alpha operating points off one language-stats table, sqrt-chain weights (no libm pow)"),
+
+    // TextRank corpus keywords (Mihalcea & Tarau, EMNLP'04): PageRank over
+    // the word co-occurrence graph. Candidates are alphabetic words of
+    // length >= 4 (the POS-filter proxy both engines replay with the same
+    // anchored regex); edges are consecutive candidate pairs after the
+    // filter (window 2 over the FILTERED sequence), symmetrized, deduped.
+    // Rank rides the integer-grid fixed-point kernel — 3 iterations on the
+    // SCALE=1e12 grid, DIV-truncated, so every rank is a bit-reproducible
+    // BIGINT (graph_pagerank's discipline). Scale shape: the token stream
+    // reduces to DISTINCT bigrams before any iteration — a vocabulary²-
+    // bounded relation however big the corpus — and each iteration is one
+    // node-keyed shuffle with map-side combine against the once-partitioned
+    // edge relation (Graph.pagerankFixedPoint's pinned layout).
+    "text_textrank_keywords" -> Q(
+      fn = (s, dir) => {
+        val kept = Tables.documents(s, dir)
+          .select(filter(TextAnalysis.words(col("text")),
+            w => w.rlike("^[a-z]{4,}$")).as("ws"))
+        val e0 = kept.filter(size(col("ws")) >= 2)
+          .select(explode(transform(sequence(lit(0), size(col("ws")) - 2),
+            i => struct(element_at(col("ws"), i + 1).as("src"),
+              element_at(col("ws"), i + 2).as("dst")))).as("p"))
+          .select(col("p.src"), col("p.dst"))
+        val e = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+          .filter(col("src") =!= col("dst"))
+        graft.operators.Graph.pagerankFixedPoint(e, 3)
+          .orderBy(col("rank").desc, col("node")).limit(20)
+          .select(col("node").as("word"), col("rank"))
+      },
+      oracle = Some {
+        val iterCtes = (1 to 3).map { k =>
+          s"""r$k AS (SELECT e.dst AS v,
+             |    (15 * (1000000000000 // n.n)) // 100
+             |      + (85 * CAST(sum(r.r // deg.d) AS BIGINT)) // 100 AS r
+             |  FROM e JOIN r${k - 1} r ON e.src = r.v
+             |         JOIN deg ON e.src = deg.src CROSS JOIN n
+             |  GROUP BY e.dst, n.n)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH d AS (SELECT list_filter($wordsSql,
+           |    w -> regexp_matches(w, '^[a-z]{4,}$$')) AS ws FROM documents),
+           |p0 AS (SELECT unnest(list_transform(generate_series(1, len(ws) - 1),
+           |    i -> struct_pack(src := ws[i], dst := ws[i+1]))) AS u
+           |  FROM d WHERE len(ws) >= 2),
+           |e AS (SELECT DISTINCT src, dst FROM (
+           |    SELECT u.src AS src, u.dst AS dst FROM p0
+           |    UNION ALL SELECT u.dst, u.src FROM p0)
+           |  WHERE src <> dst),
+           |deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+           |n AS (SELECT count(*) AS n FROM deg),
+           |r0 AS (SELECT src AS v, 1000000000000 // n.n AS r
+           |  FROM deg CROSS JOIN n),
+           |$iterCtes
+           |SELECT v AS word, r AS rank FROM r3
+           |ORDER BY rank DESC, word LIMIT 20""".stripMargin
+      },
+      doc = "TextRank corpus keywords: integer-grid PageRank over the symmetrized word co-occurrence graph"),
+
+    // WordPiece greedy longest-match-first segmentation (Wu et al. 2016 —
+    // the BERT tokenizer's inference rule), with a DATA-DERIVED vocabulary
+    // both engines replay: every observed length-1 substring (coverage —
+    // greedy always advances) + the top-64 substrings of length 2..4 by
+    // Σ word-count (ties by piece). The whole surface is integers: piece
+    // counts, piece-per-word counts, frequency scores — nothing float.
+    // Spark folds each DISTINCT word (the BPE word-histogram reduction)
+    // through 16 broadcast-hash-join rounds (explode ≤4 candidate
+    // substrings, equi-join the broadcast vocab, longest wins via a
+    // partial-aggregable max(struct)); the oracle replays the same greedy
+    // walk as a recursive CTE with a NOT EXISTS longest-match guard.
+    "text_wordpiece_tokenize" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.wordpieceSegment(Tables.documents(s, dir), "text")
+          .orderBy(col("wc").desc, col("word")).limit(30),
+      oracle = Some(
+        s"""WITH RECURSIVE wf AS (SELECT w, count(*) AS wc
+           |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+           |  WHERE len(w) BETWEEN 1 AND 16 GROUP BY w),
+           |p1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS c, 1 AS l FROM (
+           |    SELECT wc, unnest(list_transform(generate_series(1, len(w)),
+           |      i -> substr(w, i, 1))) AS piece FROM wf)
+           |  GROUP BY piece),
+           |pk AS (SELECT piece, c, l FROM (
+           |    SELECT piece, CAST(sum(wc) AS BIGINT) AS c, ll AS l FROM (
+           |      SELECT wc, ll, unnest(list_transform(
+           |          generate_series(1, len(w) - (ll - 1)),
+           |          i -> substr(w, i, ll))) AS piece
+           |      FROM wf CROSS JOIN (SELECT unnest([2, 3, 4]) AS ll) lens
+           |      WHERE len(w) >= ll)
+           |    GROUP BY piece, ll)
+           |  ORDER BY c DESC, piece LIMIT 64),
+           |vocab AS (SELECT * FROM p1 UNION ALL SELECT * FROM pk),
+           |rec(w, wc, pos, np, sc) AS (
+           |  SELECT w, wc, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM wf
+           |  UNION ALL
+           |  SELECT r.w, r.wc, r.pos + v.l, r.np + 1, r.sc + v.c
+           |  FROM rec r JOIN vocab v ON v.piece = substr(r.w, r.pos, v.l)
+           |  WHERE r.pos <= len(r.w)
+           |    AND NOT EXISTS (SELECT 1 FROM vocab v2
+           |      WHERE v2.l > v.l AND v2.piece = substr(r.w, r.pos, v2.l)))
+           |SELECT w AS word, wc, np AS n_pieces, sc AS score_sum
+           |FROM rec WHERE pos > len(w)
+           |ORDER BY wc DESC, word LIMIT 30""".stripMargin),
+      doc = "WordPiece greedy longest-match segmentation with in-query data-derived vocabulary (integer-only surface)"))
 }

@@ -1067,4 +1067,66 @@ object TextAnalysis {
         col("docs_final"), col("tokens"), col("wq"), col("alloc_tokens"),
         col("n_shards"))
   }
+
+  /** WordPiece-style greedy longest-match-first segmentation (the BERT
+    * tokenizer's inference rule — Wu et al. 2016 §4.1; also fastText's
+    * subword lookup shape). The vocabulary is DATA-DERIVED in-query so
+    * both engines replay it: every length-1 substring observed (coverage
+    * guarantee — greedy always advances) plus the `topK` most frequent
+    * substrings of length 2..`maxPieceLen`, frequency = Σ word-count over
+    * every occurrence position, ties by piece. Segmentation then folds
+    * each DISTINCT word (BPE's word-histogram reduction: per-character
+    * work happens on a vocabulary-sized relation, never the token stream):
+    * at each position take the longest vocab piece that matches, advance,
+    * accumulate piece count + frequency score.
+    *
+    * Scale shape: the per-round step explodes ≤ `maxPieceLen` candidate
+    * substrings per active word and equi-joins the BROADCAST vocab (topK +
+    * alphabet rows) — one codegen'd hash join per round, `maxWordLen`
+    * rounds total, plan depth pinned by localCheckpoint (the house
+    * iterative-kernel discipline). Returns one row per distinct word:
+    * (word, wc, n_pieces, score_sum). */
+  def wordpieceSegment(df: DataFrame, textCol: String, topK: Int = 64,
+                       maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val spark = df.sparkSession
+    val wf = df.select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wf.count() // pin: vocab derivation + segmentation loop share it
+    // all substrings of length 1..maxPieceLen, weighted by word count
+    def pieces(l: Int) = wf.filter(length(col("w")) >= l)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - (l - 1)),
+        i => col("w").substr(i, lit(l)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
+      .select(col("piece"), col("c"), lit(l).as("l"))
+    val vocab = pieces(1).unionAll(
+      (2 to maxPieceLen).map(pieces).reduce(_ unionAll _)
+        .orderBy(col("c").desc, col("piece")).limit(topK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // pin: joined every round
+    var st = wf.select(col("w"), col("wc"), lit(1).as("pos"),
+      lit(0L).as("np"), lit(0L).as("sc"))
+    for (_ <- 1 to maxWordLen) {
+      val done = st.filter(col("pos") > length(col("w")))
+      val active = st.filter(col("pos") <= length(col("w")))
+      val stepped = active
+        .select(col("w"), col("wc"), col("pos"), col("np"), col("sc"),
+          explode(transform(sequence(lit(1), lit(maxPieceLen)),
+            l => struct(l.as("l"),
+              col("w").substr(col("pos"), l).as("piece")))).as("cand"))
+        .join(broadcast(vocab),
+          col("cand.piece") === vocab("piece") && col("cand.l") === vocab("l"))
+        // longest match wins; l pins the piece uniquely, so max(struct) is
+        // a plain partial-aggregable max — no per-round window sort
+        .groupBy(col("w"), col("wc"), col("pos"), col("np"), col("sc"))
+        .agg(max(struct(col("cand.l").as("l"), col("c").as("c"))).as("m"))
+        .select(col("w"), col("wc"), (col("pos") + col("m.l")).as("pos"),
+          (col("np") + 1L).as("np"), (col("sc") + col("m.c")).as("sc"))
+      st = done.unionAll(stepped).localCheckpoint()
+    }
+    st.select(col("w").as("word"), col("wc"),
+      col("np").as("n_pieces"), col("sc").as("score_sum"))
+  }
 }

@@ -528,6 +528,68 @@ object EventStream {
       }
   }
 
+  // ── events_holt_winters twin: keyed (level, trend, seasonal-queue) state ──
+  final case class HwPoint(g: String, t: Long, y: Double)
+  final case class HwState(lastT: Long, n: Long, warm: Seq[Double],
+                           l: Double, b: Double, s: Seq[Double])
+  final case class HwOut(g: String, n: Long, level: Double, trend: Double,
+                         forecast_h3: Double)
+
+  /** Streaming Holt-Winters (additive, m = 24) — the `events_holt_winters`
+    * twin. State is exactly the batch fold's accumulator: after a 48-point
+    * warm-up buffer (l₀ = mean(y₁..₂₄), b₀ = (mean(y₂₅..₄₈) − l₀)/24 per
+    * step ⇒ /576, sᵢ = yᵢ − l₀), each point pops the seasonal-queue head
+    * and appends the refreshed factor — dyadic α=1/2, β=1/4, γ=1/2, the
+    * IDENTICAL IEEE op sequence as the batch `aggregate` and its DuckDB
+    * recursive-CTE oracle, so sealed values match bit-for-bit
+    * (StreamingSpec pins the parity). State is O(m) = O(24) doubles per
+    * key — constant at any corpus scale; keys parallelize. Same
+    * cross-batch monotonicity contract as [[streamingEwma]]: an
+    * out-of-order point would fold into the wrong slot, so it fails loud. */
+  def streamingHoltWinters(points: Dataset[HwPoint]): Dataset[HwOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.g)
+      .flatMapGroupsWithState[HwState, HwOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[HwPoint], state: GroupState[HwState]) =>
+          val pts = it.toSeq.sortBy(_.t)
+          if (pts.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse(
+              HwState(Long.MinValue, 0L, Vector.empty, 0.0, 0.0, Vector.empty))
+            pts.foreach { p =>
+              require(p.t > st.lastT,
+                s"streamingHoltWinters: out-of-order point for key '$g' " +
+                  s"(t=${p.t} <= sealed lastT=${st.lastT}); enforce a " +
+                  "watermark + per-key monotone delivery upstream")
+              if (st.n < 48L) {
+                val warm = st.warm :+ p.y
+                if (warm.length == 48) {
+                  var a1 = 0.0; warm.slice(0, 24).foreach(y => a1 += y)
+                  var a2 = 0.0; warm.slice(24, 48).foreach(y => a2 += y)
+                  st = HwState(p.t, 48L, Vector.empty, a1 / 24.0,
+                    (a2 - a1) / 576.0, warm.slice(0, 24).map(y => y - a1 / 24.0))
+                } else st = HwState(p.t, st.n + 1L, warm, 0.0, 0.0, Vector.empty)
+              } else {
+                val sOld = st.s.head
+                val lNew = 0.5 * (p.y - sOld) + 0.5 * (st.l + st.b)
+                val bNew = 0.25 * (lNew - st.l) + 0.75 * st.b
+                val sNew = 0.5 * (p.y - lNew) + 0.5 * sOld
+                st = HwState(p.t, st.n + 1L, Vector.empty, lNew, bNew,
+                  st.s.tail :+ sNew)
+              }
+            }
+            state.update(st)
+            // batch parity: events_holt_winters emits only for series with
+            // at least one folded point past the 48-hour warm-up
+            if (st.n >= 49L)
+              Iterator.single(HwOut(g, st.n, st.l, st.b,
+                st.l + 3.0 * st.b + st.s(2)))
+            else Iterator.empty
+          }
+      }
+  }
+
   // ── events_peak_concurrency twin: keyed interval-sweep state ──
   final case class ConcDelta(g: String, dts: Long, net: Long)
   final case class ConcState(running: Long, peak: Long, peakAt: Long)

@@ -359,4 +359,50 @@ class StatsSpec extends SparkTestBase {
         s"Pearson r out of range: $r")
     }
   }
+
+  test("events_kalman_1d: query fold matches an independent Scala recurrence") {
+    val res = Registry.all("events_kalman_1d").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(res.nonEmpty)
+
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+    hours.foreach { case (et, rows) =>
+      val ys = rows.sortBy(_._2).map(_._3.toDouble)
+      if (ys.length >= 2) {
+        var x = ys.head; var p = 1.0; var k = 0.0; var ssi = 0.0
+        ys.tail.foreach { y =>
+          val pp = p + 0.25
+          k = pp / (pp + 4.0)
+          val innov = y - x
+          x = x + k * innov
+          p = (1.0 - k) * pp
+          ssi = ssi + innov * innov
+        }
+        val (n, xq, pq, kq, sq) = res(et)
+        assert(n == ys.length.toLong)
+        assert(xq == r9(x), s"$et x_hat: $xq vs ${r9(x)}")
+        assert(pq == r9(p) && kq == r9(k), s"$et p/gain mismatch")
+        assert(sq == r9(ssi), s"$et ssi: $sq vs ${r9(ssi)}")
+        // Riccati fixed point for q=1/4, r=4: the PREDICTED variance obeys
+        // u^2 - qu - qr = 0 => u* = (q + sqrt(q^2 + 4qr))/2, k* = u*/(u* + r);
+        // after >=49 steps the gain must sit on it
+        if (ys.length >= 49) {
+          val uStar = (0.25 + math.sqrt(0.25 * 0.25 + 4.0 * 0.25 * 4.0)) / 2.0
+          val kStar = uStar / (uStar + 4.0)
+          assert(math.abs(kq - kStar) < 1e-9,
+            s"$et gain $kq must converge to Riccati k* $kStar")
+        }
+      } else assert(!res.contains(et))
+    }
+  }
 }

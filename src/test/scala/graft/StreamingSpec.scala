@@ -650,6 +650,50 @@ class StreamingSpec extends SparkTestBase {
     assert(last.ewma_quarter === qu, "streaming quarter-decay must be bit-exact")
   }
 
+  test("streaming Holt-Winters: keyed seasonal state fold, bit-exact batch parity") {
+    import graft.streaming.EventStream.{HwPoint, HwOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // diurnal signal + linear drift + deterministic jitter, 3.5 "days"
+    val series = (1 to 84).map(i =>
+      HwPoint("g", i.toLong,
+        ((i % 24) * 5 + i / 2 + (i * 37 % 11)).toDouble))
+    val input = MemoryStream[HwPoint]
+    val q = EventStream.streamingHoltWinters(input.toDS())
+      .writeStream.format("memory").queryName("hw_out")
+      .outputMode("append").start()
+    // split mid-warm-up AND mid-fold: state must carry the warm buffer
+    // across batch 1 and the (l, b, queue) fold across batch 2
+    input.addData(series.take(30): _*)
+    q.processAllAvailable()
+    input.addData(series.slice(30, 60): _*)
+    q.processAllAvailable()
+    input.addData(series.drop(60): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("hw_out").as[HwOut].collect().maxBy(_.n)
+    // the literal batch recurrence — identical IEEE op sequence
+    val ys = series.map(_.y)
+    var a1 = 0.0; ys.slice(0, 24).foreach(y => a1 += y)
+    var a2 = 0.0; ys.slice(24, 48).foreach(y => a2 += y)
+    var l = a1 / 24.0
+    var b = (a2 - a1) / 576.0
+    val s = scala.collection.mutable.Queue(
+      ys.slice(0, 24).map(y => y - a1 / 24.0): _*)
+    ys.drop(48).foreach { y =>
+      val sOld = s.dequeue()
+      val lNew = 0.5 * (y - sOld) + 0.5 * (l + b)
+      val bNew = 0.25 * (lNew - l) + 0.75 * b
+      s.enqueue(0.5 * (y - lNew) + 0.5 * sOld)
+      l = lNew; b = bNew
+    }
+    assert(last.n === 84L)
+    assert(last.level === l, "streaming level must be bit-exact")
+    assert(last.trend === b, "streaming trend must be bit-exact")
+    assert(last.forecast_h3 === l + 3.0 * b + s(2),
+      "streaming 3-step forecast must be bit-exact")
+  }
+
   test("streaming peak concurrency: keyed sweep state, batch-identical peak") {
     import graft.streaming.EventStream.{ConcDelta, ConcOut}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

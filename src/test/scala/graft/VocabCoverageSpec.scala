@@ -47,4 +47,46 @@ class VocabCoverageSpec extends SparkTestBase {
     }
     assert(got.toSeq == want)
   }
+
+  test("wordpieceSegment: greedy longest-match on a crafted micro-corpus") {
+    import spark.implicits._
+    // "abab abab ab zq": vocab(len>=2 top-64) easily admits "abab","aba",
+    // "bab","ab",... ; greedy on "abab" takes the length-4 piece whole;
+    // "zq" has no multi-char piece support beyond itself
+    val docs = Seq(
+      (1L, "abab abab ab zq"),
+      (2L, "abab ab ab"),
+      (3L, "cd cd cd cd")).toDF("doc_id", "text")
+    val got = TextAnalysis.wordpieceSegment(docs, "text")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    // word counts: abab=3, ab=3, zq=1, cd=4
+    assert(got("abab")._1 == 3L && got("ab")._1 == 3L &&
+      got("cd")._1 == 4L && got("zq")._1 == 1L)
+    // every multi-char substring of these tiny words makes the top-64 cut,
+    // so each word segments as ONE piece (longest match = the word itself;
+    // "abab" must NOT split as ab+ab even though "ab" is more frequent)
+    assert(got("abab")._2 == 1L, s"abab pieces: ${got("abab")}")
+    assert(got("ab")._2 == 1L && got("cd")._2 == 1L && got("zq")._2 == 1L)
+    // scores = the piece's corpus frequency: "abab" occurs 3x as substring
+    // of abab-words only; "ab" as a substring occurs in abab twice each (3
+    // occurrences of abab -> 6) + 3 standalone = 9
+    assert(got("abab")._3 == 3L, s"abab score: ${got("abab")}")
+    assert(got("ab")._3 == 9L, s"ab score: ${got("ab")}")
+    // zq: "zq" itself is a length-2 piece with count 1 -> in vocab (top-64
+    // has room in this micro corpus), single piece score 1
+    assert(got("zq")._3 == 1L)
+  }
+
+  test("wordpieceSegment: coverage guarantee — every word terminates") {
+    val seg = TextAnalysis.wordpieceSegment(Tables.documents(spark, sfDir), "text")
+    val bad = seg.filter(col("n_pieces") <= 0).count()
+    assert(bad == 0L, "every capped word must segment into >= 1 piece")
+    // greedy can never use more pieces than characters
+    import spark.implicits._
+    val over = seg.filter(col("n_pieces") > length(col("word"))).count()
+    assert(over == 0L)
+  }
+
 }
