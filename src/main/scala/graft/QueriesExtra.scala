@@ -598,6 +598,55 @@ object QueriesExtra {
           |FROM v3 WHERE dist > 0 GROUP BY root ORDER BY root""".stripMargin),
       doc = "sampled harmonic centrality: per-probe 3-hop BFS, exact ×6 integer harmonic sum"),
 
+    // Deterministic pseudo-random walks over the co-purchase graph —
+    // DeepWalk's sampling primitive with the RNG replaced by a keyed
+    // md5-60 hash, so Spark, DuckDB and every shard draw the IDENTICAL
+    // walk (distributed walk sampling must be reproducible or the corpus
+    // isn't). 8 seeds × 4 walks × 4 hops; each hop is one equi-join of
+    // the frontier against the dst-sorted indexed adjacency. The graded
+    // surface is the full path string + end node — any divergence in hash,
+    // adjacency order or modulus breaks the hash match.
+    "graph_random_walks" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+        val seeds = e.select(col("src").as("id")).distinct()
+          .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
+        graft.operators.Graph.hashWalks(e, seeds, steps = 4, walksPerSeed = 4)
+          .orderBy(col("seed"), col("walk_r"))
+      },
+      oracle = Some {
+        // single-line hash expr: the outer stripMargin would re-strip any
+        // continuation line that begins with the '||' concat operator
+        val hopCtes = (1 to 4).map { t =>
+          s"""w$t AS (SELECT w.seed, w.r, n.dst AS node,
+             |    w.path || '->' || CAST(n.dst AS VARCHAR) AS path
+             |  FROM w${t - 1} w JOIN deg d ON d.src = w.node
+             |  JOIN nbr n ON n.src = w.node AND n.idx =
+             |    CAST('0x' || substr(md5(CAST(w.node AS VARCHAR) || ':' || CAST(w.r AS VARCHAR) || ':' || '$t'), 1, 15) AS BIGINT) % d.deg + 1)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |nbr AS (SELECT src, dst, row_number() OVER (
+           |    PARTITION BY src ORDER BY dst) AS idx FROM e),
+           |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+           |s AS (SELECT DISTINCT src AS seed FROM e WHERE src % 1000 = 0
+           |      ORDER BY seed LIMIT 8),
+           |w0 AS (SELECT seed, r, seed AS node, CAST(seed AS VARCHAR) AS path
+           |  FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS r) rr),
+           |$hopCtes
+           |SELECT seed, r AS walk_r, path, node AS end_node
+           |FROM w4 ORDER BY seed, walk_r""".stripMargin
+      },
+      doc = "deterministic hash-keyed random walks (DeepWalk sampling): path + end node graded, 4 hops via indexed-adjacency equi-joins"),
+
 
     // Consistent-hash ring placement: 8 servers x 16 virtual nodes on the
     // md5-60-bit ring; each object lands on the first vnode clockwise from
@@ -1216,6 +1265,48 @@ object QueriesExtra {
           |  min(name) AS first_name, max(name) AS last_name
           |FROM b GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin)),
       doc = "small-file compaction plan: keyed prefix-sum next-fit packing, name-contiguous batches"),
+
+    // Reed-Solomon erasure-coding plan: RS(k=8, m=2) over 64 KiB chunks —
+    // the durability layout a 100 TB blob store actually runs (1.25×
+    // amplification vs replication's 3×). Per object the stripe count is
+    // a pure integer ceil ((size + kB−1) DIV kB — no float, no overflow);
+    // the per-bucket census grades data/parity/padding bytes as exact
+    // BIGINT sums plus ONE division-at-the-end amplification ratio
+    // (round9 of two exact-int doubles — correctly rounded both engines).
+    // One codegen'd scan + groupBy with map-side combine: embarrassingly
+    // parallel at any scale.
+    "store_erasure_coding_plan" -> Q(
+      fn = (s, dir) => {
+        val o = Tables.objects(s, dir).select(col("bucket_id"), col("size"))
+          .withColumn("stripes",
+            greatest(lit(1L), expr("(size + 524287) DIV 524288")))
+        o.groupBy(col("bucket_id"))
+          .agg(count(lit(1)).as("n_objects"),
+            sum(col("size")).as("data_bytes"),
+            sum(col("stripes")).as("n_stripes"),
+            sum(col("stripes") * lit(131072L)).as("parity_bytes"),
+            sum(col("stripes") * lit(524288L) - col("size")).as("padding_bytes"))
+          .withColumn("overhead",
+            round((col("parity_bytes") + col("padding_bytes")).cast("double")
+              / col("data_bytes").cast("double"), 9) + lit(0.0))
+          .orderBy(col("bucket_id"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, p AS (SELECT bucket_id, size,
+          |    greatest(1, (size + 524287) // 524288) AS stripes
+          |  FROM objects),
+          |g AS (SELECT bucket_id, count(*) AS n_objects,
+          |    CAST(sum(size) AS BIGINT) AS data_bytes,
+          |    CAST(sum(stripes) AS BIGINT) AS n_stripes,
+          |    CAST(sum(stripes * 131072) AS BIGINT) AS parity_bytes,
+          |    CAST(sum(stripes * 524288 - size) AS BIGINT) AS padding_bytes
+          |  FROM p GROUP BY 1)
+          |SELECT bucket_id, n_objects, data_bytes, n_stripes, parity_bytes,
+          |  padding_bytes,
+          |  round(CAST(parity_bytes + padding_bytes AS DOUBLE)
+          |    / CAST(data_bytes AS DOUBLE), 9) + 0.0 AS overhead
+          |FROM g ORDER BY bucket_id""".stripMargin)),
+      doc = "RS(8,2) erasure-coding plan: exact stripe/parity/padding census per bucket + storage-amplification ratio"),
 
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting

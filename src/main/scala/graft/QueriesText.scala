@@ -32,6 +32,29 @@ object QueriesText {
 
   private val wordsSql = "string_split_regex(lower(trim(text)), '\\s+')"
 
+  /** DuckDB twin of TextAnalysis.subwordVocab (topK=64, piece len 1..4,
+    * word cap 16): capped distinct-word histogram `wf(w, wc)` + subword
+    * vocabulary `vocab(piece, c, l)`. Shared by the WordPiece and Viterbi
+    * segmentation oracles. */
+  private val subwordVocabCtes =
+    s"""wf AS (SELECT w, count(*) AS wc
+       |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
+       |  WHERE len(w) BETWEEN 1 AND 16 GROUP BY w),
+       |p1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS c, 1 AS l FROM (
+       |    SELECT wc, unnest(list_transform(generate_series(1, len(w)),
+       |      i -> substr(w, i, 1))) AS piece FROM wf)
+       |  GROUP BY piece),
+       |pk AS (SELECT piece, c, l FROM (
+       |    SELECT piece, CAST(sum(wc) AS BIGINT) AS c, ll AS l FROM (
+       |      SELECT wc, ll, unnest(list_transform(
+       |          generate_series(1, len(w) - (ll - 1)),
+       |          i -> substr(w, i, ll))) AS piece
+       |      FROM wf CROSS JOIN (SELECT unnest([2, 3, 4]) AS ll) lens
+       |      WHERE len(w) >= ll)
+       |    GROUP BY piece, ll)
+       |  ORDER BY c DESC, piece LIMIT 64),
+       |vocab AS (SELECT * FROM p1 UNION ALL SELECT * FROM pk)""".stripMargin
+
   /** DuckDB twin of [[graft.operators.Dedup.cdcChunks]] (m=8) with
     * CTE-name prefix `p` over source CTE `src` (must expose doc_id, text):
     * boundary after word i when md5(w[i-1] ' ' w[i]) ≡ 0 (mod 8), doc end
@@ -2882,23 +2905,7 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
         TextAnalysis.wordpieceSegment(Tables.documents(s, dir), "text")
           .orderBy(col("wc").desc, col("word")).limit(30),
       oracle = Some(
-        s"""WITH RECURSIVE wf AS (SELECT w, count(*) AS wc
-           |  FROM (SELECT unnest($wordsSql) AS w FROM documents)
-           |  WHERE len(w) BETWEEN 1 AND 16 GROUP BY w),
-           |p1 AS (SELECT piece, CAST(sum(wc) AS BIGINT) AS c, 1 AS l FROM (
-           |    SELECT wc, unnest(list_transform(generate_series(1, len(w)),
-           |      i -> substr(w, i, 1))) AS piece FROM wf)
-           |  GROUP BY piece),
-           |pk AS (SELECT piece, c, l FROM (
-           |    SELECT piece, CAST(sum(wc) AS BIGINT) AS c, ll AS l FROM (
-           |      SELECT wc, ll, unnest(list_transform(
-           |          generate_series(1, len(w) - (ll - 1)),
-           |          i -> substr(w, i, ll))) AS piece
-           |      FROM wf CROSS JOIN (SELECT unnest([2, 3, 4]) AS ll) lens
-           |      WHERE len(w) >= ll)
-           |    GROUP BY piece, ll)
-           |  ORDER BY c DESC, piece LIMIT 64),
-           |vocab AS (SELECT * FROM p1 UNION ALL SELECT * FROM pk),
+        s"""WITH RECURSIVE $subwordVocabCtes,
            |rec(w, wc, pos, np, sc) AS (
            |  SELECT w, wc, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM wf
            |  UNION ALL
@@ -2910,5 +2917,37 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |SELECT w AS word, wc, np AS n_pieces, sc AS score_sum
            |FROM rec WHERE pos > len(w)
            |ORDER BY wc DESC, word LIMIT 30""".stripMargin),
-      doc = "WordPiece greedy longest-match segmentation with in-query data-derived vocabulary (integer-only surface)"))
+      doc = "WordPiece greedy longest-match segmentation with in-query data-derived vocabulary (integer-only surface)"),
+
+    // OPTIMAL segmentation under the same vocabulary — the DP objective
+    // (max total piece frequency, ties to fewest pieces) that WordPiece's
+    // greedy rule only approximates; SentencePiece's Viterbi decode shape
+    // (Kudo 2018). Spark runs a layered frontier DP (one best (score, −np)
+    // state per (word, endpos) — lexicographic order survives extension,
+    // so per-endpos max IS the DP), 16 broadcast-join rounds. The oracle
+    // can't fold a DP, so it ENUMERATES every segmentation of the 30
+    // graded words via a recursive CTE (path count per word ≤
+    // tetranacci(16) ≈ 2·10⁴ — bounded because only the graded top-30
+    // recurse; the vocab still derives from the full corpus) and takes the
+    // argmax. By construction viterbi best_score ≥ the greedy score —
+    // VocabCoverageSpec asserts dominance row-by-row.
+    "text_unigram_viterbi" -> Q(
+      fn = (s, dir) =>
+        TextAnalysis.viterbiSegment(Tables.documents(s, dir), "text")
+          .orderBy(col("wc").desc, col("word")).limit(30),
+      oracle = Some(
+        s"""WITH RECURSIVE $subwordVocabCtes,
+           |top30 AS (SELECT w, wc FROM wf ORDER BY wc DESC, w LIMIT 30),
+           |rec(w, wc, pos, np, sc) AS (
+           |  SELECT w, wc, 1, CAST(0 AS BIGINT), CAST(0 AS BIGINT) FROM top30
+           |  UNION ALL
+           |  SELECT r.w, r.wc, r.pos + v.l, r.np + 1, r.sc + v.c
+           |  FROM rec r JOIN vocab v ON v.piece = substr(r.w, r.pos, v.l)
+           |  WHERE r.pos <= len(r.w))
+           |SELECT word, wc, best_score, n_pieces_opt FROM (
+           |  SELECT w AS word, wc, sc AS best_score, np AS n_pieces_opt,
+           |    row_number() OVER (PARTITION BY w ORDER BY sc DESC, np) AS rk
+           |  FROM rec WHERE pos > len(w)) t
+           |WHERE rk = 1 ORDER BY wc DESC, word""".stripMargin),
+      doc = "optimal (Viterbi) subword segmentation: layered frontier DP vs the oracle's exhaustive path enumeration"))
 }

@@ -71,6 +71,50 @@ object Graph {
     r.select(col("v").as("node"), col("r").as("rank"))
   }
 
+  /** Deterministic pseudo-random walks — DeepWalk/node2vec's sampling
+    * primitive with the RNG replaced by a keyed hash, so every engine,
+    * shard and re-run draws the SAME walk (the reproducibility property
+    * distributed walk sampling actually needs): from each seed,
+    * `walksPerSeed` walks of `steps` hops; at hop t a walk at node v moves
+    * to the neighbor at index md5₆₀(v ':' r ':' t) mod deg(v) + 1 in
+    * dst-sorted adjacency order. Each hop is ONE equi-join of the walk
+    * frontier (|seeds|·R rows) against the once-partitioned indexed
+    * adjacency — no RNG state, no driver loop, localCheckpoint pinning
+    * plan depth. Returns (seed, walk_r, path, end_node). */
+  def hashWalks(edges: DataFrame, seeds: DataFrame, steps: Int,
+                walksPerSeed: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val e = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src")).dropDuplicates("src", "dst")
+    val wIdx = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("src")).orderBy(col("dst"))
+    val nbr = e.withColumn("idx", row_number().over(wIdx).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    nbr.count() // pin: joined every hop
+    val deg = nbr.groupBy(col("src")).agg(max(col("idx")).as("deg"))
+    val rs = (0 until walksPerSeed).map(r => lit(r)) // tiny literal fan-out
+    var walk = seeds.select(col("id").as("seed"))
+      .select(col("seed"), explode(array(rs: _*)).as("r"))
+      .withColumn("node", col("seed"))
+      .withColumn("path", col("seed").cast("string"))
+    for (t <- 1 to steps) {
+      val h = expr("cast(conv(substring(md5(concat(cast(node as string), " +
+        s"':', cast(r as string), ':', '$t')), 1, 15), 16, 10) as bigint)")
+      walk = walk
+        .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
+        .withColumn("pick", h % col("deg") + 1L)
+        .join(nbr.select(col("src").as("node"), col("idx"), col("dst")),
+          Seq("node"))
+        .filter(col("idx") === col("pick"))
+        .select(col("seed"), col("r"), col("dst").as("node"),
+          concat(col("path"), lit("->"), col("dst").cast("string")).as("path"))
+        .localCheckpoint()
+    }
+    walk.select(col("seed"), col("r").as("walk_r"), col("path"),
+      col("node").as("end_node"))
+  }
+
   /** Triangle enumeration by DEGREE-ORDERED orientation (the
     * Cohen / Suri-Vassilvitskii MapReduce formulation): orient every
     * undirected edge from its lower-(degree, id) endpoint to the higher,

@@ -1088,24 +1088,7 @@ object TextAnalysis {
     * (word, wc, n_pieces, score_sum). */
   def wordpieceSegment(df: DataFrame, textCol: String, topK: Int = 64,
                        maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
-    val spark = df.sparkSession
-    val wf = df.select(explode(words(col(textCol))).as("w"))
-      .filter(length(col("w")).between(1, maxWordLen))
-      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    wf.count() // pin: vocab derivation + segmentation loop share it
-    // all substrings of length 1..maxPieceLen, weighted by word count
-    def pieces(l: Int) = wf.filter(length(col("w")) >= l)
-      .select(col("wc"), explode(transform(
-        sequence(lit(1), length(col("w")) - (l - 1)),
-        i => col("w").substr(i, lit(l)))).as("piece"))
-      .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
-      .select(col("piece"), col("c"), lit(l).as("l"))
-    val vocab = pieces(1).unionAll(
-      (2 to maxPieceLen).map(pieces).reduce(_ unionAll _)
-        .orderBy(col("c").desc, col("piece")).limit(topK))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vocab.count() // pin: joined every round
+    val (wf, vocab) = subwordVocab(df, textCol, topK, maxPieceLen, maxWordLen)
     var st = wf.select(col("w"), col("wc"), lit(1).as("pos"),
       lit(0L).as("np"), lit(0L).as("sc"))
     for (_ <- 1 to maxWordLen) {
@@ -1128,5 +1111,74 @@ object TextAnalysis {
     }
     st.select(col("w").as("word"), col("wc"),
       col("np").as("n_pieces"), col("sc").as("score_sum"))
+  }
+
+  /** Shared subword-vocabulary derivation for [[wordpieceSegment]] and
+    * [[viterbiSegment]]: the capped distinct-word histogram plus every
+    * observed length-1 substring (coverage guarantee) and the topK most
+    * frequent substrings of length 2..maxPieceLen (frequency = Σ
+    * word-count over occurrence positions, ties by piece). Both frames
+    * persisted and pinned — the segmentation loops join them every round. */
+  private def subwordVocab(df: DataFrame, textCol: String, topK: Int,
+                           maxPieceLen: Int,
+                           maxWordLen: Int): (DataFrame, DataFrame) = {
+    val wf = df.select(explode(words(col(textCol))).as("w"))
+      .filter(length(col("w")).between(1, maxWordLen))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    wf.count() // pin: vocab derivation + segmentation loop share it
+    // all substrings of length 1..maxPieceLen, weighted by word count
+    def pieces(l: Int) = wf.filter(length(col("w")) >= l)
+      .select(col("wc"), explode(transform(
+        sequence(lit(1), length(col("w")) - (l - 1)),
+        i => col("w").substr(i, lit(l)))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("c"))
+      .select(col("piece"), col("c"), lit(l).as("l"))
+    val vocab = pieces(1).unionAll(
+      (2 to maxPieceLen).map(pieces).reduce(_ unionAll _)
+        .orderBy(col("c").desc, col("piece")).limit(topK))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    vocab.count() // pin: joined every round
+    (wf, vocab)
+  }
+
+  /** OPTIMAL subword segmentation — the DP objective WordPiece's greedy
+    * rule approximates (SentencePiece's Viterbi decode shape, Kudo 2018):
+    * per distinct word, maximize total piece frequency, ties to FEWEST
+    * pieces. The lexicographic (score, −n_pieces) objective has optimal
+    * substructure — extending two paths by the same piece preserves their
+    * order — so the frontier keeps ONE best state per (word, endpos):
+    * layered DP as maxWordLen rounds of (explode ≤maxPieceLen candidate
+    * substrings → broadcast-hash-join the shared vocab →
+    * partial-aggregable max(struct)), localCheckpoint pinning plan depth —
+    * the [[wordpieceSegment]] loop shape with a frontier per position
+    * instead of a single cursor. Integer-only surface; one row per
+    * distinct word: (word, wc, best_score, n_pieces_opt). */
+  def viterbiSegment(df: DataFrame, textCol: String, topK: Int = 64,
+                     maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    val (wf, vocab) = subwordVocab(df, textCol, topK, maxPieceLen, maxWordLen)
+    var frontier = wf.select(col("w"), col("wc"), lit(0).as("endpos"),
+      lit(0L).as("score"), lit(0L).as("np"))
+    for (_ <- 1 to maxWordLen) {
+      val extended = frontier.filter(col("endpos") < length(col("w")))
+        .select(col("w"), col("wc"), col("endpos"), col("score"), col("np"),
+          explode(transform(sequence(lit(1), lit(maxPieceLen)),
+            l => struct(l.as("l"),
+              col("w").substr(col("endpos") + 1, l).as("piece")))).as("cand"))
+        .join(broadcast(vocab),
+          col("cand.piece") === vocab("piece") && col("cand.l") === vocab("l"))
+        .select(col("w"), col("wc"),
+          (col("endpos") + col("cand.l")).as("endpos"),
+          (col("score") + col("c")).as("score"), (col("np") + 1L).as("np"))
+      frontier = frontier.unionAll(extended)
+        .groupBy(col("w"), col("wc"), col("endpos"))
+        .agg(max(struct(col("score"), (-col("np")).as("negnp"))).as("m"))
+        .select(col("w"), col("wc"), col("endpos"),
+          col("m.score").as("score"), (-col("m.negnp")).as("np"))
+        .localCheckpoint()
+    }
+    frontier.filter(col("endpos") === length(col("w")))
+      .select(col("w").as("word"), col("wc"),
+        col("score").as("best_score"), col("np").as("n_pieces_opt"))
   }
 }

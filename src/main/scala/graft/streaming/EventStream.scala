@@ -528,6 +528,50 @@ object EventStream {
       }
   }
 
+  // ── events_kalman_1d twin: keyed (x̂, P, K, Σinnov²) state ──
+  final case class KalmanPoint(g: String, t: Long, y: Double)
+  final case class KalmanState(lastT: Long, n: Long, x: Double, p: Double,
+                               k: Double, ssi: Double)
+  final case class KalmanOut(g: String, n: Long, x_hat: Double, p_cov: Double,
+                             gain: Double, ssi: Double)
+
+  /** Streaming 1-D Kalman filter — the `events_kalman_1d` twin: four
+    * doubles of keyed state (estimate, covariance, gain, innovation
+    * energy), dyadic q=1/4 r=4, the IDENTICAL IEEE op sequence as the
+    * batch `aggregate` fold, so sealed values match bit-for-bit
+    * (StreamingSpec pins the parity). Same monotonicity contract as
+    * [[streamingEwma]]. */
+  def streamingKalman(points: Dataset[KalmanPoint]): Dataset[KalmanOut] = {
+    import points.sparkSession.implicits._
+    points.groupByKey(_.g)
+      .flatMapGroupsWithState[KalmanState, KalmanOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g: String, it: Iterator[KalmanPoint], state: GroupState[KalmanState]) =>
+          val pts = it.toSeq.sortBy(_.t)
+          if (pts.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.getOrElse {
+              val h = pts.head
+              KalmanState(h.t, 1L, h.y, 1.0, 0.0, 0.0)
+            }
+            val rest = if (state.exists) pts else pts.tail
+            rest.foreach { pt =>
+              require(pt.t > st.lastT,
+                s"streamingKalman: out-of-order point for key '$g' " +
+                  s"(t=${pt.t} <= sealed lastT=${st.lastT}); enforce a " +
+                  "watermark + per-key monotone delivery upstream")
+              val pp = st.p + 0.25
+              val k = pp / (pp + 4.0)
+              val innov = pt.y - st.x
+              st = KalmanState(pt.t, st.n + 1L, st.x + k * innov,
+                (1.0 - k) * pp, k, st.ssi + innov * innov)
+            }
+            state.update(st)
+            Iterator.single(KalmanOut(g, st.n, st.x, st.p, st.k, st.ssi))
+          }
+      }
+  }
+
   // ── events_holt_winters twin: keyed (level, trend, seasonal-queue) state ──
   final case class HwPoint(g: String, t: Long, y: Double)
   final case class HwState(lastT: Long, n: Long, warm: Seq[Double],

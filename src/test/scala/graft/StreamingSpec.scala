@@ -650,6 +650,35 @@ class StreamingSpec extends SparkTestBase {
     assert(last.ewma_quarter === qu, "streaming quarter-decay must be bit-exact")
   }
 
+  test("streaming Kalman: keyed filter state fold, bit-exact batch parity") {
+    import graft.streaming.EventStream.{KalmanPoint, KalmanOut}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val series = (1 to 150).map(i =>
+      KalmanPoint("g", i.toLong, (i * 53 % 97).toDouble))
+    val input = MemoryStream[KalmanPoint]
+    val q = EventStream.streamingKalman(input.toDS())
+      .writeStream.format("memory").queryName("kal_out")
+      .outputMode("append").start()
+    input.addData(series.take(80): _*)
+    q.processAllAvailable()
+    input.addData(series.drop(80): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("kal_out").as[KalmanOut].collect().maxBy(_.n)
+    // the literal batch recurrence — identical IEEE op sequence
+    var x = series.head.y; var p = 1.0; var k = 0.0; var ssi = 0.0
+    series.tail.foreach { pt =>
+      val pp = p + 0.25
+      k = pp / (pp + 4.0)
+      val innov = pt.y - x
+      x = x + k * innov; p = (1.0 - k) * pp; ssi = ssi + innov * innov
+    }
+    assert(last.n === 150L)
+    assert(last.x_hat === x && last.p_cov === p && last.gain === k &&
+      last.ssi === ssi, "streaming Kalman state must be bit-exact")
+  }
+
   test("streaming Holt-Winters: keyed seasonal state fold, bit-exact batch parity") {
     import graft.streaming.EventStream.{HwPoint, HwOut}
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

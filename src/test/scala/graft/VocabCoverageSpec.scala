@@ -79,6 +79,23 @@ class VocabCoverageSpec extends SparkTestBase {
     assert(got("zq")._3 == 1L)
   }
 
+  test("viterbiSegment dominates the greedy wordpiece score, word by word") {
+    val greedy = TextAnalysis.wordpieceSegment(docs, "text")
+      .select(col("word"), col("score_sum"), col("n_pieces"))
+    val opt = TextAnalysis.viterbiSegment(docs, "text")
+      .select(col("word"), col("best_score"), col("n_pieces_opt"))
+    val j = greedy.join(opt, "word").collect()
+    assert(j.nonEmpty)
+    j.foreach { r =>
+      assert(r.getAs[Long]("best_score") >= r.getAs[Long]("score_sum"),
+        s"DP must dominate greedy: $r")
+      // at equal score the DP's tie rule prefers fewer pieces
+      if (r.getAs[Long]("best_score") == r.getAs[Long]("score_sum"))
+        assert(r.getAs[Long]("n_pieces_opt") <= r.getAs[Long]("n_pieces"),
+          s"DP tie rule: $r")
+    }
+  }
+
   test("wordpieceSegment: coverage guarantee — every word terminates") {
     val seg = TextAnalysis.wordpieceSegment(Tables.documents(spark, sfDir), "text")
     val bad = seg.filter(col("n_pieces") <= 0).count()
