@@ -1424,6 +1424,166 @@ object QueriesEvents {
           |WHERE n.n >= 2 ORDER BY n.event_type""".stripMargin),
       doc = "1-D Kalman filter (local-level): adaptive gain to the Riccati fixed point, innovation energy graded, identical IEEE chain both engines"),
 
+    // Theta-method forecast (Assimakopoulos & Nikolopoulos 2000 — the M3
+    // competition winner, still the hardest-to-beat classical baseline):
+    // Theta(0,2) combination = ½·(OLS trendline extrapolation) + ½·(SES
+    // over the θ=2 line z_t = 2y_t − (a + b·t)). The OLS (a, b) comes from
+    // INTEGER sufficient statistics (n, Σi, Σy, Σiy, Σi² — combinable,
+    // map-side aggregable) with exactly two divisions; the SES fold
+    // (α = 1/2 dyadic) then runs the identical IEEE op sequence on both
+    // engines — Spark an ordered `aggregate` with an (i, ses) struct
+    // state, DuckDB a recursive CTE. Keyed collect bounded by hourly
+    // history; state O(1) per key.
+    "events_theta_forecast" -> Q(
+      fn = (s, dir) => {
+        val wT = Window.partitionBy(col("event_type"))
+          .orderBy(col("t"))
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+          .withColumn("i", row_number().over(wT).cast("long"))
+        val sums = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("i")).as("si"),
+            sum(col("y")).as("sy"), sum(col("i") * col("y")).as("siy"),
+            sum(col("i") * col("i")).as("sii"))
+          .filter(col("n") >= 3)
+        val arr = h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("i"), col("y")))).as("iys"))
+        val b = (col("n") * col("siy") - col("si") * col("sy")).cast("double") /
+          (col("n") * col("sii") - col("si") * col("si"))
+        val a = (col("sy").cast("double") - b * col("si").cast("double")) /
+          col("n").cast("double")
+        val iF = col("st").getField("i")
+        val sesF = col("st").getField("ses")
+        sums.join(arr, Seq("event_type"))
+          .withColumn("ys", transform(col("iys"), x => x.getField("y").cast("double")))
+          .withColumn("a", a).withColumn("b", b)
+          .withColumn("st", aggregate(
+            slice(col("ys"), lit(2), size(col("ys")) - 1),
+            struct(lit(1L).as("i"),
+              (lit(2.0) * element_at(col("ys"), 1)
+                - (col("a") + col("b") * lit(1.0))).as("ses")),
+            (acc, y) => {
+              val i2 = acc.getField("i") + lit(1L)
+              val z = lit(2.0) * y -
+                (col("a") + col("b") * i2.cast("double"))
+              struct(i2.as("i"),
+                (lit(0.5) * z + lit(0.5) * acc.getField("ses")).as("ses"))
+            }))
+          .select(col("event_type"), col("n").as("n_hours"),
+            (round(col("b"), 9) + 0.0).as("slope"),
+            (round(col("a"), 9) + 0.0).as("intercept"),
+            (round(sesF, 9) + 0.0).as("theta2_ses"),
+            (round(lit(0.5) * sesF + lit(0.5) *
+              (col("a") + col("b") * (col("n") + 3).cast("double")), 9) + 0.0)
+              .as("forecast_h3"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |o AS (SELECT event_type, CAST(y AS DOUBLE) AS y,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+          |  FROM h),
+          |sums AS (SELECT event_type, count(*) AS n, sum(i) AS si,
+          |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(i * y) AS BIGINT) AS siy,
+          |    sum(i * i) AS sii
+          |  FROM o GROUP BY 1 HAVING count(*) >= 3),
+          |ab AS (SELECT event_type, n,
+          |    CAST(n * siy - si * sy AS DOUBLE) / (n * sii - si * si) AS b,
+          |    (CAST(sy AS DOUBLE)
+          |      - (CAST(n * siy - si * sy AS DOUBLE) / (n * sii - si * si))
+          |        * CAST(si AS DOUBLE)) / CAST(n AS DOUBLE) AS a
+          |  FROM sums),
+          |th(event_type, i, ses) AS (
+          |  SELECT ab.event_type, CAST(1 AS BIGINT),
+          |    2.0 * o.y - (ab.a + ab.b * 1.0)
+          |  FROM ab JOIN o ON o.event_type = ab.event_type AND o.i = 1
+          |  UNION ALL
+          |  SELECT th.event_type, th.i + 1,
+          |    0.5 * (2.0 * o.y
+          |      - (ab.a + ab.b * CAST(th.i + 1 AS DOUBLE)))
+          |      + 0.5 * th.ses
+          |  FROM th JOIN ab ON ab.event_type = th.event_type
+          |    JOIN o ON o.event_type = th.event_type AND o.i = th.i + 1)
+          |SELECT ab.event_type, CAST(ab.n AS BIGINT) AS n_hours,
+          |  round(ab.b, 9) + 0.0 AS slope,
+          |  round(ab.a, 9) + 0.0 AS intercept,
+          |  round(th.ses, 9) + 0.0 AS theta2_ses,
+          |  round(0.5 * th.ses
+          |    + 0.5 * (ab.a + ab.b * CAST(ab.n + 3 AS DOUBLE)), 9) + 0.0
+          |    AS forecast_h3
+          |FROM th JOIN ab ON th.event_type = ab.event_type AND th.i = ab.n
+          |ORDER BY ab.event_type""".stripMargin),
+      doc = "Theta(0,2) forecast: integer OLS sufficient statistics + dyadic SES over the theta-2 line, identical IEEE chain both engines"),
+
+    // Croston's method (1972) — the intermittent-demand forecaster the
+    // EWMA family can't replace: when a series has gaps, smoothing the
+    // rate directly biases toward zero. Croston keeps TWO coupled SES
+    // states updated only at observations: demand size ẑ and
+    // inter-observation interval p̂ (hours between successive observed
+    // buckets — the natural intermittency, no gap-fill materialization);
+    // the forecast rate is ẑ/p̂ with ONE division at the end. Dyadic
+    // α = 1/4 both states; (t_prev, ẑ, p̂) struct fold, identical IEEE
+    // chain both engines. State O(1) per key.
+    "events_croston" -> Q(
+      fn = (s, dir) => {
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("y"))
+        val zF = col("st").getField("z")
+        val pF = col("st").getField("p")
+        h.groupBy(col("event_type"))
+          .agg(sort_array(collect_list(struct(col("t"), col("y")))).as("tys"))
+          .filter(size(col("tys")) >= 2)
+          .withColumn("st", aggregate(
+            slice(col("tys"), lit(2), size(col("tys")) - 1),
+            struct(element_at(col("tys"), 1).getField("t").as("tp"),
+              element_at(col("tys"), 1).getField("y").cast("double").as("z"),
+              lit(1.0).as("p")),
+            (acc, e) => {
+              val q = (e.getField("t") - acc.getField("tp")).cast("double")
+              struct(e.getField("t").as("tp"),
+                (lit(0.75) * acc.getField("z")
+                  + lit(0.25) * e.getField("y").cast("double")).as("z"),
+                (lit(0.75) * acc.getField("p") + lit(0.25) * q).as("p"))
+            }))
+          .select(col("event_type"),
+            size(col("tys")).cast("long").as("n_obs"),
+            (round(zF, 9) + 0.0).as("demand_size"),
+            (round(pF, 9) + 0.0).as("interval"),
+            (round(zF / pF, 9) + 0.0).as("demand_rate"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |o AS (SELECT event_type, t, CAST(y AS DOUBLE) AS y,
+          |    row_number() OVER (PARTITION BY event_type ORDER BY t) AS i
+          |  FROM h),
+          |n AS (SELECT event_type, max(i) AS n FROM o GROUP BY 1
+          |  HAVING max(i) >= 2),
+          |cr(event_type, i, tp, z, p) AS (
+          |  SELECT event_type, CAST(1 AS BIGINT), t, y, CAST(1.0 AS DOUBLE)
+          |  FROM o WHERE i = 1
+          |  UNION ALL
+          |  SELECT cr.event_type, cr.i + 1, o.t,
+          |    0.75 * cr.z + 0.25 * o.y,
+          |    0.75 * cr.p + 0.25 * CAST(o.t - cr.tp AS DOUBLE)
+          |  FROM cr JOIN o
+          |    ON o.event_type = cr.event_type AND o.i = cr.i + 1)
+          |SELECT n.event_type, CAST(n.n AS BIGINT) AS n_obs,
+          |  round(cr.z, 9) + 0.0 AS demand_size,
+          |  round(cr.p, 9) + 0.0 AS interval,
+          |  round(cr.z / cr.p, 9) + 0.0 AS demand_rate
+          |FROM cr JOIN n ON cr.event_type = n.event_type AND cr.i = n.n
+          |ORDER BY n.event_type""".stripMargin),
+      doc = "Croston intermittent-demand forecast: coupled size/interval SES updated per observation, one division at the end"),
+
     // Robust outlier census: median absolute deviation on hourly counts.
     // Medians of integers are half-integers, so EVERYTHING is exact in
     // doubled units: med2 = 2·median(x) (exact percentile, not approx),

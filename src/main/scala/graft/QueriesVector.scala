@@ -1421,6 +1421,54 @@ object QueriesVector {
       },
       doc = "kNN-graph build: 2-table-LSH-seeded top-5 + one NN-Descent neighbor-of-neighbor round, recall@5 audit before/after"),
 
+    // HNSW layer-assignment census — the structural skeleton of the index
+    // pgvector builds (hnsw.c draws level ~ floor(−ln(U)·mL)). The
+    // geometric(1/2) draw is replayed WITHOUT libm: level = number of
+    // trailing zero bits of md5₆₀(vec_id), capped at 6 — the same
+    // distribution (P(level ≥ l) = 2⁻ˡ), bit-reproducible on both
+    // engines. Graded per level: node count, cumulative upper-layer size
+    // (the search entry set), and the M·n edge budget (M = 16 at layer 0,
+    // 8 above — pgvector's defaults halve above ground). Cumulative sums
+    // ride a bounded 7×7 level self-join, not a global window. At 100 TB
+    // the census is one codegen'd scan + a 7-row join — the memory-plan
+    // every HNSW capacity model needs before committing RAM.
+    "v3_ann_hnsw_layers" -> Q(
+      fn = (s, dir) => {
+        val h = expr("cast(conv(substring(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigint)")
+        val lvl = when(expr("h % 64") === 0, 6)
+          .when(expr("h % 32") === 0, 5).when(expr("h % 16") === 0, 4)
+          .when(expr("h % 8") === 0, 3).when(expr("h % 4") === 0, 2)
+          .when(expr("h % 2") === 0, 1).otherwise(0)
+        val byLvl = Tables.embeddings(s, dir).select(col("vec_id"))
+          .withColumn("h", h).withColumn("level", lvl)
+          .groupBy(col("level")).agg(count(lit(1)).as("n_nodes"))
+        byLvl.as("x").join(byLvl.as("y"), col("y.level") >= col("x.level"))
+          .groupBy(col("x.level").as("level"), col("x.n_nodes").as("n_nodes"))
+          .agg(sum(col("y.n_nodes")).as("n_at_or_above"))
+          .withColumn("edge_budget",
+            when(col("level") === 0, col("n_nodes") * 16L)
+              .otherwise(col("n_nodes") * 8L))
+          .select(col("level"), col("n_nodes"), col("n_at_or_above"),
+            col("edge_budget"))
+          .orderBy(col("level"))
+      },
+      oracle = Some(
+        """WITH v AS (SELECT vec_id,
+          |    CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+          |  FROM embeddings),
+          |l AS (SELECT CASE WHEN h % 64 = 0 THEN 6 WHEN h % 32 = 0 THEN 5
+          |    WHEN h % 16 = 0 THEN 4 WHEN h % 8 = 0 THEN 3
+          |    WHEN h % 4 = 0 THEN 2 WHEN h % 2 = 0 THEN 1 ELSE 0 END AS level
+          |  FROM v),
+          |g AS (SELECT level, count(*) AS n_nodes FROM l GROUP BY 1)
+          |SELECT x.level, x.n_nodes,
+          |  CAST(sum(y.n_nodes) AS BIGINT) AS n_at_or_above,
+          |  CAST(CASE WHEN x.level = 0 THEN x.n_nodes * 16
+          |    ELSE x.n_nodes * 8 END AS BIGINT) AS edge_budget
+          |FROM g x JOIN g y ON y.level >= x.level
+          |GROUP BY 1, 2 ORDER BY x.level""".stripMargin),
+      doc = "HNSW layer assignment: libm-free geometric(1/2) draw via trailing zero bits, per-level node/entry-set/edge-budget census"),
+
     // int8 symmetric quantization census — the 4× compression every
     // RAM-resident ANN index takes at 100 TB. Per vector: amax-scaled
     // `clamp(floor(x·127/amax + 0.5))` codes (multiply-then-divide order

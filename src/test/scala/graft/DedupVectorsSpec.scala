@@ -503,4 +503,27 @@ class DedupVectorsSpec extends SparkTestBase {
       r.getLong(6) < r.getLong(5)),
       "descent round was a no-op on every sampled node")
   }
+
+  test("HNSW layer census: exact geometric(1/2) identities") {
+    val rows = Registry.all("v3_ann_hnsw_layers").fn(spark, sfDir)
+      .orderBy(col("level")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.head._1 == 0)
+    val total = rows.map(_._2).sum
+    // cumulative identity: n_at_or_above(l) = sum of n_nodes at >= l
+    rows.foreach { case (l, _, above, _) =>
+      assert(above == rows.filter(_._1 >= l).map(_._2).sum,
+        s"cumulative mismatch at level $l")
+    }
+    assert(rows.head._3 == total, "level 0 must see the whole corpus")
+    // entry sets shrink strictly going up (until empty levels drop out)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 < a._3, s"upper layer must be smaller: $a vs $b")
+    }
+    // edge budget: 16/node at ground, 8/node above
+    rows.foreach { case (l, n, _, eb) =>
+      assert(eb == (if (l == 0) n * 16L else n * 8L))
+    }
+  }
+
 }

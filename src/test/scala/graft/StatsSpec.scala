@@ -405,4 +405,83 @@ class StatsSpec extends SparkTestBase {
       } else assert(!res.contains(et))
     }
   }
+
+  test("events_theta_forecast: query fold matches an independent Scala recurrence") {
+    val res = Registry.all("events_theta_forecast").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(res.nonEmpty)
+
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+    hours.foreach { case (et, rows) =>
+      val ysL = rows.sortBy(_._2).map(_._3)
+      val n = ysL.length
+      if (n >= 3) {
+        var si = 0L; var sy = 0L; var siy = 0L; var sii = 0L
+        ysL.zipWithIndex.foreach { case (y, i0) =>
+          val i = (i0 + 1).toLong
+          si += i; sy += y; siy += i * y; sii += i * i
+        }
+        val b = (n * siy - si * sy).toDouble / (n * sii - si * si)
+        val a = (sy.toDouble - b * si.toDouble) / n.toDouble
+        var ses = 2.0 * ysL.head.toDouble - (a + b * 1.0)
+        ysL.zipWithIndex.drop(1).foreach { case (y, i0) =>
+          val z = 2.0 * y.toDouble - (a + b * (i0 + 1).toDouble)
+          ses = 0.5 * z + 0.5 * ses
+        }
+        val fc = 0.5 * ses + 0.5 * (a + b * (n + 3).toDouble)
+        val (nq, slope, icept, sesQ, fcQ) = res(et)
+        assert(nq == n.toLong)
+        assert(slope == r9(b) && icept == r9(a), s"$et OLS mismatch")
+        assert(sesQ == r9(ses), s"$et ses: $sesQ vs ${r9(ses)}")
+        assert(fcQ == r9(fc), s"$et forecast: $fcQ vs ${r9(fc)}")
+      } else assert(!res.contains(et))
+    }
+  }
+
+
+  test("events_croston: query fold matches an independent Scala recurrence") {
+    val res = Registry.all("events_croston").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(res.nonEmpty)
+
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+    hours.foreach { case (et, rows) =>
+      val tys = rows.sortBy(_._2).map(r => (r._2, r._3))
+      if (tys.length >= 2) {
+        var tp = tys.head._1; var z = tys.head._2.toDouble; var p = 1.0
+        tys.tail.foreach { case (t, y) =>
+          val q = (t - tp).toDouble
+          z = 0.75 * z + 0.25 * y.toDouble
+          p = 0.75 * p + 0.25 * q
+          tp = t
+        }
+        val (n, zq, pq, rq) = res(et)
+        assert(n == tys.length.toLong)
+        assert(zq == r9(z) && pq == r9(p), s"$et size/interval mismatch")
+        assert(rq == r9(z / p), s"$et rate: $rq vs ${r9(z / p)}")
+        // a dense hourly series has interval ~1; rate <= size then
+        assert(pq >= 1.0 - 1e-9, s"$et interval below 1 hour: $pq")
+      } else assert(!res.contains(et))
+    }
+  }
+
 }
