@@ -1505,6 +1505,90 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           |FROM kept GROUP BY stratum ORDER BY stratum""".stripMargin),
       doc = "deterministic stratified hash sampling (training-mix weights)"),
 
+    // Poisson(1) bootstrap (Chamandy et al. 2012 — the MapReduce-native
+    // bootstrap: resampling-with-replacement is impossible in one pass,
+    // but per-(row, rep) independent Poisson(1) weights reproduce the
+    // multinomial in expectation). The draw is DETERMINISTIC: u =
+    // md5₆₀(rep:doc)/2⁶⁰ (exact power-of-two scaling — both engines round
+    // h→double identically, the division is exact), inverted through the
+    // λ=1 CDF as SHARED literal thresholds. Per rep: docs hit, Σw, the
+    // weighted n_chars total and the bootstrap mean — the 10-rep spread IS
+    // the uncertainty estimate a 100 TB single-pass pipeline ships.
+    "sample_poisson_bootstrap" -> Q(
+      fn = (s, dir) => {
+        val reps = (0 until 10).map(lit(_))
+        val u = expr("cast(conv(substring(md5(concat(cast(rep as string), " +
+          "':', cast(doc_id as string))), 1, 15), 16, 10) as bigint)")
+          .cast("double") / lit(1.152921504606846976e18)
+        val w = when(col("u") < 0.36787944117144233, 0L)
+          .when(col("u") < 0.7357588823428847, 1L)
+          .when(col("u") < 0.9196986029286058, 2L)
+          .when(col("u") < 0.9810118431238462, 3L)
+          .when(col("u") < 0.9963401531726563, 4L)
+          .when(col("u") < 0.9994058151824183, 5L).otherwise(6L)
+        Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+          .select(col("doc_id"), col("n_chars"),
+            explode(array(reps: _*)).as("rep"))
+          .withColumn("u", u).withColumn("w", w)
+          .groupBy(col("rep"))
+          .agg(sum(when(col("w") > 0, 1L).otherwise(0L)).as("n_docs_hit"),
+            sum(col("w")).as("sum_w"),
+            sum(col("w") * col("n_chars")).as("sum_w_chars"))
+          .withColumn("boot_mean_chars",
+            round(col("sum_w_chars").cast("double") / col("sum_w").cast("double"), 9) + 0.0)
+          .orderBy(col("rep"))
+      },
+      oracle = Some(
+        """WITH x AS (SELECT d.doc_id, d.n_chars, r.rep,
+          |    CAST(CAST('0x' || substr(md5(CAST(r.rep AS VARCHAR) || ':'
+          |      || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS DOUBLE)
+          |      / 1152921504606846976.0 AS u
+          |  FROM documents d CROSS JOIN (
+          |    SELECT unnest(generate_series(0, 9)) AS rep) r),
+          |wt AS (SELECT rep, n_chars,
+          |    CASE WHEN u < 0.36787944117144233 THEN 0
+          |         WHEN u < 0.7357588823428847 THEN 1
+          |         WHEN u < 0.9196986029286058 THEN 2
+          |         WHEN u < 0.9810118431238462 THEN 3
+          |         WHEN u < 0.9963401531726563 THEN 4
+          |         WHEN u < 0.9994058151824183 THEN 5 ELSE 6 END AS w
+          |  FROM x)
+          |SELECT rep,
+          |  CAST(sum(CASE WHEN w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_hit,
+          |  CAST(sum(w) AS BIGINT) AS sum_w,
+          |  CAST(sum(w * n_chars) AS BIGINT) AS sum_w_chars,
+          |  round(CAST(sum(w * n_chars) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 9)
+          |    + 0.0 AS boot_mean_chars
+          |FROM wt GROUP BY rep ORDER BY rep""".stripMargin),
+      doc = "deterministic Poisson(1) bootstrap: 10 single-pass replicas via hash-inverted CDF, per-rep weighted census"),
+
+    // Leakage-safe GROUP k-fold: folds are a FUNCTION of the group key
+    // (fold = md5₆₀(source) mod 5), so no source ever spans folds — the
+    // property that matters when near-duplicates cluster within a source
+    // and a random row-level split would leak train into eval. Census per
+    // fold: distinct sources, docs, chars; PipelineOpsSpec asserts the
+    // no-spanning invariant (Σ per-fold distinct sources = global
+    // distinct). One scan + one groupBy; the fold column is a pure
+    // projection, so at 100 TB the split is free at write time.
+    "sample_group_kfold" -> Q(
+      fn = (s, dir) =>
+        Tables.documents(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+          .withColumn("fold",
+            expr("cast(conv(substring(md5(source), 1, 15), 16, 10) as bigint) % 5"))
+          .groupBy(col("fold"))
+          .agg(countDistinct(col("source")).as("n_sources"),
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"))
+          .orderBy(col("fold")),
+      oracle = Some(
+        """WITH f AS (SELECT doc_id, source, n_chars,
+          |    CAST('0x' || substr(md5(source), 1, 15) AS BIGINT) % 5 AS fold
+          |  FROM documents)
+          |SELECT fold, CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+          |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+          |FROM f GROUP BY fold ORDER BY fold""".stripMargin),
+      doc = "leakage-safe group k-fold: fold is a function of the source key, per-fold census"),
+
     // Data-constrained epoch planning: split a 3×-the-corpus token budget
     // across languages with temperature-α=0.5 weights (√tokens — the
     // standard head-domain down-weighting), then the implied per-domain

@@ -658,4 +658,32 @@ class PipelineOpsSpec extends SparkTestBase {
       assert(r.getAs[Long]("n_shards") * 16L >= r.getAs[Long]("alloc_tokens"))
     }
   }
+
+  test("group k-fold: no source spans folds; censuses partition the corpus") {
+    val docs = Tables.documents(spark, sfDir)
+    val folds = Registry.all("sample_group_kfold").fn(spark, sfDir).collect()
+    val totalSources = docs.select(countDistinct(col("source"))).head().getLong(0)
+    val totalDocs = docs.count()
+    assert(folds.map(_.getLong(1)).sum == totalSources,
+      "per-fold distinct sources must sum to the global distinct count " +
+        "(a source spanning folds would double-count)")
+    assert(folds.map(_.getLong(2)).sum == totalDocs)
+  }
+
+  test("Poisson bootstrap: per-rep mass concentrates around the corpus size") {
+    val docs = Tables.documents(spark, sfDir).count()
+    val reps = Registry.all("sample_poisson_bootstrap").fn(spark, sfDir).collect()
+    assert(reps.length == 10)
+    reps.foreach { r =>
+      val (hit, sumW) = (r.getLong(1), r.getLong(2))
+      // E[sum_w] = n, sd = sqrt(n); 10 sd is astronomically safe and still
+      // catches a broken CDF inversion (all-0 or all-6 weights)
+      assert(math.abs(sumW - docs) <= 10 * math.sqrt(docs.toDouble) + 10,
+        s"rep ${r.get(0)}: sum_w $sumW vs n $docs")
+      // P(w>0) = 1 - 1/e ~ 0.632
+      assert(hit > docs / 2 && hit < (docs * 3) / 4,
+        s"rep ${r.get(0)}: hit $hit of $docs")
+    }
+  }
+
 }
