@@ -150,7 +150,8 @@ object Bench {
       "v3_ann_ivf", "dedup_exact", "dedup_minhash_lsh", "text_token_counts",
       "mm_frame_sample", "q5_local_volume", "sketch_hll_distinct",
       "zorder_box_query", "q18_large_orders", "q21_waiting_supplier",
-      "pipeline_pretrain_mix", "t_resample_ohlc", "store_consistent_hashing")
+      "pipeline_pretrain_mix", "t_resample_ohlc", "store_consistent_hashing",
+      "text_wordpiece_tokenize", "v3_knn_graph_descent")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

@@ -1308,6 +1308,83 @@ object QueriesExtra {
           |FROM g ORDER BY bucket_id""".stripMargin)),
       doc = "RS(8,2) erasure-coding plan: exact stripe/parity/padding census per bucket + storage-amplification ratio"),
 
+    // Welch's unequal-variance t-test, per source vs the REST of the
+    // corpus — the continuous-metric sibling of events_ab_contingency's
+    // χ² (categorical). Sufficient statistics are integer (n, Σx, Σx²,
+    // summed as DECIMAL(38,0) so Σx² can't overflow int64 at corpus
+    // scale; the rest-of-corpus side is global − group, so ONE pass
+    // computes every test). The float tail is a FIXED IEEE sequence over
+    // exact-integer-sourced doubles: means, Welch variance terms u_i =
+    // s_i²/n_i, t = Δm/√(u₁+u₂), Welch–Satterthwaite dof — identical
+    // association both engines, graded round-9.
+    "profile_welch_ttest" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+        val per = d.groupBy(col("source"))
+          .agg(count(lit(1)).as("n1"),
+            sum(col("n_chars").cast(dec)).as("s1"),
+            sum(col("n_chars").cast(dec) * col("n_chars")).as("q1"))
+        val tot = d.agg(count(lit(1)).as("n"),
+          sum(col("n_chars").cast(dec)).as("s"),
+          sum(col("n_chars").cast(dec) * col("n_chars")).as("q"))
+        val j = per.crossJoin(broadcast(tot))
+          .filter(col("n1") >= 2 && (col("n") - col("n1")) >= 2)
+          .withColumn("n1d", col("n1").cast("double"))
+          .withColumn("n2d", (col("n") - col("n1")).cast("double"))
+          .withColumn("m1", col("s1").cast("double") / col("n1d"))
+          .withColumn("m2", (col("s") - col("s1")).cast("double") / col("n2d"))
+          .withColumn("v1",
+            (col("q1").cast("double")
+              - col("s1").cast("double") * col("s1").cast("double") / col("n1d"))
+              / (col("n1d") - lit(1.0)))
+          .withColumn("v2",
+            ((col("q") - col("q1")).cast("double")
+              - (col("s") - col("s1")).cast("double")
+                * (col("s") - col("s1")).cast("double") / col("n2d"))
+              / (col("n2d") - lit(1.0)))
+          .withColumn("u1", col("v1") / col("n1d"))
+          .withColumn("u2", col("v2") / col("n2d"))
+        j.select(col("source"), col("n1").as("n_docs"),
+            (round(col("m1"), 9) + 0.0).as("mean_chars"),
+            (round((col("m1") - col("m2")) / sqrt(col("u1") + col("u2")), 9)
+              + 0.0).as("t_stat"),
+            (round((col("u1") + col("u2")) * (col("u1") + col("u2"))
+              / (col("u1") * col("u1") / (col("n1d") - lit(1.0))
+                + col("u2") * col("u2") / (col("n2d") - lit(1.0))), 9) + 0.0)
+              .as("welch_dof"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(
+        """WITH per AS (SELECT source, count(*) AS n1,
+          |    sum(n_chars) AS s1, sum(CAST(n_chars AS HUGEINT) * n_chars) AS q1
+          |  FROM documents GROUP BY 1),
+          |tot AS (SELECT count(*) AS n, sum(n_chars) AS s,
+          |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS q FROM documents),
+          |z AS (SELECT source, n1,
+          |    CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+          |    CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+          |    CAST(s - s1 AS DOUBLE) / CAST(n - n1 AS DOUBLE) AS m2,
+          |    (CAST(q1 AS DOUBLE)
+          |      - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+          |      / (CAST(n1 AS DOUBLE) - 1.0) AS v1,
+          |    (CAST(q - q1 AS DOUBLE)
+          |      - CAST(s - s1 AS DOUBLE) * CAST(s - s1 AS DOUBLE)
+          |        / CAST(n - n1 AS DOUBLE))
+          |      / (CAST(n - n1 AS DOUBLE) - 1.0) AS v2
+          |  FROM per CROSS JOIN tot
+          |  WHERE n1 >= 2 AND n - n1 >= 2),
+          |u AS (SELECT source, n1, m1, m2, n1d, n2d,
+          |    v1 / n1d AS u1, v2 / n2d AS u2 FROM z)
+          |SELECT source, n1 AS n_docs,
+          |  round(m1, 9) + 0.0 AS mean_chars,
+          |  round((m1 - m2) / sqrt(u1 + u2), 9) + 0.0 AS t_stat,
+          |  round((u1 + u2) * (u1 + u2)
+          |    / (u1 * u1 / (n1d - 1.0) + u2 * u2 / (n2d - 1.0)), 9) + 0.0
+          |    AS welch_dof
+          |FROM u ORDER BY source""".stripMargin),
+      doc = "Welch unequal-variance t-test per source vs rest: decimal-safe integer moments, fixed IEEE tail, round-9"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

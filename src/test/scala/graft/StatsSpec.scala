@@ -484,4 +484,46 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+
+  test("profile_welch_ttest: t and dof match an independent computation") {
+    val res = Registry.all("profile_welch_ttest").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(res.nonEmpty)
+    val xs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val n = xs.length.toLong
+    val s = xs.map(_._2).sum
+    val q = xs.map(x => BigInt(x._2) * BigInt(x._2)).sum
+
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+
+    xs.groupBy(_._1).foreach { case (src, g) =>
+      val n1 = g.length.toLong
+      val n2 = n - n1
+      if (n1 >= 2 && n2 >= 2) {
+        val s1 = g.map(_._2).sum
+        val q1 = g.map(x => BigInt(x._2) * BigInt(x._2)).sum
+        val (n1d, n2d) = (n1.toDouble, n2.toDouble)
+        val m1 = s1.toDouble / n1d
+        val m2 = (s - s1).toDouble / n2d
+        val v1 = (q1.toDouble - s1.toDouble * s1.toDouble / n1d) / (n1d - 1.0)
+        val v2 = ((q - q1).toDouble - (s - s1).toDouble * (s - s1).toDouble / n2d) / (n2d - 1.0)
+        val (u1, u2) = (v1 / n1d, v2 / n2d)
+        val t = (m1 - m2) / math.sqrt(u1 + u2)
+        val dof = (u1 + u2) * (u1 + u2) /
+          (u1 * u1 / (n1d - 1.0) + u2 * u2 / (n2d - 1.0))
+        val (nq, mq, tq, dq) = res(src)
+        assert(nq == n1 && mq == r9(m1), s"$src n/mean mismatch")
+        assert(tq == r9(t), s"$src t: $tq vs ${r9(t)}")
+        assert(dq == r9(dof), s"$src dof: $dq vs ${r9(dof)}")
+        // Welch dof is bracketed by min(n1,n2)-1 and n-2
+        assert(dq >= math.min(n1d, n2d) - 1.0 - 1e-6 && dq <= n.toDouble - 2.0 + 1e-6,
+          s"$src dof out of bracket: $dq")
+      } else assert(!res.contains(src))
+    }
+  }
+
 }
