@@ -3033,5 +3033,54 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    row_number() OVER (PARTITION BY w ORDER BY sc DESC, np) AS rk
            |  FROM rec WHERE pos > len(w)) t
            |WHERE rk = 1 ORDER BY wc DESC, word""".stripMargin),
-      doc = "optimal (Viterbi) subword segmentation: layered frontier DP vs the oracle's exhaustive path enumeration"))
+      doc = "optimal (Viterbi) subword segmentation: layered frontier DP vs the oracle's exhaustive path enumeration"),
+
+    // Distinctive terms per source — the corpus-exploration readout BERTopic
+    // calls class-TF-IDF, restated without logs so the ranking is exact:
+    // lift(w, s) = P(w | s) / P(w) = (tf_ws · T) / (T_s · tf_w), both
+    // products widened to DECIMAL(38,0) BEFORE the single division (the
+    // collocations discipline — at 10¹³ tokens an int64 product overflows
+    // silently), one correctly-rounded decimal→double per side, ONE
+    // division: bit-identical cross-engine, and ln(lift) monotone ⇒ this
+    // IS the c-TF-IDF ranking minus the float log. Count floor tf_ws ≥ 5;
+    // top-10 per source by (lift desc, w) via a keyed window. One token
+    // scan → two vocabulary-sized aggregates → broadcast margins join.
+    "text_distinctive_terms" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val tok = Tables.documents(s, dir)
+          .select(col("source"), explode(TextAnalysis.words(col("text"))).as("w"))
+        val sw = tok.groupBy(col("source"), col("w"))
+          .agg(count(lit(1)).as("tf_sw")).filter(col("tf_sw") >= 5)
+        val perS = tok.groupBy(col("source")).agg(count(lit(1)).as("t_s"))
+        val perW = tok.groupBy(col("w")).agg(count(lit(1)).as("tf_w"))
+        val tot = tok.agg(count(lit(1)).as("t"))
+        val wTop = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("lift").desc, col("w"))
+        sw.join(perS, Seq("source")).join(perW, Seq("w"))
+          .crossJoin(broadcast(tot))
+          .withColumn("lift",
+            (col("tf_sw").cast(dec) * col("t").cast(dec)).cast("double")
+              / (col("t_s").cast(dec) * col("tf_w").cast(dec)).cast("double"))
+          .withColumn("rnk", row_number().over(wTop)).filter(col("rnk") <= 10)
+          .select(col("source"), col("rnk").cast("long").as("rnk"), col("w"),
+            col("tf_sw"), col("tf_w"), (round(col("lift"), 9) + 0.0).as("lift"))
+          .orderBy(col("source"), col("rnk"))
+      },
+      oracle = Some(
+        s"""WITH tok AS (SELECT source, unnest($wordsSql) AS w FROM documents),
+           |sw AS (SELECT source, w, count(*) AS tf_sw FROM tok
+           |  GROUP BY 1, 2 HAVING count(*) >= 5),
+           |ps AS (SELECT source, count(*) AS t_s FROM tok GROUP BY 1),
+           |pw AS (SELECT w, count(*) AS tf_w FROM tok GROUP BY 1),
+           |tot AS (SELECT count(*) AS t FROM tok),
+           |l AS (SELECT sw.source, sw.w, sw.tf_sw, pw.tf_w,
+           |    CAST(CAST(sw.tf_sw AS DECIMAL(38,0)) * t AS DOUBLE)
+           |      / CAST(CAST(ps.t_s AS DECIMAL(38,0)) * tf_w AS DOUBLE) AS lift
+           |  FROM sw JOIN ps USING (source) JOIN pw USING (w) CROSS JOIN tot),
+           |r AS (SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY lift DESC, w) AS rnk FROM l)
+           |SELECT source, rnk, w, tf_sw, tf_w, round(lift, 9) + 0.0 AS lift
+           |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin),
+      doc = "distinctive terms per source: log-free c-TF-IDF (exact decimal products, one division), top-10 by keyed window"))
 }
