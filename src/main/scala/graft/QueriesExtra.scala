@@ -2042,6 +2042,56 @@ object QueriesExtra {
           |FROM ex LEFT JOIN est USING (lang) ORDER BY lang""".stripMargin),
       doc = "AQP error census: 10% hash-Bernoulli sample, scaled integer estimates vs exact, round-9 relative error"),
 
+    // Lorenz-curve deciles of per-user activity — the distributional
+    // readout behind the single Gini number: which share of events the
+    // bottom k/10 of users account for, per event type. Users rank by
+    // (count, user_id) — a total order both engines replay — into ntile
+    // deciles (standard SQL semantics: equal buckets, remainder to the
+    // leading ones); per decile the census is exact integers and the
+    // cumulative share is ONE division of exact ints, round-9. Both
+    // windows are KEYED by event_type (user ranking per type, 10-row
+    // cumulative per type) — no global sort at any scale.
+    "events_lorenz_deciles" -> Q(
+      fn = (s, dir) => {
+        val wRank = Window.partitionBy(col("event_type"))
+          .orderBy(col("n"), col("user_id"))
+        val wCum = Window.partitionBy(col("event_type"))
+          .orderBy(col("decile"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wTot = Window.partitionBy(col("event_type"))
+        val u = Tables.events(s, dir)
+          .groupBy(col("event_type"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+          .withColumn("decile", ntile(10).over(wRank))
+        u.groupBy(col("event_type"), col("decile"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n")).as("sum_events"))
+          .withColumn("cum_events", sum(col("sum_events")).over(wCum))
+          .withColumn("tot", sum(col("sum_events")).over(wTot))
+          .select(col("event_type"), col("decile").cast("long").as("decile"),
+            col("n_users"), col("sum_events"), col("cum_events"),
+            (round(col("cum_events").cast("double") / col("tot").cast("double"), 9)
+              + 0.0).as("cum_share"))
+          .orderBy(col("event_type"), col("decile"))
+      },
+      oracle = Some(
+        """WITH u AS (SELECT event_type, user_id, count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |d AS (SELECT event_type, n, ntile(10) OVER (
+          |    PARTITION BY event_type ORDER BY n, user_id) AS decile FROM u),
+          |g AS (SELECT event_type, decile, count(*) AS n_users,
+          |    CAST(sum(n) AS BIGINT) AS sum_events FROM d GROUP BY 1, 2),
+          |c AS (SELECT *, CAST(sum(sum_events) OVER (PARTITION BY event_type
+          |      ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          |      AS BIGINT) AS cum_events,
+          |    CAST(sum(sum_events) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+          |  FROM g)
+          |SELECT event_type, CAST(decile AS BIGINT) AS decile, n_users,
+          |  sum_events, cum_events,
+          |  round(CAST(cum_events AS DOUBLE) / CAST(tot AS DOUBLE), 9) + 0.0
+          |    AS cum_share
+          |FROM c ORDER BY event_type, decile""".stripMargin),
+      doc = "Lorenz deciles per event type: keyed ntile ranking, exact integer censuses, round-9 cumulative share"),
+
     // Gini concentration of the source mix per language — the data-card
     // number that says "this slice of the corpus is dominated by a few
     // crawls" before that skew becomes a training bias. Computed from the
