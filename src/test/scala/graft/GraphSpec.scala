@@ -154,4 +154,31 @@ class GraphSpec extends SparkTestBase {
         r.getAs[Double]("jaccard"))).toSeq
     assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
   }
+
+  test("hashWalks: deterministic across runs, hop-count structure") {
+    import org.apache.spark.sql.functions._
+    val e = {
+      val li = Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"), col("l_partkey"))
+      li.as("a").join(li.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+    }
+    val seeds = e.select(col("src").as("id")).distinct()
+      .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(4)
+    def run() = graft.operators.Graph.hashWalks(e, seeds, steps = 3,
+        walksPerSeed = 2)
+      .orderBy(col("seed"), col("walk_r")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    val w1 = run(); val w2 = run()
+    assert(w1.nonEmpty && w1.toSeq == w2.toSeq,
+      "the hash-keyed walk must be bit-identical across runs")
+    w1.foreach { case (seed, _, path, end) =>
+      val hops = path.split("->")
+      assert(hops.length == 4, s"3 steps = 4 nodes, got $path")
+      assert(hops.head.toLong == seed && hops.last.toLong == end)
+    }
+  }
+
 }

@@ -751,4 +751,25 @@ class StreamingSpec extends SparkTestBase {
       sessions.count { case (s, e) => s <= t && t <= e }).max
     assert(fin.peak === brute)
   }
+
+  test("streaming folds fail loud on out-of-order cross-batch delivery") {
+    import graft.streaming.EventStream.KalmanPoint
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[KalmanPoint]
+    val q = EventStream.streamingKalman(input.toDS())
+      .writeStream.format("memory").queryName("kal_ooo")
+      .outputMode("append").start()
+    input.addData(KalmanPoint("g", 10L, 1.0), KalmanPoint("g", 11L, 2.0))
+    q.processAllAvailable()
+    input.addData(KalmanPoint("g", 5L, 3.0)) // older than sealed lastT = 11
+    val ex = intercept[Exception] { q.processAllAvailable() }
+    def msgs(t: Throwable, acc: List[String] = Nil): List[String] =
+      if (t == null || acc.length > 10) acc
+      else msgs(t.getCause, Option(t.getMessage).toList ::: acc)
+    assert(msgs(ex).exists(_.contains("out-of-order")),
+      s"expected the monotonicity contract to fail loud, got: ${msgs(ex)}")
+    q.stop()
+  }
+
 }
