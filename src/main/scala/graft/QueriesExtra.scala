@@ -1385,6 +1385,179 @@ object QueriesExtra {
           |FROM u ORDER BY source""".stripMargin),
       doc = "Welch unequal-variance t-test per source vs rest: decimal-safe integer moments, fixed IEEE tail, round-9"),
 
+    // Mann-Whitney U per source vs rest-of-corpus on n_chars — the
+    // nonparametric sibling of profile_welch_ttest (rank-sum drift with no
+    // normality assumption; the workhorse two-sample test for skewed
+    // length/quality distributions). Tie-averaged ranks ride the ×2 trick
+    // (2·avgrank(v) = 2·cnt(≤v) − cnt(=v) + 1) so the rank-sum core is
+    // exact integers; the tie-corrected normal z gets ONE fixed IEEE tail.
+    // Scale shape: ranks are computed over the VALUE HISTOGRAM, not the
+    // rows — the windows sort |distinct n_chars| × |sources| rows (both
+    // bounded: value domain ≤ max doc length, sources a small census),
+    // never the corpus, so the keyed sort stays tiny at 100 TB. 2U₁ stays
+    // under 2^63 while n < ~2·10⁹ docs (2U₁ ≤ 2·n₁·n₂); tie cubes route
+    // through DECIMAL(38,0).
+    "profile_mann_whitney" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = Tables.documents(s, dir).select(col("source"), col("n_chars"))
+        val hist = d.groupBy(col("source"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
+        val srcs = d.select(col("source").as("cmp")).distinct()
+        val u = hist.crossJoin(broadcast(srcs))
+          .groupBy(col("cmp"), col("n_chars"))
+          .agg(sum(col("c")).as("t"),
+            sum(when(col("source") === col("cmp"), col("c")).otherwise(0L))
+              .as("t1"))
+        val w = Window.partitionBy(col("cmp")).orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val r = u.withColumn("cle", sum(col("t")).over(w))
+        val agg = r.groupBy(col("cmp"))
+          .agg(sum(col("t1")).as("n1"), sum(col("t")).as("n"),
+            sum(col("t1").cast(dec)
+              * (lit(2L) * col("cle") - col("t") + 1L)).as("r1x2"),
+            sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("tt"))
+        agg.withColumn("n2", col("n") - col("n1"))
+          .filter(col("n1") >= 1L && col("n2") >= 1L)
+          .withColumn("u1x2",
+            (col("r1x2") - col("n1").cast(dec) * (col("n1") + 1L))
+              .cast("long"))
+          .withColumn("n1d", col("n1").cast("double"))
+          .withColumn("n2d", col("n2").cast("double"))
+          .withColumn("nd", col("n").cast("double"))
+          .withColumn("varu", col("n1d") * col("n2d") / lit(12.0)
+            * ((col("nd") + lit(1.0))
+              - col("tt").cast("double")
+                / (col("nd") * (col("nd") - lit(1.0)))))
+          .filter(col("varu") > lit(0.0))
+          .select(col("cmp").as("source"), col("n1").as("n_src"),
+            col("n2").as("n_rest"), col("u1x2").as("u_x2"),
+            (round((col("u1x2").cast("double") - col("n1d") * col("n2d"))
+              / (lit(2.0) * sqrt(col("varu"))), 9) + 0.0).as("z_stat"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(
+        """WITH hist AS (SELECT source, n_chars, count(*) AS c
+          |  FROM documents GROUP BY 1, 2),
+          |srcs AS (SELECT DISTINCT source AS cmp FROM documents),
+          |u AS (SELECT s.cmp, h.n_chars, sum(h.c) AS t,
+          |    sum(CASE WHEN h.source = s.cmp THEN h.c ELSE 0 END) AS t1
+          |  FROM hist h CROSS JOIN srcs s GROUP BY 1, 2),
+          |r AS (SELECT cmp, t, t1,
+          |    sum(t) OVER (PARTITION BY cmp ORDER BY n_chars
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cle
+          |  FROM u),
+          |agg AS (SELECT cmp, sum(t1) AS n1, sum(t) AS n,
+          |    sum(CAST(t1 AS HUGEINT) * (2 * cle - t + 1)) AS r1x2,
+          |    sum(CAST(t AS HUGEINT) * t * t - t) AS tt
+          |  FROM r GROUP BY 1),
+          |z AS (SELECT cmp, n1, n - n1 AS n2,
+          |    CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1x2,
+          |    CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
+          |    CAST(n AS DOUBLE) AS nd, CAST(tt AS DOUBLE) AS td
+          |  FROM agg WHERE n1 >= 1 AND n - n1 >= 1),
+          |v AS (SELECT cmp, n1, n2, u1x2, n1d, n2d,
+          |    n1d * n2d / CAST(12.0 AS DOUBLE)
+          |      * ((nd + CAST(1.0 AS DOUBLE))
+          |        - td / (nd * (nd - CAST(1.0 AS DOUBLE)))) AS varu
+          |  FROM z)
+          |SELECT cmp AS source, CAST(n1 AS BIGINT) AS n_src,
+          |  CAST(n2 AS BIGINT) AS n_rest, u1x2 AS u_x2,
+          |  round((CAST(u1x2 AS DOUBLE) - n1d * n2d)
+          |    / (CAST(2.0 AS DOUBLE) * sqrt(varu)), 9) + 0.0 AS z_stat
+          |FROM v WHERE varu > 0 ORDER BY source""".stripMargin),
+      doc = "Mann-Whitney U per source vs rest: exact ×2 tie-averaged rank sums over the value histogram, tie-corrected z, round-9"),
+
+    // Spearman rank correlation per source between document length
+    // (n_chars) and whitespace token count — the rank-based sibling of
+    // profile_correlation_matrix (monotone association, tie- and
+    // outlier-robust; the profiler's default when columns are skewed).
+    // Tie-averaged ranks use the same ×2 histogram trick as
+    // profile_mann_whitney, and Σ 2·avgrank = n(n+1) EXACTLY, so centering
+    // is pure integer algebra: num = Σrx·ry − n(n+1)², dxx/dyy likewise.
+    // Those moments are DECIMAL(38,0)-exact (|2r| ≤ 2n ⇒ sums ≤ 4n³) and
+    // graded as digit strings (the r8 house rule for integers that can
+    // pass 2^53); ρ gets one IEEE tail. Scale shape: both rank windows
+    // sort per-source VALUE HISTOGRAMS (bounded domains), and the rank
+    // joins broadcast those histograms back onto the corpus — no
+    // corpus-sized sort anywhere.
+    "profile_spearman" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = Tables.documents(s, dir)
+          .select(col("source"), col("n_chars").as("x"),
+            (length(col("text"))
+              - length(expr("replace(text, ' ', '')")) + lit(1L)).as("y"))
+        def rank2(v: String, out: String): org.apache.spark.sql.DataFrame = {
+          val h = d.groupBy(col("source"), col(v)).agg(count(lit(1)).as("t"))
+          val w = Window.partitionBy(col("source")).orderBy(col(v))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          h.withColumn(out,
+              lit(2L) * sum(col("t")).over(w) - col("t") + 1L)
+            .select(col("source"), col(v), col(out))
+        }
+        val r = d
+          .join(broadcast(rank2("x", "rx2")), Seq("source", "x"))
+          .join(broadcast(rank2("y", "ry2")), Seq("source", "y"))
+        val agg = r.groupBy(col("source"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("rx2").cast(dec) * col("ry2")).as("sxy"),
+            sum(col("rx2").cast(dec) * col("rx2")).as("sxx"),
+            sum(col("ry2").cast(dec) * col("ry2")).as("syy"))
+        agg.filter(col("n") >= 2L)
+          .withColumn("nc",
+            col("n").cast(dec) * (col("n") + 1L) * (col("n") + 1L))
+          .withColumn("num", col("sxy") - col("nc"))
+          .withColumn("dxx", col("sxx") - col("nc"))
+          .withColumn("dyy", col("syy") - col("nc"))
+          .filter(col("dxx") > 0 && col("dyy") > 0)
+          .select(col("source"), col("n").as("n_docs"),
+            col("num").cast("string").as("num"),
+            col("dxx").cast("string").as("dxx"),
+            col("dyy").cast("string").as("dyy"),
+            (round(col("num").cast("double")
+              / sqrt(col("dxx").cast("double") * col("dyy").cast("double")),
+              9) + 0.0).as("rho"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(
+        """WITH d AS (SELECT source, n_chars AS x,
+          |    length(text) - length(replace(text, ' ', '')) + 1 AS y
+          |  FROM documents),
+          |hx AS (SELECT source, x, count(*) AS t FROM d GROUP BY 1, 2),
+          |rx AS (SELECT source, x,
+          |    2 * sum(t) OVER (PARTITION BY source ORDER BY x
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+          |      AS rx2
+          |  FROM hx),
+          |hy AS (SELECT source, y, count(*) AS t FROM d GROUP BY 1, 2),
+          |ry AS (SELECT source, y,
+          |    2 * sum(t) OVER (PARTITION BY source ORDER BY y
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t + 1
+          |      AS ry2
+          |  FROM hy),
+          |r AS (SELECT d.source, rx.rx2, ry.ry2 FROM d
+          |  JOIN rx ON d.source = rx.source AND d.x = rx.x
+          |  JOIN ry ON d.source = ry.source AND d.y = ry.y),
+          |agg AS (SELECT source, count(*) AS n,
+          |    sum(CAST(rx2 AS HUGEINT) * ry2) AS sxy,
+          |    sum(CAST(rx2 AS HUGEINT) * rx2) AS sxx,
+          |    sum(CAST(ry2 AS HUGEINT) * ry2) AS syy
+          |  FROM r GROUP BY 1),
+          |c AS (SELECT source, n,
+          |    sxy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS num,
+          |    sxx - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS dxx,
+          |    syy - CAST(n AS HUGEINT) * (n + 1) * (n + 1) AS dyy
+          |  FROM agg WHERE n >= 2)
+          |SELECT source, CAST(n AS BIGINT) AS n_docs,
+          |  CAST(num AS VARCHAR) AS num, CAST(dxx AS VARCHAR) AS dxx,
+          |  CAST(dyy AS VARCHAR) AS dyy,
+          |  round(CAST(num AS DOUBLE)
+          |    / sqrt(CAST(dxx AS DOUBLE) * CAST(dyy AS DOUBLE)), 9) + 0.0
+          |    AS rho
+          |FROM c WHERE dxx > 0 AND dyy > 0 ORDER BY source""".stripMargin),
+      doc = "Spearman rank correlation per source (chars vs tokens): ×2 tie-averaged ranks from value histograms, exact centered moments as digit strings, round-9"),
+
     // Z-order clustered layout: events written once partitioned by Morton
     // bucket over (user_id, ts); a 2-D box query prunes to the intersecting
     // buckets' directories (ZorderLayoutSpec asserts numFiles) and the

@@ -526,4 +526,68 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("profile_mann_whitney: histogram rank-sum U equals brute-force pair counting") {
+    // The query derives 2·U1 from tie-averaged ranks over the value
+    // histogram; U's DEFINITION is pair counting (wins + ties/2). Replay
+    // the definition literally over the collected corpus and compare.
+    val res = Registry.all("profile_mann_whitney").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(res.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    docs.map(_._1).distinct.foreach { src =>
+      val a = docs.filter(_._1 == src).map(_._2)
+      val b = docs.filter(_._1 != src).map(_._2)
+      var wins = 0L; var ties = 0L
+      a.foreach { x => b.foreach { y =>
+        if (x > y) wins += 1 else if (x == y) ties += 1 } }
+      val (n1q, n2q, u2q, zq) = res(src)
+      assert(n1q == a.length.toLong && n2q == b.length.toLong,
+        s"$src group sizes mismatch")
+      assert(u2q == 2L * wins + ties,
+        s"$src 2U: $u2q vs ${2L * wins + ties}")
+      // under-the-null magnitude sanity: |z| of a real split stays finite
+      assert(!zq.isNaN && !zq.isInfinite, s"$src z not finite: $zq")
+    }
+  }
+
+  test("profile_spearman: digit-string moments match a literal rank re-derivation") {
+    // Third implementation: tie-averaged ranks computed by per-element
+    // counting (O(n²), fine at sf0.001), centered moments in BigInt.
+    val rows = Registry.all("profile_spearman").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("n_chars"),
+        (length(col("text")) - length(expr("replace(text, ' ', '')")) + lit(1L)).as("y"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[Number](1).longValue(),
+        r.getAs[Number](2).longValue()))
+    def ranks2(vs: Array[Long]): Array[Long] =
+      vs.map { v =>
+        val less = vs.count(_ < v).toLong
+        val eq = vs.count(_ == v).toLong
+        2L * less + eq + 1L
+      }
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val g = docs.filter(_._1 == src)
+      val rx = ranks2(g.map(_._2)); val ry = ranks2(g.map(_._3))
+      val n = BigInt(g.length)
+      val nc = n * (n + 1) * (n + 1)
+      val num = rx.zip(ry).map { case (a, b) => BigInt(a) * b }.sum - nc
+      val dxx = rx.map(a => BigInt(a) * a).sum - nc
+      val dyy = ry.map(a => BigInt(a) * a).sum - nc
+      assert(r.getLong(1) == g.length.toLong, s"$src n mismatch")
+      assert(r.getString(2) == num.toString, s"$src num mismatch")
+      assert(r.getString(3) == dxx.toString, s"$src dxx mismatch")
+      assert(r.getString(4) == dyy.toString, s"$src dyy mismatch")
+      val rho = r.getDouble(5)
+      assert(rho >= -1.0 - 1e-9 && rho <= 1.0 + 1e-9, s"$src rho out of [-1,1]")
+      // ranks of a constant column would have dxx == 0 and be filtered out
+      assert(dxx > 0 && dyy > 0, s"$src degenerate moments survived the filter")
+    }
+  }
+
 }
