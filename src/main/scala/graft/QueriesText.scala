@@ -3082,5 +3082,82 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    ORDER BY lift DESC, w) AS rnk FROM l)
            |SELECT source, rnk, w, tf_sw, tf_w, round(lift, 9) + 0.0 AS lift
            |FROM r WHERE rnk <= 10 ORDER BY source, rnk""".stripMargin),
-      doc = "distinctive terms per source: log-free c-TF-IDF (exact decimal products, one division), top-10 by keyed window"))
+      doc = "distinctive terms per source: log-free c-TF-IDF (exact decimal products, one division), top-10 by keyed window"),
+
+    // Heaps'-law vocabulary-growth census per source: cumulative (docs,
+    // tokens, distinct types) at ten points along the ingest axis — the
+    // curve that sizes a tokenizer's vocab and predicts how much NEW
+    // vocabulary the next 10× of corpus will bring (V ≈ K·nᵝ; this emits
+    // the exact curve, the modeler fits β downstream — no logs in the
+    // graded surface). Scale shape: the ingest axis is bucketed by id
+    // RANGE (one min/max agg broadcast back), NOT by row_number — an
+    // exact-count decile would force a per-source global sort; id-range
+    // buckets are a narrow map-side expression at any scale. "First
+    // appearance" is min(bucket) per (source, type): one groupBy, then
+    // the decile spine left-joins the three censuses and a keyed window
+    // does the cumulative sums. Exact integers end to end.
+    "text_heaps_law" -> Q(
+      fn = (s, dir) => {
+        val d0 = Tables.documents(s, dir)
+          .select(col("source"), col("doc_id"), col("text"))
+        val mm = d0.groupBy(col("source"))
+          .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+        val db = d0.join(broadcast(mm), "source")
+          .withColumn("b", expr("((doc_id - mn) * 10) div (mx - mn + 1)"))
+        val words = db.select(col("source"), col("b"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+        val tok = words.groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("toks"))
+        val nv = words.groupBy(col("source"), col("w"))
+          .agg(min(col("b")).as("b"))
+          .groupBy(col("source"), col("b")).agg(count(lit(1)).as("vnew"))
+        val dc = db.groupBy(col("source"), col("b"))
+          .agg(count(lit(1)).as("docs"))
+        val spine = d0.select(col("source")).distinct()
+          .select(col("source"), explode(sequence(lit(0L), lit(9L))).as("b"))
+        val j = spine
+          .join(dc, Seq("source", "b"), "left")
+          .join(tok, Seq("source", "b"), "left")
+          .join(nv, Seq("source", "b"), "left")
+          .na.fill(0L, Seq("docs", "toks", "vnew"))
+        val win = org.apache.spark.sql.expressions.Window
+        val wc = win.partitionBy(col("source")).orderBy(col("b"))
+          .rowsBetween(win.unboundedPreceding, win.currentRow)
+        j.select(col("source"), (col("b") + 1L).as("decile"),
+            sum(col("docs")).over(wc).as("docs_cum"),
+            sum(col("toks")).over(wc).as("tokens_cum"),
+            sum(col("vnew")).over(wc).as("vocab_cum"))
+          .orderBy(col("source"), col("decile"))
+      },
+      oracle = Some(
+        s"""WITH mm AS (SELECT source, min(doc_id) AS mn, max(doc_id) AS mx
+           |  FROM documents GROUP BY 1),
+           |db AS (SELECT d.source, d.doc_id, d.text,
+           |    ((d.doc_id - mn) * 10) // (mx - mn + 1) AS b
+           |  FROM documents d JOIN mm USING (source)),
+           |w0 AS (SELECT source, b, unnest($wordsSql) AS w FROM db),
+           |wf AS (SELECT source, b, w FROM w0 WHERE w <> ''),
+           |tok AS (SELECT source, b, count(*) AS toks FROM wf GROUP BY 1, 2),
+           |fo AS (SELECT source, w, min(b) AS b FROM wf GROUP BY 1, 2),
+           |nv AS (SELECT source, b, count(*) AS vnew FROM fo GROUP BY 1, 2),
+           |dc AS (SELECT source, b, count(*) AS docs FROM db GROUP BY 1, 2),
+           |spine AS (SELECT source, b
+           |  FROM (SELECT DISTINCT source FROM documents)
+           |  CROSS JOIN (SELECT unnest(generate_series(0, 9)) AS b)),
+           |j AS (SELECT s.source, s.b,
+           |    coalesce(dc.docs, 0) AS docs, coalesce(tok.toks, 0) AS toks,
+           |    coalesce(nv.vnew, 0) AS vnew
+           |  FROM spine s
+           |  LEFT JOIN dc ON s.source = dc.source AND s.b = dc.b
+           |  LEFT JOIN tok ON s.source = tok.source AND s.b = tok.b
+           |  LEFT JOIN nv ON s.source = nv.source AND s.b = nv.b)
+           |SELECT source, b + 1 AS decile,
+           |  CAST(sum(docs) OVER c AS BIGINT) AS docs_cum,
+           |  CAST(sum(toks) OVER c AS BIGINT) AS tokens_cum,
+           |  CAST(sum(vnew) OVER c AS BIGINT) AS vocab_cum
+           |FROM j WINDOW c AS (PARTITION BY source ORDER BY b
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |ORDER BY source, decile""".stripMargin),
+      doc = "Heaps'-law vocab-growth census per source: id-range ingest deciles (no sort), first-appearance types via min(bucket), exact integer curve"))
 }
