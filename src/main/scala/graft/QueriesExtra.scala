@@ -598,6 +598,80 @@ object QueriesExtra {
           |FROM v3 WHERE dist > 0 GROUP BY root ORDER BY root""".stripMargin),
       doc = "sampled harmonic centrality: per-probe 3-hop BFS, exact ×6 integer harmonic sum"),
 
+    // Sampled stress centrality (Shimbel 1953) over the co-purchase graph:
+    // how many shortest paths from the 8 probe roots pass THROUGH each
+    // node — the all-integer member of the betweenness family (betweenness
+    // proper needs rational dependency accumulation; stress keeps Brandes'
+    // two-pass structure exact, so Spark and DuckDB agree bit-for-bit).
+    // Forward σ (path counts) and backward g (continuation counts) are
+    // bounded Pregel supersteps in Graph.stressCentrality; the oracle
+    // unrolls both passes as explicit per-hop CTEs. Σσ·g rides
+    // DECIMAL(38,0) and grades as a digit string (ordering on the exact
+    // value, not the string).
+    "graph_stress_centrality" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+        val seeds = e.select(col("src").as("id")).distinct()
+          .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
+        graft.operators.Graph.stressCentrality(e, seeds, maxHops = 3)
+          .filter(col("dist").between(1, 2))
+          .select(col("id").as("node"),
+            (col("sigma").cast(dec) * col("g")).as("st"))
+          .groupBy(col("node"))
+          .agg(count(lit(1)).as("n_roots"), sum(col("st")).as("stress_dec"))
+          .orderBy(col("stress_dec").desc, col("node")).limit(20)
+          .select(col("node"), col("n_roots"),
+            col("stress_dec").cast("string").as("stress"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |s AS (SELECT DISTINCT src AS id FROM e WHERE src % 1000 = 0
+          |      ORDER BY id LIMIT 8),
+          |v0 AS (SELECT id AS root, id, 1 AS sigma FROM s),
+          |f1 AS (SELECT v0.root, e.dst AS id, sum(v0.sigma) AS sigma
+          |  FROM e JOIN v0 ON e.src = v0.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM v0 p
+          |    WHERE p.root = v0.root AND p.id = e.dst)
+          |  GROUP BY 1, 2),
+          |v1 AS (SELECT root, id FROM v0 UNION ALL SELECT root, id FROM f1),
+          |f2 AS (SELECT f1.root, e.dst AS id, sum(f1.sigma) AS sigma
+          |  FROM e JOIN f1 ON e.src = f1.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM v1 p
+          |    WHERE p.root = f1.root AND p.id = e.dst)
+          |  GROUP BY 1, 2),
+          |v2 AS (SELECT root, id FROM v1 UNION ALL SELECT root, id FROM f2),
+          |f3 AS (SELECT f2.root, e.dst AS id, sum(f2.sigma) AS sigma
+          |  FROM e JOIN f2 ON e.src = f2.id
+          |  WHERE NOT EXISTS (SELECT 1 FROM v2 p
+          |    WHERE p.root = f2.root AND p.id = e.dst)
+          |  GROUP BY 1, 2),
+          |c3 AS (SELECT f3.root, e.src AS id, count(*) AS cg
+          |  FROM e JOIN f3 ON e.dst = f3.id GROUP BY 1, 2),
+          |g2 AS (SELECT f2.root, f2.id, f2.sigma, coalesce(c3.cg, 0) AS g
+          |  FROM f2 LEFT JOIN c3 ON f2.root = c3.root AND f2.id = c3.id),
+          |c2 AS (SELECT g2.root, e.src AS id, sum(1 + g2.g) AS cg
+          |  FROM e JOIN g2 ON e.dst = g2.id GROUP BY 1, 2),
+          |g1 AS (SELECT f1.root, f1.id, f1.sigma, coalesce(c2.cg, 0) AS g
+          |  FROM f1 LEFT JOIN c2 ON f1.root = c2.root AND f1.id = c2.id),
+          |st AS (SELECT root, id, CAST(sigma AS HUGEINT) * g AS stress FROM g1
+          |  UNION ALL
+          |  SELECT root, id, CAST(sigma AS HUGEINT) * g AS stress FROM g2)
+          |SELECT id AS node, CAST(count(*) AS BIGINT) AS n_roots,
+          |  CAST(sum(stress) AS VARCHAR) AS stress
+          |FROM st GROUP BY 1
+          |ORDER BY sum(stress) DESC, node LIMIT 20""".stripMargin),
+      doc = "sampled stress centrality: exact-integer Brandes two-pass (σ forward, continuation counts backward), top-20 through-traffic nodes"),
+
     // Deterministic pseudo-random walks over the co-purchase graph —
     // DeepWalk's sampling primitive with the RNG replaced by a keyed
     // md5-60 hash, so Spark, DuckDB and every shard draw the IDENTICAL

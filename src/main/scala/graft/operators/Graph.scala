@@ -389,4 +389,84 @@ object Graph {
           (col("deg_p") + col("deg_q") - col("cn")).cast("double"), 9)
           .as("jaccard"))
   }
+
+  /** Bounded-horizon STRESS centrality from a sampled probe set — the
+    * all-integer member of the betweenness family (Shimbel 1953): stress(v)
+    * = number of shortest paths from the probe roots passing through v as
+    * an interior vertex. Betweenness proper accumulates RATIONAL
+    * dependencies (δ = Σ σ(v)/σ(w)·(1+δ(w))) whose denominators explode
+    * under exact arithmetic and whose float form is merge-order-dependent —
+    * stress keeps Brandes' two-pass structure with every quantity an exact
+    * integer, so the result is bit-identical under any partitioning or
+    * engine (the same reproducibility argument as [[pagerankFixedPoint]]).
+    *
+    * Forward: per-root BFS with PATH COUNTS — σ(w at hop k) = Σ σ(u at hop
+    * k−1) over DAG edges u→w, one keyed shuffle per superstep exactly like
+    * [[perSourceBfsCensus]] (frontier keyed (root, id), all probe waves
+    * advance together). Backward: continuation counts g(v) = Σ_{w∈succ(v)}
+    * (1 + g(w)) over the shortest-path DAG, processed one layer per
+    * superstep from the horizon down. Then stress(v) = σ(v)·g(v) — every
+    * shortest path from the root of length ≥ 1 continuing past v is counted
+    * exactly once. Both passes localCheckpoint per superstep (constant plan
+    * depth, the house iterative-loop rule); σ ≤ maxdeg^H bounds int64
+    * safety (H ≤ 4 on any real degree distribution).
+    *
+    * Returns one (root, id, dist, sigma, g) row per reached node at
+    * dist 1..maxHops (the horizon layer carries g = 0: it is never
+    * interior within the horizon). */
+  def stressCentrality(edges: DataFrame, sources: DataFrame,
+                       maxHops: Int): DataFrame = {
+    require(maxHops >= 2, s"stress needs at least 2 hops, got $maxHops")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // simple-graph semantics: σ and g COUNT paths, so a repeated (src,dst)
+    // pair (one per shared order in co-occurrence expansions) would inflate
+    // both — dedup once up front, like pagerankFixedPoint
+    val e = edges.select(col("src"), col("dst"))
+      .dropDuplicates("src", "dst").persist(mem)
+    var visited = sources.select(col("id").as("root")).distinct()
+      .select(col("root"), col("root").as("id"), lit(1L).as("sigma"))
+      .localCheckpoint()
+    var frontier = visited
+    val layers = scala.collection.mutable.Map(0 -> frontier)
+    var k = 1
+    while (k <= maxHops) {
+      val next = e
+        .join(frontier.withColumnRenamed("id", "src")
+          .withColumnRenamed("sigma", "fsig"), Seq("src"))
+        .groupBy(col("root"), col("dst"))
+        .agg(sum(col("fsig")).as("sigma"))
+        .select(col("root"), col("dst").as("id"), col("sigma"))
+        .join(visited.select(col("root"), col("id")),
+          Seq("root", "id"), "left_anti")
+        .localCheckpoint()
+      visited = visited.select(col("root"), col("id"))
+        .unionByName(next.select(col("root"), col("id"))).localCheckpoint()
+      frontier = next
+      layers(k) = frontier
+      k += 1
+    }
+    var g = layers(maxHops).select(col("root"), col("id"), lit(0L).as("g"))
+    var out = layers(maxHops).select(col("root"), col("id"),
+      lit(maxHops).as("dist"), col("sigma"), lit(0L).as("g"))
+    var kk = maxHops
+    while (kk >= 1) {
+      val contrib = e
+        .join(g.select(col("root"), col("id").as("dst"), col("g").as("gd")),
+          Seq("dst"))
+        .groupBy(col("root"), col("src"))
+        .agg(sum(col("gd") + 1L).as("cg"))
+        .select(col("root"), col("src").as("id"), col("cg"))
+      val lowerG = layers(kk - 1)
+        .join(contrib, Seq("root", "id"), "left")
+        .na.fill(0L, Seq("cg"))
+        .select(col("root"), col("id"), col("sigma"), col("cg").as("g"))
+        .localCheckpoint()
+      if (kk - 1 >= 1)
+        out = out.unionByName(lowerG.select(col("root"), col("id"),
+          lit(kk - 1).as("dist"), col("sigma"), col("g")))
+      g = lowerG.select(col("root"), col("id"), col("g"))
+      kk -= 1
+    }
+    out
+  }
 }

@@ -155,6 +155,36 @@ class GraphSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
   }
 
+  test("stressCentrality: diamond and path closed forms, σ·g counts interior paths") {
+    // Diamond 1-2-4, 1-3-4 (undirected), root 1: σ(2)=σ(3)=1, σ(4)=2;
+    // g(4)=0 (horizon interiorless), g(2)=g(3)=1 (one continuation each).
+    // stress: node 2 = 1 (path 1-2-4), node 3 = 1, node 4 = 0.
+    val diamond = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val d = Graph.stressCentrality(diamond, Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(d == Seq((2L, 1, 1L, 1L), (3L, 1, 1L, 1L), (4L, 2, 2L, 0L)),
+      s"diamond got $d")
+
+    // Path 1-2-3-4, roots {1, 4}: from 1, stress(2)=2 (1-2-3, 1-2-3-4)
+    // and stress(3)=1; mirrored from 4. Per-node totals: 2→3, 3→3.
+    val p4 = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.toDF("src", "dst")
+    val st = Graph.stressCentrality(p4, Seq(1L, 4L).toDF("id"), maxHops = 3)
+      .groupBy(col("id"))
+      .agg(sum(col("sigma") * col("g")).as("stress"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(st == Seq((1L, 0L), (2L, 3L), (3L, 3L), (4L, 0L)), s"p4 got $st")
+
+    // multi-edge robustness: duplicating every edge must not change σ or g
+    val dup = Graph.stressCentrality(
+      diamond.unionAll(diamond), Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(dup == d, "duplicate edges inflated path counts")
+  }
+
   test("hashWalks: deterministic across runs, hop-count structure") {
     import org.apache.spark.sql.functions._
     val e = {
