@@ -1150,6 +1150,66 @@ object QueriesExtra {
           |FROM ex, est""".stripMargin),
       doc = "CMS join-cardinality estimate: cellwise product sums, one-sided, relation-free"),
 
+    // AMS/tug-of-war F₂ sketch (Alon-Matias-Szegedy 1996): the SECOND
+    // frequency moment Σf² — the self-join size, the planner statistic the
+    // CMS probe above estimates pairwise and the skew diagnostic for
+    // repartition decisions. Sixteen ±1 sign sketches S_j = Σ_rows s_j(v),
+    // each an exact integer sum, E[S²] = F₂. Scale shape: ONE scan, one
+    // md5 per row, the 16 sketches are sixteen parallel long-sum aggregate
+    // COLUMNS (no row multiplication, map-side combine collapses every
+    // partition to one 16-long row); the exact-F₂ pass is kept only for
+    // the accuracy report, as in hllDistinct. Signs come from the parity
+    // of 16 md5 hex digits; ΣS² and F₂ ride DECIMAL(38,0) and grade as
+    // digit strings (S ≤ n ⇒ ΣS² ≤ 16n²), the ratio is one IEEE tail.
+    "sketch_ams_f2" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("v"))
+        val withH = ev.select(md5(col("v")).as("h"))
+        val sums = withH.agg(count(lit(1)).as("n_rows"),
+          (0 until 16).map { j =>
+            sum(expr(s"(cast(conv(substring(h, ${j + 1}, 1), 16, 10)" +
+              s" as bigint) % 2) * 2 - 1").as("sgn")).as(s"s$j")
+          }: _*)
+        val est = sums.withColumn("f2_est_x16",
+          (0 until 16).map(j => col(s"s$j").cast(dec) * col(s"s$j"))
+            .reduce(_ + _))
+        val exact = ev.groupBy(col("v")).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_keys"),
+            sum(col("c").cast(dec) * col("c")).as("f2"))
+        est.crossJoin(broadcast(exact))
+          .select(col("n_rows"), col("n_keys"),
+            col("f2").cast("string").as("f2_exact"),
+            col("f2_est_x16").cast("string").as("f2_est_x16"),
+            (round(col("f2_est_x16").cast("double")
+              / (lit(16.0) * col("f2").cast("double")), 9) + 0.0)
+              .as("est_over_exact"))
+      },
+      oracle = Some {
+        val sCols = (0 until 16).map { j =>
+          s"    sum((CAST('0x' || substr(h, ${j + 1}, 1) AS BIGINT) % 2) * 2 - 1) AS s$j"
+        }.mkString(",\n")
+        val sq = (0 until 16).map(j => s"s$j * s$j").mkString(" + ")
+        s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events),
+           |hh AS (SELECT md5(v) AS h FROM ev),
+           |s AS (SELECT count(*) AS n_rows,
+           |$sCols
+           |  FROM hh),
+           |f AS (SELECT v, count(*) AS c FROM ev GROUP BY 1),
+           |x AS (SELECT count(*) AS n_keys,
+           |    sum(CAST(c AS HUGEINT) * c) AS f2 FROM f)
+           |SELECT CAST(s.n_rows AS BIGINT) AS n_rows,
+           |  CAST(x.n_keys AS BIGINT) AS n_keys,
+           |  CAST(x.f2 AS VARCHAR) AS f2_exact,
+           |  CAST($sq AS VARCHAR) AS f2_est_x16,
+           |  round(CAST($sq AS DOUBLE)
+           |    / (CAST(16.0 AS DOUBLE) * CAST(x.f2 AS DOUBLE)), 9) + 0.0
+           |    AS est_over_exact
+           |FROM s, x""".stripMargin
+      },
+      doc = "AMS tug-of-war F₂ (self-join size) sketch: 16 exact ±1 sign sums in one scan, digit-string moments, one IEEE ratio"),
+
     // Range-selectivity estimation from an equi-depth histogram — the
     // classic planner statistic beside the CMS join-cardinality probe:
     // decile bounds are exact order statistics (distributed prefix sum),

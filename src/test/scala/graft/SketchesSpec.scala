@@ -247,4 +247,33 @@ class SketchesSpec extends SparkTestBase {
       a.repartition(17), b.repartition(3), k = 64).collect().toSeq
     assert(once == again, "k-min sketch must not depend on partitioning")
   }
+
+  test("sketch_ams_f2: sign sums match a literal md5-parity replay") {
+    // Third implementation: java MessageDigest md5 → hex → per-position
+    // digit parity, folded in plain Scala Longs. The 16 S_j and both
+    // digit-string moments must match the query exactly.
+    val row = Registry.all("sketch_ams_f2").fn(spark, sfDir).collect()(0)
+    val vs = Tables.events(spark, sfDir)
+      .select(col("user_id").cast("string")).collect().map(_.getString(0))
+    def hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sj = Array.fill(16)(0L)
+    vs.foreach { v =>
+      val h = hex(v)
+      (0 until 16).foreach { j =>
+        sj(j) += (Integer.parseInt(h.substring(j, j + 1), 16) % 2) * 2 - 1
+      }
+    }
+    val estX16 = sj.map(s => BigInt(s) * s).sum
+    val f2 = vs.groupBy(identity).values
+      .map(g => BigInt(g.length) * g.length).sum
+    assert(row.getAs[Long]("n_rows") == vs.length.toLong)
+    assert(row.getAs[String]("f2_exact") == f2.toString, "exact F2 mismatch")
+    assert(row.getAs[String]("f2_est_x16") == estX16.toString,
+      s"sketch sums diverge: got ${row.getAs[String]("f2_est_x16")}, replay $estX16")
+    // tug-of-war sanity: 16 averaged sketches land within a loose 5x band
+    val ratio = row.getAs[Double]("est_over_exact")
+    assert(ratio > 0.2 && ratio < 5.0, s"estimate degenerate: $ratio")
+  }
 }
