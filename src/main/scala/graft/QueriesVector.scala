@@ -1696,6 +1696,117 @@ object QueriesVector {
     // whose keep-boundary distance certifies the whole within-cluster
     // order. Oracle replays the argmin + rank chain per row (LATERAL-free,
     // the dedup_semantic correlated-subquery pattern).
+    // Maximal Marginal Relevance re-ranking (Carbonell & Goldstein 1998) —
+    // the retrieval-side diversifier every RAG/dataset-curation stack runs
+    // after kNN: greedily pick argmax λ·rel(d) − (1−λ)·max_{s∈S} sim(d,s),
+    // λ=0.7, 8 picks from the top-30 cosine candidates of 4 probe queries.
+    // Determinism: relevance and pairwise sims are round-9 cosines (the
+    // repo's kNN convention), so the MMR scores are identical IEEE chains
+    // on both engines and every argmax (ties → id) replays exactly; the
+    // oracle unrolls all 8 greedy rounds as generated CTEs. Scale shape:
+    // candidate generation is the broadcast query-batch pass of knnJoin;
+    // the greedy loop touches only 30-candidate relations per query
+    // (driver-bounded constants), localCheckpoint per pick.
+    "embedding_mmr_rerank" -> Q(
+      fn = (s, dir) => {
+        import graft.functions.VectorExprs
+        val W = org.apache.spark.sql.expressions.Window
+        def cosSim(a: org.apache.spark.sql.Column,
+                   b: org.apache.spark.sql.Column) =
+          round(VectorExprs.vecDot(a, b)
+            / (sqrt(VectorExprs.vecDot(a, a))
+              * sqrt(VectorExprs.vecDot(b, b))), 9) + 0.0
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+        val qs = emb.filter(col("vec_id") % 53 === 1)
+          .orderBy(col("vec_id")).limit(4)
+          .select(col("vec_id").as("q"), col("e").as("qv"))
+        val scored = emb.crossJoin(broadcast(qs))
+          .select(col("q"), col("vec_id").as("id"), col("e"),
+            cosSim(col("e"), col("qv")).as("rel"))
+        val wq = W.partitionBy(col("q")).orderBy(col("rel").desc, col("id"))
+        val cand = scored.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= 30)
+          .select(col("q"), col("id"), col("e"), col("rel"))
+          .localCheckpoint()
+        val psim = cand.select(col("q"), col("id").as("a"), col("e").as("ea"))
+          .join(cand.select(col("q"), col("id").as("b"), col("e").as("eb")),
+            Seq("q"))
+          .filter(col("a") =!= col("b"))
+          .select(col("q"), col("a"), col("b"),
+            cosSim(col("ea"), col("eb")).as("sim"))
+          .localCheckpoint()
+        var sel = cand.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") === 1)
+          .select(col("q"), col("id"), col("rel"), lit(1L).as("rnk"))
+          .localCheckpoint()
+        var r = 2
+        while (r <= 8) {
+          val mx = psim
+            .join(sel.select(col("q"), col("id").as("b")), Seq("q", "b"))
+            .groupBy(col("q"), col("a")).agg(max(col("sim")).as("mx"))
+          val next = cand
+            .join(sel.select(col("q"), col("id")), Seq("q", "id"), "left_anti")
+            .join(mx.select(col("q"), col("a").as("id"), col("mx")),
+              Seq("q", "id"))
+            .withColumn("score",
+              lit(0.7) * col("rel") - lit(0.3) * col("mx"))
+            .withColumn("rn", row_number().over(
+              W.partitionBy(col("q")).orderBy(col("score").desc, col("id"))))
+            .filter(col("rn") === 1)
+            .select(col("q"), col("id"), col("rel"), lit(r.toLong).as("rnk"))
+          sel = sel.unionByName(next).localCheckpoint()
+          r += 1
+        }
+        sel.select(col("q"), col("rnk"), col("id"), col("rel"))
+          .orderBy(col("q"), col("rnk"))
+      },
+      oracle = Some {
+        def cosDuck(a: String, b: String): String =
+          s"""round(list_sum(list_transform(list_zip($a, $b), z -> z[1]*z[2]))
+             |      / (sqrt(list_sum(list_transform($a, x -> x*x)))
+             |       * sqrt(list_sum(list_transform($b, x -> x*x)))), 9) + 0.0""".stripMargin
+        val rounds = (2 to 8).map { r =>
+          s"""s$r AS (SELECT q, id, rel, $r AS rnk FROM (
+             |    SELECT c.q, c.id, c.rel, row_number() OVER (PARTITION BY c.q
+             |        ORDER BY CAST(0.7 AS DOUBLE) * c.rel
+             |          - CAST(0.3 AS DOUBLE) * m.mx DESC, c.id) AS rn
+             |    FROM cand c JOIN (SELECT p.q, p.a AS id, max(p.sim) AS mx
+             |        FROM psim p JOIN u${r - 1} s ON p.q = s.q AND p.b = s.id
+             |        GROUP BY 1, 2) m
+             |      ON c.q = m.q AND c.id = m.id
+             |    WHERE NOT EXISTS (SELECT 1 FROM u${r - 1} s
+             |      WHERE s.q = c.q AND s.id = c.id))
+             |  WHERE rn = 1),
+             |u$r AS MATERIALIZED (SELECT * FROM u${r - 1} UNION ALL SELECT * FROM s$r)""".stripMargin
+        }.mkString(",\n")
+        // MATERIALIZED everywhere the 8-round chain re-references a CTE:
+        // DuckDB inlines plain CTEs, so without it each round would re-expand
+        // cand/psim (and transitively re-scan the parquet) exponentially —
+        // the first run exhausted the fd limit before finishing.
+        s"""WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+           |qs AS MATERIALIZED (SELECT vec_id AS q, e AS qv FROM v WHERE vec_id % 53 = 1
+           |       ORDER BY vec_id LIMIT 4),
+           |sc AS (SELECT qs.q, v.vec_id AS id, v.e,
+           |    ${cosDuck("v.e", "qs.qv")} AS rel
+           |  FROM v CROSS JOIN qs),
+           |cand AS MATERIALIZED (SELECT q, id, e, rel FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q
+           |      ORDER BY rel DESC, id) AS rn FROM sc)
+           |  WHERE rn <= 30),
+           |psim AS MATERIALIZED (SELECT a.q, a.id AS a, b.id AS b,
+           |    ${cosDuck("a.e", "b.e")} AS sim
+           |  FROM cand a JOIN cand b ON a.q = b.q AND a.id <> b.id),
+           |s1 AS (SELECT q, id, rel, 1 AS rnk FROM (
+           |    SELECT q, id, rel, row_number() OVER (PARTITION BY q
+           |      ORDER BY rel DESC, id) AS rn FROM cand) WHERE rn = 1),
+           |u1 AS (SELECT q, id, rel, rnk FROM s1),
+           |$rounds
+           |SELECT q, CAST(rnk AS BIGINT) AS rnk, id, rel
+           |FROM u8 ORDER BY q, rnk""".stripMargin
+      },
+      doc = "MMR diversified re-ranking (λ=0.7, 8 picks from top-30): round-9 cosine chains, greedy argmax replayed on both engines"),
+
     "embedding_prototype_prune" -> Q(
       fn = (s, dir) => {
         val emb = Tables.embeddings(s, dir)

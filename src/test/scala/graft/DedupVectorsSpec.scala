@@ -526,4 +526,47 @@ class DedupVectorsSpec extends SparkTestBase {
     }
   }
 
+  test("embedding_mmr_rerank: greedy picks match a literal Scala MMR replay") {
+    // Third implementation: collect the corpus, fold the same left-to-right
+    // dot products, round-9 like the query, run the textbook greedy loop.
+    val got = Registry.all("embedding_mmr_rerank").fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.nonEmpty)
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < math.min(a.length, b.length)) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    def r9(x: Double): Double =
+      BigDecimal(x).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble + 0.0
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      r9(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+    val qids = vecs.keys.filter(_ % 53 == 1).toSeq.sorted.take(4)
+    qids.foreach { q =>
+      val qv = vecs(q)
+      val rel = vecs.map { case (id, e) => id -> cos(e, qv) }
+      val cand = rel.toSeq.sortBy { case (id, r) => (-r, id) }.take(30)
+      val candMap = cand.toMap
+      var selected = List(cand.head._1)
+      (2 to 8).foreach { _ =>
+        val pick = cand.filterNot(c => selected.contains(c._1))
+          .map { case (id, r) =>
+            val mx = selected.map(s => cos(vecs(id), vecs(s))).max
+            (id, 0.7 * r - 0.3 * mx)
+          }
+          .minBy { case (id, sc) => (-sc, id) }._1
+        selected = selected :+ pick
+      }
+      val queryRows = got.filter(_._1 == q).sortBy(_._2)
+      assert(queryRows.map(_._3).toList == selected,
+        s"q=$q MMR sequence diverges: got ${queryRows.map(_._3).toList}, replay $selected")
+      queryRows.foreach { case (_, _, id, relGot) =>
+        assert(relGot == candMap(id), s"q=$q id=$id rel mismatch")
+      }
+    }
+  }
+
 }
