@@ -1519,6 +1519,70 @@ object QueriesExtra {
           |FROM u ORDER BY source""".stripMargin),
       doc = "Welch unequal-variance t-test per source vs rest: decimal-safe integer moments, fixed IEEE tail, round-9"),
 
+    // Cramér's V association strength between the two categorical corpus
+    // axes (lang × source) — the profiler's "are these columns independent"
+    // number behind stratification and mixing decisions. χ² is computed on
+    // the 10¹² integer grid (the pagerank/TextRank house trick): per cell,
+    // term = ⌊n_ij²·10¹² / (r_i·c_j)⌋ is an exact integer division (floor
+    // truncation is deterministic on both engines), Σterm is an exact
+    // DECIMAL sum, and χ²_fp = n·Σterm − n·10¹² — so no order-dependent
+    // float accumulation exists across the (bounded, |langs|·|sources|)
+    // cells. V = sqrt(χ²/(n·(min(r,c)−1))) is the single IEEE tail.
+    // greatest(…, 0) guards the truncation-induced tiny negative under
+    // exact independence. Scale: two broadcast margin joins, one scan.
+    "profile_cramers_v" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = Tables.documents(s, dir).select(col("lang"), col("source"))
+        val cells = d.groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).as("nij"))
+        val rm = cells.groupBy(col("lang")).agg(sum(col("nij")).as("rm"))
+        val cm = cells.groupBy(col("source")).agg(sum(col("nij")).as("cm"))
+        val terms = cells.join(broadcast(rm), "lang")
+          .join(broadcast(cm), "source")
+          .withColumn("term", expr("(CAST(nij AS DECIMAL(38,0)) * nij" +
+            " * 1000000000000) div (CAST(rm AS DECIMAL(38,0)) * cm)"))
+        val agg = terms.agg(sum(col("nij")).as("n"),
+          sum(col("term").cast(dec)).as("sfp"),
+          countDistinct(col("lang")).as("nl"),
+          countDistinct(col("source")).as("ns"))
+        agg.withColumn("chi2_fp", greatest(
+            (col("n").cast(dec) * col("sfp")
+              - col("n").cast(dec) * lit(1000000000000L)).cast(dec),
+            lit(0).cast(dec)))
+          .select(col("n").as("n_docs"), col("nl").as("n_lang"),
+            col("ns").as("n_source"),
+            col("chi2_fp").cast("string").as("chi2_fp"),
+            (round(sqrt(col("chi2_fp").cast("double")
+              / (col("n").cast("double")
+                * (least(col("nl"), col("ns")) - 1L).cast("double")
+                * lit(1.0e12))), 9) + 0.0).as("cramers_v"))
+      },
+      oracle = Some(
+        """WITH cells AS (SELECT lang, source, count(*) AS nij
+          |  FROM documents GROUP BY 1, 2),
+          |r AS (SELECT lang, sum(nij) AS rm FROM cells GROUP BY 1),
+          |c AS (SELECT source, sum(nij) AS cm FROM cells GROUP BY 1),
+          |terms AS (SELECT cells.nij,
+          |    (CAST(cells.nij AS HUGEINT) * cells.nij * 1000000000000)
+          |      // (CAST(r.rm AS HUGEINT) * c.cm) AS term
+          |  FROM cells JOIN r USING (lang) JOIN c USING (source)),
+          |a AS (SELECT sum(nij) AS n, sum(term) AS sfp,
+          |    (SELECT count(*) FROM r) AS nl,
+          |    (SELECT count(*) FROM c) AS ns FROM terms),
+          |z AS (SELECT n, nl, ns,
+          |    greatest(CAST(n AS HUGEINT) * sfp
+          |      - CAST(n AS HUGEINT) * 1000000000000, 0) AS chi2
+          |  FROM a)
+          |SELECT CAST(n AS BIGINT) AS n_docs, CAST(nl AS BIGINT) AS n_lang,
+          |  CAST(ns AS BIGINT) AS n_source,
+          |  CAST(chi2 AS VARCHAR) AS chi2_fp,
+          |  round(sqrt(CAST(chi2 AS DOUBLE)
+          |    / (CAST(n AS DOUBLE) * CAST(least(nl, ns) - 1 AS DOUBLE)
+          |      * CAST(1000000000000.0 AS DOUBLE))), 9) + 0.0 AS cramers_v
+          |FROM z""".stripMargin),
+      doc = "Cramér's V for lang×source: integer-grid χ² (10¹² fixed point, exact cell divisions), one IEEE sqrt tail"),
+
     // Mann-Whitney U per source vs rest-of-corpus on n_chars — the
     // nonparametric sibling of profile_welch_ttest (rank-sum drift with no
     // normality assumption; the workhorse two-sample test for skewed

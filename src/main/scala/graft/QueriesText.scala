@@ -3159,5 +3159,58 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |FROM j WINDOW c AS (PARTITION BY source ORDER BY b
            |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            |ORDER BY source, decile""".stripMargin),
-      doc = "Heaps'-law vocab-growth census per source: id-range ingest deciles (no sort), first-appearance types via min(bucket), exact integer curve"))
+      doc = "Heaps'-law vocab-growth census per source: id-range ingest deciles (no sort), first-appearance types via min(bucket), exact integer curve"),
+
+    // Term burstiness (Church & Gale 1995): the Fano factor var/mean of a
+    // term's per-document count, over ALL docs (zeros included). Poisson
+    // scatter gives Fano ≈ 1 — function words; content words CLUMP (a doc
+    // that mentions a term mentions it again) and score ≫ 1 — the signal
+    // that separates topical vocabulary from glue, used to pick keywords
+    // and stopword lists without any external resource. Zeros need no
+    // rows: with S₁ = Σc and S₂ = Σc² over docs CONTAINING the term,
+    // Fano = (N·S₂ − S₁²) / ((N−1)·S₁) exactly — integer num/den graded
+    // as digit strings, one IEEE division. Top-50 terms by df (a scale-
+    // sound TakeOrdered), stats from one (doc, term) groupBy.
+    "text_burstiness" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = Tables.documents(s, dir)
+        val cnt = d.select(col("doc_id"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+        val stats = cnt.groupBy(col("w")).agg(count(lit(1)).as("df"),
+          sum(col("c")).as("s1"),
+          sum(col("c").cast(dec) * col("c")).as("s2"))
+        val top = stats.orderBy(col("df").desc, col("w")).limit(50)
+        val tot = d.agg(count(lit(1)).as("n"))
+        top.crossJoin(broadcast(tot))
+          .withColumn("num", col("n").cast(dec) * col("s2")
+            - col("s1").cast(dec) * col("s1"))
+          .withColumn("den", (col("n") - 1L).cast(dec) * col("s1"))
+          .select(col("w").as("term"), col("df"), col("s1").as("tf"),
+            col("num").cast("string").as("fano_num"),
+            col("den").cast("string").as("fano_den"),
+            (round(col("num").cast("double") / col("den").cast("double"), 9)
+              + 0.0).as("fano"))
+          .orderBy(col("term"))
+      },
+      oracle = Some(
+        s"""WITH cnt AS (SELECT doc_id, w, count(*) AS c FROM (
+           |    SELECT doc_id, unnest($wordsSql) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY 1, 2),
+           |stats AS (SELECT w, count(*) AS df, sum(c) AS s1,
+           |    sum(CAST(c AS HUGEINT) * c) AS s2
+           |  FROM cnt GROUP BY 1),
+           |top AS (SELECT * FROM stats ORDER BY df DESC, w LIMIT 50),
+           |tot AS (SELECT count(*) AS n FROM documents),
+           |z AS (SELECT w, df, s1,
+           |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS num,
+           |    CAST(n - 1 AS HUGEINT) * s1 AS den
+           |  FROM top CROSS JOIN tot)
+           |SELECT w AS term, CAST(df AS BIGINT) AS df, CAST(s1 AS BIGINT) AS tf,
+           |  CAST(num AS VARCHAR) AS fano_num, CAST(den AS VARCHAR) AS fano_den,
+           |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) + 0.0 AS fano
+           |FROM z ORDER BY term""".stripMargin),
+      doc = "Church-Gale term burstiness: exact Fano factor over all docs (zeros algebraic, never materialized), top-50 by df, digit-string moments"))
 }

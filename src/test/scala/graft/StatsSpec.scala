@@ -553,6 +553,51 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("profile_cramers_v: fixed-point chi2 matches a BigInt replay; V in [0,1]") {
+    val row = Registry.all("profile_cramers_v").fn(spark, sfDir).collect()(0)
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val rm = cells.groupBy(_._1._1).map { case (k, g) => k -> g.map(_._2).sum }
+    val cm = cells.groupBy(_._1._2).map { case (k, g) => k -> g.map(_._2).sum }
+    val n = BigInt(cells.map(_._2).sum)
+    val grid = BigInt(1000000000000L)
+    val sfp = cells.map { case ((l, s2), nij) =>
+      BigInt(nij) * nij * grid / (BigInt(rm(l)) * cm(s2))
+    }.sum
+    val chi2 = (n * sfp - n * grid).max(BigInt(0))
+    assert(row.getAs[String]("chi2_fp") == chi2.toString, "chi2_fp mismatch")
+    assert(row.getAs[Long]("n_lang") == rm.size.toLong)
+    assert(row.getAs[Long]("n_source") == cm.size.toLong)
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v <= 1.0 + 1e-9, s"V out of [0,1]: $v")
+  }
+
+  test("text_burstiness: Fano num/den match a replay; zero-variance term scores fano < 1") {
+    val rows = Registry.all("text_burstiness").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = BigInt(docs.length)
+    val perTerm = docs.flatMap { case (id, t) =>
+      t.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    }.groupBy(_._1)
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val cs = perTerm(w).map(_._2)
+      val s1 = BigInt(cs.map(BigInt(_)).sum.toString)
+      val s2 = cs.map(c => BigInt(c) * c).sum
+      assert(r.getAs[Long]("df") == cs.length.toLong, s"$w df")
+      assert(r.getAs[String]("fano_num") == (n * s2 - s1 * s1).toString, s"$w num")
+      assert(r.getAs[String]("fano_den") == ((n - 1) * s1).toString, s"$w den")
+      // a term appearing at most once per doc has var < mean (sub-Poisson)
+      if (cs.max == 1L)
+        assert(r.getAs[Double]("fano") < 1.0, s"$w: once-per-doc term must be sub-Poisson")
+    }
+  }
+
   test("profile_spearman: digit-string moments match a literal rank re-derivation") {
     // Third implementation: tie-averaged ranks computed by per-element
     // counting (O(n²), fine at sf0.001), centered moments in BigInt.
