@@ -151,7 +151,8 @@ object Bench {
       "mm_frame_sample", "q5_local_volume", "sketch_hll_distinct",
       "zorder_box_query", "q18_large_orders", "q21_waiting_supplier",
       "pipeline_pretrain_mix", "t_resample_ohlc", "store_consistent_hashing",
-      "text_wordpiece_tokenize", "v3_knn_graph_descent")
+      "text_wordpiece_tokenize", "v3_knn_graph_descent",
+      "profile_mann_whitney", "graph_stress_centrality", "embedding_mmr_rerank")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

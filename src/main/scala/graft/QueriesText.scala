@@ -3212,5 +3212,51 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |  CAST(num AS VARCHAR) AS fano_num, CAST(den AS VARCHAR) AS fano_den,
            |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 9) + 0.0 AS fano
            |FROM z ORDER BY term""".stripMargin),
-      doc = "Church-Gale term burstiness: exact Fano factor over all docs (zeros algebraic, never materialized), top-50 by df, digit-string moments"))
+      doc = "Church-Gale term burstiness: exact Fano factor over all docs (zeros algebraic, never materialized), top-50 by df, digit-string moments"),
+
+    // Gini-Simpson vocabulary concentration per source — the probability
+    // two independently drawn tokens are the SAME type, the concentration
+    // complement to text_ttr_mattr's type ratio (ecology's Simpson index,
+    // IR's repeat-rate). Exact rational: λ_num = Σ_w n_w(n_w−1),
+    // λ_den = N(N−1) — both integer sums off one (source, term) groupBy,
+    // graded as digit strings with one IEEE division for the diversity
+    // 1 − λ. Scale: token scan → vocab-sized groupBy, no windows at all.
+    "text_simpson_diversity" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val cnt = Tables.documents(s, dir)
+          .select(col("source"),
+            explode(split(lower(trim(col("text"))), "\\s+")).as("w"))
+          .filter(col("w") =!= "")
+          .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+        cnt.groupBy(col("source"))
+          .agg(count(lit(1)).as("n_types"), sum(col("c")).as("n_tokens"),
+            sum(col("c").cast(dec) * (col("c") - 1L)).as("lam_num"))
+          .filter(col("n_tokens") >= 2L)
+          .withColumn("lam_den",
+            col("n_tokens").cast(dec) * (col("n_tokens") - 1L))
+          .select(col("source"), col("n_types"), col("n_tokens"),
+            col("lam_num").cast("string").as("lam_num"),
+            col("lam_den").cast("string").as("lam_den"),
+            (round(lit(1.0) - col("lam_num").cast("double")
+              / col("lam_den").cast("double"), 9) + 0.0).as("simpson_diversity"))
+          .orderBy(col("source"))
+      },
+      oracle = Some(
+        s"""WITH cnt AS (SELECT source, w, count(*) AS c FROM (
+           |    SELECT source, unnest($wordsSql) AS w FROM documents)
+           |  WHERE w <> '' GROUP BY 1, 2),
+           |a AS (SELECT source, count(*) AS n_types, sum(c) AS n_tokens,
+           |    sum(CAST(c AS HUGEINT) * (c - 1)) AS lam_num
+           |  FROM cnt GROUP BY 1)
+           |SELECT source, CAST(n_types AS BIGINT) AS n_types,
+           |  CAST(n_tokens AS BIGINT) AS n_tokens,
+           |  CAST(lam_num AS VARCHAR) AS lam_num,
+           |  CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS VARCHAR)
+           |    AS lam_den,
+           |  round(CAST(1.0 AS DOUBLE) - CAST(lam_num AS DOUBLE)
+           |    / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE),
+           |    9) + 0.0 AS simpson_diversity
+           |FROM a WHERE n_tokens >= 2 ORDER BY source""".stripMargin),
+      doc = "Gini-Simpson vocabulary concentration per source: exact rational repeat-rate, digit-string num/den, one IEEE division"))
 }

@@ -598,6 +598,28 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("text_simpson_diversity: num/den match a replay; bounds hold") {
+    val rows = Registry.all("text_simpson_diversity").fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val toks = docs.filter(_._1 == src)
+        .flatMap(_._2.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      val counts = toks.groupBy(identity).map(_._2.length.toLong)
+      val num = counts.map(c => BigInt(c) * (c - 1)).sum
+      val n = BigInt(toks.length)
+      assert(r.getAs[Long]("n_types") == counts.size.toLong, s"$src types")
+      assert(r.getAs[Long]("n_tokens") == toks.length.toLong, s"$src tokens")
+      assert(r.getAs[String]("lam_num") == num.toString, s"$src num")
+      assert(r.getAs[String]("lam_den") == (n * (n - 1)).toString, s"$src den")
+      val d = r.getAs[Double]("simpson_diversity")
+      assert(d >= 0.0 && d <= 1.0, s"$src diversity out of [0,1]: $d")
+    }
+  }
+
   test("profile_spearman: digit-string moments match a literal rank re-derivation") {
     // Third implementation: tie-averaged ranks computed by per-element
     // counting (O(n²), fine at sf0.001), centered moments in BigInt.
