@@ -1631,6 +1631,73 @@ object QueriesEvents {
           |ORDER BY d.event_type""".stripMargin),
       doc = "MAD outlier census in doubled integer units: exact medians, Hampel gate 2*dev2 > 3*mad4, 50% breakdown point"),
 
+    // Shewhart 3σ control chart (SPC) over hourly counts — the classic
+    // mean±σ complement to events_anomaly_mad's robust gate. The alarm
+    // predicate |x − μ| > 3σ is CROSS-MULTIPLIED to the exact integer
+    // inequality (n·x − S)²·(n−1) > 9·n·(n·Q − S²) (S = Σx, Q = Σx², n =
+    // hours), so no float boundary exists anywhere — a count exactly at
+    // 3σ classifies identically on both engines at any magnitude. Squares
+    // ride DECIMAL(38,0); the worst hour per type is the keyed-window
+    // argmax of the exact deviation square, graded as a digit string.
+    "events_anomaly_spc" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val h = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("t"))
+          .agg(count(lit(1)).as("x"))
+        val m = h.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("x").cast(dec) * col("x")).as("q"))
+        val d = h.join(broadcast(m), "event_type")
+          .filter(col("n") >= 2L)
+          .withColumn("dev2",
+            (col("n").cast(dec) * col("x") - col("sx"))
+              * (col("n").cast(dec) * col("x") - col("sx")))
+          .withColumn("alarm",
+            col("dev2") * (col("n") - 1L) >
+              col("n").cast(dec) * lit(9L)
+                * (col("n").cast(dec) * col("q")
+                  - col("sx").cast(dec) * col("sx")))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+          .orderBy(col("dev2").desc, col("t"))
+        d.withColumn("rn", row_number().over(w))
+          .groupBy(col("event_type"))
+          .agg(max(col("n")).as("n_hours"),
+            sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+            max(when(col("rn") === 1, col("t"))).as("worst_hour"),
+            max(when(col("rn") === 1, col("x"))).as("worst_count"),
+            max(when(col("rn") === 1, col("dev2"))).cast("string")
+              .as("worst_dev2"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH h AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS t, count(*) AS x
+          |  FROM events GROUP BY 1, 2),
+          |m AS (SELECT event_type, count(*) AS n, sum(x) AS sx,
+          |    sum(CAST(x AS HUGEINT) * x) AS q
+          |  FROM h GROUP BY 1),
+          |d AS (SELECT h.event_type, t, x, n, sx, q,
+          |    (CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)
+          |      AS dev2,
+          |    (CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)
+          |      * (n - 1) >
+          |      CAST(n AS HUGEINT) * 9
+          |        * (CAST(n AS HUGEINT) * q - CAST(sx AS HUGEINT) * sx)
+          |      AS alarm
+          |  FROM h JOIN m USING (event_type) WHERE n >= 2),
+          |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+          |    ORDER BY dev2 DESC, t) AS rn FROM d)
+          |SELECT event_type, CAST(max(n) AS BIGINT) AS n_hours,
+          |  CAST(count(*) FILTER (WHERE alarm) AS BIGINT) AS n_alarms,
+          |  CAST(max(CASE WHEN rn = 1 THEN t END) AS BIGINT) AS worst_hour,
+          |  CAST(max(CASE WHEN rn = 1 THEN x END) AS BIGINT) AS worst_count,
+          |  CAST(max(CASE WHEN rn = 1 THEN dev2 END) AS VARCHAR) AS worst_dev2
+          |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "Shewhart 3σ SPC census: exact cross-multiplied integer gate (no float boundary), keyed-window argmax of the deviation square"),
+
     // Peak-concurrency census: the classic interval sweep (+1 at session
     // start, −1 just after session end) made ORDER-FREE by aggregating
     // deltas per distinct timestamp BEFORE the running sum — with unique

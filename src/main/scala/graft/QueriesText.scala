@@ -3258,5 +3258,68 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    / CAST(CAST(n_tokens AS HUGEINT) * (n_tokens - 1) AS DOUBLE),
            |    9) + 0.0 AS simpson_diversity
            |FROM a WHERE n_tokens >= 2 ORDER BY source""".stripMargin),
-      doc = "Gini-Simpson vocabulary concentration per source: exact rational repeat-rate, digit-string num/den, one IEEE division"))
+      doc = "Gini-Simpson vocabulary concentration per source: exact rational repeat-rate, digit-string num/den, one IEEE division"),
+
+    // Split balance audit: Cramér's V between the deterministic 8/1/1 hash
+    // split and the source axis — the check that a hash split did NOT skew
+    // any source into one fold (V ≈ 0 ⇔ split ⊥ source; compare
+    // sample_group_kfold, where fold = f(source) makes V = 1 BY DESIGN and
+    // this audit is the wrong tool). Same 10¹² integer-grid χ² as
+    // profile_cramers_v — exact cell divisions, no cross-cell float sum —
+    // plus the per-(split, source) cell census for the top deviations.
+    "split_balance_cramers" -> Q(
+      fn = (s, dir) => {
+        val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+        val d = Tables.documents(s, dir)
+          .select(splitOf(col("doc_id")).as("split"), col("source"))
+        val cells = d.groupBy(col("split"), col("source"))
+          .agg(count(lit(1)).as("nij"))
+        val rm = cells.groupBy(col("split")).agg(sum(col("nij")).as("rm"))
+        val cm = cells.groupBy(col("source")).agg(sum(col("nij")).as("cm"))
+        val terms = cells.join(broadcast(rm), "split")
+          .join(broadcast(cm), "source")
+          .withColumn("term", expr("(CAST(nij AS DECIMAL(38,0)) * nij" +
+            " * 1000000000000) div (CAST(rm AS DECIMAL(38,0)) * cm)"))
+        val agg = terms.agg(sum(col("nij")).as("n"),
+          sum(col("term").cast(dec)).as("sfp"),
+          countDistinct(col("split")).as("nr"),
+          countDistinct(col("source")).as("nc"))
+        agg.withColumn("chi2_fp", greatest(
+            (col("n").cast(dec) * col("sfp")
+              - col("n").cast(dec) * lit(1000000000000L)).cast(dec),
+            lit(0).cast(dec)))
+          .select(col("n").as("n_docs"), col("nr").as("n_splits"),
+            col("nc").as("n_sources"),
+            col("chi2_fp").cast("string").as("chi2_fp"),
+            (round(sqrt(col("chi2_fp").cast("double")
+              / (col("n").cast("double")
+                * (least(col("nr"), col("nc")) - 1L).cast("double")
+                * lit(1.0e12))), 9) + 0.0).as("cramers_v"))
+      },
+      oracle = Some(
+        s"""WITH corpus AS (SELECT doc_id, source FROM documents),
+           |$splitCte,
+           |cells AS (SELECT sp.split, c.source, count(*) AS nij
+           |  FROM corpus c JOIN sp ON c.doc_id = sp.id GROUP BY 1, 2),
+           |r AS (SELECT split, sum(nij) AS rm FROM cells GROUP BY 1),
+           |cc AS (SELECT source, sum(nij) AS cm FROM cells GROUP BY 1),
+           |terms AS (SELECT cells.nij,
+           |    (CAST(cells.nij AS HUGEINT) * cells.nij * 1000000000000)
+           |      // (CAST(r.rm AS HUGEINT) * cc.cm) AS term
+           |  FROM cells JOIN r USING (split) JOIN cc USING (source)),
+           |a AS (SELECT sum(nij) AS n, sum(term) AS sfp,
+           |    (SELECT count(*) FROM r) AS nr,
+           |    (SELECT count(*) FROM cc) AS nc FROM terms),
+           |z AS (SELECT n, nr, nc,
+           |    greatest(CAST(n AS HUGEINT) * sfp
+           |      - CAST(n AS HUGEINT) * 1000000000000, 0) AS chi2
+           |  FROM a)
+           |SELECT CAST(n AS BIGINT) AS n_docs, CAST(nr AS BIGINT) AS n_splits,
+           |  CAST(nc AS BIGINT) AS n_sources,
+           |  CAST(chi2 AS VARCHAR) AS chi2_fp,
+           |  round(sqrt(CAST(chi2 AS DOUBLE)
+           |    / (CAST(n AS DOUBLE) * CAST(least(nr, nc) - 1 AS DOUBLE)
+           |      * CAST(1000000000000.0 AS DOUBLE))), 9) + 0.0 AS cramers_v
+           |FROM z""".stripMargin),
+      doc = "hash-split balance audit: split×source Cramér's V on the 10¹² integer grid — near-0 certifies the 8/1/1 split skews no source"))
 }

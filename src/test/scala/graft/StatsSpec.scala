@@ -598,6 +598,65 @@ class StatsSpec extends SparkTestBase {
     }
   }
 
+  test("events_anomaly_spc: integer gate equals the float 3-sigma rule away from boundaries") {
+    val res = Registry.all("events_anomaly_spc").fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5))).toMap
+    assert(res.nonEmpty)
+    val hours = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) div 3600000000").as("t"))
+      .agg(count(lit(1)).as("x")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).groupBy(_._1)
+    hours.foreach { case (et, rows) =>
+      val n = rows.length.toLong
+      val sx = rows.map(_._3).sum
+      val q = rows.map(r => BigInt(r._3) * r._3).sum
+      // integer-gate replay
+      val alarms = rows.count { r =>
+        val dev = BigInt(n) * r._3 - sx
+        dev * dev * (n - 1) > BigInt(n) * 9 * (BigInt(n) * q - BigInt(sx) * sx)
+      }.toLong
+      // float 3σ replay must agree (no boundary cases in organic counts)
+      val mean = sx.toDouble / n
+      val vr = (q.toDouble - sx.toDouble * sx.toDouble / n) / (n - 1)
+      val alarmsF = rows.count(r => math.abs(r._3 - mean) > 3.0 * math.sqrt(vr)).toLong
+      val worst = rows.map { r =>
+        val dev = BigInt(n) * r._3 - sx; (dev * dev, r._2)
+      }.sortBy { case (d, t) => (-d, t) }.head
+      val (nh, na, wh, wd) = res(et)
+      assert(nh == n && na == alarms, s"$et census mismatch")
+      assert(alarms == alarmsF, s"$et integer vs float gate diverge")
+      assert(wh == worst._2 && wd == worst._1.toString, s"$et worst hour mismatch")
+    }
+  }
+
+  test("split_balance_cramers: chi2 matches a BigInt replay; hash split is balanced") {
+    val row = Registry.all("split_balance_cramers").fn(spark, sfDir).collect()(0)
+    val cells = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val hex = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"split1$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val b = java.lang.Long.parseLong(hex.substring(0, 15), 16) % 10
+        val split = if (b < 8) "train" else if (b == 8) "val" else "test"
+        ((split, r.getString(1)), 1L)
+      }.groupBy(_._1).map { case (k, g) => (k, g.map(_._2).sum) }
+    val rm = cells.groupBy(_._1._1).map { case (k, g) => k -> g.values.sum }
+    val cm = cells.groupBy(_._1._2).map { case (k, g) => k -> g.values.sum }
+    val n = BigInt(cells.values.sum)
+    val grid = BigInt(1000000000000L)
+    val sfp = cells.map { case ((sp, so), nij) =>
+      BigInt(nij) * nij * grid / (BigInt(rm(sp)) * cm(so))
+    }.sum
+    val chi2 = (n * sfp - n * grid).max(BigInt(0))
+    assert(row.getAs[String]("chi2_fp") == chi2.toString, "chi2 mismatch")
+    assert(row.getAs[Long]("n_splits") == 3L)
+    // a healthy hash split shows near-zero association with source
+    val v = row.getAs[Double]("cramers_v")
+    assert(v >= 0.0 && v < 0.25, s"hash split skewed by source: V=$v")
+  }
+
   test("text_simpson_diversity: num/den match a replay; bounds hold") {
     val rows = Registry.all("text_simpson_diversity").fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
