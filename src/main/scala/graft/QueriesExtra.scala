@@ -598,6 +598,48 @@ object QueriesExtra {
           |FROM v3 WHERE dist > 0 GROUP BY root ORDER BY root""".stripMargin),
       doc = "sampled harmonic centrality: per-probe 3-hop BFS, exact ×6 integer harmonic sum"),
 
+    // Log₂-binned degree distribution of the co-purchase graph — the first
+    // readout of any graph curation pass (a straight line in log-log bins ⇒
+    // power law ⇒ hub-aware algorithms needed; a bell ⇒ near-regular).
+    // Binning is bit length (⌊log₂ d⌋ + 1) — pure integer both engines, no
+    // libm — and the census (nodes, edges-endpoints, max degree per bin)
+    // is exact integers off one degree aggregation. Scale: edge dedup +
+    // one groupBy; the histogram relation is ≤ 64 rows.
+    "graph_degree_histogram" -> Q(
+      fn = (s, dir) => {
+        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
+        val e = li.groupBy(col("l_orderkey"))
+          .agg(collect_set(col("l_partkey")).as("ps"))
+          .select(explode(expr(
+            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+            .as("p"))
+          .select(col("p.src"), col("p.dst"))
+          .filter(col("src") =!= col("dst"))
+          .dropDuplicates("src", "dst")
+        val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+        deg.withColumn("bin", length(expr("bin(d)")).cast("long"))
+          .groupBy(col("bin"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("total_deg"),
+            min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+          .withColumn("bin_lo", expr("shiftleft(CAST(1 AS BIGINT), CAST(bin AS INT) - 1)"))
+          .select(col("bin"), col("bin_lo"), col("n_nodes"),
+            col("total_deg"), col("min_deg"), col("max_deg"))
+          .orderBy(col("bin"))
+      },
+      oracle = Some(
+        """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |  FROM lineitem a JOIN lineitem b
+          |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+          |deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1),
+          |b AS (SELECT d, CAST(length(printf('%b', d)) AS BIGINT) AS bin
+          |  FROM deg)
+          |SELECT bin, CAST(1 AS BIGINT) << CAST(bin - 1 AS INT) AS bin_lo,
+          |  CAST(count(*) AS BIGINT) AS n_nodes,
+          |  CAST(sum(d) AS BIGINT) AS total_deg,
+          |  CAST(min(d) AS BIGINT) AS min_deg, CAST(max(d) AS BIGINT) AS max_deg
+          |FROM b GROUP BY bin ORDER BY bin""".stripMargin),
+      doc = "log2-binned degree distribution: bit-length bins (no libm), exact per-bin census — the power-law readout"),
+
     // Sampled stress centrality (Shimbel 1953) over the co-purchase graph:
     // how many shortest paths from the 8 probe roots pass THROUGH each
     // node — the all-integer member of the betweenness family (betweenness

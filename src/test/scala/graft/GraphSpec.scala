@@ -155,6 +155,31 @@ class GraphSpec extends SparkTestBase {
     assert(got == Seq((1L, 3L, 2L, 1.0), (2L, 4L, 2L, 1.0)), s"got $got")
   }
 
+  test("graph_degree_histogram: bit-length binning replayed on the real graph") {
+    val rows = Registry.all("graph_degree_histogram").fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    // replay: degrees from the deduped co-purchase expansion
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val degs = li.groupBy(_._1).values.toSeq
+      .flatMap { g =>
+        val ps: Seq[Long] = g.map(_._2).distinct.toSeq
+        for (a <- ps; b <- ps if a != b) yield (a, b)
+      }.distinct.groupBy(_._1).map(_._2.size.toLong).toSeq
+    val bins = degs.groupBy(d => 64L - java.lang.Long.numberOfLeadingZeros(d))
+    rows.foreach { case (bin, (lo, n, tot, mn, mx)) =>
+      val ds = bins(bin)
+      assert(lo == (1L << (bin - 1)), s"bin $bin lower bound")
+      assert(n == ds.size.toLong && tot == ds.sum
+        && mn == ds.min && mx == ds.max, s"bin $bin census mismatch")
+      assert(mn >= lo && mx < 2 * lo, s"bin $bin contains out-of-range degree")
+    }
+    assert(rows.length == bins.size, "bin count mismatch")
+  }
+
   test("stressCentrality: diamond and path closed forms, σ·g counts interior paths") {
     // Diamond 1-2-4, 1-3-4 (undirected), root 1: σ(2)=σ(3)=1, σ(4)=2;
     // g(4)=0 (horizon interiorless), g(2)=g(3)=1 (one continuation each).
