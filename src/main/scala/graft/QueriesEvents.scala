@@ -1636,9 +1636,13 @@ object QueriesEvents {
     // predicate |x − μ| > 3σ is CROSS-MULTIPLIED to the exact integer
     // inequality (n·x − S)²·(n−1) > 9·n·(n·Q − S²) (S = Σx, Q = Σx², n =
     // hours), so no float boundary exists anywhere — a count exactly at
-    // 3σ classifies identically on both engines at any magnitude. Squares
-    // ride DECIMAL(38,0); the worst hour per type is the keyed-window
-    // argmax of the exact deviation square, graded as a digit string.
+    // 3σ classifies identically on both engines. SAFE RANGE (r9 ADVICE):
+    // the DECIMAL(38,0) products dev2·(n−1) and 9n(nQ−S²) bound the gate
+    // to n·x ≲ 10¹⁸ (e.g. 10⁶ hourly buckets of 10¹² events each) — far
+    // beyond any real telemetry but NOT "any magnitude": past 38 digits
+    // Spark's precision-loss mode nulls where DuckDB HUGEINT errors.
+    // Squares ride DECIMAL(38,0); the worst hour per type is the
+    // keyed-window argmax of the exact deviation square, digit-string graded.
     "events_anomaly_spc" -> Q(
       fn = (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(38, 0)

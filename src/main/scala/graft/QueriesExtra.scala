@@ -467,14 +467,7 @@ object QueriesExtra {
       fn = (s, dir) => {
         // pair expansion is ROW-LOCAL off one small groupBy (orders are
         // bounded baskets) — no self-join shuffle of the lineitem relation
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.operators.Graph.pagerankFixedPoint(e, 3)
           .orderBy(col("rank").desc, col("node")).limit(20)
       },
@@ -505,14 +498,7 @@ object QueriesExtra {
     // oracle unrolls the same three supersteps as explicit CTEs.
     "graph_bfs_layers" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         val nodes = e.select(col("src").as("id")).distinct()
         graft.operators.Graph.bfsLayers(e,
           nodes.filter(col("id") % 1000 === 0), maxHops = 3)
@@ -548,14 +534,7 @@ object QueriesExtra {
     // three supersteps with root in the frontier key.
     "graph_harmonic_centrality" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         val seeds = e.select(col("src").as("id")).distinct()
           .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
         graft.operators.Graph.perSourceBfsCensus(e, seeds, maxHops = 3)
@@ -607,14 +586,7 @@ object QueriesExtra {
     // one groupBy; the histogram relation is ≤ 64 rows.
     "graph_degree_histogram" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
           .dropDuplicates("src", "dst")
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         deg.withColumn("bin", length(expr("bin(d)")).cast("long"))
@@ -653,14 +625,7 @@ object QueriesExtra {
     "graph_stress_centrality" -> Q(
       fn = (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         val seeds = e.select(col("src").as("id")).distinct()
           .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
         graft.operators.Graph.stressCentrality(e, seeds, maxHops = 3)
@@ -724,14 +689,7 @@ object QueriesExtra {
     // adjacency order or modulus breaks the hash match.
     "graph_random_walks" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         val seeds = e.select(col("src").as("id")).distinct()
           .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
         graft.operators.Graph.hashWalks(e, seeds, steps = 4, walksPerSeed = 4)
@@ -842,15 +800,7 @@ object QueriesExtra {
     // prefilter that keeps co-occurrence graphs from densifying.
     "graph_triangles" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
-            .as("p"))
-          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select(col("u"), col("v"))
+        val e = Tables.coPurchasePairs(s, dir)
         graft.operators.Graph.triangles(e)
           .orderBy(col("n1"), col("n2"), col("n3"))
       },
@@ -1588,7 +1538,13 @@ object QueriesExtra {
           sum(col("term").cast(dec)).as("sfp"),
           countDistinct(col("lang")).as("nl"),
           countDistinct(col("source")).as("ns"))
-        agg.withColumn("chi2_fp", greatest(
+        agg
+          // degenerate guard: a single-lang or single-source corpus makes
+          // the V denominator (least−1) zero — Spark would emit NaN while
+          // DuckDB returns NULL, diverging engines (r9 ADVICE). V is
+          // undefined there; emit no row, mirrored in the oracle.
+          .filter(least(col("nl"), col("ns")) >= 2L)
+          .withColumn("chi2_fp", greatest(
             (col("n").cast(dec) * col("sfp")
               - col("n").cast(dec) * lit(1000000000000L)).cast(dec),
             lit(0).cast(dec)))
@@ -1622,7 +1578,7 @@ object QueriesExtra {
           |  round(sqrt(CAST(chi2 AS DOUBLE)
           |    / (CAST(n AS DOUBLE) * CAST(least(nl, ns) - 1 AS DOUBLE)
           |      * CAST(1000000000000.0 AS DOUBLE))), 9) + 0.0 AS cramers_v
-          |FROM z""".stripMargin),
+          |FROM z WHERE least(nl, ns) >= 2""".stripMargin),
       doc = "Cramér's V for lang×source: integer-grid χ² (10¹² fixed point, exact cell divisions), one IEEE sqrt tail"),
 
     // Mann-Whitney U per source vs rest-of-corpus on n_chars — the
@@ -1657,11 +1613,17 @@ object QueriesExtra {
             sum(col("t1").cast(dec)
               * (lit(2L) * col("cle") - col("t") + 1L)).as("r1x2"),
             sum(col("t").cast(dec) * col("t") * col("t") - col("t")).as("tt"))
+        // 2U₁ stays DECIMAL end-to-end and is GRADED as a digit string —
+        // the unchecked decimal→long cast silently nulled past 2^63
+        // (~2·10⁹ docs, reachable at 100 TB) while DuckDB's CAST errors,
+        // diverging engines instead of failing loudly (r9 ADVICE). The
+        // z_stat double conversion is correctly rounded from the exact
+        // integer in both engines (one IEEE op, not a silent wrap).
         agg.withColumn("n2", col("n") - col("n1"))
           .filter(col("n1") >= 1L && col("n2") >= 1L)
           .withColumn("u1x2",
             (col("r1x2") - col("n1").cast(dec) * (col("n1") + 1L))
-              .cast("long"))
+              .cast(dec))
           .withColumn("n1d", col("n1").cast("double"))
           .withColumn("n2d", col("n2").cast("double"))
           .withColumn("nd", col("n").cast("double"))
@@ -1671,7 +1633,7 @@ object QueriesExtra {
                 / (col("nd") * (col("nd") - lit(1.0)))))
           .filter(col("varu") > lit(0.0))
           .select(col("cmp").as("source"), col("n1").as("n_src"),
-            col("n2").as("n_rest"), col("u1x2").as("u_x2"),
+            col("n2").as("n_rest"), col("u1x2").cast("string").as("u_x2"),
             (round((col("u1x2").cast("double") - col("n1d") * col("n2d"))
               / (lit(2.0) * sqrt(col("varu"))), 9) + 0.0).as("z_stat"))
           .orderBy(col("source"))
@@ -1692,7 +1654,7 @@ object QueriesExtra {
           |    sum(CAST(t AS HUGEINT) * t * t - t) AS tt
           |  FROM r GROUP BY 1),
           |z AS (SELECT cmp, n1, n - n1 AS n2,
-          |    CAST(r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS BIGINT) AS u1x2,
+          |    r1x2 - CAST(n1 AS HUGEINT) * (n1 + 1) AS u1x2,
           |    CAST(n1 AS DOUBLE) AS n1d, CAST(n - n1 AS DOUBLE) AS n2d,
           |    CAST(n AS DOUBLE) AS nd, CAST(tt AS DOUBLE) AS td
           |  FROM agg WHERE n1 >= 1 AND n - n1 >= 1),
@@ -1702,7 +1664,7 @@ object QueriesExtra {
           |        - td / (nd * (nd - CAST(1.0 AS DOUBLE)))) AS varu
           |  FROM z)
           |SELECT cmp AS source, CAST(n1 AS BIGINT) AS n_src,
-          |  CAST(n2 AS BIGINT) AS n_rest, u1x2 AS u_x2,
+          |  CAST(n2 AS BIGINT) AS n_rest, CAST(u1x2 AS VARCHAR) AS u_x2,
           |  round((CAST(u1x2 AS DOUBLE) - n1d * n2d)
           |    / (CAST(2.0 AS DOUBLE) * sqrt(varu)), 9) + 0.0 AS z_stat
           |FROM v WHERE varu > 0 ORDER BY source""".stripMargin),
@@ -2143,14 +2105,7 @@ object QueriesExtra {
     // including tie resolution. Top-20 community census output.
     "graph_label_propagation" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.operators.Graph.labelPropagation(e, 3)
           .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
           .orderBy(col("n_members").desc, col("label")).limit(20)
@@ -2182,14 +2137,7 @@ object QueriesExtra {
     // replayed by the oracle as a generated CTE chain.
     "graph_kcore" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.operators.Graph.meanCorePeel(e, rounds = 3)
       },
       oracle = Some {
@@ -2675,14 +2623,7 @@ object QueriesExtra {
     // two keyed aggs; the community relation is label-cardinality-sized.
     "graph_modularity" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
-          .filter(col("src") =!= col("dst"))
+        val e = Tables.coPurchaseEdges(s, dir)
           // globally distinct: the same co-purchase pair recurs across
           // orders, and degree/edge masses must count it once
           .dropDuplicates("src", "dst")
@@ -2875,13 +2816,9 @@ object QueriesExtra {
     // scale. Final ratio is one IEEE division, round-9.
     "graph_assortativity" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
-            .as("p"))
-          .select(col("p.src"), col("p.dst"))
+        // the stored fixture pre-applies src =!= dst; assortativityMoments
+        // dedups and re-filters internally, so the moments are unchanged
+        val e = Tables.coPurchaseEdges(s, dir)
         graft.operators.Graph.assortativityMoments(e)
       },
       oracle = Some(
@@ -2917,15 +2854,7 @@ object QueriesExtra {
     // one round-9 division.
     "graph_link_prediction" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
-            .as("p"))
-          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select(col("u"), col("v"))
+        val e = Tables.coPurchasePairs(s, dir)
         graft.operators.Graph.commonNeighborPairs(e)
           .orderBy(col("cn").desc, col("p"), col("q")).limit(20)
       },
@@ -3038,15 +2967,7 @@ object QueriesExtra {
     // Top-20 under the exact (t, node) total order.
     "graph_clustering_coeff" -> Q(
       fn = (s, dir) => {
-        val li = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_partkey"))
-        val e = li.groupBy(col("l_orderkey"))
-          .agg(collect_set(col("l_partkey")).as("ps"))
-          .select(explode(expr(
-            "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
-            .as("p"))
-          .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
-          .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
-          .filter(col("c") >= 2).select(col("u"), col("v"))
+        val e = Tables.coPurchasePairs(s, dir)
         e.persist(); e.count() // feeds triangles AND the degree census
         val tv = graft.operators.Graph.triangles(e)
           .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))

@@ -3183,7 +3183,10 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           sum(col("c")).as("s1"),
           sum(col("c").cast(dec) * col("c")).as("s2"))
         val top = stats.orderBy(col("df").desc, col("w")).limit(50)
-        val tot = d.agg(count(lit(1)).as("n"))
+        // n >= 2 guard: a single-document corpus zeroes the Fano
+        // denominator — Spark 0/0 is NaN where DuckDB diverges (r9 ADVICE);
+        // the factor is undefined there, so emit no rows (oracle mirrored).
+        val tot = d.agg(count(lit(1)).as("n")).filter(col("n") >= 2L)
         top.crossJoin(broadcast(tot))
           .withColumn("num", col("n").cast(dec) * col("s2")
             - col("s1").cast(dec) * col("s1"))
@@ -3203,7 +3206,7 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
            |    sum(CAST(c AS HUGEINT) * c) AS s2
            |  FROM cnt GROUP BY 1),
            |top AS (SELECT * FROM stats ORDER BY df DESC, w LIMIT 50),
-           |tot AS (SELECT count(*) AS n FROM documents),
+           |tot AS (SELECT count(*) AS n FROM documents HAVING count(*) >= 2),
            |z AS (SELECT w, df, s1,
            |    CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS num,
            |    CAST(n - 1 AS HUGEINT) * s1 AS den

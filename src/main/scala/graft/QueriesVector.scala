@@ -28,7 +28,7 @@ object QueriesVector {
       |    CAST(sum(qi) AS DECIMAL(38,0)) AS sx,
       |    CAST(sum(qj) AS DECIMAL(38,0)) AS sy
       |  FROM cp GROUP BY 1, 2),
-      |covm AS (SELECT i, j, n, sxy,
+      |covm AS MATERIALIZED (SELECT i, j, n, sxy,
       |  (CAST(sxy AS DOUBLE) / 10000000000.0
       |   - CAST(sx AS DOUBLE) / 100000.0 * (CAST(sy AS DOUBLE) / 100000.0)
       |     / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE) AS cov FROM cova)""".stripMargin
@@ -38,17 +38,22 @@ object QueriesVector {
     * as generated CTEs — no round(double), no libm, so the replay is
     * bit-identical whatever the engine build. */
   private def powerOracle(iters: Int): String = {
+    // MATERIALIZED on every CTE the k-round chain re-references: DuckDB
+    // inlines plain CTEs, so w_k would re-expand fullm (and transitively the
+    // whole covariance chain, itself referenced twice by the UNION ALL)
+    // exponentially in k — the r9 gate saw this oracle blow the 120 s
+    // timeout. Same failure mode + fix as embedding_mmr_rerank below.
     val iterCtes = (1 to iters).map { k =>
-      s"""w$k AS (SELECT f.i AS idx,
+      s"""w$k AS MATERIALIZED (SELECT f.i AS idx,
          |    CAST(sum(f.cq * CAST(floor(v.x * 1000000.0) AS BIGINT)) AS BIGINT) AS wsum
          |  FROM fullm f JOIN v${k - 1} v ON f.j = v.idx GROUP BY 1),
-         |n$k AS (SELECT sqrt(CAST(sum(CAST(wsum AS HUGEINT) * wsum) AS DOUBLE)) AS nrm
+         |n$k AS MATERIALIZED (SELECT sqrt(CAST(sum(CAST(wsum AS HUGEINT) * wsum) AS DOUBLE)) AS nrm
          |  FROM w$k),
-         |v$k AS (SELECT idx, CAST(wsum AS DOUBLE) / nrm AS x FROM w$k, n$k)"""
+         |v$k AS MATERIALIZED (SELECT idx, CAST(wsum AS DOUBLE) / nrm AS x FROM w$k, n$k)"""
         .stripMargin
     }.mkString(",\n")
     s"""WITH $covCtes,
-       |fullm AS (SELECT i, j, CAST(floor(cov * 1000000000.0) AS BIGINT) AS cq FROM covm
+       |fullm AS MATERIALIZED (SELECT i, j, CAST(floor(cov * 1000000000.0) AS BIGINT) AS cq FROM covm
        |  UNION ALL SELECT j, i, CAST(floor(cov * 1000000000.0) AS BIGINT) FROM covm WHERE i < j),
        |v0 AS (SELECT DISTINCT i AS idx, CAST(1.0 AS DOUBLE) AS x FROM fullm),
        |$iterCtes

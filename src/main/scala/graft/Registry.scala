@@ -18,5 +18,5 @@ object Registry {
   def all: Map[String, Q] =
     QueriesCore.queries ++ QueriesRel.queries ++ QueriesVector.queries ++
       QueriesText.queries ++ QueriesEvents.queries ++ QueriesDml.queries ++
-      QueriesExtra.queries ++ QueriesJoins.queries
+      QueriesExtra.queries ++ QueriesJoins.queries ++ QueriesSig.queries
 }

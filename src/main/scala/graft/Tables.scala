@@ -245,6 +245,43 @@ object Tables {
         md5(concat(col("l_orderkey"), lit(":"), col("l_linenumber"))).as("etag"),
         col("l_shipdate").as("created_at"))
     }
+
+  /** Co-purchase DIRECTED MULTI-edge relation (parts sharing an order; one
+    * row per shared order and orientation, src ≠ dst, NOT deduped — kernels
+    * that need simple-graph semantics dedup themselves). Every `graph_*`
+    * query used to re-derive this 2.3M-row expansion per call (~2 s each at
+    * sf0.1, r9 verdict item 3); it is a stored fixture of the corpus exactly
+    * like the `objects` layout, so it materializes once per (sfDir, data
+    * fingerprint). Pair expansion is ROW-LOCAL off one bounded-basket
+    * groupBy — no lineitem self-join shuffle, which is what makes the
+    * derivation itself 100 TB-safe when the cache is cold. */
+  def coPurchaseEdges(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "copurchase_edges", None, "src") {
+      lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, x -> transform(ps, y -> struct(x AS src, y AS dst))))"))
+          .as("p"))
+        .select(col("p.src"), col("p.dst"))
+        .filter(col("src") =!= col("dst"))
+    }
+
+  /** Co-purchase UNDIRECTED support-≥2 pair relation ((u, v), u < v, pairs
+    * co-occurring in at least 2 orders, distinct) — the triangle/clustering
+    * family's fixture, stored for the same reason as [[coPurchaseEdges]]. */
+  def coPurchasePairs(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "copurchase_pairs", None, "u") {
+      lineitem(spark, dir).select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(collect_set(col("l_partkey")).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, x -> transform(ps, y -> struct(x AS u, y AS v))))"))
+          .as("p"))
+        .select(col("p.u"), col("p.v")).filter(col("u") < col("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 2).select(col("u"), col("v"))
+    }
 }
 
 /** DuckDB twins of the synthesized relations above. Any query whose oracle SQL

@@ -467,6 +467,11 @@ object Graph {
       g = lowerG.select(col("root"), col("id"), col("g"))
       kk -= 1
     }
-    out
+    // out's lineage still references the persisted edge relation — cut it
+    // before releasing e, or cached blocks pile up across a long session
+    // running many registry queries (r9 ADVICE).
+    val res = out.localCheckpoint()
+    e.unpersist()
+    res
   }
 }

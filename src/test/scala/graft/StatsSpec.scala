@@ -530,9 +530,11 @@ class StatsSpec extends SparkTestBase {
     // The query derives 2·U1 from tie-averaged ranks over the value
     // histogram; U's DEFINITION is pair counting (wins + ties/2). Replay
     // the definition literally over the collected corpus and compare.
+    // u_x2 is graded as a digit STRING (r9 ADVICE: the decimal→long cast
+    // silently nulled past 2^63); parse via BigInt here.
     val res = Registry.all("profile_mann_whitney").fn(spark, sfDir)
       .collect().map(r => r.getString(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+        (r.getLong(1), r.getLong(2), BigInt(r.getString(3)), r.getDouble(4))).toMap
     assert(res.nonEmpty)
     val docs = Tables.documents(spark, sfDir)
       .select(col("source"), col("n_chars")).collect()

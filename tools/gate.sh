@@ -34,6 +34,9 @@ if [ $RC -ne 0 ]; then echo "GATE RED: Verify rc=$RC" | tee -a "$LOG"; exit 1; f
 echo "--- check.py ---" >> "$LOG"
 python3 tools/check.py /root/testdata/sf0.01 $OUT 120 > /tmp/gate_check.log 2>&1
 RC=$?
+# Name every non-PASS row in the gate log (r9 verdict item 1: a skip
+# without a name is undiagnosable after the fact).
+grep -E "^(SKIP|FAIL)" /tmp/gate_check.log >> "$LOG"
 tail -3 /tmp/gate_check.log >> "$LOG"
 if [ $RC -ne 0 ] || ! grep -qE "^[0-9]+/[0-9]+ pass" /tmp/gate_check.log || \
    grep -qE "FAIL|MISMATCH" /tmp/gate_check.log; then
