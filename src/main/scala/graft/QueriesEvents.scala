@@ -342,6 +342,191 @@ object QueriesEvents {
           |FROM led GROUP BY queue ORDER BY queue""".stripMargin),
       doc = "E4 dead-letter routing + retry ledger (event.ts:60-62, pg-boss retryLimit)"),
 
+    // Stream-parity census for EventStream.windowedCounts: 5-minute
+    // tumbling windows per queue under a 10-minute watermark — the batch
+    // replay of exactly what the append-mode stream EMITS (a window seals
+    // when its end passes the high-water mark = max event ts − delay; later
+    // windows stay in state). Window indices live on the 5-min integer
+    // grid (unix_micros div), so seal classification has no float boundary.
+    // Graded per queue: sealed/open window and event counts + the peak
+    // sealed window (max n, min window index as tiebreak). Scale: one
+    // combinable groupBy on (type, widx) — node-bounded state, no global
+    // window (the high-water mark is a broadcast 1-row agg).
+    "e7_windowed_counts_sealed" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+        val wmRow = ev.agg((max(col("us")) - lit(600000000L)).as("wm"))
+        val census = ev
+          .withColumn("widx", expr("us div 300000000"))
+          .groupBy(col("event_type"), col("widx"))
+          .agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(wmRow))
+          .withColumn("sealed", (col("widx") + 1L) * 300000000L <= col("wm"))
+        val wpeak = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("event_type"))
+        census
+          .withColumn("peak_n",
+            max(when(col("sealed"), col("n"))).over(wpeak))
+          .groupBy(col("event_type"))
+          .agg(
+            sum(when(col("sealed"), 1L).otherwise(0L)).as("n_windows_sealed"),
+            sum(when(col("sealed"), col("n")).otherwise(0L)).as("n_events_sealed"),
+            sum(when(!col("sealed"), 1L).otherwise(0L)).as("n_windows_open"),
+            sum(when(!col("sealed"), col("n")).otherwise(0L)).as("n_events_open"),
+            max(when(col("sealed"), col("n"))).as("peak_sealed_n"),
+            min(when(col("sealed") && col("n") === col("peak_n"), col("widx")))
+              .as("peak_sealed_widx"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |wm AS (SELECT max(us) - 600000000 AS wm FROM ev),
+          |census AS (SELECT event_type, us // 300000000 AS widx, count(*) AS n
+          |  FROM ev GROUP BY 1, 2),
+          |cs AS (SELECT c.event_type, c.widx, c.n,
+          |    (c.widx + 1) * 300000000 <= wm.wm AS sealed
+          |  FROM census c CROSS JOIN wm),
+          |pk AS (SELECT *, max(CASE WHEN sealed THEN n END)
+          |    OVER (PARTITION BY event_type) AS peak_n FROM cs)
+          |SELECT event_type,
+          |  CAST(count(*) FILTER (WHERE sealed) AS BIGINT) AS n_windows_sealed,
+          |  CAST(coalesce(sum(n) FILTER (WHERE sealed), 0) AS BIGINT) AS n_events_sealed,
+          |  CAST(count(*) FILTER (WHERE NOT sealed) AS BIGINT) AS n_windows_open,
+          |  CAST(coalesce(sum(n) FILTER (WHERE NOT sealed), 0) AS BIGINT) AS n_events_open,
+          |  CAST(max(CASE WHEN sealed THEN n END) AS BIGINT) AS peak_sealed_n,
+          |  CAST(min(CASE WHEN sealed AND n = peak_n THEN widx END) AS BIGINT)
+          |    AS peak_sealed_widx
+          |FROM pk GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "stream-parity: windowed counts under watermark sealing — emitted vs in-state census (EventStream.windowedCounts twin)"),
+
+    // Stream-parity census for EventStream.sessionizedStats: gap-timeout
+    // sessions under the STREAMING conventions, which differ from batch
+    // t_sessionize in exactly two pinned ways — (1) session windows are
+    // half-open [t, t+gap), so a silence of EXACTLY the gap starts a new
+    // session (>= vs the batch >), and (2) a session is only EMITTED once
+    // the watermark passes session_end + gap (nothing can extend it);
+    // younger sessions are open state. Census: sealed/open sessions grouped
+    // by size, with exact integer span sums. Scale: per-user keyed windows
+    // (lag + running sum), never a global sort.
+    "e8_session_seal_census" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+        val wmRow = ev.agg((max(col("us")) - lit(600000000L)).as("wm"))
+        val wu = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id")).orderBy(col("us"))
+        val wcum = wu.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        val sessions = ev
+          .withColumn("pus", lag(col("us"), 1).over(wu))
+          .withColumn("nf", when(col("pus").isNull ||
+            col("us") - col("pus") >= 1800000000L, 1L).otherwise(0L))
+          .withColumn("session_no", sum(col("nf")).over(wcum))
+          .groupBy(col("user_id"), col("session_no"))
+          .agg(count(lit(1)).as("n_events"),
+            min(col("us")).as("s_us"), max(col("us")).as("e_us"))
+        sessions.crossJoin(broadcast(wmRow))
+          .withColumn("sealed", col("e_us") + 1800000000L <= col("wm"))
+          // span truncates to whole seconds PER SESSION (integer div), then
+          // sums — Column `/` is double division, which would truncate the
+          // SUM instead and drift from the oracle's per-row floor
+          .withColumn("span_sec", expr("(e_us - s_us) div 1000000"))
+          .groupBy(col("sealed"), col("n_events"))
+          .agg(count(lit(1)).as("n_sessions"),
+            sum(col("span_sec")).as("total_span_sec"),
+            max(col("span_sec")).as("max_span_sec"))
+          .orderBy(col("sealed").desc, col("n_events"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT user_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+          |wm AS (SELECT max(us) - 600000000 AS wm FROM ev),
+          |l AS (SELECT user_id, us,
+          |    lag(us) OVER (PARTITION BY user_id ORDER BY us) AS pus FROM ev),
+          |f AS (SELECT user_id, us, CASE WHEN pus IS NULL
+          |      OR us - pus >= 1800000000 THEN 1 ELSE 0 END AS nf FROM l),
+          |s AS (SELECT user_id, us, sum(nf) OVER (PARTITION BY user_id
+          |      ORDER BY us ROWS UNBOUNDED PRECEDING) AS session_no FROM f),
+          |sess AS (SELECT user_id, session_no, count(*) AS n_events,
+          |    min(us) AS s_us, max(us) AS e_us FROM s GROUP BY 1, 2),
+          |cls AS (SELECT sess.*, e_us + 1800000000 <= wm.wm AS sealed
+          |  FROM sess CROSS JOIN wm)
+          |SELECT sealed, CAST(n_events AS BIGINT) AS n_events,
+          |  count(*) AS n_sessions,
+          |  CAST(sum((e_us - s_us) // 1000000) AS BIGINT) AS total_span_sec,
+          |  CAST(max((e_us - s_us) // 1000000) AS BIGINT) AS max_span_sec
+          |FROM cls GROUP BY 1, 2 ORDER BY sealed DESC, n_events""".stripMargin),
+      doc = "stream-parity: half-open gap sessions sealed by watermark — emitted vs open census (EventStream.sessionizedStats twin)"),
+
+    // Stream-parity census for EventStream.streamingAsOf: each purchase
+    // (query) reads the LATEST view/click (state) for its user under the
+    // stream's exact tie contract — state sorts (ts, state-before-query,
+    // event_id), a same-ts state IS visible to the query, later states
+    // never retro-correct. Emission: only queries at ts ≤ high-water mark
+    // (max ts − 10 min) are emitted in append mode; younger ones are
+    // pending. Graded per user: query/emit/match counts plus the exact sum
+    // of matched state event_ids — certifying WHICH state row every
+    // emitted query observed, not just how many matched. Scale: one
+    // union + keyed window (the t_asof_join shape) — single shuffle.
+    "e9_asof_emit_census" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+        val state = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(0).as("k_ord"), col("event_id").as("state_id"))
+        val queries = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts"), col("event_id"),
+            lit(1).as("k_ord"), lit(null).cast("long").as("state_id"))
+        val wmRow = ev.agg(
+          (max(expr("unix_micros(ts)")) - lit(600000000L)).as("wm"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("k_ord"), col("event_id"))
+          .rowsBetween(
+            org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+        state.unionByName(queries)
+          .withColumn("asof_state", last(col("state_id"), ignoreNulls = true).over(w))
+          .filter(col("k_ord") === 1)
+          .crossJoin(broadcast(wmRow))
+          .withColumn("emitted", expr("unix_micros(ts)") <= col("wm"))
+          .groupBy(col("user_id"))
+          .agg(count(lit(1)).as("n_queries"),
+            sum(when(col("emitted"), 1L).otherwise(0L)).as("n_emitted"),
+            sum(when(col("emitted") && col("asof_state").isNotNull, 1L)
+              .otherwise(0L)).as("n_matched"),
+            sum(when(col("emitted"), coalesce(col("asof_state"), lit(0L)))
+              .otherwise(0L)).as("sum_state_ids"))
+          .orderBy(col("user_id"))
+      },
+      oracle = Some(
+        """WITH st AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          |    0 AS k_ord, event_id AS state_id
+          |  FROM events WHERE event_type IN ('view', 'click')),
+          |qr AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+          |    1 AS k_ord, NULL AS state_id
+          |  FROM events WHERE event_type = 'purchase'),
+          |wm AS (SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) - 600000000 AS wm
+          |  FROM events),
+          |u AS (SELECT * FROM st UNION ALL SELECT * FROM qr),
+          |j AS (SELECT user_id, ts, event_id, k_ord,
+          |    last_value(state_id IGNORE NULLS) OVER (PARTITION BY user_id
+          |      ORDER BY ts, k_ord, event_id
+          |      ROWS UNBOUNDED PRECEDING) AS asof_state
+          |  FROM u),
+          |q AS (SELECT j.*, epoch_us(ts) <= wm.wm AS emitted
+          |  FROM j CROSS JOIN wm WHERE k_ord = 1)
+          |SELECT user_id, count(*) AS n_queries,
+          |  CAST(count(*) FILTER (WHERE emitted) AS BIGINT) AS n_emitted,
+          |  CAST(count(*) FILTER (WHERE emitted AND asof_state IS NOT NULL)
+          |    AS BIGINT) AS n_matched,
+          |  CAST(coalesce(sum(CASE WHEN emitted
+          |    THEN coalesce(asof_state, 0) ELSE 0 END), 0) AS BIGINT)
+          |    AS sum_state_ids
+          |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin),
+      doc = "stream-parity: as-of enrichment with watermark emission — per-key emitted/matched census + exact observed-state sum (EventStream.streamingAsOf twin)"),
+
     // As-of join (an operator Spark lacks natively): every purchase picks
     // the LATEST click by the same user at or before its timestamp —
     // "most recent state at event time", the feature-lookup shape. The

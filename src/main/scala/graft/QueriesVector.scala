@@ -1426,6 +1426,177 @@ object QueriesVector {
       },
       doc = "kNN-graph build: 2-table-LSH-seeded top-5 + one NN-Descent neighbor-of-neighbor round, recall@5 audit before/after"),
 
+    // QUERY-TIME greedy beam search over the NN-Descent kNN graph — the
+    // search half the family was missing (v3_knn_graph_descent only BUILDS
+    // the graph; the reference's HNSW query path walks it,
+    // pgvector/index.ts:740-805, ef_search = max(k, 40), index.ts:98).
+    // Deterministic bounded variant: one global entry node (min graph id,
+    // pgvector's single entry point), then R = 4 rounds of
+    //   beam ← top-ef of (beam ∪ neighbors(beam)) under the total
+    //   (d9, id) order (ef = 10)
+    // — no visited set needed: scoring is deterministic and idempotent, so
+    // revisits re-rank identically and the beam's d9-sum is monotone
+    // non-increasing (the replayed-argmax pattern from embedding_mmr_rerank).
+    // Graded per probe query: final-beam top-5 census (count, exact d9 sum)
+    // and recall@5 vs exact brute force. The oracle replays the graph build
+    // AND all 4 beam rounds as MATERIALIZED generated CTEs (the
+    // embedding_pca_power lesson: re-referenced chains re-inline
+    // exponentially without it). 100 TB path: graph build is equi-join
+    // bounded (|E| = n·K); each beam round joins a |queries|·ef relation
+    // against the K-regular adjacency — query cost independent of corpus
+    // size, exactly why graph indexes win at scale.
+    "v3_graph_beam_search" -> Q(
+      fn = (s, dir) => {
+        val K = 5; val ef = 10; val rounds = 4
+        def d9(x: String, y: String): org.apache.spark.sql.Column = floor(
+          (lit(1.0) -
+            expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+            (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
+             sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
+            * lit(1000000000.0)).cast("long")
+        val emb = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("d9"), col("b"))
+        def bucketPairs(seed: Long) = {
+          val wb = Vectors.lshBuckets(emb, "v", 64, nPlanes = 4, seed = seed)
+          val l = wb.select(col("vec_id").as("a"), col("lsh_bucket").as("ba"))
+          val r = wb.select(col("vec_id").as("b"), col("lsh_bucket").as("bb"))
+          l.join(r, col("ba") === col("bb") && col("a") =!= col("b"))
+            .select(col("a"), col("b"))
+        }
+        // same graph as v3_knn_graph_descent: LSH-seeded top-5 + one
+        // neighbor-of-neighbor descent round
+        val g0 = bucketPairs(42L).union(bucketPairs(1337L)).distinct()
+          .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+          .withColumn("d9", d9("va", "vb"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+          .select(col("a"), col("b"), col("d9")).persist()
+        g0.count()
+        val und = g0.select(col("a"), col("b"))
+          .union(g0.select(col("b").as("a"), col("a").as("b"))).distinct()
+        val cand = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+          .select(col("x.a").as("a"), col("y.b").as("b"))
+          .filter(col("a") =!= col("b"))
+          .union(g0.select(col("a"), col("b"))).distinct()
+        val g1 = cand
+          .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+          .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+          .withColumn("d9", d9("va", "vb"))
+          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
+          .select(col("a"), col("b")).persist()
+        g1.count() // pin: R joins per beam round + recall probe read it
+        g0.unpersist()
+        val qs = emb.filter(col("vec_id") % 41 === 0)
+          .select(col("vec_id").as("q"), col("v").as("qv")).persist()
+        qs.count()
+        val entry = g1.agg(min(col("a")).as("id"))
+        val wq = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q")).orderBy(col("d9"), col("id"))
+        def score(c: org.apache.spark.sql.DataFrame) = c
+          .join(qs, Seq("q"))
+          .join(emb.select(col("vec_id").as("id"), col("v").as("cv")), Seq("id"))
+          .filter(col("id") =!= col("q"))
+          .withColumn("d9", d9("qv", "cv"))
+          .select(col("q"), col("id"), col("d9"))
+        var beam = score(qs.select(col("q")).crossJoin(broadcast(entry)))
+          .localCheckpoint()
+        for (_ <- 1 to rounds) {
+          val expand = beam.select(col("q"), col("id").as("a"))
+            .join(g1, Seq("a")).select(col("q"), col("b").as("id"))
+            .union(beam.select(col("q"), col("id"))).distinct()
+          beam = score(expand)
+            .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= ef)
+            .select(col("q"), col("id"), col("d9"))
+            .localCheckpoint() // house rule: constant plan depth per round
+        }
+        val top = beam.withColumn("rnk", row_number().over(wq))
+          .filter(col("rnk") <= K).persist()
+        top.count() // pin: census + recall probe
+        val exact = emb.select(col("vec_id").as("id"), col("v").as("cv"))
+          .crossJoin(broadcast(qs)).filter(col("id") =!= col("q"))
+          .withColumn("d9", d9("qv", "cv"))
+          .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= K)
+          .select(col("q"), col("id"))
+        val rec = exact.join(top.select(col("q"), col("id")),
+            Seq("q", "id"), "left_semi")
+          .groupBy(col("q")).agg(count(lit(1)).as("r5"))
+        top.groupBy(col("q"))
+          .agg(count(lit(1)).as("n_beam"), sum(col("d9")).as("beam_d9_sum"))
+          .join(rec, Seq("q"), "left")
+          .select(col("q").as("q_key"), col("n_beam"),
+            col("beam_d9_sum"), coalesce(col("r5"), lit(0L)).as("recall5"))
+          .orderBy(col("q_key"))
+      },
+      oracle = Some {
+        def d9sql(x: String, y: String): String =
+          s"""CAST(floor((1.0 - list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |      list_transform(list_zip($x, $y), z -> z[1] * z[2])), (a, v) -> a + v)
+             |    / (sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform($x, p -> p * p)), (a, v) -> a + v))
+             |     * sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+             |        list_transform($y, p -> p * p)), (a, v) -> a + v))))
+             |  * 1000000000.0) AS BIGINT)""".stripMargin
+        val beamCtes = (1 to 4).map { r =>
+          s"""cand$r AS (SELECT DISTINCT q, id FROM (
+             |    SELECT b.q, g.b AS id FROM beam${r - 1} b JOIN g1 g ON b.id = g.a
+             |    UNION ALL SELECT q, id FROM beam${r - 1})),
+             |sc$r AS (SELECT c.q, c.id, ${d9sql("qs.v", "ec.v")} AS d9
+             |  FROM cand$r c JOIN qs ON qs.a = c.q JOIN e ec ON ec.vec_id = c.id
+             |  WHERE c.id <> c.q),
+             |beam$r AS MATERIALIZED (SELECT q, id, d9 FROM (
+             |    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d9, id) AS rnk
+             |    FROM sc$r) WHERE rnk <= 10)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |ebk1 AS MATERIALIZED (SELECT vec_id, v, ${lshBucketSql("v", 4, 64)} AS bk FROM e),
+           |ebk2 AS MATERIALIZED (SELECT vec_id, v, ${lshBucketSql("v", 4, 64, 1337L)} AS bk FROM e),
+           |pp AS (SELECT DISTINCT a, b FROM (
+           |    SELECT x.vec_id AS a, y.vec_id AS b
+           |      FROM ebk1 x JOIN ebk1 y ON x.bk = y.bk AND x.vec_id <> y.vec_id
+           |    UNION ALL
+           |    SELECT x.vec_id, y.vec_id
+           |      FROM ebk2 x JOIN ebk2 y ON x.bk = y.bk AND x.vec_id <> y.vec_id)),
+           |p0 AS (SELECT p.a, p.b, ${d9sql("ea.v", "eb0.v")} AS d9
+           |  FROM pp p JOIN e ea ON ea.vec_id = p.a JOIN e eb0 ON eb0.vec_id = p.b),
+           |g0 AS MATERIALIZED (SELECT a, b, d9 FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY a ORDER BY d9, b) AS rnk FROM p0) WHERE rnk <= 5),
+           |und AS MATERIALIZED (SELECT DISTINCT a, b FROM (
+           |    SELECT a, b FROM g0 UNION ALL SELECT b, a FROM g0)),
+           |cand AS (SELECT DISTINCT a, b FROM (
+           |    SELECT x.a AS a, y.b AS b FROM und x JOIN und y ON x.b = y.a
+           |      WHERE x.a <> y.b
+           |    UNION ALL SELECT a, b FROM g0)),
+           |sc AS (SELECT c.a, c.b, ${d9sql("ea.v", "eb2.v")} AS d9
+           |  FROM cand c JOIN e ea ON ea.vec_id = c.a
+           |    JOIN e eb2 ON eb2.vec_id = c.b),
+           |g1 AS MATERIALIZED (SELECT a, b FROM (SELECT *, row_number() OVER (
+           |    PARTITION BY a ORDER BY d9, b) AS rnk FROM sc) WHERE rnk <= 5),
+           |qs AS MATERIALIZED (SELECT vec_id AS a, v FROM e WHERE vec_id % 41 = 0),
+           |ent AS MATERIALIZED (SELECT min(a) AS id FROM g1),
+           |beam0 AS MATERIALIZED (SELECT qs.a AS q, ent.id,
+           |    ${d9sql("qs.v", "ev.v")} AS d9
+           |  FROM qs, ent JOIN e ev ON ev.vec_id = ent.id
+           |  WHERE ent.id <> qs.a),
+           |$beamCtes,
+           |top AS MATERIALIZED (SELECT q, id, d9 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d9, id) AS rnk
+           |    FROM beam4) WHERE rnk <= 5),
+           |ex AS (SELECT q, id FROM (SELECT qs.a AS q, e2.vec_id AS id,
+           |      row_number() OVER (PARTITION BY qs.a
+           |        ORDER BY ${d9sql("qs.v", "e2.v")}, e2.vec_id) AS rnk
+           |    FROM qs JOIN e e2 ON e2.vec_id <> qs.a) WHERE rnk <= 5),
+           |rec AS (SELECT ex.q, count(*) AS r5 FROM ex
+           |  JOIN top ON ex.q = top.q AND ex.id = top.id GROUP BY 1)
+           |SELECT t.q AS q_key, count(*) AS n_beam,
+           |  CAST(sum(t.d9) AS BIGINT) AS beam_d9_sum,
+           |  coalesce(max(rec.r5), 0) AS recall5
+           |FROM top t LEFT JOIN rec ON t.q = rec.q
+           |GROUP BY t.q ORDER BY q_key""".stripMargin
+      },
+      doc = "greedy beam search over the NN-Descent kNN graph: global entry, 4 top-ef rounds, recall@5 vs exact (pgvector HNSW query path, index.ts:740-805)"),
+
     // HNSW layer-assignment census — the structural skeleton of the index
     // pgvector builds (hnsw.c draws level ~ floor(−ln(U)·mL)). The
     // geometric(1/2) draw is replayed WITHOUT libm: level = number of
