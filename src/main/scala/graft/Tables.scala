@@ -267,6 +267,23 @@ object Tables {
         .filter(col("src") =!= col("dst"))
     }
 
+  /** INDEXED adjacency of the deduped co-purchase graph — (src, dst, idx,
+    * deg) with idx = dst-sorted neighbor ordinal and deg = out-degree: the
+    * CSR-style stored layout a graph engine keeps so that walk/sample
+    * queries probe neighbors by (node, ordinal) without re-ranking the edge
+    * list per query. Built once per (sfDir, fingerprint) like every other
+    * layout fixture; the build's row_number window is per-src (keyed, never
+    * global), so the one-time cost is shuffle-bounded at any scale. */
+  def coPurchaseAdjacency(spark: SparkSession, dir: String): DataFrame =
+    materialized(spark, dir, "copurchase_adj", None, "src") {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src")).orderBy(col("dst"))
+      coPurchaseEdges(spark, dir).dropDuplicates("src", "dst")
+        .withColumn("idx", row_number().over(w).cast("long"))
+        .withColumn("deg", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
+    }
+
   /** Co-purchase UNDIRECTED support-≥2 pair relation ((u, v), u < v, pairs
     * co-occurring in at least 2 orders, distinct) — the triangle/clustering
     * family's fixture, stored for the same reason as [[coPurchaseEdges]]. */

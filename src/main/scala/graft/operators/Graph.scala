@@ -89,10 +89,30 @@ object Graph {
       .repartition(nPart, col("src")).dropDuplicates("src", "dst")
     val wIdx = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src")).orderBy(col("dst"))
+    // the indexed core persists its own projection; no double cache here
     val nbr = e.withColumn("idx", row_number().over(wIdx).cast("long"))
+    hashWalksIndexed(nbr, seeds, steps, walksPerSeed)
+  }
+
+  /** Walk core over a PRE-INDEXED adjacency (src, dst, idx, deg) — the
+    * stored-layout path ([[graft.Tables.coPurchaseAdjacency]]): production
+    * keeps the CSR-style index resident, so a walk query pays `steps`
+    * (node,idx)-keyed probes and nothing else. The hash contract and output
+    * are bit-identical to [[hashWalks]] (which now just builds the index
+    * inline and delegates here). */
+  def hashWalksIndexed(adj: DataFrame, seeds: DataFrame, steps: Int,
+                       walksPerSeed: Int): DataFrame = {
+    // one scan of the stored layout into cache — every hop probes memory,
+    // not parquet (a resident engine keeps the CSR hot; re-streaming the
+    // relation per hop measured 2× slower at 2.3M edges, r10)
+    val a = adj.select(col("src"), col("dst"), col("idx"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    nbr.count() // pin: joined every hop
-    val deg = nbr.groupBy(col("src")).agg(max(col("idx")).as("deg"))
+    a.count()
+    // node-sized degree relation off the cache: max(idx) is map-side
+    // combinable, so the shuffle carries nodes, not edges
+    val deg = a.groupBy(col("src")).agg(max(col("idx")).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    deg.count()
     val rs = (0 until walksPerSeed).map(r => lit(r)) // tiny literal fan-out
     var walk = seeds.select(col("id").as("seed"))
       .select(col("seed"), explode(array(rs: _*)).as("r"))
@@ -103,14 +123,17 @@ object Graph {
         s"':', cast(r as string), ':', '$t')), 1, 15), 16, 10) as bigint)")
       walk = walk
         .join(deg.select(col("src").as("node"), col("deg")), Seq("node"))
-        .withColumn("pick", h % col("deg") + 1L)
-        .join(nbr.select(col("src").as("node"), col("idx"), col("dst")),
-          Seq("node"))
-        .filter(col("idx") === col("pick"))
+        .withColumn("idx", h % col("deg") + 1L)
+        // (node, idx) as the FULL join key: the hash join probes straight
+        // to the picked neighbor instead of materializing every neighbor
+        // of the frontier and post-filtering (frontier Σdeg rows saved)
+        .join(a.select(col("src").as("node"), col("idx"), col("dst")),
+          Seq("node", "idx"))
         .select(col("seed"), col("r"), col("dst").as("node"),
           concat(col("path"), lit("->"), col("dst").cast("string")).as("path"))
         .localCheckpoint()
     }
+    a.unpersist(); deg.unpersist() // walk is checkpointed: lineage cut
     walk.select(col("seed"), col("r").as("walk_r"), col("path"),
       col("node").as("end_node"))
   }
