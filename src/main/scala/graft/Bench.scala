@@ -196,7 +196,8 @@ object Bench {
       "zorder_box_query", "q18_large_orders", "q21_waiting_supplier",
       "pipeline_pretrain_mix", "t_resample_ohlc", "store_consistent_hashing",
       "text_wordpiece_tokenize", "v3_knn_graph_descent",
-      "profile_mann_whitney", "graph_stress_centrality", "embedding_mmr_rerank")
+      "profile_mann_whitney", "graph_stress_centrality", "embedding_mmr_rerank",
+      "s3_sigv4_canonical", "v3_graph_beam_search", "graph_random_walks")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
