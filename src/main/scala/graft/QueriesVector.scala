@@ -1426,12 +1426,14 @@ object QueriesVector {
       },
       doc = "kNN-graph build: 2-table-LSH-seeded top-5 + one NN-Descent neighbor-of-neighbor round, recall@5 audit before/after"),
 
-    // QUERY-TIME greedy beam search over the NN-Descent kNN graph — the
-    // search half the family was missing (v3_knn_graph_descent only BUILDS
-    // the graph; the reference's HNSW query path walks it,
-    // pgvector/index.ts:740-805, ef_search = max(k, 40), index.ts:98).
-    // Deterministic bounded variant: one global entry node (min graph id,
-    // pgvector's single entry point), then R = 4 rounds of
+    // QUERY-TIME greedy beam search over the STORED NN-Descent kNN graph —
+    // the search half the family was missing (v3_knn_graph_descent only
+    // BUILDS and audits the graph; the reference's HNSW query path walks
+    // it, pgvector/index.ts:740-805, ef_search = max(k, 40), index.ts:98).
+    // Deterministic bounded variant: entry candidates are the query's own
+    // table-1 LSH bucket co-members ∪ a global min-id fallback (the hybrid
+    // LSH-entry + graph-refinement shape; a lone entry point needs
+    // O(diameter) rounds to reach the query's region), then R = 4 rounds of
     //   beam ← top-ef of (beam ∪ neighbors(beam)) under the total
     //   (d9, id) order (ef = 10)
     // — no visited set needed: scoring is deterministic and idempotent, so
@@ -1441,10 +1443,11 @@ object QueriesVector {
     // and recall@5 vs exact brute force. The oracle replays the graph build
     // AND all 4 beam rounds as MATERIALIZED generated CTEs (the
     // embedding_pca_power lesson: re-referenced chains re-inline
-    // exponentially without it). 100 TB path: graph build is equi-join
-    // bounded (|E| = n·K); each beam round joins a |queries|·ef relation
-    // against the K-regular adjacency — query cost independent of corpus
-    // size, exactly why graph indexes win at scale.
+    // exponentially without it). 100 TB path: the graph is a build-once
+    // stored layout (Vectors.ensureKnnGraph — the inverted-index contract);
+    // each beam round joins a |queries|·ef relation against the K-regular
+    // resident adjacency — query cost independent of corpus size, exactly
+    // why graph indexes win at scale.
     "v3_graph_beam_search" -> Q(
       fn = (s, dir) => {
         val K = 5; val ef = 10; val rounds = 4
@@ -1456,42 +1459,32 @@ object QueriesVector {
             * lit(1000000000.0)).cast("long")
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("a")).orderBy(col("d9"), col("b"))
-        def bucketPairs(seed: Long) = {
-          val wb = Vectors.lshBuckets(emb, "v", 64, nPlanes = 4, seed = seed)
-          val l = wb.select(col("vec_id").as("a"), col("lsh_bucket").as("ba"))
-          val r = wb.select(col("vec_id").as("b"), col("lsh_bucket").as("bb"))
-          l.join(r, col("ba") === col("bb") && col("a") =!= col("b"))
-            .select(col("a"), col("b"))
-        }
-        // same graph as v3_knn_graph_descent: LSH-seeded top-5 + one
-        // neighbor-of-neighbor descent round
-        val g0 = bucketPairs(42L).union(bucketPairs(1337L)).distinct()
-          .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
-          .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
-          .withColumn("d9", d9("va", "vb"))
-          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-          .select(col("a"), col("b"), col("d9")).persist()
-        g0.count()
-        val und = g0.select(col("a"), col("b"))
-          .union(g0.select(col("b").as("a"), col("a").as("b"))).distinct()
-        val cand = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
-          .select(col("x.a").as("a"), col("y.b").as("b"))
-          .filter(col("a") =!= col("b"))
-          .union(g0.select(col("a"), col("b"))).distinct()
-        val g1 = cand
-          .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
-          .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
-          .withColumn("d9", d9("va", "vb"))
-          .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-          .select(col("a"), col("b")).persist()
-        g1.count() // pin: R joins per beam round + recall probe read it
-        g0.unpersist()
+        // the graph is a STORED index (build-once, like the inverted index /
+        // Z-order layouts): v3_knn_graph_descent audits the build; this row
+        // measures the QUERY path the way a resident ANN index serves it
+        val path = Warehouse.dir + "/knn_graph_" +
+          dir.replaceAll("[^A-Za-z0-9]", "_")
+        Vectors.ensureKnnGraph(s, emb, "vec_id", "v", path, K)
+        val g1 = s.read.parquet(path).persist()
+        g1.count() // resident index: R probe joins + nothing else reads disk
         val qs = emb.filter(col("vec_id") % 41 === 0)
           .select(col("vec_id").as("q"), col("v").as("qv")).persist()
         qs.count()
+        // entry candidates = the query's own table-1 LSH bucket co-members
+        // (the hybrid LSH-entry + graph-refinement shape real deployments
+        // use; a lone global entry needs O(diameter) rounds to reach the
+        // query's region) ∪ the global min-id fallback (a query whose
+        // bucket is empty still searches)
+        val b1 = Vectors.lshBuckets(emb, "v", 64, nPlanes = 4, seed = 42L)
+          .select(col("vec_id").as("id"), col("lsh_bucket").as("bk"))
         val entry = g1.agg(min(col("a")).as("id"))
+        val seeds = qs.select(col("q"))
+          .join(b1.select(col("id").as("q"), col("bk")), Seq("q"))
+          .join(b1, Seq("bk")).filter(col("id") =!= col("q"))
+          .select(col("q"), col("id"))
+          .union(qs.select(col("q")).crossJoin(broadcast(entry))
+            .filter(col("id") =!= col("q")))
+          .distinct()
         val wq = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q")).orderBy(col("d9"), col("id"))
         def score(c: org.apache.spark.sql.DataFrame) = c
@@ -1500,7 +1493,9 @@ object QueriesVector {
           .filter(col("id") =!= col("q"))
           .withColumn("d9", d9("qv", "cv"))
           .select(col("q"), col("id"), col("d9"))
-        var beam = score(qs.select(col("q")).crossJoin(broadcast(entry)))
+        var beam = score(seeds)
+          .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= ef)
+          .select(col("q"), col("id"), col("d9"))
           .localCheckpoint()
         for (_ <- 1 to rounds) {
           val expand = beam.select(col("q"), col("id").as("a"))
@@ -1575,10 +1570,18 @@ object QueriesVector {
            |    PARTITION BY a ORDER BY d9, b) AS rnk FROM sc) WHERE rnk <= 5),
            |qs AS MATERIALIZED (SELECT vec_id AS a, v FROM e WHERE vec_id % 41 = 0),
            |ent AS MATERIALIZED (SELECT min(a) AS id FROM g1),
-           |beam0 AS MATERIALIZED (SELECT qs.a AS q, ent.id,
-           |    ${d9sql("qs.v", "ev.v")} AS d9
-           |  FROM qs, ent JOIN e ev ON ev.vec_id = ent.id
-           |  WHERE ent.id <> qs.a),
+           |seed AS (SELECT DISTINCT q, id FROM (
+           |    SELECT qb.a AS q, c.vec_id AS id
+           |      FROM (SELECT qs.a, b1.bk FROM qs
+           |            JOIN ebk1 b1 ON b1.vec_id = qs.a) qb
+           |      JOIN ebk1 c ON c.bk = qb.bk AND c.vec_id <> qb.a
+           |    UNION ALL
+           |    SELECT qs.a, ent.id FROM qs, ent WHERE ent.id <> qs.a)),
+           |sc0 AS (SELECT c.q, c.id, ${d9sql("qs.v", "ec.v")} AS d9
+           |  FROM seed c JOIN qs ON qs.a = c.q JOIN e ec ON ec.vec_id = c.id),
+           |beam0 AS MATERIALIZED (SELECT q, id, d9 FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d9, id) AS rnk
+           |    FROM sc0) WHERE rnk <= 10),
            |$beamCtes,
            |top AS MATERIALIZED (SELECT q, id, d9 FROM (
            |    SELECT *, row_number() OVER (PARTITION BY q ORDER BY d9, id) AS rnk
@@ -1595,7 +1598,7 @@ object QueriesVector {
            |FROM top t LEFT JOIN rec ON t.q = rec.q
            |GROUP BY t.q ORDER BY q_key""".stripMargin
       },
-      doc = "greedy beam search over the NN-Descent kNN graph: global entry, 4 top-ef rounds, recall@5 vs exact (pgvector HNSW query path, index.ts:740-805)"),
+      doc = "greedy beam search over the STORED NN-Descent kNN graph: LSH-bucket entry seeding + global fallback, 4 top-ef rounds, recall@5 vs exact (pgvector HNSW query path, index.ts:740-805)"),
 
     // HNSW layer-assignment census — the structural skeleton of the index
     // pgvector builds (hnsw.c draws level ~ floor(−ln(U)·mL)). The

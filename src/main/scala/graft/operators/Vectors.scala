@@ -75,6 +75,71 @@ object Vectors {
       .orderBy(col("distance"), col(keyCol)).limit(topK)
   }
 
+  /** NN-Descent kNN graph (a, b) — the exact construction
+    * `v3_knn_graph_descent` builds and audits inline (two-table LSH seed,
+    * top-`k` by the quantized-cosine (d9, b) total order, one
+    * neighbor-of-neighbor round), factored out so the graph can be a STORED
+    * index layout. `embCol` must already be `array<double>`. */
+  def nnDescentKnnGraph(vectors: DataFrame, idCol: String, embCol: String,
+                        k: Int = 5): DataFrame = {
+    def d9(x: String, y: String): Column = floor(
+      (lit(1.0) -
+        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+        (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
+         sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
+        * lit(1000000000.0)).cast("long")
+    val emb = vectors.select(col(idCol).as("vec_id"), col(embCol).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a")).orderBy(col("d9"), col("b"))
+    def bucketPairs(seed: Long) = {
+      val wb = lshBuckets(emb, "v", 64, nPlanes = 4, seed = seed)
+      val l = wb.select(col("vec_id").as("a"), col("lsh_bucket").as("ba"))
+      val r = wb.select(col("vec_id").as("b"), col("lsh_bucket").as("bb"))
+      l.join(r, col("ba") === col("bb") && col("a") =!= col("b"))
+        .select(col("a"), col("b"))
+    }
+    val g0 = bucketPairs(42L).union(bucketPairs(1337L)).distinct()
+      .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("d9", d9("va", "vb"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("a"), col("b"), col("d9")).persist()
+    g0.count()
+    val und = g0.select(col("a"), col("b"))
+      .union(g0.select(col("b").as("a"), col("a").as("b"))).distinct()
+    val cand = und.as("x").join(und.as("y"), col("x.b") === col("y.a"))
+      .select(col("x.a").as("a"), col("y.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .union(g0.select(col("a"), col("b"))).distinct()
+    val g1 = cand
+      .join(emb.select(col("vec_id").as("a"), col("v").as("va")), Seq("a"))
+      .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
+      .withColumn("d9", d9("va", "vb"))
+      .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= k)
+      .select(col("a"), col("b"))
+    val out = g1.localCheckpoint() // cut lineage before releasing g0
+    g0.unpersist()
+    out
+  }
+
+  private val graphBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** Build-once stored kNN-graph index (the inverted-index/Z-order
+    * contract): the graph an ANN deployment keeps RESIDENT so query-time
+    * beam search pays only per-hop probes. Parquet at `path`, src-sorted. */
+  def ensureKnnGraph(spark: org.apache.spark.sql.SparkSession,
+                     vectors: => DataFrame, idCol: String, embCol: String,
+                     path: String, k: Int = 5): Unit =
+    if (!graphBuilt.contains(path)) graphBuilt.synchronized {
+      if (!graphBuilt.contains(path)) {
+        if (!new java.io.File(s"$path/_SUCCESS").exists())
+          nnDescentKnnGraph(vectors, idCol, embCol, k)
+            .sortWithinPartitions(col("a"))
+            .write.mode("overwrite").parquet(path)
+        graphBuilt.add(path)
+      }
+    }
+
   /** Scale path: hyperplane-LSH bucketing. `nPlanes` seeded pseudo-random
     * hyperplanes; bucket id = sign-bit pattern of the projections. Used as a
     * pre-filter so ANN queries scan one bucket (plus neighbors if recall
