@@ -586,8 +586,8 @@ object QueriesExtra {
     // one groupBy; the histogram relation is ≤ 64 rows.
     "graph_degree_histogram" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
-          .dropDuplicates("src", "dst")
+        // stored adjacency is already distinct: no per-call dedup shuffle
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
         deg.withColumn("bin", length(expr("bin(d)")).cast("long"))
           .groupBy(col("bin"))
@@ -625,10 +625,13 @@ object QueriesExtra {
     "graph_stress_centrality" -> Q(
       fn = (s, dir) => {
         val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-        val e = Tables.coPurchaseEdges(s, dir)
+        // the stored adjacency is already distinct — skip the per-call
+        // edge-sized dedup shuffle (r10; values identical by construction)
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
         val seeds = e.select(col("src").as("id")).distinct()
           .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
-        graft.operators.Graph.stressCentrality(e, seeds, maxHops = 3)
+        graft.operators.Graph.stressCentrality(e, seeds, maxHops = 3,
+          assumeDistinct = true)
           .filter(col("dist").between(1, 2))
           .select(col("id").as("node"),
             (col("sigma").cast(dec) * col("g")).as("st"))
@@ -2627,10 +2630,10 @@ object QueriesExtra {
     // two keyed aggs; the community relation is label-cardinality-sized.
     "graph_modularity" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
-          // globally distinct: the same co-purchase pair recurs across
-          // orders, and degree/edge masses must count it once
-          .dropDuplicates("src", "dst")
+        // globally distinct (the same co-purchase pair recurs across
+        // orders, and degree/edge masses must count it once): the stored
+        // adjacency is already the distinct set — no per-call dedup shuffle
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
         val lab = graft.operators.Graph.labelPropagation(e, 3)
         val r = e.agg(count(lit(1)).as("rr"))
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))

@@ -438,14 +438,17 @@ object Graph {
     * dist 1..maxHops (the horizon layer carries g = 0: it is never
     * interior within the horizon). */
   def stressCentrality(edges: DataFrame, sources: DataFrame,
-                       maxHops: Int): DataFrame = {
+                       maxHops: Int, assumeDistinct: Boolean = false): DataFrame = {
     require(maxHops >= 2, s"stress needs at least 2 hops, got $maxHops")
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     // simple-graph semantics: σ and g COUNT paths, so a repeated (src,dst)
     // pair (one per shared order in co-occurrence expansions) would inflate
-    // both — dedup once up front, like pagerankFixedPoint
-    val e = edges.select(col("src"), col("dst"))
-      .dropDuplicates("src", "dst").persist(mem)
+    // both — dedup once up front, like pagerankFixedPoint. A caller reading
+    // an already-distinct stored layout (Tables.coPurchaseAdjacency) sets
+    // assumeDistinct and skips the edge-sized dedup shuffle per call.
+    val base = edges.select(col("src"), col("dst"))
+    val e = (if (assumeDistinct) base else base.dropDuplicates("src", "dst"))
+      .persist(mem)
     var visited = sources.select(col("id").as("root")).distinct()
       .select(col("root"), col("root").as("id"), lit(1L).as("sigma"))
       .localCheckpoint()
@@ -490,11 +493,14 @@ object Graph {
       g = lowerG.select(col("root"), col("id"), col("g"))
       kk -= 1
     }
-    // out's lineage still references the persisted edge relation — cut it
-    // before releasing e, or cached blocks pile up across a long session
-    // running many registry queries (r9 ADVICE).
-    val res = out.localCheckpoint()
+    // Safe to release e without re-materializing: `out` is a union of
+    // relations that were each EAGERLY localCheckpoint'ed inside the loops
+    // (layers(maxHops) and every lowerG), so its lineage never reaches the
+    // persisted edge relation. (An extra localCheckpoint(out) here — the
+    // first r10 attempt — re-cached the full per-root reach relation and
+    // cost ~2× on the bench line.) Cached blocks no longer accumulate
+    // across a long session (r9 ADVICE).
     e.unpersist()
-    res
+    out
   }
 }
