@@ -86,6 +86,67 @@ class SigV4Spec extends SparkTestBase {
     }
   }
 
+  test("rfc3986 column fold equals a plain-Scala model over random inputs") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // model: JS encodeURIComponent + the !'()* extras (signature-v4.ts:468)
+    def model(s: String): String = s.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128 || "-_.~".contains(c)) c.toString
+      else f"%%${c.toInt}%02X"
+    }
+    val charGen = Gen.frequency(
+      6 -> Gen.alphaNumChar,
+      2 -> Gen.oneOf('-', '_', '.', '~'),
+      4 -> Gen.oneOf(' ', '!', '"', '#', '$', '&', '\'', '(', ')', '*',
+        '+', ',', '/', ':', ';', '=', '?', '@'))
+    val strGen = for {
+      n <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(n, charGen)
+    } yield cs.mkString
+    val inputs = Gen.listOfN(200, strGen)
+      .pureApply(Gen.Parameters.default, Seed(7L))
+    val got = inputs.toDF("s").select(col("s"), SigV4.rfc3986(col("s")).as("e"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    inputs.foreach { s =>
+      assert(got(s) == model(s), s"encode mismatch for '$s'")
+    }
+  }
+
+  test("canonicalQueryString equals a plain-Scala sort-encode-join model") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def enc(s: String): String = s.flatMap { c =>
+      if (c.isLetterOrDigit && c < 128 || "-_.~".contains(c)) c.toString
+      else f"%%${c.toInt}%02X"
+    }
+    val keyGen = for {
+      n <- Gen.choose(1, 10)
+      cs <- Gen.listOfN(n, Gen.frequency(8 -> Gen.alphaNumChar,
+        2 -> Gen.const('-')))
+    } yield cs.mkString
+    val valGen = for {
+      n <- Gen.choose(0, 12)
+      cs <- Gen.listOfN(n, Gen.frequency(6 -> Gen.alphaNumChar,
+        4 -> Gen.oneOf(' ', '(', ')', '*', '!', '/', '+', '#')))
+    } yield cs.mkString
+    val paramsGen = for {
+      n <- Gen.choose(1, 6)
+      ks <- Gen.listOfN(n, keyGen)
+      vs <- Gen.listOfN(n, valGen)
+    } yield ks.distinct.zip(vs) :+ ("X-Amz-Signature" -> "sig")
+    val cases = Gen.listOfN(60, paramsGen)
+      .pureApply(Gen.Parameters.default, Seed(13L))
+    cases.zipWithIndex.foreach { case (params, i) =>
+      val expected = params.filter(_._1 != "X-Amz-Signature")
+        .sortBy(_._1).map { case (k, v) => s"${enc(k)}=${enc(v)}" }
+        .mkString("&")
+      val got = Seq(1).toDF("x").select(SigV4.canonicalQueryString(
+        params.map { case (k, v) => (lit(k), lit(v)) }: _*).as("c"))
+        .collect()(0).getString(0)
+      assert(got == expected, s"case $i: $params")
+    }
+  }
+
   test("v3_graph_beam_search: beam census invariants hold") {
     val rows = Registry.all("v3_graph_beam_search").fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
