@@ -757,11 +757,20 @@ object QueriesExtra {
         def assignCol(nodes: Seq[(Int, Long)],
                       h: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
           val sorted = nodes.sortBy(_._2)
-          val posArr = typedLit(sorted.map(_._2))
           val srvArr = typedLit(sorted.map(_._1))
-          // index of the first vnode clockwise from h (count of pos < h),
-          // wrapping to the ring minimum when h is past the last vnode
-          val idx = size(filter(posArr, p => p < h))
+          // index of the first vnode clockwise from h (count of pos < h) as
+          // a compile-time BINARY-SEARCH when-tree: depth ⌈log₂ 128⌉ = 7
+          // codegen'd comparisons per row, replacing the interpreted
+          // 128-lambda filter() fold (HOFs don't codegen — the old form
+          // paid ~240 closure calls per object and dominated the line)
+          def lowerBound(lo: Int, hi: Int): org.apache.spark.sql.Column =
+            if (lo == hi) lit(lo)
+            else {
+              val mid = (lo + hi) / 2
+              when(h <= lit(sorted(mid)._2), lowerBound(lo, mid))
+                .otherwise(lowerBound(mid + 1, hi))
+            }
+          val idx = lowerBound(0, sorted.size)
           element_at(srvArr,
             when(idx === sorted.size, lit(0)).otherwise(idx) + 1)
         }
