@@ -465,10 +465,9 @@ object QueriesExtra {
     // replays the full iteration chain as generated CTEs.
     "graph_pagerank" -> Q(
       fn = (s, dir) => {
-        // pair expansion is ROW-LOCAL off one small groupBy (orders are
-        // bounded baskets) — no self-join shuffle of the lineitem relation
-        val e = Tables.coPurchaseEdges(s, dir)
-        graft.operators.Graph.pagerankFixedPoint(e, 3)
+        // stored distinct adjacency: no per-call dedup agg in the kernel
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
+        graft.operators.Graph.pagerankFixedPoint(e, 3, assumeDistinct = true)
           .orderBy(col("rank").desc, col("node")).limit(20)
       },
       oracle = Some {
@@ -2121,8 +2120,8 @@ object QueriesExtra {
     // including tie resolution. Top-20 community census output.
     "graph_label_propagation" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
-        graft.operators.Graph.labelPropagation(e, 3)
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
+        graft.operators.Graph.labelPropagation(e, 3, assumeDistinct = true)
           .groupBy(col("label")).agg(count(lit(1)).as("n_members"))
           .orderBy(col("n_members").desc, col("label")).limit(20)
       },
@@ -2153,8 +2152,8 @@ object QueriesExtra {
     // replayed by the oracle as a generated CTE chain.
     "graph_kcore" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
-        graft.operators.Graph.meanCorePeel(e, rounds = 3)
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
+        graft.operators.Graph.meanCorePeel(e, rounds = 3, assumeDistinct = true)
       },
       oracle = Some {
         val roundCtes = (1 to 3).map { r =>
@@ -2643,7 +2642,8 @@ object QueriesExtra {
         // orders, and degree/edge masses must count it once): the stored
         // adjacency is already the distinct set — no per-call dedup shuffle
         val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
-        val lab = graft.operators.Graph.labelPropagation(e, 3)
+        val lab = graft.operators.Graph.labelPropagation(e, 3,
+          assumeDistinct = true)
         val r = e.agg(count(lit(1)).as("rr"))
         val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         val dc = deg.join(lab.withColumnRenamed("v", "src"), "src")

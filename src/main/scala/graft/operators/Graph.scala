@@ -36,7 +36,8 @@ object Graph {
 
   /** PageRank over (src, dst) edges, `iters` fixed-point iterations.
     * Returns (node, rank) with rank on the SCALE grid. */
-  def pagerankFixedPoint(edges: DataFrame, iters: Int): DataFrame = {
+  def pagerankFixedPoint(edges: DataFrame, iters: Int,
+                         assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val spark = edges.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -45,8 +46,11 @@ object Graph {
     // Partitioning BEFORE the dedup makes it exchange-free — hash(src)
     // satisfies the (src, dst) clustering — so the edge relation shuffles
     // exactly once, and deg's groupBy(src) rides the same partitioning.
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(nPart, col("src")).dropDuplicates("src", "dst")
+    // assumeDistinct (stored-adjacency callers) skips the dedup agg; the
+    // src repartition stays — it is what co-locates the iterations.
+    val eRaw = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src"))
+    val e = (if (assumeDistinct) eRaw else eRaw.dropDuplicates("src", "dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -206,9 +210,10 @@ object Graph {
     * the per-round census (round, n_nodes, n_edges) — node counts are the
     * degree-test survivors, edge counts the directed surviving edges —
     * exact integers a SQL oracle replays round by round. */
-  def kcorePeel(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+  def kcorePeel(edges: DataFrame, k: Int, rounds: Int,
+                assumeDistinct: Boolean = false): DataFrame = {
     require(k >= 1, s"need k >= 1, got $k")
-    peel(edges, rounds, deg => deg.filter(col("deg") >= k))
+    peel(edges, rounds, assumeDistinct, deg => deg.filter(col("deg") >= k))
   }
 
   /** Mean-degree peeling — the scale-free sibling of [[kcorePeel]] (the
@@ -217,21 +222,23 @@ object Graph {
     * deg·n ≥ Σdeg as cross-multiplied integers (no division), so the rule
     * adapts to any corpus density with zero tuned constants — a fixed k
     * that peels nothing at 10× the data is the failure mode this avoids. */
-  def meanCorePeel(edges: DataFrame, rounds: Int): DataFrame =
-    peel(edges, rounds, { deg =>
+  def meanCorePeel(edges: DataFrame, rounds: Int,
+                   assumeDistinct: Boolean = false): DataFrame =
+    peel(edges, rounds, assumeDistinct, { deg =>
       val row = deg.agg(count(lit(1)).as("n"), sum(col("deg")).as("s")).head
       val n = row.getLong(0)
       val s = if (row.isNullAt(1)) 0L else row.getLong(1) // fully peeled graph
       deg.filter(col("deg") * n >= s)
     })
 
-  private def peel(edges: DataFrame, rounds: Int,
+  private def peel(edges: DataFrame, rounds: Int, assumeDistinct: Boolean,
                    keepRule: DataFrame => DataFrame): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1, got $rounds")
     val spark = edges.sparkSession
     import spark.implicits._
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    var e = edges.select(col("src"), col("dst")).dropDuplicates("src", "dst")
+    val base = edges.select(col("src"), col("dst"))
+    var e = (if (assumeDistinct) base else base.dropDuplicates("src", "dst"))
       .persist(mem)
     e.count()
     val census = Seq.newBuilder[(Int, Long, Long)]
@@ -253,12 +260,14 @@ object Graph {
       .select(col("round").cast("long").as("round"), col("n_nodes"), col("n_edges"))
   }
 
-  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+  def labelPropagation(edges: DataFrame, iters: Int,
+                       assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
     val nPart = edges.sparkSession.conf
       .get("spark.sql.shuffle.partitions", "32").toInt
-    val e = edges.select(col("src"), col("dst"))
-      .repartition(nPart, col("src")).dropDuplicates("src", "dst")
+    val base0 = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src"))
+    val e = (if (assumeDistinct) base0 else base0.dropDuplicates("src", "dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     e.count()
     var lab = e.select(col("src").as("v")).distinct()
