@@ -809,6 +809,55 @@ object QueriesExtra {
           |GROUP BY 1 ORDER BY 1""".stripMargin)),
       doc = "consistent-hash ring placement + departure rebalance: only the lost server's share moves"),
 
+    // Rendezvous (highest-random-weight) hashing — the ringless placement
+    // scheme storage routers use when vnode tables are unwanted: each object
+    // goes to argmax over servers of hash(object, server). No ring state at
+    // all, and on a server departure exactly that server's objects move
+    // (every other object's argmax is unchanged by removing a non-winning
+    // candidate) — graded by the n_moved_out column, which can be nonzero
+    // only for the departed server's share. Assignment is 8 md5 columns and
+    // one struct-max inside a single codegen'd projection: zero joins, zero
+    // shuffles per object, scan-linear at any scale (vs the ring's binary
+    // search — HRW trades O(servers) hashes for zero placement state).
+    "store_rendezvous_hashing" -> Q(
+      fn = (s, dir) => {
+        def score(srv: Int) = expr(
+          s"cast(conv(substring(md5(concat(name, '#s$srv')), 1, 15), 16, 10) as bigint)")
+        // argmax by (score, server): md5 ties are impossible in practice but
+        // the (h, s) struct ordering keeps the pick total regardless
+        def assign(servers: Seq[Int]) =
+          array_max(array(servers.map(v =>
+            struct(score(v).as("h"), lit(v).as("s"))): _*)).getField("s")
+        Tables.objects(s, dir)
+          .select(col("name"), col("size"),
+            assign(0 until 8).as("srv_full"), assign(1 until 8).as("srv_minus0"))
+          .groupBy(col("srv_full").as("server"))
+          .agg(count(lit(1)).as("n_objects"),
+            sum(col("size")).as("bytes"),
+            sum(when(col("srv_minus0") =!= col("srv_full"), 1L).otherwise(0L))
+              .as("n_moved_out"))
+          .orderBy(col("server"))
+      },
+      oracle = Some(Oracle.withObjects(
+        """, sc AS (SELECT o.name, o.size, srv.s,
+          |    CAST('0x' || substr(md5(o.name || '#s' || srv.s), 1, 15) AS BIGINT) AS h
+          |  FROM objects o CROSS JOIN generate_series(0, 7) srv(s)),
+          |a1 AS (SELECT name, size, s AS srv_full FROM (
+          |    SELECT name, size, s, row_number() OVER (
+          |      PARTITION BY name ORDER BY h DESC, s DESC) AS rn FROM sc)
+          |  WHERE rn = 1),
+          |a2 AS (SELECT name, s AS srv_minus0 FROM (
+          |    SELECT name, s, row_number() OVER (
+          |      PARTITION BY name ORDER BY h DESC, s DESC) AS rn FROM sc WHERE s <> 0)
+          |  WHERE rn = 1)
+          |SELECT a1.srv_full AS server, count(*) AS n_objects,
+          |  CAST(sum(a1.size) AS BIGINT) AS bytes,
+          |  CAST(sum(CASE WHEN a2.srv_minus0 <> a1.srv_full THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_moved_out
+          |FROM a1 JOIN a2 USING (name)
+          |GROUP BY 1 ORDER BY 1""".stripMargin)),
+      doc = "rendezvous (HRW) hashing placement + departure proof: argmax-hash assignment, only the departed server's objects move"),
+
     // Triangle enumeration over the support-thresholded co-purchase graph:
     // degree-ordered orientation bounds the wedge join by m^1.5 however
     // hot any hub node is; the support >= 2 floor is the frequent-itemset

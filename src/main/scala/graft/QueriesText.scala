@@ -474,6 +474,51 @@ object QueriesText {
           |FROM x GROUP BY s_agree ORDER BY s_agree""".stripMargin)),
       doc = "MinHash-vs-exact calibration census over all LSH candidates (integer ground-truth audit)"),
 
+    // b-bit minwise hashing (Li & König, CACM'11): store only the LOWEST b
+    // bits of each minhash slot — at b=2 the 64-slot signature drops from
+    // 512 bytes to 16, a 32× cut in the signature table every 100 TB dedup
+    // pass scans and shuffles. Matching on truncated slots inflates
+    // agreement by chance collisions (C = 2^-b), so the unbiased estimator
+    // rescales: Ĵ_b = (P_b − C)/(1 − C). Graded per LSH candidate pair:
+    // integer full-width and b-bit agreement counts side by side, plus both
+    // estimators — the audit a pipeline runs before trusting the 32×
+    // cheaper signatures at corpus scale. The b-bit compare is a zip-fold
+    // over the already-joined signatures (no extra shuffle over the
+    // full-width pass).
+    "dedup_minhash_bbit" -> Q(
+      fn = (s, dir) => {
+        val d = Tables.documents(s, dir)
+        val corpus = d.select(col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 5 === 0)
+            .select((col("doc_id") + 1000000).as("doc_id"),
+              concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
+        val sigs = Dedup.minhashSignatures(corpus, "doc_id", "text", 16, 4)
+        Dedup.minhashLshPairs(corpus, "doc_id", "text", 16, 4, 0.0)
+          .select(col("id_a"), col("id_b"))
+          .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+          .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
+          .select(col("id_a"), col("id_b"),
+            graft.functions.VectorExprs.sigAgreement(col("sig_a"), col("sig_b"))
+              .cast("long").as("agree_full"),
+            aggregate(zip_with(col("sig_a"), col("sig_b"),
+                (x, y) => when(x % 4 === y % 4, 1L).otherwise(0L)),
+              lit(0L), (acc, v) => acc + v).as("agree_b2"))
+          .withColumn("est_full", round(col("agree_full").cast("double") / 64.0, 6) + 0.0)
+          .withColumn("est_b2",
+            round((col("agree_b2").cast("double") / 64.0 - 0.25) / 0.75, 6) + 0.0)
+          .orderBy(col("id_a"), col("id_b"))
+      },
+      oracle = Some(minhashOracle(nearDupCte, tail =
+        """, x AS (SELECT c.id_a, c.id_b,
+          |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] = z[2])) AS BIGINT) AS agree_full,
+          |    CAST(len(list_filter(list_zip(sa.sig, sb.sig), z -> z[1] % 4 = z[2] % 4)) AS BIGINT) AS agree_b2
+          |  FROM cand c JOIN sig sa ON c.id_a = sa.id JOIN sig sb ON c.id_b = sb.id)
+          |SELECT id_a, id_b, agree_full, agree_b2,
+          |  round(CAST(agree_full AS DOUBLE) / 64.0, 6) + 0.0 AS est_full,
+          |  round((CAST(agree_b2 AS DOUBLE) / 64.0 - 0.25) / 0.75, 6) + 0.0 AS est_b2
+          |FROM x ORDER BY id_a, id_b""".stripMargin)),
+      doc = "b-bit minwise hashing (Li-Konig): 2-bit signature agreement + unbiased estimator vs full-width, per LSH candidate pair"),
+
     // SimHash near-dup pairs — hash-checked (portable 60-bit fingerprints).
     "dedup_simhash" -> Q(
       fn = (s, dir) => {

@@ -274,6 +274,58 @@ object QueriesVector {
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 kNN at halfvec storage precision: truncate-mantissa fp16 quantization both sides (0001-init.sql:14-19)"),
 
+    // V3 kNN at int8 scalar-quantization storage precision (the SQ8 codec
+    // every production vector store offers alongside halfvec — 4 bytes→1
+    // byte/dim, so the RAM-resident corpus share quadruples at 100 TB).
+    // The quantizer is trained per dimension (min/max over the corpus — a
+    // dim-bounded reduce, collected like the centroid constants), then
+    // code = min(255, ⌊(x−mn)/Δ⌋) with Δ = (mx−mn)/255 and the distance
+    // runs on the DEQUANTIZED values mn + code·Δ — certifying the engine's
+    // ranking semantics at codebook precision. Every step is the same
+    // IEEE double op in the same order on both engines (min/max are exact,
+    // /, −, ·, floor are deterministic), so the row hash-grades with no
+    // rounding beyond the house 9 dp on the final distance. Quantization is
+    // scan-local codegen; no shuffle beyond the exact-kNN top-k.
+    "v3_knn_int8_sq" -> Q(
+      fn = (s, dir) => {
+        val emb = Tables.embeddings(s, dir)
+        // train: per-dim min/max (64 rows — driver-bounded constant)
+        val st = emb.select(posexplode(col("embedding").cast("array<double>")))
+          .groupBy(col("pos")).agg(min(col("col")).as("mn"), max(col("col")).as("mx"))
+          .orderBy(col("pos")).collect()
+        val mns = st.map(_.getDouble(1)).toSeq
+        val scs = st.map(r => (r.getDouble(2) - r.getDouble(1)) / 255.0).toSeq
+        val mnLit = typedLit(mns)
+        val scLit = typedLit(scs)
+        val deq = transform(col("embedding").cast("array<double>"), (x, i) => {
+          val mn = element_at(mnLit, i + 1)
+          val sc = element_at(scLit, i + 1)
+          when(sc === 0.0, mn)
+            .otherwise(mn + least(lit(255.0), floor((x - mn) / sc)) * sc)
+        })
+        val emq = emb.withColumn("qemb", deq)
+        // quantized query collected from the SAME expression (parameter
+        // read, like the fp16 arm)
+        val qv = emq.filter(col("vec_id") === 0)
+          .select(col("qemb")).head.getSeq[Double](0)
+        Vectors.knn(emq, "vec_id", "qemb", qv, "cosine", 10)
+          .select(col("vec_id"), col("label"), (col("distance") + 0.0).as("distance"))
+      },
+      oracle = Some(
+        s"""WITH ex AS (SELECT vec_id, label,
+           |    unnest(CAST(embedding AS DOUBLE[])) AS x,
+           |    unnest(generate_series(1, len(embedding))) AS i FROM embeddings),
+           |st AS (SELECT i, min(x) AS mn, (max(x) - min(x)) / 255.0 AS sc FROM ex GROUP BY i),
+           |qe AS (SELECT vec_id, label,
+           |    list(CASE WHEN sc = 0.0 THEN mn
+           |         ELSE mn + least(255.0, floor((x - mn) / sc)) * sc END ORDER BY i) AS qemb
+           |  FROM ex JOIN st USING (i) GROUP BY vec_id, label),
+           |q AS (SELECT qemb AS qv FROM qe WHERE vec_id = 0)
+           |SELECT vec_id, label, ${cosSql("qemb")} AS distance
+           |FROM qe, q
+           |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
+      doc = "V3 kNN at int8 scalar-quantization (SQ8) storage precision: per-dim min/max codebook, distances on dequantized codes"),
+
     // V3 + P8: kNN restricted by a metadata-style filter (label predicate),
     // the reference's filtered query shape (index.ts:656-688).
     "v3_knn_filtered" -> Q(
