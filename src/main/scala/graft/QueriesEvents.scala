@@ -1431,6 +1431,70 @@ object QueriesEvents {
           |WHERE n.n >= 2 ORDER BY n.event_type""".stripMargin),
       doc = "Holt level+trend smoothing: dyadic α/β, identical IEEE fold both engines, 3-hour-ahead forecast"),
 
+    // Classical additive seasonal decomposition (the moving-average
+    // y = trend + seasonal + residual split, period 7 on daily counts) —
+    // the other face of the Holt-Winters coin: HW smooths forward for
+    // forecasting, decomposition explains the history. Kept EXACT by
+    // working in 7×-scaled integer space end to end: trend7 = Σ of the
+    // centered 7-day window (integer), detrended7 = 7·y − trend7 (integer),
+    // and the per-day-of-week seasonal index only divides at the very end
+    // (two integer-ratio divisions, fixed order — deterministic IEEE both
+    // engines; round-6 is cosmetic). Centering subtracts the grand
+    // detrended mean, so the count-weighted seasonal indices sum to zero.
+    // One groupBy + one partitioned window + one tiny reduce — scan-linear,
+    // state bounded by days×types at any corpus size.
+    "events_classical_decompose" -> Q(
+      fn = (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val daily = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 86400000000").as("d"))
+          .agg(count(lit(1)).as("y"))
+        val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+          .rowsBetween(-3, 3)
+        val det = daily
+          .withColumn("t7", sum(col("y")).over(w))
+          .withColumn("nw", count(col("y")).over(w))
+          .filter(col("nw") === 7) // full centered window only
+          .withColumn("dow", pmod(col("d"), lit(7)))
+          .withColumn("det7", lit(7L) * col("y") - col("t7"))
+        val g = det.groupBy(col("event_type"))
+          .agg(sum(col("det7")).as("gs"), count(lit(1)).as("gn"))
+        det.groupBy(col("event_type"), col("dow"))
+          .agg(count(lit(1)).as("n_obs"), sum(col("det7")).as("det7_sum"))
+          .join(g, Seq("event_type"))
+          .select(col("event_type"), col("dow"), col("n_obs"), col("det7_sum"),
+            (round(col("det7_sum").cast("double") / (lit(7.0) * col("n_obs")), 6) + 0.0)
+              .as("seasonal_mean"),
+            (round(col("det7_sum").cast("double") / (lit(7.0) * col("n_obs"))
+              - col("gs").cast("double") / (lit(7.0) * col("gn")), 6) + 0.0)
+              .as("seasonal_centered"))
+          .orderBy(col("event_type"), col("dow"))
+      },
+      oracle = Some(
+        """WITH dly AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d, count(*) AS y
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, d, y,
+          |    sum(y) OVER (PARTITION BY event_type ORDER BY d
+          |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS t7,
+          |    count(y) OVER (PARTITION BY event_type ORDER BY d
+          |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nw
+          |  FROM dly),
+          |det AS (SELECT event_type, d % 7 AS dow, 7 * y - t7 AS det7
+          |  FROM w WHERE nw = 7),
+          |g AS (SELECT event_type, CAST(sum(det7) AS BIGINT) AS gs, count(*) AS gn
+          |  FROM det GROUP BY 1)
+          |SELECT det.event_type, dow, count(*) AS n_obs,
+          |  CAST(sum(det7) AS BIGINT) AS det7_sum,
+          |  round(CAST(sum(det7) AS DOUBLE) / (7.0 * count(*)), 6) + 0.0 AS seasonal_mean,
+          |  round(CAST(sum(det7) AS DOUBLE) / (7.0 * count(*))
+          |    - CAST(gs AS DOUBLE) / (7.0 * gn), 6) + 0.0 AS seasonal_centered
+          |FROM det JOIN g USING (event_type)
+          |GROUP BY det.event_type, dow, gs, gn
+          |ORDER BY 1, 2""".stripMargin),
+      doc = "classical additive decomposition, period 7: centered-MA trend and day-of-week seasonal indices in exact 7x-scaled integer space"),
+
     // Holt-Winters ADDITIVE seasonal smoothing (m = 24, the diurnal cycle)
     // — what Holt can't see: traffic that swings by hour-of-day. State is
     // (level, trend, 24-slot seasonal queue); the queue head is always the

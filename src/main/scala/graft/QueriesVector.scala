@@ -326,6 +326,92 @@ object QueriesVector {
            |ORDER BY distance, vec_id LIMIT 10""".stripMargin),
       doc = "V3 kNN at int8 scalar-quantization (SQ8) storage precision: per-dim min/max codebook, distances on dequantized codes"),
 
+    // Exact DBSCAN over embeddings ([[Vectors.dbscan]]): density clustering
+    // with the core/border/noise trichotomy — what the flat ε-graph CC
+    // (dedup_embedding_cosine) can't express. The fixture corpus is raw
+    // (normalized) embeddings, so near-dup structure is SPLICED in, house
+    // style: perturbation chains v' = normalize(v + δ·reverse(v)) at
+    // δ ∈ {.08, .16, .24, .40} on arithmetic id slices build per-seed chains
+    // whose inter-point gaps straddle ε = 0.2 differently per vector (the
+    // pair distance scales with √(1−(v·rev v)²)) — yielding all-core
+    // chains, core+border chains, and all-noise pairs, censused per cluster.
+    // minPts = 3 on the neighbor count EXCLUDING self. ε-join candidates
+    // come from the exact annulus equi-join (triangle-inequality pruning,
+    // zero recall loss); the oracle is brute-force all-pairs — the
+    // hash-match is the pruning's exactness proof.
+    "embedding_dbscan" -> Q(
+      fn = (s, dir) => {
+        val base = Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        def pert(shift: Long, modK: Int, delta: Double) =
+          base.filter(col("vec_id") % modK === 0)
+            .withColumn("w", zip_with(col("v"), reverse(col("v")),
+              (x, y) => x + lit(delta) * y))
+            .withColumn("nrm", sqrt(aggregate(transform(col("w"), y => y * y),
+              lit(0.0), (a, b) => a + b)))
+            .select((col("vec_id") + shift).as("vec_id"),
+              transform(col("w"), x => x / col("nrm")).as("v"))
+        val corpus = base
+          .unionByName(pert(1000000L, 3, 0.08))
+          .unionByName(pert(2000000L, 3, 0.16))
+          .unionByName(pert(3000000L, 6, 0.24))
+          .unionByName(pert(4000000L, 5, 0.40))
+        Vectors.dbscan(corpus, "vec_id", "v", 0.2, 3, queryVec(s, dir))
+          .groupBy(col("cluster").as("cluster_id"))
+          .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
+            sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
+            count(lit(1)).as("n_pts"))
+          .orderBy(col("cluster_id"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |c1 AS (SELECT vec_id + 1000000 AS vec_id,
+          |    list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y*y)))) AS v
+          |  FROM (SELECT vec_id, list_transform(list_zip(v, list_reverse(v)),
+          |      z -> z[1] + 0.08 * z[2]) AS w FROM base WHERE vec_id % 3 = 0)),
+          |c2 AS (SELECT vec_id + 2000000 AS vec_id,
+          |    list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y*y)))) AS v
+          |  FROM (SELECT vec_id, list_transform(list_zip(v, list_reverse(v)),
+          |      z -> z[1] + 0.16 * z[2]) AS w FROM base WHERE vec_id % 3 = 0)),
+          |c3 AS (SELECT vec_id + 3000000 AS vec_id,
+          |    list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y*y)))) AS v
+          |  FROM (SELECT vec_id, list_transform(list_zip(v, list_reverse(v)),
+          |      z -> z[1] + 0.24 * z[2]) AS w FROM base WHERE vec_id % 6 = 0)),
+          |c4 AS (SELECT vec_id + 4000000 AS vec_id,
+          |    list_transform(w, x -> x / sqrt(list_sum(list_transform(w, y -> y*y)))) AS v
+          |  FROM (SELECT vec_id, list_transform(list_zip(v, list_reverse(v)),
+          |      z -> z[1] + 0.40 * z[2]) AS w FROM base WHERE vec_id % 5 = 0)),
+          |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM c1
+          |  UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3
+          |  UNION ALL SELECT * FROM c4),
+          |p AS (SELECT a.vec_id AS ia, b.vec_id AS ib FROM corpus a JOIN corpus b
+          |  ON a.vec_id < b.vec_id
+          |  AND list_sum(list_transform(list_zip(a.v, b.v),
+          |      z -> (z[1]-z[2])*(z[1]-z[2]))) <= (0.2 * 0.2)),
+          |e AS (SELECT ia AS src, ib AS dst FROM p UNION ALL SELECT ib, ia FROM p),
+          |core AS (SELECT src AS id FROM e GROUP BY src HAVING count(*) >= 3),
+          |cce AS (SELECT p.ia AS src, p.ib AS dst FROM p
+          |    JOIN core ca ON p.ia = ca.id JOIN core cb ON p.ib = cb.id
+          |  UNION ALL
+          |  SELECT p.ib, p.ia FROM p
+          |    JOIN core ca ON p.ia = ca.id JOIN core cb ON p.ib = cb.id),
+          |reach AS (SELECT id, id AS label FROM core
+          |  UNION SELECT e2.src, r.label FROM cce e2 JOIN reach r ON r.id = e2.dst),
+          |cl AS (SELECT id, min(label) AS cluster FROM reach GROUP BY id),
+          |be AS (SELECT e.src AS id, min(cl.cluster) AS cluster
+          |  FROM e JOIN cl ON cl.id = e.dst
+          |  WHERE e.src NOT IN (SELECT id FROM core) GROUP BY e.src),
+          |asg AS (SELECT id, cluster, 1 AS ic FROM cl
+          |  UNION ALL SELECT id, cluster, 0 FROM be)
+          |SELECT cluster AS cluster_id, CAST(sum(ic) AS BIGINT) AS n_core,
+          |  CAST(sum(1 - ic) AS BIGINT) AS n_border, count(*) AS n_pts
+          |FROM asg GROUP BY 1
+          |UNION ALL
+          |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+          |  (SELECT count(*) FROM corpus) - (SELECT count(*) FROM asg)
+          |ORDER BY cluster_id""".stripMargin),
+      doc = "exact DBSCAN (annulus-pruned eps-join, core/border/noise) censused per cluster vs brute-force oracle"),
+
     // V3 + P8: kNN restricted by a metadata-style filter (label predicate),
     // the reference's filtered query shape (index.ts:656-688).
     "v3_knn_filtered" -> Q(

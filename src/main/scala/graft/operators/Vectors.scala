@@ -780,4 +780,72 @@ object Vectors {
     batches.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
   }
+
+  /** EXACT distributed DBSCAN over an embedding column — density clustering
+    * with core/border/noise semantics (the step past the plain ε-graph CC
+    * that [[graft.operators.Dedup]]'s embedding near-dup runs).
+    *
+    * The ε-neighborhood join never goes all-pairs: every point gets a
+    * 1-D annulus key ⌊d(x, pivot)/2ε⌋, and by the triangle inequality any
+    * pair within ε lands in the same or adjacent annulus — so the join is an
+    * equi-join on the annulus key (3 probe keys per point), with the exact
+    * d² ≤ ε² check inside. That is EXACT pruning (no recall loss, unlike an
+    * LSH prefilter), and the 2ε bucket width leaves slack of ~ε over the
+    * float error, so boundary ulps cannot drop a true neighbor. At 100 TB
+    * the annulus key is the shuffle/partition key; production ε (near-dup
+    * scale, ≪ data diameter) makes the annuli thin and the join sparse;
+    * multiple pivots compose by intersecting candidate sets when one annulus
+    * is hot.
+    *
+    * Semantics: core ⇔ |N_ε(x) \ {x}| ≥ minPts; clusters = connected
+    * components of the core-core ε-graph (labels = component-min id via
+    * [[Dedup.resolveClusters]]); border = non-core within ε of ≥1 core,
+    * assigned the min cluster label among its core neighbors (deterministic
+    * tiebreak); the rest is noise. Returns (id, role, cluster) with
+    * cluster = -1 for noise. */
+  def dbscan(points: DataFrame, idCol: String, vecCol: String,
+             eps: Double, minPts: Int, pivot: Seq[Double]): DataFrame = {
+    val pv = typedLit(pivot)
+    val pts = points.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bkt",
+        floor(sqrt(graft.functions.VectorExprs.l2Sq(col("v"), pv)) / lit(2.0 * eps))
+          .cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    pts.count() // pin: probed twice (both join sides)
+    val probe = pts.select(col("id"), col("v"),
+      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
+    // |bkt_a - bkt_b| <= 1 matches exactly one of a's three probe keys, so
+    // each unordered pair surfaces at most once
+    val cand = probe.as("a")
+      .join(pts.select(col("id").as("idb"), col("v").as("vb"), col("bkt").as("jb")).as("b"),
+        Seq("jb"))
+      .filter(col("id") < col("idb"))
+      .filter(graft.functions.VectorExprs.l2Sq(col("v"), col("vb")) <= lit(eps * eps))
+      .select(col("id").as("id_a"), col("idb").as("id_b"))
+      .localCheckpoint() // sever the ε-join lineage before the CC loop
+    val edges = cand.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(cand.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val core = edges.groupBy(col("src").as("id")).agg(count(lit(1)).as("n_nbrs"))
+      .filter(col("n_nbrs") >= minPts).select(col("id"))
+    val ccPairs = cand
+      .join(core.withColumnRenamed("id", "id_a"), Seq("id_a"))
+      .join(core.withColumnRenamed("id", "id_b"), Seq("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val clustered = Dedup.resolveClusters(ccPairs) // (id, cluster)
+    val coreAssign = core.join(clustered, Seq("id"), "left")
+      .select(col("id"), coalesce(col("cluster"), col("id")).as("cluster"))
+    val borderAssign = edges
+      .join(coreAssign.select(col("id").as("dst"), col("cluster").as("c")), Seq("dst"))
+      .join(core.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .groupBy(col("src").as("id")).agg(min(col("c")).as("cluster"))
+    val assigned = coreAssign.withColumn("role", lit("core"))
+      .unionByName(borderAssign.withColumn("role", lit("border")))
+    val noise = pts.select(col("id"))
+      .join(assigned.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), lit(-1L).as("cluster"), lit("noise").as("role"))
+    val out = assigned.select(col("id"), col("cluster"), col("role"))
+      .unionByName(noise).localCheckpoint()
+    pts.unpersist()
+    out
+  }
 }
