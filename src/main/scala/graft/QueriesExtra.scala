@@ -2192,6 +2192,56 @@ object QueriesExtra {
       },
       doc = "synchronous label-propagation communities: integer argmax, round lineage oracle-replayed"),
 
+    // Synchronized Louvain phase-1 over the co-purchase graph — the
+    // modularity-GAIN mover that label propagation (frequency argmax)
+    // approximates: each round every node re-prices staying vs joining each
+    // neighbor community by the exact ΔQ numerator 2m·k_{v,C} − k_v·Σtot(C∖v),
+    // all integers (deterministic at any partitioning), ties to the smallest
+    // community id. Two synchronized rounds, both replayed by the oracle as
+    // generated CTEs — the hash-match certifies every gain comparison and
+    // tie-break in the lineage. Top-20 community census with total degree.
+    "graph_louvain_sync" -> Q(
+      fn = (s, dir) => {
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
+        graft.operators.Graph.louvainSync(e, 2, assumeDistinct = true)
+          .groupBy(col("c").as("community"))
+          .agg(count(lit(1)).as("n_members"), sum(col("k")).as("tot_deg"))
+          .orderBy(col("n_members").desc, col("community")).limit(20)
+      },
+      oracle = Some {
+        val roundCtes = (1 to 2).map { r =>
+          s"""tot$r AS (SELECT c, CAST(sum(k) AS BIGINT) AS tot
+             |  FROM c${r - 1} JOIN deg USING (v) GROUP BY c),
+             |kk$r AS (SELECT v, cc, max(kic) AS kic FROM (
+             |    SELECT e.src AS v, l.c AS cc, count(*) AS kic
+             |    FROM e JOIN c${r - 1} l ON e.dst = l.v GROUP BY 1, 2
+             |  UNION ALL SELECT v, c AS cc, 0 FROM c${r - 1}) GROUP BY 1, 2),
+             |sc$r AS (SELECT k2.v, k2.cc,
+             |    mm.m2 * k2.kic - d.k *
+             |      (t.tot - CASE WHEN me.c = k2.cc THEN d.k ELSE 0 END) AS score
+             |  FROM kk$r k2
+             |  JOIN c${r - 1} me ON me.v = k2.v
+             |  JOIN deg d ON d.v = k2.v
+             |  JOIN tot$r t ON t.c = k2.cc
+             |  CROSS JOIN mm),
+             |c$r AS (SELECT v, struct_extract(
+             |    min(struct_pack(ns := -score, l := cc)), 'l') AS c
+             |  FROM sc$r GROUP BY v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+           |  FROM lineitem a JOIN lineitem b
+           |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+           |deg AS (SELECT src AS v, count(*) AS k FROM e GROUP BY 1),
+           |mm AS (SELECT count(*) AS m2 FROM e),
+           |c0 AS (SELECT v, v AS c FROM deg),
+           |$roundCtes
+           |SELECT c AS community, count(*) AS n_members,
+           |  CAST(sum(k) AS BIGINT) AS tot_deg
+           |FROM c2 JOIN deg USING (v)
+           |GROUP BY c ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+      },
+      doc = "synchronized Louvain phase-1: exact integer modularity-gain moves, 2 rounds oracle-replayed, top-20 community census"),
+
     // Core peeling over the co-purchase graph — the graph-curation gate
     // (spam rings / boilerplate link farms live outside dense cores).
     // The gate is MEAN-degree (deg·n ≥ Σdeg, cross-multiplied ints): a

@@ -260,6 +260,64 @@ object Graph {
       .select(col("round").cast("long").as("round"), col("n_nodes"), col("n_edges"))
   }
 
+  /** Synchronized Louvain phase-1: the modularity-gain local-move pass that
+    * seeds every Louvain/Leiden community pipeline, made deterministic by
+    * (a) SYNCHRONOUS rounds (every node evaluates against the previous
+    * round's assignment — no sequential visit order to pin down) and
+    * (b) ALL-INTEGER gain arithmetic: with unit weights, moving v into
+    * community C scores 2m·k_{v,C} − k_v·Σtot(C∖{v}) (the ΔQ numerator
+    * scaled by 4m² — argmax-equivalent, overflow-bounded by 2m·max_deg,
+    * comfortably inside int64 until ~10¹² directed edges × 10⁶ degree;
+    * past that the two products widen to DECIMAL(38,0) unchanged).
+    * Candidates are the neighbor communities ∪ the current one (kept via a
+    * zero-count union so "stay" is always priced); ties break to the
+    * smallest community id. Each round is two keyed groupBys and three
+    * broadcast-or-shuffle equi-joins over node-sized relations — one Pregel
+    * superstep; localCheckpoint pins the assignment per round (house rule).
+    * Returns (v, c, k): node, community, degree. */
+  def louvainSync(edges: DataFrame, rounds: Int,
+                  assumeDistinct: Boolean = false): DataFrame = {
+    require(rounds >= 1, s"need at least one round, got $rounds")
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val nPart = edges.sparkSession.conf
+      .get("spark.sql.shuffle.partitions", "32").toInt
+    val base0 = edges.select(col("src"), col("dst"))
+      .repartition(nPart, col("src"))
+    val e = (if (assumeDistinct) base0 else base0.dropDuplicates("src", "dst"))
+      .persist(mem)
+    val m2 = e.count() // directed edge count = 2m (each undirected edge twice)
+    val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
+      .persist(mem)
+    deg.count()
+    var c = deg.select(col("v"), col("v").as("c"))
+    for (_ <- 1 to rounds) {
+      val tot = c.join(deg, Seq("v"))
+        .groupBy(col("c")).agg(sum(col("k")).as("tot"))
+      val kic = e.join(c.withColumnRenamed("v", "dst"), Seq("dst"))
+        .groupBy(col("src").as("v"), col("c").as("cc"))
+        .agg(count(lit(1)).as("kic"))
+      // ∪ the current community at count 0 so "stay" is always a candidate;
+      // max() collapses the duplicate when a neighbor already shares it
+      val kk = kic
+        .unionByName(c.select(col("v"), col("c").as("cc"), lit(0L).as("kic")))
+        .groupBy(col("v"), col("cc")).agg(max(col("kic")).as("kic"))
+      val sc = kk
+        .join(c, Seq("v"))
+        .join(deg, Seq("v"))
+        .join(tot.withColumnRenamed("c", "cc"), Seq("cc"))
+        .withColumn("score", lit(m2) * col("kic") - col("k") *
+          (col("tot") - when(col("c") === col("cc"), col("k")).otherwise(lit(0L))))
+      c = sc.groupBy(col("v"))
+        .agg(min(struct((-col("score")).as("ns"), col("cc").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("c"))
+        .localCheckpoint()
+    }
+    val out = c.join(deg, Seq("v")).select(col("v"), col("c"), col("k"))
+      .localCheckpoint()
+    e.unpersist(); deg.unpersist()
+    out
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int,
                        assumeDistinct: Boolean = false): DataFrame = {
     require(iters >= 1, s"need at least one iteration, got $iters")
