@@ -824,11 +824,15 @@ object QueriesExtra {
         def score(srv: Int) = expr(
           s"cast(conv(substring(md5(concat(name, '#s$srv')), 1, 15), 16, 10) as bigint)")
         // argmax by (score, server): md5 ties are impossible in practice but
-        // the (h, s) struct ordering keeps the pick total regardless
+        // the (h, s) struct ordering keeps the pick total regardless. The 8
+        // scores are materialized ONCE in a prior projection — both argmaxes
+        // (full ring, ring minus s0) reuse them, halving the md5 work.
         def assign(servers: Seq[Int]) =
           array_max(array(servers.map(v =>
-            struct(score(v).as("h"), lit(v).as("s"))): _*)).getField("s")
+            struct(col(s"h$v").as("h"), lit(v).as("s"))): _*)).getField("s")
         Tables.objects(s, dir)
+          .select(Seq(col("name"), col("size")) ++
+            (0 until 8).map(v => score(v).as(s"h$v")): _*)
           .select(col("name"), col("size"),
             assign(0 until 8).as("srv_full"), assign(1 until 8).as("srv_minus0"))
           .groupBy(col("srv_full").as("server"))

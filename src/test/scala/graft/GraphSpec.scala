@@ -236,4 +236,30 @@ class GraphSpec extends SparkTestBase {
     }
   }
 
+  // undirected helper: emit both directions
+  private def undirected(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+
+  test("louvainSync: disjoint triangles each collapse to their min-id community") {
+    val e = undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L)))
+    val got = Graph.louvainSync(e, 2)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L),
+      (4L, 4L), (5L, 4L), (6L, 4L)),
+      s"each triangle is its own community labeled by its min id: $got")
+  }
+
+  test("louvainSync: assignment is total, degree column exact, and bit-identical under repartitioning") {
+    val e = undirected(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L)))
+    val base = Graph.louvainSync(e, 2)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(base.map(_._1) == (1L to 6L), "every node assigned exactly once")
+    assert(base.map(_._3) == Seq(2L, 2L, 3L, 3L, 2L, 2L), "degrees ride along")
+    val re = Graph.louvainSync(e.repartition(13), 2)
+      .orderBy("v").collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(re == base, "integer gain argmax must be partitioning-invariant")
+  }
+
 }
