@@ -293,14 +293,14 @@ object Graph {
     for (_ <- 1 to rounds) {
       val tot = c.join(deg, Seq("v"))
         .groupBy(col("c")).agg(sum(col("k")).as("tot"))
-      val kic = e.join(c.withColumnRenamed("v", "dst"), Seq("dst"))
-        .groupBy(col("src").as("v"), col("c").as("cc"))
-        .agg(count(lit(1)).as("kic"))
-      // ∪ the current community at count 0 so "stay" is always a candidate;
-      // max() collapses the duplicate when a neighbor already shares it
-      val kk = kic
-        .unionByName(c.select(col("v"), col("c").as("cc"), lit(0L).as("kic")))
-        .groupBy(col("v"), col("cc")).agg(max(col("kic")).as("kic"))
+      // neighbor-community counts ∪ a ZERO-WEIGHT marker for the current
+      // community (so "stay" is always priced, even with no same-community
+      // neighbor), fused into ONE weighted groupBy — unioning before the
+      // aggregation saves a second candidate-sized shuffle per round
+      val kk = e.join(c.withColumnRenamed("v", "dst"), Seq("dst"))
+        .select(col("src").as("v"), col("c").as("cc"), lit(1L).as("w"))
+        .unionByName(c.select(col("v"), col("c").as("cc"), lit(0L).as("w")))
+        .groupBy(col("v"), col("cc")).agg(sum(col("w")).as("kic"))
       val sc = kk
         .join(c, Seq("v"))
         .join(deg, Seq("v"))
