@@ -1165,39 +1165,56 @@ object TextAnalysis {
     * rule approximates (SentencePiece's Viterbi decode shape, Kudo 2018):
     * per distinct word, maximize total piece frequency, ties to FEWEST
     * pieces. The lexicographic (score, −n_pieces) objective has optimal
-    * substructure — extending two paths by the same piece preserves their
-    * order — so the frontier keeps ONE best state per (word, endpos):
-    * layered DP as maxWordLen rounds of (explode ≤maxPieceLen candidate
-    * substrings → broadcast-hash-join the shared vocab →
-    * partial-aggregable max(struct)), localCheckpoint pinning plan depth —
-    * the [[wordpieceSegment]] loop shape with a frontier per position
-    * instead of a single cursor. Integer-only surface; one row per
+    * substructure, and — like [[wordpieceSegment]]'s greedy cursor — the
+    * whole DP is a function of the word alone given the vocab. So instead
+    * of maxWordLen scheduled frontier rounds, build ONE match table (every
+    * (position, length) whose substring is in vocab: one explode + one
+    * broadcast-hash join), pack it per word as a (p-1)*maxPieceLen+l → c
+    * map, and run the Viterbi relaxation as a row-local fold: dp slot j
+    * holds the best (score, −np) reaching endpos j−1, each position p
+    * relaxes dp[p+l] from dp[p] for the ≤maxPieceLen match lengths.
+    * 16 scheduled rounds → 2 jobs. Integer-only surface; one row per
     * distinct word: (word, wc, best_score, n_pieces_opt). */
   def viterbiSegment(df: DataFrame, textCol: String, topK: Int = 64,
                      maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
     val (wf, vocab) = subwordVocab(df, textCol, topK, maxPieceLen, maxWordLen)
-    var frontier = wf.select(col("w"), col("wc"), lit(0).as("endpos"),
-      lit(0L).as("score"), lit(0L).as("np"))
-    for (_ <- 1 to maxWordLen) {
-      val extended = frontier.filter(col("endpos") < length(col("w")))
-        .select(col("w"), col("wc"), col("endpos"), col("score"), col("np"),
-          explode(transform(sequence(lit(1), lit(maxPieceLen)),
-            l => struct(l.as("l"),
-              col("w").substr(col("endpos") + 1, l).as("piece")))).as("cand"))
-        .join(broadcast(vocab),
-          col("cand.piece") === vocab("piece") && col("cand.l") === vocab("l"))
-        .select(col("w"), col("wc"),
-          (col("endpos") + col("cand.l")).as("endpos"),
-          (col("score") + col("c")).as("score"), (col("np") + 1L).as("np"))
-      frontier = frontier.unionAll(extended)
-        .groupBy(col("w"), col("wc"), col("endpos"))
-        .agg(max(struct(col("score"), (-col("np")).as("negnp"))).as("m"))
-        .select(col("w"), col("wc"), col("endpos"),
-          col("m.score").as("score"), (-col("m.negnp")).as("np"))
-        .localCheckpoint()
-    }
-    frontier.filter(col("endpos") === length(col("w")))
+    val matches = wf
+      .select(col("w"), col("wc"),
+        explode(sequence(lit(1), length(col("w")))).as("p"))
+      .select(col("w"), col("wc"), col("p"),
+        explode(transform(sequence(lit(1), lit(maxPieceLen)),
+          l => struct(l.as("l"),
+            col("w").substr(col("p"), l).as("piece")))).as("cand"))
+      .join(broadcast(vocab),
+        col("cand.piece") === vocab("piece") && col("cand.l") === vocab("l"))
+      .select(col("w"), col("wc"),
+        ((col("p") - 1) * maxPieceLen + col("cand.l")).as("k"), col("c"))
+    // (w, p, l) is unique after the join — (piece, l) is unique in vocab —
+    // so the packed map has unique keys; element_at returns null (= no
+    // piece of that length here) for absent keys, no sentinel array needed
+    val packed = matches.groupBy(col("w"), col("wc"))
+      .agg(map_from_entries(collect_list(struct(col("k"), col("c")))).as("cm"))
+    val sentinel = struct(lit(-1L).as("sc"), lit(0L).as("nn"))
+    packed
+      .withColumn("dp", aggregate(sequence(lit(1), lit(maxWordLen)),
+        transform(sequence(lit(1), lit(maxWordLen + 1)),
+          j => when(j === 1, struct(lit(0L).as("sc"), lit(0L).as("nn")))
+            .otherwise(sentinel)),
+        (acc, p) => when(p > length(col("w")), acc).otherwise(
+          transform(sequence(lit(1), lit(maxWordLen + 1)), j => {
+            val base = element_at(acc, p)
+            val c = element_at(col("cm"),
+              ((p - lit(1)) * maxPieceLen + (j - p)).cast("int"))
+            when((j - p).between(1, maxPieceLen)
+                && base.getField("sc") >= 0 && c.isNotNull,
+              greatest(element_at(acc, j),
+                struct((base.getField("sc") + c).as("sc"),
+                  (base.getField("nn") - 1L).as("nn"))))
+            .otherwise(element_at(acc, j))
+          }))))
       .select(col("w").as("word"), col("wc"),
-        col("score").as("best_score"), col("np").as("n_pieces_opt"))
+        element_at(col("dp"), length(col("w")) + 1).as("m"))
+      .select(col("word"), col("wc"), col("m.sc").as("best_score"),
+        (-col("m.nn")).as("n_pieces_opt"))
   }
 }
