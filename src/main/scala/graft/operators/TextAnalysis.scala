@@ -1080,11 +1080,10 @@ object TextAnalysis {
     * at each position take the longest vocab piece that matches, advance,
     * accumulate piece count + frequency score.
     *
-    * Scale shape: the per-round step explodes ≤ `maxPieceLen` candidate
-    * substrings per active word and equi-joins the BROADCAST vocab (topK +
-    * alphabet rows) — one codegen'd hash join per round, `maxWordLen`
-    * rounds total, plan depth pinned by localCheckpoint (the house
-    * iterative-kernel discipline). Returns one row per distinct word:
+    * Scale shape: one explode of ≤ `maxPieceLen` candidate substrings per
+    * (word, position) equi-joined against the BROADCAST vocab (topK +
+    * alphabet rows), then a row-local fold — vocabulary-sized shuffle,
+    * two jobs total, no iteration. Returns one row per distinct word:
     * (word, wc, n_pieces, score_sum). */
   def wordpieceSegment(df: DataFrame, textCol: String, topK: Int = 64,
                        maxPieceLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
@@ -1118,7 +1117,7 @@ object TextAnalysis {
         col("m.l").as("l"), col("m.c").as("c")))).as("js"))
       .withColumn("jl", transform(col("js"), j => j.getField("l")))
       .withColumn("jc", transform(col("js"), j => j.getField("c")))
-    packed
+    val out = packed
       .withColumn("st", aggregate(sequence(lit(1), lit(maxWordLen)),
         struct(lit(1).as("pos"), lit(0L).as("np"), lit(0L).as("sc")),
         (acc, _) => {
@@ -1130,6 +1129,11 @@ object TextAnalysis {
         }))
       .select(col("w").as("word"), col("wc"),
         col("st.np").as("n_pieces"), col("st.sc").as("score_sum"))
+      // distinct-word-sized; eager cut so the shared vocab frames can be
+      // released before return (the stressCentrality unpersist discipline)
+      .localCheckpoint()
+    wf.unpersist(); vocab.unpersist()
+    out
   }
 
   /** Shared subword-vocabulary derivation for [[wordpieceSegment]] and
@@ -1195,7 +1199,7 @@ object TextAnalysis {
     val packed = matches.groupBy(col("w"), col("wc"))
       .agg(map_from_entries(collect_list(struct(col("k"), col("c")))).as("cm"))
     val sentinel = struct(lit(-1L).as("sc"), lit(0L).as("nn"))
-    packed
+    val out = packed
       .withColumn("dp", aggregate(sequence(lit(1), lit(maxWordLen)),
         transform(sequence(lit(1), lit(maxWordLen + 1)),
           j => when(j === 1, struct(lit(0L).as("sc"), lit(0L).as("nn")))
@@ -1216,5 +1220,10 @@ object TextAnalysis {
         element_at(col("dp"), length(col("w")) + 1).as("m"))
       .select(col("word"), col("wc"), col("m.sc").as("best_score"),
         (-col("m.nn")).as("n_pieces_opt"))
+      // distinct-word-sized; eager cut so the shared vocab frames can be
+      // released before return (the stressCentrality unpersist discipline)
+      .localCheckpoint()
+    wf.unpersist(); vocab.unpersist()
+    out
   }
 }
