@@ -22,6 +22,10 @@ object VectorExprs {
   /** Σ a(i)·b(i) as double, sequential. */
   def vecDot(a: Column, b: Column): Column = c(VecDot(e(a), e(b)))
 
+  /** DJB2-xor uint32 lock key (reference `hashStringToInt`) — see
+    * [[Djb2Uint32]]. */
+  def djb2Uint32(s: Column): Column = c(Djb2Uint32(e(s)))
+
   /** One-pass exact co-moment sums over a quantized integer vector column —
     * see [[QuantizedCoMoment]]. Returns the flat long buffer
     * [n, marginals(d), upper-triangle Σqᵢqⱼ]. */
@@ -983,4 +987,43 @@ case class QuantizedCoMoment(
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): QuantizedCoMoment =
     copy(child = newChildren.head)
+}
+
+/** DJB2-xor advisory-lock key, bit-for-bit the reference's
+  * `hashStringToInt` (src/internal/hashing/string-to-int.ts:1-9):
+  * `h = ToInt32(h*33) XOR charCodeAt(i)`, seeded 5381, folded `>>> 0` to
+  * uint32. Computed in the nonnegative mod-2^32 long domain (congruent to
+  * JS int32 wrap-around, identical bit patterns) over UTF-16 code units —
+  * exactly `charCodeAt`, so non-ASCII keys hash identically too. Replaces
+  * the interpreted per-character `aggregate(split(s, ''))` HOF fold in the
+  * lock-schedule hot path with one static call inside whole-stage codegen. */
+case class Djb2Uint32(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"need string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Djb2Uint32.hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Djb2Uint32.hash($s);")
+
+  override protected def withNewChildInternal(c: Expression): Djb2Uint32 =
+    copy(child = c)
+}
+
+object Djb2Uint32 {
+  def hash(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val s = u.toString // UTF-16, charAt == JS charCodeAt
+    var h = 5381L
+    var i = 0
+    while (i < s.length) {
+      h = ((h * 33L) & 0xffffffffL) ^ s.charAt(i).toLong
+      i += 1
+    }
+    h
+  }
 }

@@ -23,15 +23,12 @@ object Locks {
 
   /** The reference's lock-key kernel, bit-for-bit: DJB2 variant
     * `h = ToInt32(h*33) XOR code`, seeded 5381, folded `>>> 0` to uint32
-    * (string-to-int.ts:1-9). Computed in the nonnegative mod-2^32 domain
-    * (congruent to JS int32 wrap-around, identical bit patterns) so the
-    * whole fold stays in codegen'd LONG arithmetic — no UDF. Keys are
-    * ASCII S3 paths, so charCodeAt == ascii(). */
+    * (string-to-int.ts:1-9). A native codegen'd expression
+    * ([[graft.functions.Djb2Uint32]]) — the earlier `aggregate(split(s,''))`
+    * HOF fold computed the same bits but ran interpreted per character
+    * (CodegenFallback), the only non-codegen step in the schedule plan. */
   def hashStringToInt(s: Column): Column =
-    aggregate(
-      filter(split(s, ""), ch => length(ch) > 0),
-      lit(5381L),
-      (h, ch) => ((h * 33) % 4294967296L).bitwiseXOR(ascii(ch).cast("long")))
+    graft.functions.VectorExprs.djb2Uint32(s)
 
   /** The lock-key string for an object (pg.ts:1257: version is appended only
     * when present). */
