@@ -774,7 +774,9 @@ object QueriesExtra {
             when(idx === sorted.size, lit(0)).otherwise(idx) + 1)
         }
         val objs = Tables.objects(s, dir).select(col("name"), col("size"),
-          expr("cast(conv(substring(md5(name), 1, 15), 16, 10) as bigint)").as("h"))
+          // == conv(substring(md5(name),1,15),16,10): top-60-bit kernel read
+          // straight off the digest (no hex string, no base-16 parse)
+          graft.functions.VectorExprs.md5Top60(col("name")).as("h"))
         val j = objs
           .withColumn("srv_full", assignCol(ring, col("h")))
           .withColumn("srv_minus0", assignCol(ring.filter(_._1 != 0), col("h")))
@@ -821,8 +823,8 @@ object QueriesExtra {
     // search — HRW trades O(servers) hashes for zero placement state).
     "store_rendezvous_hashing" -> Q(
       fn = (s, dir) => {
-        def score(srv: Int) = expr(
-          s"cast(conv(substring(md5(concat(name, '#s$srv')), 1, 15), 16, 10) as bigint)")
+        def score(srv: Int) = graft.functions.VectorExprs.md5Top60(
+          concat(col("name"), lit(s"#s$srv")))
         // argmax by (score, server): md5 ties are impossible in practice but
         // the (h, s) struct ordering keeps the pick total regardless. The 8
         // scores are materialized ONCE in a prior projection — both argmaxes

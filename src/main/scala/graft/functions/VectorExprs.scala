@@ -26,6 +26,9 @@ object VectorExprs {
     * [[Djb2Uint32]]. */
   def djb2Uint32(s: Column): Column = c(Djb2Uint32(e(s)))
 
+  /** Top 60 bits of md5(s) as a long — see [[Md5Top60]]. */
+  def md5Top60(s: Column): Column = c(Md5Top60(e(s)))
+
   /** One-pass exact co-moment sums over a quantized integer vector column —
     * see [[QuantizedCoMoment]]. Returns the flat long buffer
     * [n, marginals(d), upper-triangle Σqᵢqⱼ]. */
@@ -1026,4 +1029,27 @@ object Djb2Uint32 {
     }
     h
   }
+}
+
+/** Top 60 bits of md5(s) as a nonnegative long — bit-identical to
+  * `conv(substring(md5(s), 1, 15), 16, 10)` (the first 15 hex digits) but
+  * read straight off the digest bytes: no 32-char hex string materialized,
+  * no base-16 parse, one static call inside whole-stage codegen. The
+  * placement-hash kernel of the consistent/rendezvous hashing rows. */
+case class Md5Top60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"need string, got ${t.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Md5Hash.h160(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.Md5Hash.h160($s);")
+
+  override protected def withNewChildInternal(c: Expression): Md5Top60 =
+    copy(child = c)
 }
