@@ -244,6 +244,36 @@ class PropertySpec extends SparkTestBase {
       assert(got.toSeq == want, s"pair ($p1, $p2)")
     }
   }
+  // ── codegen hash kernels vs independent models ──
+
+  test("Djb2Uint32 matches the JS int32-wrap model on random keys (incl. non-ASCII)") {
+    // independent model in the SIGNED int32 domain: Scala Int multiply wraps
+    // exactly like JS ToInt32 (the float64 product is exact below 2^53),
+    // xor on Int, final >>> 0 — string-to-int.ts:1-9 verbatim
+    def jsModel(s: String): Long = {
+      var h = 5381
+      s.foreach(ch => h = (h * 33) ^ ch.toInt)
+      h.toLong & 0xffffffffL
+    }
+    val keys = sample(keyGen, 400).distinct
+    val got = keys.toDF("s")
+      .select(col("s"), VectorExprs.djb2Uint32(col("s")).as("h"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keys.foreach { k =>
+      assert(got(k) == jsModel(k), s"key '$k'")
+      assert(got(k) >= 0L && got(k) <= 0xffffffffL, s"uint32 range, key '$k'")
+    }
+  }
+
+  test("Md5Top60 equals conv(substring(md5(s),1,15),16,10) on random keys") {
+    val keys = sample(keyGen, 400).distinct
+    val rows = keys.toDF("s")
+      .select(VectorExprs.md5Top60(col("s")).as("fast"),
+        expr("cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)").as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("withRunningMaxExcl equals the single-window running max on random data") {
     val xs = sample(Gen.chooseNum(0L, 1000000L), 500)
     val df = xs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("k", "v")
