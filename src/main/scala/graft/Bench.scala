@@ -209,7 +209,9 @@ object Bench {
       "pipeline_pretrain_mix", "t_resample_ohlc", "store_consistent_hashing",
       "text_wordpiece_tokenize", "v3_knn_graph_descent",
       "profile_mann_whitney", "graph_stress_centrality", "embedding_mmr_rerank",
-      "s3_sigv4_canonical", "v3_graph_beam_search", "graph_random_walks")
+      "s3_sigv4_canonical", "v3_graph_beam_search", "graph_random_walks",
+      "text_unigram_viterbi", "d8_lock_schedule", "store_rendezvous_hashing",
+      "graph_louvain_sync", "embedding_dbscan")
     val qs = headline.flatMap(k => results.get(k).map(v => s"\"$k\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
