@@ -72,6 +72,9 @@ object Graph {
           (lit(base) + expr("(85 * coalesce(s, 0L)) DIV 100")).as("r"))
         .localCheckpoint()
     }
+    // r is a checkpoint leaf: releasing the loop caches cannot recompute it
+    // (stress-centrality cache-hygiene rule, r9 ADVICE)
+    e.unpersist(); deg.unpersist()
     r.select(col("v").as("node"), col("r").as("rank"))
   }
 
@@ -176,11 +179,16 @@ object Graph {
     o.count() // pin: o feeds three join branches (house self-join invariant)
     val wedges = o.as("a").join(o.as("b"),
       col("a.s") === col("b.s") && col("a.t") < col("b.t"))
-    wedges.join(o.as("c"),
+    val out = wedges.join(o.as("c"),
         col("c.s") === col("a.t") && col("c.t") === col("b.t"))
       .select(sort_array(array(col("a.s"), col("a.t"), col("b.t"))).as("tri"))
       .select(col("tri").getItem(0).as("n1"), col("tri").getItem(1).as("n2"),
         col("tri").getItem(2).as("n3"))
+      // triangle-sized (≤ m^1.5, the wedge bound) — eager cut so the edge
+      // and oriented caches release before return (r9 ADVICE hygiene rule)
+      .localCheckpoint()
+    e.unpersist(); o.unpersist()
+    out
   }
 
   /** Synchronous label propagation (community detection), `iters` fixed
@@ -338,6 +346,7 @@ object Graph {
         .select(col("dst").as("v"), col("m.l").as("label"))
         .localCheckpoint()
     }
+    e.unpersist() // lab is a checkpoint leaf
     lab
   }
 
@@ -354,15 +363,18 @@ object Graph {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).persist(mem)
     val nodes = e.select(col("src").as("id")).distinct().persist(mem)
-    var visited = sources.select(col("id")).distinct()
+    val visited0 = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0)).persist(mem)
+    var visited = visited0
     var frontier = visited.select(col("id"))
+    val hops = Seq.newBuilder[DataFrame] // persisted per-hop frontiers to release
     var k = 1
     while (k <= maxHops) {
       val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited.select(col("id")), Seq("id"), "left_anti")
         .withColumn("dist", lit(k)).persist(mem)
+      hops += next
       // localCheckpoint (not just persist): `visited` is a union-of-unions
       // whose LINEAGE grows one join+union per hop — at 100× the plan/DAG
       // depth, not the data, becomes the bottleneck (scheduler + codegen
@@ -377,7 +389,12 @@ object Graph {
     val unreached = nodes.join(visited.select(col("id")), Seq("id"), "left_anti")
       .agg(count(lit(1)).as("n_nodes"))
       .select(lit(-1).as("dist"), col("n_nodes"))
-    reached.unionByName(unreached).filter(col("n_nodes") > 0)
+    // hop-census-sized — eager cut, then release every loop cache (r9 ADVICE)
+    val out = reached.unionByName(unreached).filter(col("n_nodes") > 0)
+      .localCheckpoint()
+    e.unpersist(); nodes.unpersist(); visited0.unpersist()
+    hops.result().foreach(_.unpersist())
+    out
   }
 
   /** Per-source bounded-hop BFS census — the reach profile behind SAMPLED
@@ -394,10 +411,11 @@ object Graph {
                          maxHops: Int): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col("src"), col("dst")).persist(mem)
-    var visited = sources.select(col("id").as("root"))
+    val visited0 = sources.select(col("id").as("root"))
       .distinct()
       .select(col("root"), col("root").as("id"), lit(0).as("dist"))
       .persist(mem)
+    var visited = visited0
     var frontier = visited.select(col("root"), col("id"))
     var k = 1
     while (k <= maxHops) {
@@ -410,8 +428,12 @@ object Graph {
       frontier = next.select(col("root"), col("id"))
       k += 1
     }
-    visited.filter(col("dist") > 0)
+    // (probe × hop)-sized census — eager cut, then release (r9 ADVICE)
+    val out = visited.filter(col("dist") > 0)
       .groupBy(col("root"), col("dist")).agg(count(lit(1)).as("n_nodes"))
+      .localCheckpoint()
+    e.unpersist(); visited0.unpersist()
+    out
   }
 
   /** Degree assortativity (Newman 2002): Pearson correlation of EXCESS
@@ -443,10 +465,13 @@ object Graph {
       col("sx").cast(DecimalType(38, 0)) * col("sx")).cast(DecimalType(38, 0))
     // r_num/r_den are DECIMAL(38,0) n·Σ products that pass 2^53 at scale:
     // grade them as exact digit strings so neither engine rounds.
-    m.crossJoin(nn).select(col("n"), col("n_nodes"), col("sx"),
+    val out = m.crossJoin(nn).select(col("n"), col("n_nodes"), col("sx"),
       col("sxx"), col("sxy"),
       num.cast("string").as("r_num"), den.cast("string").as("r_den"),
       round(num.cast("double") / den.cast("double"), 9).as("assortativity"))
+      .localCheckpoint() // single row — eager cut, release e (r9 ADVICE)
+    e.unpersist()
+    out
   }
 
   /** Common-neighbor link prediction: score every NON-adjacent node pair
@@ -470,7 +495,7 @@ object Graph {
     val nonEdge = w.join(e,
       w("p") === e("u") && w("q") === e("v"), "left_anti")
     val deg = adj.groupBy(col("a")).agg(count(lit(1)).as("d"))
-    nonEdge
+    val out = nonEdge
       .join(deg.select(col("a").as("p"), col("d").as("deg_p")), "p")
       .join(deg.select(col("a").as("q"), col("d").as("deg_q")), "q")
       .select(col("p"), col("q"), col("cn"), col("deg_p"), col("deg_q"),
@@ -478,6 +503,11 @@ object Graph {
         round(col("cn").cast("double") /
           (col("deg_p") + col("deg_q") - col("cn")).cast("double"), 9)
           .as("jaccard"))
+      // two-hop-pair-sized (the Σd² wedge bound already paid above) —
+      // eager cut, then release the pinned edge cache (r9 ADVICE)
+      .localCheckpoint()
+    e.unpersist()
+    out
   }
 
   /** Bounded-horizon STRESS centrality from a sampled probe set — the
