@@ -218,10 +218,13 @@ object Sketches {
       .select(col("hll_estimate").as("est_union"))
     val exact = ap.select(col("val")).intersect(bp.select(col("val")))
       .agg(count(lit(1)).as("exact_common"))
-    exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
+    val out = exact.crossJoin(ea).crossJoin(eb).crossJoin(eu)
       .select(col("exact_common"), col("est_a"), col("est_b"),
         col("est_union"),
         (col("est_a") + col("est_b") - col("est_union")).as("est_common"))
+      .localCheckpoint() // one row — eager cut, release the pins (r9 ADVICE)
+    ap.unpersist(); bp.unpersist(); ra.unpersist(); rb.unpersist()
+    out
   }
 
   /** Bloom filter size in bits (power of two so the position is the hash's
@@ -283,7 +286,7 @@ object Sketches {
         s"& shiftleft(cast(1 as bigint), cast(($b) % 64 as int))) != 0)"
     }.mkString(" AND ")
     val nBuild = buildVals.agg(count(lit(1)).as("n_build"))
-    probeVals
+    val out = probeVals
       .withColumn("bm", typedLit(bitmap.toSeq))
       .withColumn("pass", expr(passSql)).drop("bm")
       .join(broadcast(buildVals.withColumn("inb", lit(1))), Seq("val"), "left")
@@ -295,6 +298,9 @@ object Sketches {
       .crossJoin(nBuild)
       .select(col("n_probe"), col("n_build"), col("n_candidates"),
         col("n_true_match"), col("n_false_positive"))
+      .localCheckpoint() // one row — eager cut, release the pin (r9 ADVICE)
+    buildVals.unpersist()
+    out
   }
 
   /** Range-predicate selectivity estimation from an equi-depth histogram —
@@ -357,9 +363,12 @@ object Sketches {
       floor(estLeq(hi) - estLeq(lo - 1)).cast("long").as("est_rows"))
     val exact = vals.filter(col("v").between(lo, hi))
       .agg(count(lit(1)).as("exact_rows"))
-    exact.crossJoin(est)
+    val out = exact.crossJoin(est)
       .select(lit(n).as("n_rows"), col("exact_rows"), col("est_rows"),
         (col("est_rows") - col("exact_rows")).as("err_rows"))
+      .localCheckpoint() // one row — eager cut, release the pins (r9 ADVICE)
+    vals.unpersist(); cum.unpersist()
+    out
   }
 
   /** Equi-join cardinality estimation from two CMS cell relations — the
@@ -459,7 +468,7 @@ object Sketches {
     val exact = ha.agg(count(lit(1)).as("exact_a"))
       .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
       .crossJoin(ha.intersect(hb).agg(count(lit(1)).as("exact_common")))
-    exact
+    val out = exact
       .crossJoin(est(ka, "kmv_a"))
       .crossJoin(est(kb, "kmv_b"))
       .crossJoin(est(ku, "kmv_union"))
@@ -468,5 +477,8 @@ object Sketches {
         col("kmv_a"), col("kmv_b"), col("kmv_union"),
         (col("n_common_kmin").cast("double") * col("kmv_union")
           / lit(k.toDouble)).as("kmv_common"))
+      .localCheckpoint() // one row — eager cut, release the pins (r9 ADVICE)
+    Seq(ha, hb, ka, kb, ku).foreach(_.unpersist())
+    out
   }
 }
