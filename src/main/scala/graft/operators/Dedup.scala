@@ -10,12 +10,17 @@ import org.apache.spark.sql.functions._
   * and candidate generation is always bucketed (LSH bands / shared shingles /
   * sign buckets) so no O(n²) all-pairs materializes at 100 TB.
   *
-  * Ownership note on `persist`: intermediates cached inside these methods
-  * (signature tables, exploded shingle sets) live until the session ends or
-  * the caller clears them — the single-job batch model this library targets.
-  * A long-lived driver looping over corpora should `spark.catalog.clearCache()`
-  * between runs; at 100 TB those intermediates are WRITTEN tables anyway and
-  * the persists become no-ops of the stored layout.
+  * Ownership note on `persist`: methods whose output is BOUNDED (pair
+  * lists, censuses, sweeps) eagerly cut it with localCheckpoint and release
+  * their internal caches before returning — the r9 cache-hygiene rule, so
+  * long registry sessions never accumulate signature-table blocks. Methods
+  * whose output is CORPUS-sized ([[dedupCorpus]], [[removeDuplicateSpans]],
+  * [[resolveClustersIncremental]]) intentionally leave their pins in place:
+  * checkpointing a corpus-sized lazy output would double-write it, and the
+  * caller stores that output anyway — a long-lived driver looping over
+  * corpora should `spark.catalog.clearCache()` between runs; at 100 TB those
+  * intermediates are WRITTEN tables and the persists become no-ops of the
+  * stored layout.
   */
 object Dedup {
 
@@ -60,8 +65,8 @@ object Dedup {
       graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
     val allBase = sh.select(col("id"), size(col("hs")).as("n_full"),
       explode(col("hs")).as("s"))
-    val surviving =
-      if (maxDf <= 0) allBase.withColumnRenamed("n_full", "n_sh")
+    val (surviving, allPin) =
+      if (maxDf <= 0) (allBase.withColumnRenamed("n_full", "n_sh"), None)
       else {
         // the df-cap path reads this relation three times (hot set,
         // anti-join, set-size recount) — persist it once; the uncapped path
@@ -71,7 +76,8 @@ object Dedup {
           .filter(col("df") > maxDf).select(col("s"))
         val kept = all.drop("n_full").join(broadcast(hot), Seq("s"), "left_anti")
         // set sizes over the capped universe, so Jaccard stays a true ratio
-        kept.join(kept.groupBy("id").agg(count(lit(1)).as("n_sh")), Seq("id"))
+        (kept.join(kept.groupBy("id").agg(count(lit(1)).as("n_sh")), Seq("id")),
+          Some(all))
       }
     // materialize the exploded shingle set once — the self-join would
     // otherwise re-run scan+shingle+hash for EACH side (at 100 TB this is a
@@ -84,11 +90,15 @@ object Dedup {
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
-    inter
+    val out = inter
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("na") + col("nb") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      // pair-sized — eager cut, release the signature caches (r9 ADVICE)
+      .localCheckpoint()
+    exploded.unpersist(); allPin.foreach(_.unpersist())
+    out
   }
 
   /** Exact shingle-set overlap for an EXPLICIT pair list: |A∩B| and |A∪B|
@@ -105,13 +115,17 @@ object Dedup {
         graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sh.count() // pin: both pair-side joins read it
-    pairs
+    val out = pairs
       .join(sh.select(col("id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
       .join(sh.select(col("id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
       .withColumn("n_inter", size(array_intersect(col("hs_a"), col("hs_b"))).cast("long"))
       .withColumn("n_union",
         (size(col("hs_a")) + size(col("hs_b"))).cast("long") - col("n_inter"))
       .drop("hs_a", "hs_b")
+      // candidate-pair-sized — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    sh.unpersist()
+    out
   }
 
   /** Asymmetric containment near-dup pairs: C = |A∩B| / min(|A|,|B|) ≥
@@ -151,7 +165,7 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
-    a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+    val out = a.join(b, col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
       .agg(count(lit(1)).as("inter"))
@@ -159,6 +173,10 @@ object Dedup {
         least(col("na"), col("nb")), 6))
       .filter(col("containment") >= threshold)
       .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("containment"))
+      // pair-sized — eager cut, release the signature caches (r9 ADVICE)
+      .localCheckpoint()
+    exploded.unpersist(); all.unpersist()
+    out
   }
 
   /** Content-defined chunks (LBFS/rsync/backup-dedup primitive): a chunk
@@ -246,7 +264,7 @@ object Dedup {
       .filter(graft.functions.VectorExprs.firstEqIndex(
         col("a.buckets"), col("b.buckets")) === col("a.band"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    cand
+    val out = cand
       .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       // codegen'd agreement count — the interpreted zip_with/filter HOF stack
@@ -256,6 +274,10 @@ object Dedup {
           .cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      // pair-sized — eager cut, release the signature cache (r9 ADVICE)
+      .localCheckpoint()
+    sig.unpersist()
+    out
   }
 
   /** Incremental MinHash-LSH: near-dup pairs for a NEW document batch
@@ -382,7 +404,7 @@ object Dedup {
         col("a.id") < col("b.id")))
     val cand = no.unionByName(nn)
     val allSigs = existingSigs.unionByName(newSig)
-    cand
+    val out = cand
       .join(allSigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
       .join(allSigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .withColumn("est_jaccard",
@@ -390,6 +412,10 @@ object Dedup {
           .cast("double") / lit(numHashes))
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 6).as("est_jaccard"))
+      // batch-pair-sized — eager cut, release the batch signatures (r9 ADVICE)
+      .localCheckpoint()
+    newSig.unpersist()
+    out
   }
 
   /** The persisted signature-table side of the incremental contract — the
@@ -497,12 +523,16 @@ object Dedup {
       when(shiftright(xorv, offsets(bp))
         .bitwiseAND(lit((1L << widths(bp)) - 1)) === 0L, lit(bp)).otherwise(acc)
     }
-    a.join(b, col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
+    val out = a.join(b, col("a.blk") === col("b.blk") && col("a.bv") === col("b.bv") &&
         col("a.id") < col("b.id"))
       .filter(firstBlk === col("a.blk"))
       .withColumn("hamming", bit_count(xorv))
       .filter(col("hamming") <= maxDist)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("hamming"))
+      // pair-sized — eager cut, release the fingerprint cache (r9 ADVICE)
+      .localCheckpoint()
+    blocked.unpersist()
+    out
   }
 
   /** Duplicate-cluster resolution: near-dup PAIRS → connected components →
@@ -735,12 +765,16 @@ object Dedup {
         words(col(textCol)), n)).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val gdf = grams.groupBy(col("s")).agg(count(lit(1)).as("df"))
-    grams.join(gdf, Seq("s"))
+    val out = grams.join(gdf, Seq("s"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") > 1, 1L).otherwise(0L)).as("n_dup_grams"))
       .withColumn("dup_ratio",
         round(col("n_dup_grams").cast("double") / col("n_grams"), 6))
+      // one census row per doc — eager cut, release the gram cache (r9 ADVICE)
+      .localCheckpoint()
+    grams.unpersist()
+    out
   }
 
   /** Exact-substring REMOVAL (Lee et al. 2022's actual dedup action, one
@@ -834,11 +868,15 @@ object Dedup {
     v.count()
     val a = v.as("a")
     val b = v.as("b")
-    a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
+    val out = a.join(b, col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .withColumn("cos_sim", round(
         Vectors.dot(col("a.emb"), col("b.emb")) / (col("a.nrm") * col("b.nrm")), 6))
       .filter(col("cos_sim") >= simThreshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cos_sim"))
+      // pair-sized — eager cut, release the assignment cache (r9 ADVICE)
+      .localCheckpoint()
+    v.unpersist()
+    out
   }
 
   /** LSH parameter sweep over one shared signature table: each (bands,
@@ -879,6 +917,9 @@ object Dedup {
         .select(lit(bands).as("bands"), lit(rows).as("rows_per_band"),
           col("n_candidates"), col("sum_agreement"), col("n_dup_pairs"))
     }
-    per.reduce(_.unionByName(_))
+    // arms-row census — eager cut, release the shared signatures (r9 ADVICE)
+    val out = per.reduce(_.unionByName(_)).localCheckpoint()
+    sig.unpersist()
+    out
   }
 }
