@@ -133,12 +133,16 @@ object IcebergCatalog {
     val liveC = live.groupBy(col("table_id")).agg(count(lit(1)).as("n_live_files"))
     val delC = del.groupBy(col("table_id")).agg(
       count(lit(1)).as("n_deletable_files"), sum(col("bytes")).as("deletable_bytes"))
-    snapC.join(liveC, Seq("table_id"), "left").join(delC, Seq("table_id"), "left")
+    val out = snapC.join(liveC, Seq("table_id"), "left").join(delC, Seq("table_id"), "left")
       .select(col("table_id"), col("n_snapshots"), col("n_expired"),
         coalesce(col("n_live_files"), lit(0L)).as("n_live_files"),
         coalesce(col("n_deletable_files"), lit(0L)).as("n_deletable_files"),
         coalesce(col("deletable_bytes"), lit(0L)).as("deletable_bytes"))
       .orderBy(col("table_id"))
+      // per-table census — eager cut, release the pins (r9 ADVICE)
+      .localCheckpoint()
+    flagged.unpersist(); r.unpersist()
+    out
   }
 
   /** I5 reconciler: diff desired vs actual remote-catalog state

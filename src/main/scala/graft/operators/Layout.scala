@@ -203,9 +203,13 @@ object Layout {
         .join(broadcast(zm), col("zmax") >= col("lo") && col("zmin") < col("hi"), "left")
         .groupBy(col("prefix"), col("n_objects"))
         .agg(count(col("zmin")).as(out))
-    surviving(zSorted, "chunks_sorted")
+    val out = surviving(zSorted, "chunks_sorted")
       .join(surviving(zNat, "chunks_natural"), Seq("prefix", "n_objects"))
       .withColumn("total_chunks", lit(nChunks))
       .orderBy(col("prefix"))
+      // per-prefix census — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    zSorted.unpersist()
+    out
   }
 }

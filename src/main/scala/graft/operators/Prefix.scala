@@ -20,6 +20,12 @@ object Prefix {
     * carries a partition spec. */
   def withRankAndCumSum(df: DataFrame, sortCols: Seq[Column],
                         weight: Column, nPart: Int): DataFrame = {
+    // CORRECTNESS pin, not a perf cache (deliberately not unpersisted):
+    // the driver census below reads the range-partitioned relation once,
+    // and the returned lazy result reads it again — a recompute could
+    // re-sample different range bounds, shifting _pid under the collected
+    // offsets. The pin guarantees both reads see ONE materialization;
+    // callers with bounded outputs checkpoint-and-release downstream.
     val parted = df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

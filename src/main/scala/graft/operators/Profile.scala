@@ -130,7 +130,7 @@ object Profile {
       .select(col("g"), abs(col("v") - col("med")).as("d"))
     val mad = TextAnalysis.groupedQuantiles(dev, "g", "d", Seq(50))
       .select(col("g"), col("value").as("mad"))
-    base.join(med, Seq("g")).join(mad, Seq("g"))
+    val out = base.join(med, Seq("g")).join(mad, Seq("g"))
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_rows"), min(col("med")).as("median"),
         min(col("mad")).as("mad"),
@@ -139,5 +139,9 @@ object Profile {
       .select(col("g").as(groupCol), col("n_rows"), col("median"), col("mad"),
         col("n_outliers"))
       .orderBy(col(groupCol))
+      // per-group census — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    base.unpersist()
+    out
   }
 }

@@ -82,7 +82,7 @@ object Temporal {
       .select(col("k"), explode(sequence(col("mn"), col("mx"))).as("hi"))
     val w = Window.partitionBy(col("k")).orderBy(col("hi"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.join(hourly, Seq("k", "hi"), "left")
+    val out = grid.join(hourly, Seq("k", "hi"), "left")
       .withColumn("ffill", last(col("sv"), ignoreNulls = true).over(w))
       .select(col("k").as(key), timestamp_micros(col("hi") * micros).as("hour"),
         coalesce(col("n_events"), lit(0L)).as("n_events"),
@@ -90,6 +90,10 @@ object Temporal {
         col("sv").cast("double").as("sum_value"),
         col("ffill").cast("double").as("ffill_value"))
       .orderBy(col(key), col("hour"))
+      // (key × hour-grid)-sized — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    hourly.unpersist()
+    out
   }
 
   /** As-of join with a MATCH TOLERANCE (pandas `merge_asof(tolerance=…)`,

@@ -243,11 +243,15 @@ object TextAnalysis {
     val n = lm.agg(sum(col("c"))).head().getLong(0).toDouble
     val scored = lm.select(col("w"),
       round(log(lit(n) / col("c")), 6).cast("decimal(18,6)").as("surp"))
-    tok.join(scored, Seq("w"))
+    val out = tok.join(scored, Seq("w"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("_ssum"))
       .select(col("id"), col("n_tokens"),
         round(col("_ssum").cast("double") / col("n_tokens"), 6).as("mean_surprisal"))
+      // per-doc scores — eager cut, release the LM pin (r9 ADVICE)
+      .localCheckpoint()
+    lm.unpersist()
+    out
   }
 
   /** The two-tier LM lookup [[unigramSurprisal]]'s doc comment promises —
@@ -272,11 +276,15 @@ object TextAnalysis {
     val headHits = tok.join(head, Seq("w"))
     val tailHits = tok.join(head.select(col("w")), Seq("w"), "left_anti")
       .join(scored.select(col("w"), col("surp")), Seq("w"))
-    headHits.unionByName(tailHits)
+    val out = headHits.unionByName(tailHits)
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_tokens"), sum(col("surp")).as("_ssum"))
       .select(col("id"), col("n_tokens"),
         round(col("_ssum").cast("double") / col("n_tokens"), 6).as("mean_surprisal"))
+      // per-doc scores — eager cut, release the LM pin (r9 ADVICE)
+      .localCheckpoint()
+    lm.unpersist()
+    out
   }
 
   /** Documents exploded to LINES of `wordsPerLine` words. The fixture corpus
@@ -391,6 +399,10 @@ object TextAnalysis {
         i => array_join(slice(col("ws"), i * wordsPerLine + 1, lit(wordsPerLine)), " "))))
       .select(col("id"), col("host"), col("pos").cast("long").as("line_no"),
         col("col").as("line"), xxhash64(col("col")).as("lh"))
+      // corpus-sized-output exemption (the Dedup.scala header policy): the
+      // reconstructed kept_text is corpus-sized, so checkpoint-and-release
+      // would double-write it; the line cache stays pinned for the two
+      // readers and is reclaimed by the caller's clearCache between runs.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val boiler = lines.select(col("host"), col("lh"), col("id")).distinct()
       .groupBy(col("host"), col("lh"))
@@ -497,7 +509,7 @@ object TextAnalysis {
     // continuation counts N₊(·w2)
     val cont = bg.groupBy(col("w2")).agg(count(lit(1)).as("n_bwd"))
     val nTot = bg.agg(count(lit(1)).as("n_bg"))
-    bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
+    val out = bg.join(ctx, Seq("w1")).join(cont, Seq("w2"))
       .crossJoin(broadcast(nTot))
       .withColumn("p_kn",
         greatest(col("c").cast("double") - lit(0.75), lit(0.0)) /
@@ -506,6 +518,11 @@ object TextAnalysis {
             (col("n_bwd").cast("double") / col("n_bg").cast("double")))
       .select(col("w1"), col("w2"), col("c"), col("c_ctx"), col("n_fwd"),
         col("n_bwd"), col("p_kn"))
+      // LM-table-sized (the artifact itself) — eager cut, release the pair
+      // cache it was derived from (r9 ADVICE)
+      .localCheckpoint()
+    bg.unpersist()
+    out
   }
 
   /** Collocation mining: pointwise-mutual-information lift for adjacent
@@ -732,13 +749,17 @@ object TextAnalysis {
       Seq(col("c").desc, col("w")), col("c"), nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cum.agg(sum(col("c"))).head().getLong(0)
-    thresholds.map { t =>
+    val out = thresholds.map { t =>
       cum.filter(col("cum") * 100 >= lit(n) * t)
         .agg(min(col("rnk")).cast("long").as("vocab_size"),
           min_by(col("cum"), col("rnk")).as("covered_tokens"))
         .select(lit(t).as("threshold_pct"), col("vocab_size"),
           col("covered_tokens"), lit(n).as("total_tokens"))
     }.reduce(_ unionByName _)
+      // thresholds-row census — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    cum.unpersist()
+    out
   }
 
   /** Exact percentiles as order statistics over the VALUE HISTOGRAM: the
@@ -759,12 +780,16 @@ object TextAnalysis {
     val cum = Prefix.withRankAndCumSum(hist, Seq(col("v")), col("c"), nPart)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = cum.agg(sum(col("c"))).head().getLong(0)
-    percents.map { p =>
+    val out = percents.map { p =>
       val rank = (n * p + 99) / 100 // ⌈n·p/100⌉, exact long arithmetic
       cum.filter(col("cum") >= rank)
         .agg(min(col("v")).as("value"))
         .select(lit(p).as("pct"), col("value"), lit(n).as("n_rows"))
     }.reduce(_ unionByName _)
+      // percentile-row census — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    cum.unpersist()
+    out
   }
 
   /** Per-GROUP exact percentiles — [[exactQuantiles]] keyed by a group
@@ -786,7 +811,7 @@ object TextAnalysis {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val cum = hist.withColumn("cum", sum(col("c")).over(w))
     val totals = hist.groupBy(col("g")).agg(sum(col("c")).as("n"))
-    cum.join(totals, Seq("g"))
+    val out = cum.join(totals, Seq("g"))
       .select(col("g"), col("v"), col("cum"), col("n"),
         explode(array(percents.map(lit): _*)).as("pct"))
       .filter(col("cum") >= expr("(n * pct + 99) div 100"))
@@ -795,6 +820,10 @@ object TextAnalysis {
       .select(col("g").as(groupCol), col("pct"), col("value"),
         col("n").as("n_rows"))
       .orderBy(col(groupCol), col("pct"))
+      // (group × pct)-row census — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    hist.unpersist()
+    out
   }
 
   /** TF-IDF top-k keyword extraction per document — the per-doc companion
@@ -821,9 +850,13 @@ object TextAnalysis {
           .cast("double"), 6))
     val win = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("score").desc, col("w"))
-    scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
+    val out = scored.withColumn("rn", row_number().over(win)).filter(col("rn") <= k)
       .select(col("id"), col("rn").as("rank"), col("w").as("term"),
         col("tf"), col("score"))
+      // k rows per doc — eager cut, release the tf cache (r9 ADVICE)
+      .localCheckpoint()
+    tf.unpersist()
+    out
   }
 
   /** BM25 relevance scoring of a keyword query over the corpus — the
@@ -875,11 +908,15 @@ object TextAnalysis {
         (tf + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl))))
         .cast("decimal(28,10)")
     }
-    proj.filter(qTerms.indices.map(i => col("tfs").getItem(i) > 0).reduce(_ || _))
+    val out = proj.filter(qTerms.indices.map(i => col("tfs").getItem(i) > 0).reduce(_ || _))
       .select(col("id"),
         round(contribs.reduce(_ + _).cast("double"), 6).as("score"))
       .orderBy(col("score").desc, col("id"))
       .limit(topK)
+      // topK rows — eager cut, release the doc-stats pin (r9 ADVICE)
+      .localCheckpoint()
+    proj.unpersist()
+    out
   }
 
   /** Hashed bag-of-words class profiles — the sufficient statistics of a
@@ -1008,6 +1045,9 @@ object TextAnalysis {
         .when(col("bucket") <= col("b2"), "middle").otherwise("tail"))
       .groupBy(col("lang"), col("tier"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      // (lang × tier)-row census — eager cut, release the pins (r9 ADVICE)
+      .localCheckpoint()
+    tok.unpersist(); db.unpersist()
     out
   }
 
@@ -1058,7 +1098,7 @@ object TextAnalysis {
       .withColumn("tokens", coalesce(col("tokens"), lit(0L)))
       .withColumn("wq", floor(sqrt(col("tokens").cast("double")) * 1e9).cast("long"))
     val tot = j.agg(sum(col("wq")).as("wq_total"))
-    j.crossJoin(tot)
+    val out = j.crossJoin(tot)
       .withColumn("alloc_tokens", when(col("wq_total") === 0, lit(0L))
         .otherwise(expr(
           s"(CAST($budgetTokens AS DECIMAL(38,0)) * CAST(wq AS DECIMAL(38,0))) div wq_total")))
@@ -1066,6 +1106,10 @@ object TextAnalysis {
       .select(col("lang"), col("docs_in"), col("docs_quality"),
         col("docs_final"), col("tokens"), col("wq"), col("alloc_tokens"),
         col("n_shards"))
+      // per-lang plan rows — eager cut, release the pin (r9 ADVICE)
+      .localCheckpoint()
+    base.unpersist()
+    out
   }
 
   /** WordPiece-style greedy longest-match-first segmentation (the BERT
