@@ -20,15 +20,16 @@ object Prefix {
     * carries a partition spec. */
   def withRankAndCumSum(df: DataFrame, sortCols: Seq[Column],
                         weight: Column, nPart: Int): DataFrame = {
-    // CORRECTNESS pin, not a perf cache (deliberately not unpersisted):
-    // the driver census below reads the range-partitioned relation once,
-    // and the returned lazy result reads it again — a recompute could
-    // re-sample different range bounds, shifting _pid under the collected
-    // offsets. The pin guarantees both reads see ONE materialization;
-    // callers with bounded outputs checkpoint-and-release downstream.
+    // CORRECTNESS freeze: the driver census below reads the
+    // range-partitioned relation once and the returned lazy result reads it
+    // again — a recompute could re-sample different range bounds, shifting
+    // _pid under the collected offsets. localCheckpoint (not persist)
+    // freezes ONE materialization that cannot recompute, lives outside the
+    // DataFrame cache registry (CacheHygieneSpec asserts operators leave it
+    // empty), and is reclaimed by the context cleaner once unreferenced.
     val parted = df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val census = parted.groupBy(col("_pid"))
       .agg(count(lit(1)).as("rows"), sum(weight).as("mass"))
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
@@ -59,9 +60,10 @@ object Prefix {
     * partitions — no global window at any size. */
   def withRunningMaxExcl(df: DataFrame, sortCols: Seq[Column],
                          value: Column, nPart: Int): DataFrame = {
+    // same correctness freeze as withRankAndCumSum above
     val parted = df.repartitionByRange(nPart, sortCols: _*)
       .withColumn("_pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val census = parted.groupBy(col("_pid")).agg(max(value).as("mx"))
       .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
     val offs = census.scanLeft(Long.MinValue) {

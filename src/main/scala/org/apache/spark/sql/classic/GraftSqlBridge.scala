@@ -9,4 +9,12 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 object GraftSqlBridge {
   def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark, plan)
+
+  /** True iff the session's DataFrame-level cache registry is empty — the
+    * observable CacheHygieneSpec asserts after each bounded-output operator
+    * returns (df.persist registers here and is held by a strong reference
+    * until unpersist; RDD-level localCheckpoint blocks are cleaner-managed
+    * and deliberately NOT counted). */
+  def cacheRegistryEmpty(spark: SparkSession): Boolean =
+    spark.sharedState.cacheManager.isEmpty
 }
