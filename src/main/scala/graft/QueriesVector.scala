@@ -356,7 +356,7 @@ object QueriesVector {
           .unionByName(pert(2000000L, 3, 0.16))
           .unionByName(pert(3000000L, 6, 0.24))
           .unionByName(pert(4000000L, 5, 0.40))
-        Vectors.dbscan(corpus, "vec_id", "v", 0.2, 3, queryVec(s, dir))
+        Vectors.dbscan(corpus, "vec_id", "v", 0.2, 3, Seq(queryVec(s, dir)))
           .groupBy(col("cluster").as("cluster_id"))
           .agg(sum(when(col("role") === "core", 1L).otherwise(0L)).as("n_core"),
             sum(when(col("role") === "border", 1L).otherwise(0L)).as("n_border"),
@@ -409,6 +409,7 @@ object QueriesVector {
           |UNION ALL
           |SELECT CAST(-1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
           |  (SELECT count(*) FROM corpus) - (SELECT count(*) FROM asg)
+          |WHERE (SELECT count(*) FROM corpus) > (SELECT count(*) FROM asg)
           |ORDER BY cluster_id""".stripMargin),
       doc = "exact DBSCAN (annulus-pruned eps-join, core/border/noise) censused per cluster vs brute-force oracle"),
 
@@ -1625,25 +1626,9 @@ object QueriesVector {
           .distinct()
         val wq = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q")).orderBy(col("d9"), col("id"))
-        def score(c: org.apache.spark.sql.DataFrame) = c
-          .join(qs, Seq("q"))
-          .join(emb.select(col("vec_id").as("id"), col("v").as("cv")), Seq("id"))
-          .filter(col("id") =!= col("q"))
-          .withColumn("d9", d9("qv", "cv"))
-          .select(col("q"), col("id"), col("d9"))
-        var beam = score(seeds)
-          .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= ef)
-          .select(col("q"), col("id"), col("d9"))
-          .localCheckpoint()
-        for (_ <- 1 to rounds) {
-          val expand = beam.select(col("q"), col("id").as("a"))
-            .join(g1, Seq("a")).select(col("q"), col("b").as("id"))
-            .union(beam.select(col("q"), col("id"))).distinct()
-          beam = score(expand)
-            .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= ef)
-            .select(col("q"), col("id"), col("d9"))
-            .localCheckpoint() // house rule: constant plan depth per round
-        }
+        // beam loop factored into Vectors.beamSearch (identical computation)
+        // so ScaleProbe's beam_query kernel times the same serving path
+        val beam = Vectors.beamSearch(g1, emb, qs, seeds, ef, rounds)
         val top = beam.withColumn("rnk", row_number().over(wq))
           .filter(col("rnk") <= K).persist()
         top.count() // pin: census + recall probe

@@ -29,8 +29,14 @@ object ScaleProbe {
     val mults = (if (args.length > 1) args(1) else "1,4,16")
       .split(",").map(_.trim.toInt).toSeq
     val all = Seq("dedup_exact", "dedup_minhash_lsh", "text_wordpiece",
-      "graph_louvain", "t_sessionize", "e_hourly_agg")
-    val kernels = if (args.length > 2) args(2).split(",").toSeq else all
+      "graph_louvain", "t_sessionize", "e_hourly_agg",
+      "knn_graph_build", "beam_query", "dbscan_hot_1p", "dbscan_hot_2p")
+    val kernels = if (args.length > 2) args(2).split(",").map(_.trim).toSeq else all
+    // validate BEFORE the session spins up: a typo'd kernel name used to
+    // surface as a bare MatchError after ~10 s of Spark startup
+    val unknown = kernels.filterNot(all.contains)
+    require(unknown.isEmpty,
+      s"unknown kernel(s) ${unknown.mkString(", ")}; valid: ${all.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
     val spark = SparkSession.builder()
@@ -68,6 +74,36 @@ object ScaleProbe {
       }.reduce(_ unionByName _)
     }
 
+    // Disjoint embedding replicas under a per-replica diagonal ±1 orthogonal
+    // transform: within a replica every pairwise cosine is EXACTLY preserved
+    // (sign flips are an isometry), while cross-replica similarities are
+    // scrambled to ~orthogonal — so the kNN structure stays per-replica and
+    // per-replica work is the real sf's.
+    def embX(m: Int): DataFrame = {
+      val base = Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      (0 until m).map { i =>
+        base.select((col("vec_id") + lit(i * OFF)).as("vec_id"),
+          transform(col("v"), (x, j) =>
+            when(pmod(j * 1103515245L + lit(i * 12345L + 7L), lit(97)) < 48, -x)
+              .otherwise(x)).as("v"))
+      }.reduce(_ unionByName _)
+    }
+    // Hot-annulus corpus: n points on one ring of radius 5 around the
+    // origin — ALL at the same distance from a pivot at the origin, the
+    // worst case for single-pivot annulus pruning (every pair is a
+    // candidate). Golden-angle spacing keeps the layout deterministic and
+    // near-uniform; eps = 0.05 against ~0.01 point spacing keeps the TRUE
+    // neighbor graph sparse, so the 1-pivot candidate blowup is pure
+    // pruning failure, not real density.
+    def ringPts(n: Int): DataFrame =
+      spark.range(n.toLong).select(col("id"),
+        array((lit(5.0) * cos(col("id") * lit(2.0 * math.Pi * 0.6180339887))),
+          (lit(5.0) * sin(col("id") * lit(2.0 * math.Pi * 0.6180339887))))
+          .as("v"))
+    val ringPivotA = Seq(0.0, 0.0)       // ring center: one hot annulus
+    val ringPivotB = Seq(7.0, 0.0)       // off-center: ~100 annuli across the ring
+
     // each kernel returns (rows_in, result-materializing thunk)
     def run(kernel: String, m: Int): (Long, () => Long) = kernel match {
       case "dedup_exact" =>
@@ -92,6 +128,56 @@ object ScaleProbe {
             .agg(count(lit(1)).as("n"),
               approx_count_distinct(col("user_id")).as("users"))
             .count())
+      // NN-Descent graph build with LSH occupancy held constant
+      // (nPlanes = 4 + log2 m): the linear-build regime the 100 TB design
+      // requires — at FIXED nPlanes the seed self-join is quadratic
+      // (documented on nnDescentKnnGraph).
+      case "knn_graph_build" =>
+        val e = embX(m)
+        val nPlanes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
+        (e.count(), () =>
+          graft.operators.Vectors.nnDescentKnnGraph(e, "vec_id", "v",
+            k = 5, nPlanes = nPlanes).count())
+      // Beam-search serving path at a FIXED query set against an m×-grown
+      // resident graph+corpus: graph build, residency pin, and seed
+      // construction are setup (untimed); the thunk times only the
+      // 4-round beam probe — the corpus-independence claim under test.
+      case "beam_query" =>
+        val e = embX(m).persist(); val nIn = e.count()
+        val nPlanes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
+        val g = graft.operators.Vectors.nnDescentKnnGraph(e, "vec_id", "v",
+          k = 5, nPlanes = nPlanes).persist()
+        g.count()
+        val qs = e.filter(col("vec_id") % 41 === 0 && col("vec_id") < OFF)
+          .select(col("vec_id").as("q"), col("v").as("qv")).persist()
+        qs.count()
+        val b1 = graft.operators.Vectors.lshBuckets(e, "v", 64,
+            nPlanes = nPlanes, seed = 42L)
+          .select(col("vec_id").as("id"), col("lsh_bucket").as("bk"))
+        val entry = g.agg(min(col("a")).as("id"))
+        val seeds = qs.select(col("q"))
+          .join(b1.select(col("id").as("q"), col("bk")), Seq("q"))
+          .join(b1, Seq("bk")).filter(col("id") =!= col("q"))
+          .select(col("q"), col("id"))
+          .union(qs.select(col("q")).crossJoin(broadcast(entry))
+            .filter(col("id") =!= col("q")))
+          .distinct().localCheckpoint()
+        (nIn, () => graft.operators.Vectors.beamSearch(
+          g, e.select(col("vec_id"), col("v")), qs, seeds,
+          ef = 10, rounds = 4).count())
+      // Hot-annulus candidate census: rows_out = candidate pairs the
+      // annulus equi-join admits BEFORE the exact ε² check. 1p puts the
+      // whole ring in one annulus (≈ n²/2 candidates); 2p intersects a
+      // second pivot's partition of it — the multi-pivot composition
+      // dbscan documents, measured.
+      case "dbscan_hot_1p" =>
+        val p = ringPts(3000 * m); (p.count(), () =>
+          graft.operators.Vectors.annulusCandidatePairs(
+            p, "id", "v", 0.05, Seq(ringPivotA)).count())
+      case "dbscan_hot_2p" =>
+        val p = ringPts(3000 * m); (p.count(), () =>
+          graft.operators.Vectors.annulusCandidatePairs(
+            p, "id", "v", 0.05, Seq(ringPivotA, ringPivotB)).count())
     }
 
     // untimed warmup at the smallest mult: codegen + C2 for every probed

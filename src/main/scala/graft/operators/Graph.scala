@@ -276,7 +276,11 @@ object Graph {
     * community C scores 2m·k_{v,C} − k_v·Σtot(C∖{v}) (the ΔQ numerator
     * scaled by 4m² — argmax-equivalent, overflow-bounded by 2m·max_deg,
     * comfortably inside int64 until ~10¹² directed edges × 10⁶ degree;
-    * past that the two products widen to DECIMAL(38,0) unchanged).
+    * past that bound the fixed LongType products would overflow — the
+    * required change at that scale is casting m2·kic and k·tot to
+    * DecimalType(38,0), a two-line widening of the `score` column, not
+    * implemented here because the int64 headroom covers ~10× the 100 TB
+    * design point).
     * Candidates are the neighbor communities ∪ the current one (kept via a
     * zero-count union so "stay" is always priced); ties break to the
     * smallest community id. Each round is two keyed groupBys and three

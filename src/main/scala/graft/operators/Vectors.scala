@@ -79,9 +79,15 @@ object Vectors {
     * `v3_knn_graph_descent` builds and audits inline (two-table LSH seed,
     * top-`k` by the quantized-cosine (d9, b) total order, one
     * neighbor-of-neighbor round), factored out so the graph can be a STORED
-    * index layout. `embCol` must already be `array<double>`. */
+    * index layout. `embCol` must already be `array<double>`.
+    *
+    * `nPlanes` controls the LSH seed fan-in: 2^nPlanes buckets, so the seed
+    * self-join costs ~n²/2^nPlanes pairs. At a FIXED nPlanes the build is
+    * quadratic in corpus size; holding bucket occupancy constant means
+    * nPlanes ≈ log2(n / target_bucket_size), which keeps the build linear —
+    * ScaleProbe's `knn_graph_build` kernel measures exactly that regime. */
   def nnDescentKnnGraph(vectors: DataFrame, idCol: String, embCol: String,
-                        k: Int = 5): DataFrame = {
+                        k: Int = 5, nPlanes: Int = 4): DataFrame = {
     def d9(x: String, y: String): Column = floor(
       (lit(1.0) -
         expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
@@ -92,7 +98,7 @@ object Vectors {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("d9"), col("b"))
     def bucketPairs(seed: Long) = {
-      val wb = lshBuckets(emb, "v", 64, nPlanes = 4, seed = seed)
+      val wb = lshBuckets(emb, "v", 64, nPlanes = nPlanes, seed = seed)
       val l = wb.select(col("vec_id").as("a"), col("lsh_bucket").as("ba"))
       val r = wb.select(col("vec_id").as("b"), col("lsh_bucket").as("bb"))
       l.join(r, col("ba") === col("bb") && col("a") =!= col("b"))
@@ -120,6 +126,49 @@ object Vectors {
     val out = g1.localCheckpoint() // cut lineage before releasing g0
     g0.unpersist()
     out
+  }
+
+  /** Query-time beam search over a (stored, resident) kNN graph — the
+    * serving path `v3_graph_beam_search` grades (reference walks its HNSW
+    * the same way, pgvector/index.ts:740-805). `graph` = (a, b) K-regular
+    * adjacency, `emb` = (vec_id, v), `queries` = (q, qv), `seeds` = (q, id)
+    * entry candidates. Per round: beam ← top-`ef` of (beam ∪
+    * neighbors(beam)) under the total (d9, id) order — no visited set
+    * needed (deterministic idempotent scoring re-ranks revisits
+    * identically). Returns the final beam (q, id, d9), ≤ ef rows/query.
+    * Cost shape: each round joins a |queries|·ef relation against the
+    * resident adjacency and embedding relations — ScaleProbe's `beam_query`
+    * kernel measures the corpus-size dependence of that probe. */
+  def beamSearch(graph: DataFrame, emb: DataFrame, queries: DataFrame,
+                 seeds: DataFrame, ef: Int, rounds: Int): DataFrame = {
+    def d9(x: String, y: String): Column = floor(
+      (lit(1.0) -
+        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
+        (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
+         sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
+        * lit(1000000000.0)).cast("long")
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q")).orderBy(col("d9"), col("id"))
+    def score(c: DataFrame) = c
+      .join(queries, Seq("q"))
+      .join(emb.select(col("vec_id").as("id"), col("v").as("cv")), Seq("id"))
+      .filter(col("id") =!= col("q"))
+      .withColumn("d9", d9("qv", "cv"))
+      .select(col("q"), col("id"), col("d9"))
+    var beam = score(seeds)
+      .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= ef)
+      .select(col("q"), col("id"), col("d9"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val expand = beam.select(col("q"), col("id").as("a"))
+        .join(graph, Seq("a")).select(col("q"), col("b").as("id"))
+        .union(beam.select(col("q"), col("id"))).distinct()
+      beam = score(expand)
+        .withColumn("rnk", row_number().over(wq)).filter(col("rnk") <= ef)
+        .select(col("q"), col("id"), col("d9"))
+        .localCheckpoint() // house rule: constant plan depth per round
+    }
+    beam
   }
 
   private val graphBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -786,40 +835,37 @@ object Vectors {
     * that [[graft.operators.Dedup]]'s embedding near-dup runs).
     *
     * The ε-neighborhood join never goes all-pairs: every point gets a
-    * 1-D annulus key ⌊d(x, pivot)/2ε⌋, and by the triangle inequality any
-    * pair within ε lands in the same or adjacent annulus — so the join is an
-    * equi-join on the annulus key (3 probe keys per point), with the exact
-    * d² ≤ ε² check inside. That is EXACT pruning (no recall loss, unlike an
-    * LSH prefilter), and the 2ε bucket width leaves slack of ~ε over the
-    * float error, so boundary ulps cannot drop a true neighbor. At 100 TB
-    * the annulus key is the shuffle/partition key; production ε (near-dup
-    * scale, ≪ data diameter) makes the annuli thin and the join sparse;
-    * multiple pivots compose by intersecting candidate sets when one annulus
-    * is hot.
+    * 1-D annulus key ⌊d(x, pivot)/2ε⌋ PER PIVOT, and by the triangle
+    * inequality any pair within ε lands in the same or adjacent annulus of
+    * EVERY pivot — so the join is an equi-join on the composite annulus key
+    * (3^P probe keys per point for P pivots), with the exact d² ≤ ε² check
+    * inside. That is EXACT pruning (no recall loss, unlike an LSH
+    * prefilter), and the 2ε bucket width leaves slack of ~ε over the float
+    * error, so boundary ulps cannot drop a true neighbor. At 100 TB the
+    * composite annulus key is the shuffle/partition key; production ε
+    * (near-dup scale, ≪ data diameter) makes the annuli thin and the join
+    * sparse. When the corpus is concentrated so ONE pivot's annulus runs
+    * hot (the expected case for clustered data), additional pivots compose
+    * by INTERSECTION: a pair is a candidate only if it is annulus-adjacent
+    * under every pivot, so the hot cell is cut by each extra pivot's
+    * independent partition of it (ScaleProbe kernel `dbscan_hot` measures
+    * the candidate-pair drop on a deliberately clustered corpus).
     *
-    * Semantics: core ⇔ |N_ε(x) \ {x}| ≥ minPts; clusters = connected
-    * components of the core-core ε-graph (labels = component-min id via
-    * [[Dedup.resolveClusters]]); border = non-core within ε of ≥1 core,
-    * assigned the min cluster label among its core neighbors (deterministic
-    * tiebreak); the rest is noise. Returns (id, role, cluster) with
-    * cluster = -1 for noise. */
+    * Semantics: core ⇔ |N_ε(x) \ {x}| ≥ minPts — the neighbor count
+    * EXCLUDES the point itself, which is off by one from Ester et al. /
+    * scikit-learn (both count x ∈ N_ε(x)); a minPts ported from
+    * scikit-learn must be decremented by 1 to cluster identically here.
+    * Clusters = connected components of the core-core ε-graph (labels =
+    * component-min id via [[Dedup.resolveClusters]]); border = non-core
+    * within ε of ≥1 core, assigned the min cluster label among its core
+    * neighbors (deterministic tiebreak); the rest is noise. Returns
+    * (id, role, cluster) with cluster = -1 for noise. */
   def dbscan(points: DataFrame, idCol: String, vecCol: String,
-             eps: Double, minPts: Int, pivot: Seq[Double]): DataFrame = {
-    val pv = typedLit(pivot)
-    val pts = points.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bkt",
-        floor(sqrt(graft.functions.VectorExprs.l2Sq(col("v"), pv)) / lit(2.0 * eps))
-          .cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+             eps: Double, minPts: Int, pivots: Seq[Seq[Double]]): DataFrame = {
+    val (keyed, bktCols) = annulusKeys(points, idCol, vecCol, eps, pivots)
+    val pts = keyed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     pts.count() // pin: probed twice (both join sides)
-    val probe = pts.select(col("id"), col("v"),
-      explode(array(col("bkt") - 1, col("bkt"), col("bkt") + 1)).as("jb"))
-    // |bkt_a - bkt_b| <= 1 matches exactly one of a's three probe keys, so
-    // each unordered pair surfaces at most once
-    val cand = probe.as("a")
-      .join(pts.select(col("id").as("idb"), col("v").as("vb"), col("bkt").as("jb")).as("b"),
-        Seq("jb"))
-      .filter(col("id") < col("idb"))
+    val cand = annulusJoin(pts, bktCols)
       .filter(graft.functions.VectorExprs.l2Sq(col("v"), col("vb")) <= lit(eps * eps))
       .select(col("id").as("id_a"), col("idb").as("id_b"))
       .localCheckpoint() // sever the ε-join lineage before the CC loop
@@ -847,5 +893,57 @@ object Vectors {
       .unionByName(noise).localCheckpoint()
     pts.unpersist()
     out
+  }
+
+  /** (id, v, bkt_0..bkt_{P-1}): one annulus key ⌊d(x, pivot_p)/2ε⌋ per
+    * pivot. Shared between [[dbscan]] and [[annulusCandidatePairs]]. */
+  private def annulusKeys(points: DataFrame, idCol: String, vecCol: String,
+                          eps: Double, pivots: Seq[Seq[Double]])
+      : (DataFrame, Seq[String]) = {
+    require(pivots.nonEmpty, "dbscan needs at least one pivot")
+    val bktCols = pivots.indices.map(i => s"bkt_$i")
+    val keyed = pivots.zipWithIndex.foldLeft(
+      points.select(col(idCol).as("id"), col(vecCol).as("v"))) {
+      case (df, (p, i)) => df.withColumn(bktCols(i),
+        floor(sqrt(graft.functions.VectorExprs.l2Sq(col("v"), typedLit(p)))
+          / lit(2.0 * eps)).cast("long"))
+    }
+    (keyed, bktCols)
+  }
+
+  /** The composite-annulus equi-join: all (id < idb) pairs annulus-adjacent
+    * under EVERY pivot, vectors attached, BEFORE the exact ε² check. The
+    * probe side explodes the {-1,0,1}^P offset tuples; the build side keeps
+    * its own composite key, so the join is a plain equi-join on
+    * array<long>. Per pivot, |bkt_a − bkt_b| ≤ 1 matches exactly one
+    * offset, so each unordered pair matches exactly one composite probe key
+    * and surfaces at most once. */
+  private def annulusJoin(pts: DataFrame, bktCols: Seq[String]): DataFrame = {
+    val offsetTuples = bktCols.indices.foldLeft(Seq(Seq.empty[Int])) {
+      (acc, _) => acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o))
+    }
+    val probeKeys = offsetTuples.map(t =>
+      array(t.zip(bktCols).map { case (o, b) => col(b) + lit(o.toLong) }: _*))
+    val probe = pts.select(col("id"), col("v"),
+      explode(array(probeKeys: _*)).as("jb"))
+    probe.as("a")
+      .join(pts.select(col("id").as("idb"), col("v").as("vb"),
+          array(bktCols.map(col): _*).as("jb")).as("b"),
+        Seq("jb"))
+      .filter(col("id") < col("idb"))
+  }
+
+  /** Probe-only: the candidate-pair relation the composite-annulus equi-join
+    * admits BEFORE the exact ε² check — the work the pruning could not
+    * avoid. Used by ScaleProbe's `dbscan_hot` kernels to measure how a
+    * second pivot's intersection cuts a hot annulus; [[dbscan]]'s own output
+    * is pivot-invariant (exactness), so the pre-filter count is the only
+    * observable difference. */
+  def annulusCandidatePairs(points: DataFrame, idCol: String, vecCol: String,
+                            eps: Double, pivots: Seq[Seq[Double]]): DataFrame = {
+    val (keyed0, bktCols) = annulusKeys(points, idCol, vecCol, eps, pivots)
+    val keyed = keyed0.localCheckpoint() // probed twice (both join sides)
+    annulusJoin(keyed, bktCols)
+      .select(col("id").as("id_a"), col("idb").as("id_b"))
   }
 }

@@ -11,7 +11,7 @@ import org.apache.spark.sql.functions._
 class DbscanSpec extends SparkTestBase {
   import spark.implicits._
 
-  private val pivot = Seq(5.0, 5.0)
+  private val pivot = Seq(Seq(5.0, 5.0))
 
   test("dbscan: hand geometry — tight quad is core, outlier arm is border, far point is noise") {
     // quad at the origin (pairwise ≤ ~0.14): 4 points, each with 3 ε-nbrs →
@@ -75,6 +75,12 @@ class DbscanSpec extends SparkTestBase {
     assert(core.nonEmpty && expected.values.exists(_._2 == "border") &&
       expected.values.exists(_._2 == "noise"),
       "fixture must exercise all three roles")
+    // multi-pivot intersection must not change the result: the composite
+    // key only PRUNES candidate pairs, never the true ε-neighbors
+    val got2 = Vectors.dbscan(df, "id", "v", eps, minPts,
+        Seq(Seq(5.0, 5.0), Seq(-3.0, 4.0)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toMap2
+    assert(got2 == expected, "2-pivot dbscan diverged from brute force")
   }
 
   private implicit class RowsToMap(rows: Array[(Long, Long, String)]) {
