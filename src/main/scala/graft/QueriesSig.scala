@@ -182,5 +182,111 @@ object QueriesSig {
            |    || chr(10) || sha256(cr)) AS sts_sha256
            |FROM canon ORDER BY req_id""".stripMargin
       },
-      doc = "SigV4 canonical request + string-to-sign replay over a request log: RFC3986 query canonicalization, forwarded-host resolution, payload-hash selection, region fallback (signature-v4.ts:452-603)"))
+      doc = "SigV4 canonical request + string-to-sign replay over a request log: RFC3986 query canonicalization, forwarded-host resolution, payload-hash selection, region fallback (signature-v4.ts:452-603)"),
+
+    // aws-chunked (STREAMING-AWS4-HMAC-SHA256-PAYLOAD) per-chunk signature
+    // chain (signature-v4-stream.ts:1-546, string-to-sign construction
+    // signature-v4.ts:325-355): every chunk's string-to-sign is
+    //   AWS4-HMAC-SHA256-PAYLOAD \n longDate \n scope \n prevSignature \n
+    //   SHA256("") \n SHA256(chunkData)
+    // where prevSignature is the PREVIOUS chunk's signature (the request's
+    // seed signature for chunk 0, signature-v4.ts:329), and the stream ends
+    // with a mandatory 0-byte final chunk whose payload hash is SHA256("")
+    // (signature-v4-stream.ts:330 'Missing final chunk'). The real
+    // per-chunk signature is HMAC(signingKey, stringToSign) — the secret is
+    // out of analytic scope, so the graded chain substitutes the
+    // deterministic surrogate sig_i = SHA256(stringToSign_i), preserving
+    // exactly the property under test: each chunk COMMITS to the previous
+    // chunk's signature, so the fold is inherently sequential PER REQUEST
+    // and any reordered/dropped/duplicated chunk changes every later
+    // signature. Chunk log: one request per orders row (k % 199), one data
+    // chunk per lineitem row ordered by l_linenumber (one request has zero
+    // data chunks — final-chunk-only edge). Spark side: requests fan out in
+    // parallel and the per-request fold is a row-local aggregate() over the
+    // collected chunk-hash array (chunk count is wire-bounded — 8 MB chunks
+    // — so the array is small by protocol, not by luck); the oracle replays
+    // the chain as a recursive CTE. Graded: the final signature (commits to
+    // the whole chain) plus SHA256 over all intermediate signatures.
+    "s3_sigv4_chunk_chain" -> Q(
+      fn = (s, dir) => {
+        val EMPTY =
+          "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855"
+        val k = col("o_orderkey")
+        val reqs = Tables.orders(s, dir).filter(k % 199 === 0)
+          .select(k.as("k"),
+            date_format(col("o_orderdate"), "yyyyMMdd'T'HHmmss'Z'").as("ld"),
+            concat(date_format(col("o_orderdate"), "yyyyMMdd"),
+              lit("/eu-west-2/s3/aws4_request")).as("scope"),
+            sha2(concat(lit("seed-"), k), 256).as("seed"))
+        val wk = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("k")).orderBy(col("l_linenumber"))
+        val chunks = Tables.lineitem(s, dir)
+          .filter(col("l_orderkey") % 199 === 0)
+          .select(col("l_orderkey").as("k"), col("l_linenumber"),
+            sha2(concat(lit("chunk-"), col("l_orderkey"), lit("-"),
+              col("l_linenumber"), lit("-"), col("l_partkey")), 256).as("ph"))
+          .withColumn("idx", row_number().over(wk))
+        val arrs = chunks.groupBy(col("k"))
+          .agg(count(lit(1)).as("n_chunks"),
+            sort_array(collect_list(struct(col("idx"), col("ph")))).as("phs"))
+        reqs.join(arrs, Seq("k"), "left")
+          .withColumn("n_chunks", coalesce(col("n_chunks"), lit(0L)))
+          // data-chunk hashes in order, then the 0-byte final chunk
+          .withColumn("all_ph", concat(
+            coalesce(transform(col("phs"), p => p.getField("ph")),
+              array().cast("array<string>")),
+            array(lit(EMPTY))))
+          .withColumn("res", aggregate(col("all_ph"),
+            struct(col("seed").as("prev"), lit("").as("cat")),
+            (acc, ph) => {
+              val sig = sha2(concat_ws("\n",
+                lit("AWS4-HMAC-SHA256-PAYLOAD"), col("ld"), col("scope"),
+                acc.getField("prev"), lit(EMPTY), ph), 256)
+              struct(sig.as("prev"),
+                concat(acc.getField("cat"), sig).as("cat"))
+            }))
+          .select(col("k").as("req_id"), col("n_chunks"),
+            col("res.prev").as("final_sig"),
+            sha2(col("res.cat"), 256).as("chain_sha256"))
+          .orderBy(col("req_id"))
+      },
+      oracle = Some(
+        """WITH RECURSIVE
+          |reqs AS (SELECT o_orderkey AS k,
+          |    strftime(o_orderdate, '%Y%m%dT%H%M%SZ') AS ld,
+          |    strftime(o_orderdate, '%Y%m%d') || '/eu-west-2/s3/aws4_request' AS scope,
+          |    sha256('seed-' || o_orderkey) AS seed
+          |  FROM orders WHERE o_orderkey % 199 = 0),
+          |ch AS (SELECT l_orderkey AS k,
+          |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS idx,
+          |    sha256('chunk-' || l_orderkey || '-' || l_linenumber || '-'
+          |      || l_partkey) AS ph
+          |  FROM lineitem WHERE l_orderkey % 199 = 0),
+          |n AS (SELECT r.k, count(ch.k) AS cnt
+          |  FROM reqs r LEFT JOIN ch ON ch.k = r.k GROUP BY r.k),
+          |chain AS (
+          |  SELECT r.k, 0 AS i, r.seed AS sig, '' AS cat FROM reqs r
+          |  UNION ALL
+          |  SELECT c.k, c.i + 1,
+          |    sha256('AWS4-HMAC-SHA256-PAYLOAD' || chr(10) || r.ld || chr(10)
+          |      || r.scope || chr(10) || c.sig || chr(10)
+          |      || 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'
+          |      || chr(10) || coalesce(x.ph,
+          |        'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855')),
+          |    c.cat || sha256('AWS4-HMAC-SHA256-PAYLOAD' || chr(10) || r.ld
+          |      || chr(10) || r.scope || chr(10) || c.sig || chr(10)
+          |      || 'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'
+          |      || chr(10) || coalesce(x.ph,
+          |        'e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855'))
+          |  FROM chain c
+          |  JOIN reqs r ON r.k = c.k
+          |  JOIN n ON n.k = c.k
+          |  LEFT JOIN ch x ON x.k = c.k AND x.idx = c.i + 1
+          |  WHERE c.i <= n.cnt)
+          |SELECT c.k AS req_id, CAST(n.cnt AS BIGINT) AS n_chunks,
+          |  c.sig AS final_sig, sha256(c.cat) AS chain_sha256
+          |FROM chain c JOIN n ON n.k = c.k
+          |WHERE c.i = n.cnt + 1
+          |ORDER BY req_id""".stripMargin),
+      doc = "aws-chunked SigV4 per-chunk signature chain: sequential per-request fold where each chunk's string-to-sign commits to the previous chunk's signature, 0-byte final chunk (signature-v4-stream.ts:252-254,330, signature-v4.ts:325-355)"))
 }
