@@ -527,6 +527,263 @@ object QueriesEvents {
           |FROM q GROUP BY user_id ORDER BY user_id""".stripMargin),
       doc = "stream-parity: as-of enrichment with watermark emission — per-key emitted/matched census + exact observed-state sum (EventStream.streamingAsOf twin)"),
 
+    // Stream-parity census for EventStream.streamingHllRegisters: the HLL
+    // register relation at a watermark cut vs over the full log. Register
+    // max is monotone, so the update-mode stream re-emits exactly the
+    // registers that GROW after the cut and news the ones that appear —
+    // censused here with exact integers (register count, rank sums, grown/
+    // new counts); no float estimate is graded. Scale: two ≤4096-row
+    // register relations full-outer-joined on bucket — the sketch bounds
+    // the state, never the event count.
+    "e10_hll_seal_census" -> Q(
+      fn = (s, dir) => {
+        val ev = Tables.events(s, dir)
+          .select(col("user_id").cast("string").as("val"),
+            expr("unix_micros(ts)").as("us"))
+          .filter(col("val").isNotNull)
+        val wmRow = ev.agg((max(col("us")) - lit(600000000L)).as("wm"))
+        def regs(df: org.apache.spark.sql.DataFrame) =
+          graft.operators.Sketches.hllRegisters(
+            df.select(lit("user_id").as("col_name"), col("val")))
+        val sealedRegs = regs(ev.crossJoin(broadcast(wmRow))
+            .filter(col("us") <= col("wm")))
+          .select(col("bucket"), col("reg").as("reg_sealed"))
+        val full = regs(ev)
+          .select(col("bucket"), col("reg").as("reg_full"))
+        sealedRegs.join(full, Seq("bucket"), "full_outer")
+          .agg(
+            sum(when(col("reg_sealed").isNotNull, 1L).otherwise(0L))
+              .as("n_reg_sealed"),
+            sum(when(col("reg_full").isNotNull, 1L).otherwise(0L))
+              .as("n_reg_full"),
+            sum(when(col("reg_sealed").isNull, 1L).otherwise(0L))
+              .as("n_reg_new"),
+            sum(when(col("reg_sealed").isNotNull &&
+              col("reg_full") > col("reg_sealed"), 1L).otherwise(0L))
+              .as("n_reg_grown"),
+            coalesce(sum(col("reg_sealed")), lit(0L)).as("sum_rank_sealed"),
+            coalesce(sum(col("reg_full")), lit(0L)).as("sum_rank_full"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS val,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us
+          |  FROM events WHERE user_id IS NOT NULL),
+          |wm AS (SELECT max(us) - 600000000 AS wm FROM ev),
+          |sealed AS (SELECT h // 281474976710656 AS bucket,
+          |    max(CASE WHEN h % 281474976710656 = 0 THEN 49
+          |        ELSE 49 - length(bin(h % 281474976710656)) END) AS reg_sealed
+          |  FROM (SELECT CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h
+          |    FROM ev CROSS JOIN wm WHERE us <= wm.wm) GROUP BY 1),
+          |fullr AS (SELECT h // 281474976710656 AS bucket,
+          |    max(CASE WHEN h % 281474976710656 = 0 THEN 49
+          |        ELSE 49 - length(bin(h % 281474976710656)) END) AS reg_full
+          |  FROM (SELECT CAST('0x' || substr(md5(val), 1, 15) AS BIGINT) AS h
+          |    FROM ev) GROUP BY 1)
+          |SELECT
+          |  CAST(count(reg_sealed) AS BIGINT) AS n_reg_sealed,
+          |  CAST(count(reg_full) AS BIGINT) AS n_reg_full,
+          |  CAST(count(*) FILTER (WHERE reg_sealed IS NULL) AS BIGINT)
+          |    AS n_reg_new,
+          |  CAST(count(*) FILTER (WHERE reg_sealed IS NOT NULL
+          |    AND reg_full > reg_sealed) AS BIGINT) AS n_reg_grown,
+          |  CAST(coalesce(sum(reg_sealed), 0) AS BIGINT) AS sum_rank_sealed,
+          |  CAST(coalesce(sum(reg_full), 0) AS BIGINT) AS sum_rank_full
+          |FROM sealed FULL OUTER JOIN fullr USING (bucket)""".stripMargin),
+      doc = "stream-parity: HLL register census at a watermark cut — monotone register growth (grown/new counts, exact rank sums) certifying what update mode re-emits (EventStream.streamingHllRegisters twin)"),
+
+    // Stream-parity census for EventStream.streamingBottomK: the per-group
+    // bottom-64-by-hash sample at the watermark cut vs over the full log.
+    // Bottom-k-by-hash is a semilattice (bottom-k of a union = bottom-k of
+    // bottom-ks), so the full sample is exactly merge(sealed state, late
+    // rows) — the census grades retention/eviction per group with exact
+    // integers (the md5-60 hash sums certify MEMBERSHIP, not just counts;
+    // summed mod 1e9 to stay far inside int64 over 64 members).
+    "e11_bottomk_seal_census" -> Q(
+      fn = (s, dir) => {
+        val h = expr(
+          "cast(conv(substring(md5(cast(event_id as string)), 1, 15), 16, 10) as bigint)")
+        val ev = Tables.events(s, dir)
+          .select(col("event_type").as("g"), col("event_id"),
+            expr("unix_micros(ts)").as("us"))
+          .withColumn("h", h)
+        val wmRow = ev.agg((max(col("us")) - lit(600000000L)).as("wm"))
+        val wg = Window.partitionBy(col("g")).orderBy(col("h"), col("event_id"))
+        def sample(df: org.apache.spark.sql.DataFrame) = df
+          .withColumn("rnk", row_number().over(wg)).filter(col("rnk") <= 64)
+          .select(col("g"), col("event_id"), col("h"))
+        val sealedSmp = sample(ev.crossJoin(broadcast(wmRow))
+          .filter(col("us") <= col("wm")))
+        val full = sample(ev)
+        val evicted = sealedSmp.join(full.select(col("g"), col("event_id")),
+          Seq("g", "event_id"), "left_anti")
+        sealedSmp.groupBy(col("g"))
+          .agg(count(lit(1)).as("n_sealed"),
+            sum(col("h") % 1000000000L).as("hmod_sum_sealed"))
+          .join(full.groupBy(col("g"))
+            .agg(count(lit(1)).as("n_full"),
+              sum(col("h") % 1000000000L).as("hmod_sum_full"),
+              min(col("h")).as("min_h_full"),
+              max(col("h")).as("max_h_full")), Seq("g"), "full_outer")
+          .join(evicted.groupBy(col("g")).agg(count(lit(1)).as("n_evicted")),
+            Seq("g"), "left")
+          .select(col("g"), coalesce(col("n_sealed"), lit(0L)).as("n_sealed"),
+            col("n_full"), coalesce(col("n_evicted"), lit(0L)).as("n_evicted"),
+            coalesce(col("hmod_sum_sealed"), lit(0L)).as("hmod_sum_sealed"),
+            col("hmod_sum_full"), col("min_h_full"), col("max_h_full"))
+          .orderBy(col("g"))
+      },
+      oracle = Some(
+        """WITH ev AS (SELECT event_type AS g, event_id,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+          |    CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15)
+          |      AS BIGINT) AS h
+          |  FROM events),
+          |wm AS (SELECT max(us) - 600000000 AS wm FROM ev),
+          |sealed AS (SELECT g, event_id, h FROM (SELECT g, event_id, h,
+          |    row_number() OVER (PARTITION BY g ORDER BY h, event_id) AS rnk
+          |  FROM ev CROSS JOIN wm WHERE us <= wm.wm) WHERE rnk <= 64),
+          |fullr AS (SELECT g, event_id, h FROM (SELECT g, event_id, h,
+          |    row_number() OVER (PARTITION BY g ORDER BY h, event_id) AS rnk
+          |  FROM ev) WHERE rnk <= 64),
+          |ev2 AS (SELECT s.g, count(*) AS n_evicted FROM sealed s
+          |  LEFT JOIN fullr f ON f.g = s.g AND f.event_id = s.event_id
+          |  WHERE f.event_id IS NULL GROUP BY s.g),
+          |sa AS (SELECT g, count(*) AS n_sealed,
+          |    CAST(sum(h % 1000000000) AS BIGINT) AS hmod_sum_sealed
+          |  FROM sealed GROUP BY g),
+          |fa AS (SELECT g, count(*) AS n_full,
+          |    CAST(sum(h % 1000000000) AS BIGINT) AS hmod_sum_full,
+          |    min(h) AS min_h_full, max(h) AS max_h_full
+          |  FROM fullr GROUP BY g)
+          |SELECT g, coalesce(n_sealed, 0) AS n_sealed, n_full,
+          |  CAST(coalesce(n_evicted, 0) AS BIGINT) AS n_evicted,
+          |  coalesce(hmod_sum_sealed, 0) AS hmod_sum_sealed,
+          |  hmod_sum_full, min_h_full, max_h_full
+          |FROM fa FULL OUTER JOIN sa USING (g)
+          |LEFT JOIN ev2 USING (g) ORDER BY g""".stripMargin),
+      doc = "stream-parity: bottom-64-by-hash sample churn at a watermark cut — semilattice retention/eviction census with hash-sum membership certificates (EventStream.streamingBottomK twin)"),
+
+    // Guarantee census for EventStream.streamingHeavyHitters: the actual
+    // Misra–Gries fold (EventStream.mgFold — the IDENTICAL code path the
+    // stream runs per micro-batch) over each group's (ts, event_id)-ordered
+    // log with budget b=8, confirm-joined with exact counts and filtered to
+    // the pigeonhole-guaranteed share ≥ 1/(b+1). MG never evicts an item
+    // above that share, so the output equals the oracle's plain exact-count
+    // relation — a fold bug that wrongly evicts drops a row and fails the
+    // hash. Item domain is deliberately skewed (two ~33% hot items over a
+    // 1/9 threshold, ~200 cold items far under it) so the guaranteed set is
+    // nonempty and nontrivial. Scale: the fold runs inside mapPartitions
+    // over (g, ts, event_id)-sorted partitions — O(b) state per group,
+    // iterator-streamed, never a collected group.
+    "e12_mg_guarantee_census" -> Q(
+      fn = (s, dir) => {
+        import s.implicits._
+        val budget = 8
+        val items = Tables.events(s, dir)
+          .select(col("event_type").as("g"),
+            when(col("user_id") % 3 > 0,
+                concat(lit("hot-"), col("user_id") % 2))
+              .otherwise(concat(lit("cold-"), col("user_id") % 211))
+              .as("item"),
+            expr("unix_micros(ts)").as("us"), col("event_id"))
+        val candidates = items
+          .repartition(col("g"))
+          .sortWithinPartitions(col("g"), col("us"), col("event_id"))
+          .as[(String, String, Long, Long)]
+          .mapPartitions { rows =>
+            // group-boundary fold: rows arrive (g, us, event_id)-sorted and
+            // each g lives wholly in this partition, so MG state is O(b)
+            val out = Seq.newBuilder[(String, String)]
+            var curG: String = null
+            var counters = Map.empty[String, Long]
+            def flush(): Unit = if (curG != null)
+              counters.keysIterator.foreach(i => out += ((curG, i)))
+            rows.foreach { case (g, item, _, _) =>
+              if (g != curG) { flush(); curG = g; counters = Map.empty }
+              counters = graft.streaming.EventStream
+                .mgFold(Iterator.single(item), counters, budget)._1
+            }
+            flush()
+            out.result().iterator
+          }.toDF("g", "item")
+        val cnt = items.groupBy(col("g"), col("item"))
+          .agg(count(lit(1)).as("n_true"))
+        val tot = items.groupBy(col("g")).agg(count(lit(1)).as("n_seen"))
+        cnt.join(tot, Seq("g"))
+          .filter(col("n_true") * (budget + 1) >= col("n_seen"))
+          .join(candidates, Seq("g", "item"), "left_semi")
+          .select(col("g"), col("item"), col("n_true"), col("n_seen"))
+          .orderBy(col("g"), col("item"))
+      },
+      oracle = Some(
+        """WITH it AS (SELECT event_type AS g,
+          |    CASE WHEN user_id % 3 > 0 THEN 'hot-' || (user_id % 2)
+          |         ELSE 'cold-' || (user_id % 211) END AS item
+          |  FROM events),
+          |cnt AS (SELECT g, item, count(*) AS n_true FROM it GROUP BY 1, 2),
+          |tot AS (SELECT g, count(*) AS n_seen FROM it GROUP BY 1)
+          |SELECT g, item, n_true, n_seen FROM cnt JOIN tot USING (g)
+          |WHERE n_true * 9 >= n_seen ORDER BY g, item""".stripMargin),
+      doc = "stream-parity: Misra-Gries pigeonhole guarantee — the stream's own fold (mgFold, b=8) confirm-joined to exact counts must equal the share>=1/9 relation (EventStream.streamingHeavyHitters twin)"),
+
+    // Emission census for EventStream.streamingRateSpikes: hourly buckets
+    // per type with the trailing-24h baseline over EXISTING buckets (the
+    // stream's retained-state window), the stream's exact integer spike
+    // gate (n·prevHours > 3·prevN at ≥12 baseline hours), and the
+    // streaming emission cut — a bucket is emitted only when a LATER hour
+    // arrives, so each type's newest bucket is open/withheld. Censused per
+    // type with exact integers including the open bucket itself. Scale:
+    // one keyed groupBy + one keyed RANGE window — same shape as the
+    // graded events_rate_spike, plus the emission delta.
+    "e13_rate_spike_emit_census" -> Q(
+      fn = (s, dir) => {
+        val hours = Tables.events(s, dir)
+          .groupBy(col("event_type"),
+            expr("unix_micros(ts) div 3600000000").as("h"))
+          .agg(count(lit(1)).as("n"))
+        val wtr = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rangeBetween(-24, -1)
+        val wmax = Window.partitionBy(col("event_type"))
+        hours
+          .withColumn("prev_n", coalesce(sum(col("n")).over(wtr), lit(0L)))
+          .withColumn("prev_hours", count(lit(1)).over(wtr))
+          .withColumn("open_h", max(col("h")).over(wmax))
+          .withColumn("spike", col("prev_hours") >= 12 &&
+            col("n") * col("prev_hours") > lit(3L) * col("prev_n"))
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n_hours"),
+            sum(when(col("h") < col("open_h"), 1L).otherwise(0L))
+              .as("n_emitted"),
+            sum(when(col("h") < col("open_h") && col("spike"), 1L)
+              .otherwise(0L)).as("n_spikes_emitted"),
+            sum(when(col("h") < col("open_h"), col("n")).otherwise(0L))
+              .as("sum_emitted_n"),
+            max(col("open_h")).as("open_h"),
+            max(when(col("h") === col("open_h"), col("n"))).as("open_n"))
+          .orderBy(col("event_type"))
+      },
+      oracle = Some(
+        """WITH hrs AS (SELECT event_type,
+          |    epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS h,
+          |    count(*) AS n
+          |  FROM events GROUP BY 1, 2),
+          |w AS (SELECT event_type, h, n,
+          |    CAST(coalesce(sum(n) OVER tr, 0) AS BIGINT) AS prev_n,
+          |    count(*) OVER tr AS prev_hours,
+          |    max(h) OVER (PARTITION BY event_type) AS open_h
+          |  FROM hrs WINDOW tr AS (PARTITION BY event_type ORDER BY h
+          |    RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          |SELECT event_type, count(*) AS n_hours,
+          |  CAST(count(*) FILTER (WHERE h < open_h) AS BIGINT) AS n_emitted,
+          |  CAST(count(*) FILTER (WHERE h < open_h AND prev_hours >= 12
+          |    AND n * prev_hours > 3 * prev_n) AS BIGINT) AS n_spikes_emitted,
+          |  CAST(coalesce(sum(n) FILTER (WHERE h < open_h), 0) AS BIGINT)
+          |    AS sum_emitted_n,
+          |  CAST(max(open_h) AS BIGINT) AS open_h,
+          |  CAST(max(CASE WHEN h = open_h THEN n END) AS BIGINT) AS open_n
+          |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin),
+      doc = "stream-parity: rate-spike emission census — trailing-24h baseline over existing buckets, exact integer spike gate, newest bucket open/withheld (EventStream.streamingRateSpikes twin)"),
+
     // As-of join (an operator Spark lacks natively): every purchase picks
     // the LATEST click by the same user at or before its timestamp —
     // "most recent state at event time", the feature-lookup shape. The
