@@ -1585,8 +1585,13 @@ object QueriesVector {
     // exponentially without it). 100 TB path: the graph is a build-once
     // stored layout (Vectors.ensureKnnGraph — the inverted-index contract);
     // each beam round joins a |queries|·ef relation against the K-regular
-    // resident adjacency — query cost independent of corpus size, exactly
-    // why graph indexes win at scale.
+    // resident adjacency. The PROBE work is corpus-independent
+    // (|queries|·ef·K rows per round); the round's join still streams the
+    // resident adjacency, so single-node latency ∝ resident-index scan,
+    // not corpus × queries — ScaleProbe's beam_query measured ~2× latency
+    // over a 16× corpus (SCALE.md r11 wave 1). On a cluster the adjacency
+    // is bucketed by node id and the per-round join prunes to probed
+    // buckets, which is why graph indexes win at scale.
     "v3_graph_beam_search" -> Q(
       fn = (s, dir) => {
         val K = 5; val ef = 10; val rounds = 4
