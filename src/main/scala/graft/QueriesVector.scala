@@ -1380,12 +1380,14 @@ object QueriesVector {
           .filter(col("c_key") =!= col("q_key"))
           .withColumn("agree",
             (lit(4) - expr("bit_count(cb ^ qb)")).cast("long"))
-          .withColumn("dotp", expr(
-            "aggregate(zip_with(cv, qv, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, v) -> a + v)"))
-          .withColumn("nc", expr(
-            "aggregate(cv, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))
-          .withColumn("nq", expr(
-            "aggregate(qv, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))
+          // codegen VecDot (bit-identical to the HOF aggregate form — same
+          // left-to-right summation; see Vectors.quantizedCos9)
+          .withColumn("dotp",
+            graft.functions.VectorExprs.vecDot(col("cv"), col("qv")))
+          .withColumn("nc",
+            graft.functions.VectorExprs.vecDot(col("cv"), col("cv")))
+          .withColumn("nq",
+            graft.functions.VectorExprs.vecDot(col("qv"), col("qv")))
           .withColumn("qcos",
             floor(col("dotp") / (sqrt(col("nc")) * sqrt(col("nq"))) * lit(1000000000.0))
               .cast("long"))
@@ -1444,12 +1446,8 @@ object QueriesVector {
     "v3_knn_graph_descent" -> Q(
       fn = (s, dir) => {
         val K = 5
-        def d9(x: String, y: String): org.apache.spark.sql.Column = floor(
-          (lit(1.0) -
-            expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-            (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
-             sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
-            * lit(1000000000.0)).cast("long")
+        def d9(x: String, y: String): org.apache.spark.sql.Column =
+          Vectors.quantizedCos9(col(x), col(y))
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         val w = org.apache.spark.sql.expressions.Window
@@ -1595,12 +1593,8 @@ object QueriesVector {
     "v3_graph_beam_search" -> Q(
       fn = (s, dir) => {
         val K = 5; val ef = 10; val rounds = 4
-        def d9(x: String, y: String): org.apache.spark.sql.Column = floor(
-          (lit(1.0) -
-            expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-            (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
-             sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
-            * lit(1000000000.0)).cast("long")
+        def d9(x: String, y: String): org.apache.spark.sql.Column =
+          Vectors.quantizedCos9(col(x), col(y))
         val emb = Tables.embeddings(s, dir)
           .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
         // the graph is a STORED index (build-once, like the inverted index /

@@ -22,6 +22,20 @@ object Vectors {
 
   def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.vecDot(a, b)
 
+  /** Quantized cosine distance ⌊(1 − cos)·1e9⌋ — the ANN family's exact
+    * integer total-order scoring key, on the codegen [[VectorExprs.VecDot]]
+    * kernel. Bit-identical to the HOF `aggregate(zip_with(...))` form it
+    * replaced (r11): both sum strictly left-to-right from 0.0, and the norm
+    * is the same kernel applied to (x, x) — but VecDot participates in
+    * whole-stage codegen while SQL higher-order functions are
+    * CodegenFallback (interpreted), which matters on candidate-pair
+    * relations of millions of rows. */
+  def quantizedCos9(x: Column, y: Column): Column = floor(
+    (lit(1.0) - graft.functions.VectorExprs.vecDot(x, y) /
+      (sqrt(graft.functions.VectorExprs.vecDot(x, x)) *
+       sqrt(graft.functions.VectorExprs.vecDot(y, y))))
+      * lit(1000000000.0)).cast("long")
+
   def norm2(a: Column): Column = graft.functions.VectorExprs.vecDot(a, a)
 
   /** Cosine distance `1 - <a,q>/(|a||q|)` (pgvector `<=>`, halfvec_cosine_ops,
@@ -88,12 +102,7 @@ object Vectors {
     * ScaleProbe's `knn_graph_build` kernel measures exactly that regime. */
   def nnDescentKnnGraph(vectors: DataFrame, idCol: String, embCol: String,
                         k: Int = 5, nPlanes: Int = 4): DataFrame = {
-    def d9(x: String, y: String): Column = floor(
-      (lit(1.0) -
-        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-        (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
-         sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
-        * lit(1000000000.0)).cast("long")
+    def d9(x: String, y: String): Column = quantizedCos9(col(x), col(y))
     val emb = vectors.select(col(idCol).as("vec_id"), col(embCol).as("v"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("a")).orderBy(col("d9"), col("b"))
@@ -141,12 +150,7 @@ object Vectors {
     * kernel measures the corpus-size dependence of that probe. */
   def beamSearch(graph: DataFrame, emb: DataFrame, queries: DataFrame,
                  seeds: DataFrame, ef: Int, rounds: Int): DataFrame = {
-    def d9(x: String, y: String): Column = floor(
-      (lit(1.0) -
-        expr(s"aggregate(zip_with($x, $y, (p, q) -> p * q), CAST(0.0 AS DOUBLE), (a, v) -> a + v)") /
-        (sqrt(expr(s"aggregate($x, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)")) *
-         sqrt(expr(s"aggregate($y, CAST(0.0 AS DOUBLE), (a, v) -> a + v * v)"))))
-        * lit(1000000000.0)).cast("long")
+    def d9(x: String, y: String): Column = quantizedCos9(col(x), col(y))
     val wq = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q")).orderBy(col("d9"), col("id"))
     def score(c: DataFrame) = c
