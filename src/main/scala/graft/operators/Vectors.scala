@@ -926,13 +926,18 @@ object Vectors {
     val offsetTuples = bktCols.indices.foldLeft(Seq(Seq.empty[Int])) {
       (acc, _) => acc.flatMap(t => Seq(-1, 0, 1).map(o => t :+ o))
     }
+    // single-pivot keeps the bare long key (array<long> hashing measurably
+    // slowed the P=1 shuffle — r11 gate, embedding_dbscan +0.6 s); multi-
+    // pivot composes the per-pivot keys into one array<long> equi-join key
+    def key(parts: Seq[Column]): Column =
+      if (parts.size == 1) parts.head else array(parts: _*)
     val probeKeys = offsetTuples.map(t =>
-      array(t.zip(bktCols).map { case (o, b) => col(b) + lit(o.toLong) }: _*))
+      key(t.zip(bktCols).map { case (o, b) => col(b) + lit(o.toLong) }))
     val probe = pts.select(col("id"), col("v"),
       explode(array(probeKeys: _*)).as("jb"))
     probe.as("a")
       .join(pts.select(col("id").as("idb"), col("v").as("vb"),
-          array(bktCols.map(col): _*).as("jb")).as("b"),
+          key(bktCols.map(col)).as("jb")).as("b"),
         Seq("jb"))
       .filter(col("id") < col("idb"))
   }
