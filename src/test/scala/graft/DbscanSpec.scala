@@ -81,6 +81,21 @@ class DbscanSpec extends SparkTestBase {
         Seq(Seq(5.0, 5.0), Seq(-3.0, 4.0)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toMap2
     assert(got2 == expected, "2-pivot dbscan diverged from brute force")
+    // candidate-set algebra: 2-pivot candidates ⊆ 1-pivot candidates, and
+    // BOTH contain every true ε-pair (exactness of the pruning)
+    def candSet(pivots: Seq[Seq[Double]]): Set[(Long, Long)] =
+      Vectors.annulusCandidatePairs(df, "id", "v", eps, pivots)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c1 = candSet(Seq(Seq(5.0, 5.0)))
+    val c2 = candSet(Seq(Seq(5.0, 5.0), Seq(-3.0, 4.0)))
+    val truePairs = (for {
+      (i, v) <- pts; (j, w) <- pts
+      if i < j && d2(v, w) <= eps * eps
+    } yield (i, j)).toSet
+    assert(c2.subsetOf(c1), "second pivot must only prune")
+    assert(truePairs.subsetOf(c2) && truePairs.subsetOf(c1),
+      "annulus pruning dropped a true ε-pair")
+    assert(c2.size < c1.size, "fixture must show actual pruning")
   }
 
   private implicit class RowsToMap(rows: Array[(Long, Long, String)]) {

@@ -147,6 +147,61 @@ class SigV4Spec extends SparkTestBase {
     }
   }
 
+  test("s3_sigv4_chunk_chain equals a plain-Scala replay and is tamper-evident") {
+    def sha256hex(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val EMPTY = sha256hex("")
+    assert(EMPTY ==
+      "e3b0c44298fc1c149afbf4c8996fb92427ae41e4649b934ca495991b7852b855")
+    def chain(ld: String, scope: String, seed: String,
+              phs: Seq[String]): Seq[String] =
+      (phs :+ EMPTY).scanLeft(seed) { (prev, ph) =>
+        sha256hex(Seq("AWS4-HMAC-SHA256-PAYLOAD", ld, scope, prev, EMPTY, ph)
+          .mkString("\n"))
+      }.tail
+    // independent driver-side replay of the graded row's chunk log
+    val ords = Tables.orders(spark, sfDir)
+      .filter(col("o_orderkey") % 199 === 0)
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyyMMdd'T'HHmmss'Z'").as("ld"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("sd"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val lis = Tables.lineitem(spark, sfDir)
+      .filter(col("l_orderkey") % 199 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue,
+        r.getAs[Number](2).longValue))
+      .groupBy(_._1)
+    val expected = ords.map { case (k, ld, sd) =>
+      val phs = lis.getOrElse(k, Array.empty).sortBy(_._2)
+        .map { case (_, ln, pk) => sha256hex(s"chunk-$k-$ln-$pk") }.toSeq
+      val sigs = chain(ld, s"$sd/eu-west-2/s3/aws4_request",
+        sha256hex(s"seed-$k"), phs)
+      k -> ((phs.size.toLong, sigs.last, sha256hex(sigs.mkString(""))))
+    }.toMap
+    val got = Registry.all("s3_sigv4_chunk_chain").fn(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getString(2), r.getString(3)))).toMap
+    assert(got.nonEmpty && got == expected,
+      "Spark chunk-chain fold diverged from the plain-Scala replay")
+    // tamper-evidence: swapping two adjacent chunks changes the final
+    // signature (each string-to-sign commits to the previous signature)
+    val (k2, ld2, sd2) = ords.maxBy(k => lis.getOrElse(k._1, Array.empty).length)
+    val phs2 = lis(k2).sortBy(_._2)
+      .map { case (_, ln, pk) => sha256hex(s"chunk-$k2-$ln-$pk") }.toSeq
+    assert(phs2.size >= 2, "fixture needs a multi-chunk request")
+    val seed2 = sha256hex(s"seed-$k2"); val sc2 = s"$sd2/eu-west-2/s3/aws4_request"
+    val swapped = phs2.updated(0, phs2(1)).updated(1, phs2(0))
+    assert(chain(ld2, sc2, seed2, phs2).last !=
+      chain(ld2, sc2, seed2, swapped).last)
+    // and dropping the final 0-byte chunk is detectable: the last data
+    // chunk's signature differs from the final chunk's
+    val full = chain(ld2, sc2, seed2, phs2)
+    assert(full.size == phs2.size + 1 && full.init.last != full.last)
+  }
+
   test("v3_graph_beam_search: beam census invariants hold") {
     val rows = Registry.all("v3_graph_beam_search").fn(spark, sfDir).collect()
     assert(rows.nonEmpty)
