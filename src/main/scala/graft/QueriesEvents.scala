@@ -667,12 +667,15 @@ object QueriesEvents {
     // Misra–Gries fold (EventStream.mgFold — the IDENTICAL code path the
     // stream runs per micro-batch) over each group's (ts, event_id)-ordered
     // log with budget b=8, confirm-joined with exact counts and filtered to
-    // the pigeonhole-guaranteed share ≥ 1/(b+1). MG never evicts an item
-    // above that share, so the output equals the oracle's plain exact-count
-    // relation — a fold bug that wrongly evicts drops a row and fails the
-    // hash. Item domain is deliberately skewed (two ~33% hot items over a
-    // 1/9 threshold, ~200 cold items far under it) so the guaranteed set is
-    // nonempty and nontrivial. Scale: the fold runs inside mapPartitions
+    // the pigeonhole-guaranteed share STRICTLY above 1/(b+1) (the boundary
+    // count t = n/(b+1) is NOT covered by the theorem — final counter
+    // t − n/(b+1) can reach exactly 0 and be evicted, so both engines use
+    // strict >). MG never evicts an item above that share, so the output
+    // equals the oracle's plain exact-count relation — a fold bug that
+    // wrongly evicts drops a row and fails the hash. Item domain is
+    // deliberately skewed (two ~33% hot items over the 1/9 threshold,
+    // ~200 cold items far under it) so the guaranteed set is nonempty and
+    // nontrivial. Scale: the fold runs inside mapPartitions
     // over (g, ts, event_id)-sorted partitions — O(b) state per group,
     // iterator-streamed, never a collected group.
     "e12_mg_guarantee_census" -> Q(
@@ -710,7 +713,7 @@ object QueriesEvents {
           .agg(count(lit(1)).as("n_true"))
         val tot = items.groupBy(col("g")).agg(count(lit(1)).as("n_seen"))
         cnt.join(tot, Seq("g"))
-          .filter(col("n_true") * (budget + 1) >= col("n_seen"))
+          .filter(col("n_true") * (budget + 1) > col("n_seen"))
           .join(candidates, Seq("g", "item"), "left_semi")
           .select(col("g"), col("item"), col("n_true"), col("n_seen"))
           .orderBy(col("g"), col("item"))
@@ -723,8 +726,8 @@ object QueriesEvents {
           |cnt AS (SELECT g, item, count(*) AS n_true FROM it GROUP BY 1, 2),
           |tot AS (SELECT g, count(*) AS n_seen FROM it GROUP BY 1)
           |SELECT g, item, n_true, n_seen FROM cnt JOIN tot USING (g)
-          |WHERE n_true * 9 >= n_seen ORDER BY g, item""".stripMargin),
-      doc = "stream-parity: Misra-Gries pigeonhole guarantee — the stream's own fold (mgFold, b=8) confirm-joined to exact counts must equal the share>=1/9 relation (EventStream.streamingHeavyHitters twin)"),
+          |WHERE n_true * 9 > n_seen ORDER BY g, item""".stripMargin),
+      doc = "stream-parity: Misra-Gries pigeonhole guarantee — the stream's own fold (mgFold, b=8) confirm-joined to exact counts must equal the share>1/9 relation (EventStream.streamingHeavyHitters twin)"),
 
     // Emission census for EventStream.streamingRateSpikes: hourly buckets
     // per type with the trailing-24h baseline over EXISTING buckets (the

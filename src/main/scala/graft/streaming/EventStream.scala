@@ -375,7 +375,7 @@ object EventStream {
     * shape, state bounded at 4k counters per group FOREVER.
     *
     * Guarantee carried over from the batch op's pigeonhole argument: any
-    * item whose share of the group's stream is ≥ 1/(4k+1) is guaranteed
+    * item whose share of the group's stream is STRICTLY above 1/(4k+1) is guaranteed
     * present in the current candidate set (MG with b counters never evicts
     * anything above share 1/(b+1)), so share-≥1/k items always survive.
     * Candidates are a SUPERSET with lower-bound counts — the exact-count
