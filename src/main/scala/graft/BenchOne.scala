@@ -15,7 +15,14 @@ object BenchOne {
     val sfDir = args(0)
     val names = args(1).split(',').toSeq
     val reps = if (args.length > 2) args(2).toInt else 1
-    val resident = args.length > 3 && args(3) == "resident"
+    // fail fast on a typo'd mode flag (same silent-failure class the
+    // ScaleProbe kernel-name validation guards): a misspelled "resident"
+    // would silently time the COLD path and poison the A/B
+    val resident = args.length > 3 && {
+      require(args(3) == "resident",
+        s"unknown 4th arg '${args(3)}'; the only mode is 'resident'")
+      true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -32,13 +39,8 @@ object BenchOne {
       val emb = Tables.embeddings(spark, sfDir)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       graft.operators.Vectors.ensureKnnGraph(spark, emb, "vec_id", "v",
-        Warehouse.dir + "/knn_graph_" + sfDir.replaceAll("[^A-Za-z0-9]", "_"))
-      Seq(Tables.coPurchaseEdges(spark, sfDir),
-        Tables.coPurchasePairs(spark, sfDir),
-        Tables.coPurchaseAdjacency(spark, sfDir),
-        spark.read.parquet(Warehouse.dir + "/knn_graph_" +
-          sfDir.replaceAll("[^A-Za-z0-9]", "_")),
-        Tables.embeddings(spark, sfDir)).foreach { df =>
+        Warehouse.knnGraphPath(sfDir))
+      Warehouse.residentPins(spark, sfDir).foreach { df =>
         df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         df.count()
       }

@@ -695,16 +695,28 @@ object QueriesEvents {
           .as[(String, String, Long, Long)]
           .mapPartitions { rows =>
             // group-boundary fold: rows arrive (g, us, event_id)-sorted and
-            // each g lives wholly in this partition, so MG state is O(b)
+            // each g lives wholly in this partition, so MG state is O(b).
+            // mgFold is invoked once per bounded RUN (≤4096 items) with the
+            // counters carried forward — exactly the stream's one-fold-per-
+            // micro-batch usage, without a per-row map copy and without
+            // buffering a whole group
             val out = Seq.newBuilder[(String, String)]
             var curG: String = null
             var counters = Map.empty[String, Long]
-            def flush(): Unit = if (curG != null)
+            val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+            def fold(): Unit = if (buf.nonEmpty) {
+              counters = graft.streaming.EventStream
+                .mgFold(buf.iterator, counters, budget)._1
+              buf.clear()
+            }
+            def flush(): Unit = if (curG != null) {
+              fold()
               counters.keysIterator.foreach(i => out += ((curG, i)))
+            }
             rows.foreach { case (g, item, _, _) =>
               if (g != curG) { flush(); curG = g; counters = Map.empty }
-              counters = graft.streaming.EventStream
-                .mgFold(Iterator.single(item), counters, budget)._1
+              buf += item
+              if (buf.length >= 4096) fold()
             }
             flush()
             out.result().iterator

@@ -218,8 +218,13 @@ object QueriesSig {
             concat(date_format(col("o_orderdate"), "yyyyMMdd"),
               lit("/eu-west-2/s3/aws4_request")).as("scope"),
             sha2(concat(lit("seed-"), k), 256).as("seed"))
+        // order ties broken by the chunk hash itself: the synthetic lineitem
+        // has duplicate (l_orderkey, l_linenumber) pairs (Tables.uniqCol
+        // note), and the chain is order-SENSITIVE — (l_linenumber, ph) is a
+        // total order up to hash equality, and equal-hash chunks commute in
+        // the chain, so the fold is deterministic on both engines
         val wk = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("k")).orderBy(col("l_linenumber"))
+          .partitionBy(col("k")).orderBy(col("l_linenumber"), col("ph"))
         val chunks = Tables.lineitem(s, dir)
           .filter(col("l_orderkey") % 199 === 0)
           .select(col("l_orderkey").as("k"), col("l_linenumber"),
@@ -257,11 +262,12 @@ object QueriesSig {
           |    strftime(o_orderdate, '%Y%m%d') || '/eu-west-2/s3/aws4_request' AS scope,
           |    sha256('seed-' || o_orderkey) AS seed
           |  FROM orders WHERE o_orderkey % 199 = 0),
-          |ch AS (SELECT l_orderkey AS k,
-          |    row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS idx,
+          |ch0 AS (SELECT l_orderkey AS k, l_linenumber,
           |    sha256('chunk-' || l_orderkey || '-' || l_linenumber || '-'
           |      || l_partkey) AS ph
           |  FROM lineitem WHERE l_orderkey % 199 = 0),
+          |ch AS (SELECT k, ph, row_number() OVER (
+          |    PARTITION BY k ORDER BY l_linenumber, ph) AS idx FROM ch0),
           |n AS (SELECT r.k, count(ch.k) AS cnt
           |  FROM reqs r LEFT JOIN ch ON ch.k = r.k GROUP BY r.k),
           |chain AS (

@@ -1600,8 +1600,7 @@ object QueriesVector {
         // the graph is a STORED index (build-once, like the inverted index /
         // Z-order layouts): v3_knn_graph_descent audits the build; this row
         // measures the QUERY path the way a resident ANN index serves it
-        val path = Warehouse.dir + "/knn_graph_" +
-          dir.replaceAll("[^A-Za-z0-9]", "_")
+        val path = Warehouse.knnGraphPath(dir)
         Vectors.ensureKnnGraph(s, emb, "vec_id", "v", path, K)
         val g1 = s.read.parquet(path).persist()
         g1.count() // resident index: R probe joins + nothing else reads disk

@@ -8,6 +8,24 @@ package graft
 object Warehouse {
   def dir: String = s"/tmp/graft_warehouse_${ProcessHandle.current().pid()}"
 
+  /** Canonical per-sf path of the stored kNN graph (built once per process
+    * by Vectors.ensureKnnGraph; read by the beam-search row, Bench's
+    * resident lap, and BenchOne's resident mode). */
+  def knnGraphPath(sfDir: String): String =
+    dir + "/knn_graph_" + sfDir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** The stored relations the graph/v3/embedding families probe — the
+    * resident lap's pin set. Shared between Bench and BenchOne's
+    * `resident` mode so pinned-vs-cold A/Bs always measure the SAME
+    * contract. */
+  def residentPins(spark: org.apache.spark.sql.SparkSession,
+                   sfDir: String): Seq[org.apache.spark.sql.DataFrame] = Seq(
+    Tables.coPurchaseEdges(spark, sfDir),
+    Tables.coPurchasePairs(spark, sfDir),
+    Tables.coPurchaseAdjacency(spark, sfDir),
+    spark.read.parquet(knnGraphPath(sfDir)),
+    Tables.embeddings(spark, sfDir))
+
   def cleanup(): Unit = {
     def rm(f: java.io.File): Unit = {
       if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))

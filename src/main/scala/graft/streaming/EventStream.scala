@@ -369,22 +369,6 @@ object EventStream {
   final case class MGState(counters: Map[String, Long], n_seen: Long)
   final case class HHCandidate(g: String, item: String, mg_count: Long, n_seen: Long)
 
-  /** Streaming twin of [[graft.operators.TextAnalysis.heavyHitters]]'s
-    * candidate stage: a per-group Misra–Gries summary (4k counters) as
-    * keyed custom state — the "trending tokens over an unbounded stream"
-    * shape, state bounded at 4k counters per group FOREVER.
-    *
-    * Guarantee carried over from the batch op's pigeonhole argument: any
-    * item whose share of the group's stream is STRICTLY above 1/(4k+1) is guaranteed
-    * present in the current candidate set (MG with b counters never evicts
-    * anything above share 1/(b+1)), so share-≥1/k items always survive.
-    * Candidates are a SUPERSET with lower-bound counts — the exact-count
-    * confirmation join stays a batch job, exactly as in the two-pass
-    * batch operator. The fold is deterministic in arrival order (insert
-    * gated only on size, decrement-all hits every counter equally), so
-    * the streaming state after N batches equals one sequential MG pass
-    * over the concatenated stream — StreamingSpec pins that parity.
-    * Re-emitted each batch with the group's running n_seen. */
   /** One sequential Misra–Gries pass over `items` starting from `counters0`
     * — THE fold [[streamingHeavyHitters]] applies per micro-batch, factored
     * out so the batch guarantee census (`e12_mg_guarantee_census`) grades
@@ -413,6 +397,22 @@ object EventStream {
     (counters.toMap, seen)
   }
 
+  /** Streaming twin of [[graft.operators.TextAnalysis.heavyHitters]]'s
+    * candidate stage: a per-group Misra–Gries summary (4k counters) as
+    * keyed custom state — the "trending tokens over an unbounded stream"
+    * shape, state bounded at 4k counters per group FOREVER.
+    *
+    * Guarantee carried over from the batch op's pigeonhole argument: any
+    * item whose share of the group's stream is STRICTLY above 1/(4k+1) is guaranteed
+    * present in the current candidate set (MG with b counters never evicts
+    * anything above share 1/(b+1)), so share-≥1/k items always survive.
+    * Candidates are a SUPERSET with lower-bound counts — the exact-count
+    * confirmation join stays a batch job, exactly as in the two-pass
+    * batch operator. The fold is deterministic in arrival order (insert
+    * gated only on size, decrement-all hits every counter equally), so
+    * the streaming state after N batches equals one sequential MG pass
+    * over the concatenated stream — StreamingSpec pins that parity.
+    * Re-emitted each batch with the group's running n_seen. */
   def streamingHeavyHitters(rows: Dataset[HHItem], k: Int): Dataset[HHCandidate] = {
     require(k >= 2, s"heavy hitters needs k >= 2, got $k")
     val budget = 4 * k

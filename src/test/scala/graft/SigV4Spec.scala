@@ -175,8 +175,11 @@ class SigV4Spec extends SparkTestBase {
         r.getAs[Number](2).longValue))
       .groupBy(_._1)
     val expected = ords.map { case (k, ld, sd) =>
-      val phs = lis.getOrElse(k, Array.empty).sortBy(_._2)
-        .map { case (_, ln, pk) => sha256hex(s"chunk-$k-$ln-$pk") }.toSeq
+      // (l_linenumber, chunk-hash) order — the graded row's deterministic
+      // total order under the fixture's duplicate (orderkey, linenumber)s
+      val phs = lis.getOrElse(k, Array.empty)
+        .map { case (_, ln, pk) => (ln, sha256hex(s"chunk-$k-$ln-$pk")) }
+        .sortBy(identity).map(_._2).toSeq
       val sigs = chain(ld, s"$sd/eu-west-2/s3/aws4_request",
         sha256hex(s"seed-$k"), phs)
       k -> ((phs.size.toLong, sigs.last, sha256hex(sigs.mkString(""))))
@@ -189,11 +192,15 @@ class SigV4Spec extends SparkTestBase {
     // tamper-evidence: swapping two adjacent chunks changes the final
     // signature (each string-to-sign commits to the previous signature)
     val (k2, ld2, sd2) = ords.maxBy(k => lis.getOrElse(k._1, Array.empty).length)
-    val phs2 = lis(k2).sortBy(_._2)
-      .map { case (_, ln, pk) => sha256hex(s"chunk-$k2-$ln-$pk") }.toSeq
+    val phs2 = lis(k2)
+      .map { case (_, ln, pk) => (ln, sha256hex(s"chunk-$k2-$ln-$pk")) }
+      .sortBy(identity).map(_._2).toSeq
     assert(phs2.size >= 2, "fixture needs a multi-chunk request")
     val seed2 = sha256hex(s"seed-$k2"); val sc2 = s"$sd2/eu-west-2/s3/aws4_request"
-    val swapped = phs2.updated(0, phs2(1)).updated(1, phs2(0))
+    // swap two DISTINCT-hash chunks (equal-hash duplicates commute by design)
+    val j = phs2.indexWhere(_ != phs2.head)
+    assert(j > 0, "fixture needs two distinct chunks")
+    val swapped = phs2.updated(0, phs2(j)).updated(j, phs2.head)
     assert(chain(ld2, sc2, seed2, phs2).last !=
       chain(ld2, sc2, seed2, swapped).last)
     // and dropping the final 0-byte chunk is detectable: the last data
