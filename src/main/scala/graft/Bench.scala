@@ -159,6 +159,16 @@ object Bench {
     val TripWire = 1.15
     val floorPath = java.nio.file.Paths.get("/root/repo/BENCH_FLOOR.json")
     val sfKey = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
+    // Floor keys carry the registry size (r11 ADVICE): floors are merged
+    // with min() and can never rise, so a floor recorded under a smaller
+    // registry becomes permanently too low the moment queries are added —
+    // every later run would burn a wasted ~190 s retry lap and be stamped
+    // contended even when idle (HEAD sat at ratio 1.143 against the 1.15
+    // wire). When the exact (sf, n) key is absent but a different-size
+    // floor exists, scale it by n_new/n_old as a PROVISIONAL guard floor
+    // so the wire stays armed across registry growth; only observed laps
+    // are persisted as demonstrated floors.
+    val nQ = SparkEntry.queries.size
     def readFloors(): Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(floorPath), "UTF-8")
@@ -172,7 +182,22 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val floors = readFloors()
-    val priorFloor = floors.get(sfKey)
+    def sizedFloor(prefix: String): Option[Double] = {
+      val exactKey = s"$prefix${sfKey}_n$nQ"
+      floors.get(exactKey).orElse {
+        val re = ("^" + java.util.regex.Pattern.quote(s"$prefix${sfKey}_n") +
+          "(\\d+)$").r
+        val scaled: Iterable[Double] = floors.flatMap { case (k, v) =>
+          k match {
+            case re(n) if n.toInt > 0 => Some(v * nQ / n.toInt)
+            case _ => None
+          }
+        }
+        scaled.minOption
+      }
+    }
+    val warmKey = s"${sfKey}_n$nQ"
+    val priorFloor = sizedFloor("")
     var retries = 0
     while (priorFloor.exists(f => warmLapSec > f * TripWire) && retries < 2) {
       retries += 1
@@ -185,7 +210,7 @@ object Bench {
     // the file with only the newest key and silently disarm every other
     // floor.
     val floorsAfterWarm = floors +
-      (sfKey -> math.min(priorFloor.getOrElse(warmLapSec), warmLapSec))
+      (warmKey -> math.min(floors.getOrElse(warmKey, warmLapSec), warmLapSec))
     writeFloors(floorsAfterWarm)
     // Sorted execution order: Map iteration order moves whenever an entry is
     // added, silently reassigning which query pays the JIT/codegen warmup —
@@ -213,8 +238,8 @@ object Bench {
     // Keep a rolling floor of the timed total per sf; if this run exceeds
     // it by the same 1.15 ratio, the timed lap itself hit contention —
     // re-run it once and grade the better lap.
-    val totalKey = s"total_$sfKey"
-    val priorTotalFloor = floorsAfterWarm.get(totalKey)
+    val totalKey = s"total_${sfKey}_n$nQ"
+    val priorTotalFloor = sizedFloor("total_")
     var timedRetries = 0
     if (priorTotalFloor.exists(f => results.values.sum > f * TripWire)) {
       timedRetries = 1
@@ -224,8 +249,25 @@ object Bench {
     val totalSec = results.values.sum
     val contended = warmContended ||
       priorTotalFloor.exists(f => totalSec > f * TripWire)
-    writeFloors(floorsAfterWarm +
-      (totalKey -> math.min(priorTotalFloor.getOrElse(totalSec), totalSec)))
+    // PER-QUERY rolling floors (r11 verdict item 4): ±14% host drift on the
+    // total can mask a single line regressing 2× — the r11 graph-family
+    // readings were only exonerated by hand-run BenchOne A/Bs. A line's
+    // steady state doesn't move when unrelated queries are added, so these
+    // keys are registry-size independent. Lines over 1.5× their floor are
+    // FLAGGED in the artifact (provenance, not retries — the per-line
+    // medians already absorb one contended rep each); a flagged line on an
+    // uncontended run is a real candidate regression to A/B with BenchOne.
+    val QueryWire = 1.5
+    def qKey(name: String) = s"q_${sfKey}_$name"
+    val flaggedQueries = results.toSeq.sortBy(_._1).collect {
+      case (n, v) if floorsAfterWarm.get(qKey(n)).exists(f => v > f * QueryWire) =>
+        n
+    }
+    val floorsWithTotal = floorsAfterWarm +
+      (totalKey -> math.min(floorsAfterWarm.getOrElse(totalKey, totalSec), totalSec))
+    writeFloors(results.foldLeft(floorsWithTotal) { case (m, (n, v)) =>
+      m + (qKey(n) -> math.min(m.getOrElse(qKey(n), v), v))
+    })
     // RESIDENT second lap (r10 verdict item 2): the r10 cache-release sweep
     // made every graph/ANN line pay its stored-layout load per call —
     // measurement honesty for one-shot execution, but production pins the
@@ -270,11 +312,12 @@ object Bench {
     val residentJson = residentResults.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val residentTotal = residentResults.values.sum
+    val flaggedJson = flaggedQueries.map(n => s""""$n"""").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
+      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"flagged_queries":$flaggedJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"timed_lap_retries":$timedRetries,"resident_total_sec":${r3(residentTotal)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"timed_lap_retries":$timedRetries,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
     spark.stop()
     Warehouse.cleanup()
   }

@@ -682,7 +682,13 @@ object QueriesEvents {
       fn = (s, dir) => {
         import s.implicits._
         val budget = 8
+        // NULL user_id would yield a NULL item via concat; the confirm-join
+        // on (g, item) can never match NULL while the oracle's plain join
+        // would emit the NULL-item row — the engines diverge the moment the
+        // NULL share crosses 1/(b+1) in any group. Drop NULLs identically
+        // on both sides (r11 ADVICE).
         val items = Tables.events(s, dir)
+          .filter(col("user_id").isNotNull)
           .select(col("event_type").as("g"),
             when(col("user_id") % 3 > 0,
                 concat(lit("hot-"), col("user_id") % 2))
@@ -734,7 +740,7 @@ object QueriesEvents {
         """WITH it AS (SELECT event_type AS g,
           |    CASE WHEN user_id % 3 > 0 THEN 'hot-' || (user_id % 2)
           |         ELSE 'cold-' || (user_id % 211) END AS item
-          |  FROM events),
+          |  FROM events WHERE user_id IS NOT NULL),
           |cnt AS (SELECT g, item, count(*) AS n_true FROM it GROUP BY 1, 2),
           |tot AS (SELECT g, count(*) AS n_seen FROM it GROUP BY 1)
           |SELECT g, item, n_true, n_seen FROM cnt JOIN tot USING (g)

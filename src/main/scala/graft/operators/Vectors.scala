@@ -29,7 +29,15 @@ object Vectors {
     * is the same kernel applied to (x, x) — but VecDot participates in
     * whole-stage codegen while SQL higher-order functions are
     * CodegenFallback (interpreted), which matters on candidate-pair
-    * relations of millions of rows. */
+    * relations of millions of rows.
+    *
+    * Precondition for the bit-identity claim: x and y are equal-length with
+    * non-null elements (every ANN call site uses fixed-dim non-null
+    * embeddings, and PropertySpec's generator assumes the same). Outside it
+    * the two forms intentionally differ: `zip_with` pads the shorter array
+    * with nulls so the HOF aggregate returns NULL on a length mismatch or
+    * null element, while VecDot truncates to the min length and returns a
+    * number. */
   def quantizedCos9(x: Column, y: Column): Column = floor(
     (lit(1.0) - graft.functions.VectorExprs.vecDot(x, y) /
       (sqrt(graft.functions.VectorExprs.vecDot(x, x)) *
