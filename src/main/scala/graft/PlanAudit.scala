@@ -1,18 +1,61 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.plans._
+import org.apache.spark.sql.catalyst.plans.logical.Join
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.window.WindowExec
-import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
-/** Registry-wide plan linter: flags the two 100 TB anti-patterns that can
-  * hide behind a green correctness row — windows with an empty partition
-  * spec ("Moving all data to a single partition") and cartesian products.
-  * `runMain graft.PlanAudit <sfDir>` prints one line per offending query;
-  * exits 0 when clean. Globals over PROVABLY bounded relations (driver-side
-  * literals etc.) are listed too — the point is that every one must be
-  * explainable, and the count should only ever go down.
+/** Registry-wide plan linter: flags the 100 TB anti-patterns that can hide
+  * behind a green correctness row. `runMain graft.PlanAudit <sfDir>` prints
+  * one line per offending query; exits 0 when clean.
+  *
+  * Detectors:
+  *  1. windows with an empty partition spec ("Moving all data to a single
+  *     partition") and
+  *  2. cartesian products — the original pair;
+  *  3. lost broadcasts (r11 verdict item 7a): a sort-merge/shuffled-hash
+  *     join whose logical side is provably under the session's
+  *     autoBroadcastJoinThreshold AND broadcastable for the join type —
+  *     Catalyst would normally broadcast these, so one surfacing means a
+  *     hint/structure change silently dropped a broadcast;
+  *  4. unpruned partitioned scans (r11 verdict item 7b): a scan of a
+  *     partitioned layout (objects is bucket_id-partitioned; IVF/kNN-graph
+  *     are the stored index layouts) with NO partition filters while a
+  *     FilterExec in the same plan still consumes that scan's own
+  *     partition-column attribute in a conjunct referencing ONLY partition
+  *     columns (Catalyst's own prunability rule) — pruning was expected
+  *     but never reached the scan. Plain whole-table scans (no predicate)
+  *     and OR-mixed predicates like `owner = x OR bucket_id = y` (every
+  *     partition may match the data side — semantically unprunable) are
+  *     NOT flagged: no prunable predicate, no expectation.
+  *
+  * r12 finding baked in: AdaptiveSparkPlanExec is a LEAF node, so a plain
+  * `plan.collect` sees NOTHING under an AQE-wrapped root — the r9-r11
+  * audits were blind on every plan AQE wrapped (most of the registry).
+  * [[allNodes]] descends through AQE wrappers and subquery expressions.
   */
 object PlanAudit {
+
+  /** Every physical node reachable from `p`: through subqueries (incl.
+    * dynamic-pruning subqueries) and through AQE wrapper leaves. */
+  def allNodes(p: SparkPlan): Seq[SparkPlan] =
+    p.collectWithSubqueries { case n => n }.flatMap {
+      case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
+      case n => Seq(n)
+    }
+
+  /** Which logical sides a broadcast-hash join may build on, per type. */
+  private def broadcastableSides(jt: JoinType): (Boolean, Boolean) = jt match {
+    case Inner | Cross => (true, true)
+    case LeftOuter | LeftSemi | LeftAnti => (false, true)
+    case RightOuter => (true, false)
+    case _: ExistenceJoin => (false, true)
+    case _ => (false, false) // full outer: neither side broadcastable
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
     val spark = SparkSession.builder()
@@ -23,18 +66,60 @@ object PlanAudit {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val broadcastThresh = spark.sessionState.conf.autoBroadcastJoinThreshold
     var flagged = 0
     Registry.all.toSeq.sortBy(_._1).foreach { case (name, q) =>
       try {
-        val plan = q.fn(spark, sfDir).queryExecution.executedPlan
-        val globalWindows = plan.collect {
+        val nodes = allNodes(q.fn(spark, sfDir).queryExecution.executedPlan)
+        val globalWindows = nodes.collect {
           case w: WindowExec if w.partitionSpec.isEmpty => w
         }
-        val cartesians = plan.collect { case c: CartesianProductExec => c }
-        if (globalWindows.nonEmpty || cartesians.nonEmpty) {
+        val cartesians = nodes.collect { case c: CartesianProductExec => c }
+        val shuffleJoins: Seq[(JoinType, SparkPlan)] = nodes.collect {
+          case j: SortMergeJoinExec => (j.joinType, j: SparkPlan)
+          case j: ShuffledHashJoinExec => (j.joinType, j: SparkPlan)
+        }
+        val lostBroadcasts = shuffleJoins.filter { case (jt, j) =>
+          broadcastThresh > 0 && j.logicalLink.exists {
+            case ln: Join =>
+              val (lOk, rOk) = broadcastableSides(jt)
+              (lOk && ln.left.stats.sizeInBytes <= broadcastThresh) ||
+                (rOk && ln.right.stats.sizeInBytes <= broadcastThresh)
+            case _ => false
+          }
+        }
+        def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+            : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+          case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+            conjuncts(l) ++ conjuncts(r)
+          case x => Seq(x)
+        }
+        val filterConjunctRefs = nodes.collect {
+          case fe: org.apache.spark.sql.execution.FilterExec =>
+            conjuncts(fe.condition).map(_.references.map(_.exprId).toSet)
+        }.flatten.filter(_.nonEmpty)
+        val unprunedStored = nodes.collect {
+          case f: FileSourceScanExec
+              if f.relation.partitionSchema.nonEmpty &&
+                f.partitionFilters.isEmpty =>
+            val partCols = f.relation.partitionSchema.fieldNames.toSet
+            val partAttrIds = f.output
+              .filter(a => partCols.contains(a.name)).map(_.exprId).toSet
+            (f, partAttrIds.nonEmpty &&
+              filterConjunctRefs.exists(refs => refs.subsetOf(partAttrIds)))
+        }.collect { case (f, true) =>
+          f.relation.location.rootPaths.headOption
+            .map(_.getName).getOrElse("?")
+        }
+        if (globalWindows.nonEmpty || cartesians.nonEmpty ||
+            lostBroadcasts.nonEmpty || unprunedStored.nonEmpty) {
           flagged += 1
           println(s"FLAG $name: ${globalWindows.size} global window(s), " +
-            s"${cartesians.size} cartesian product(s)")
+            s"${cartesians.size} cartesian product(s), " +
+            s"${lostBroadcasts.size} lost broadcast(s), " +
+            s"${unprunedStored.size} unpruned partitioned scan(s)" +
+            (if (unprunedStored.nonEmpty)
+               unprunedStored.mkString(" [", ", ", "]") else ""))
         }
       } catch {
         case e: Throwable =>

@@ -30,7 +30,8 @@ object ScaleProbe {
       .split(",").map(_.trim.toInt).toSeq
     val all = Seq("dedup_exact", "dedup_minhash_lsh", "text_wordpiece",
       "graph_louvain", "t_sessionize", "e_hourly_agg",
-      "knn_graph_build", "beam_query", "dbscan_hot_1p", "dbscan_hot_2p")
+      "knn_graph_build", "beam_query", "beam_query_cold_flat",
+      "beam_query_cold_bucketed", "dbscan_hot_1p", "dbscan_hot_2p")
     val kernels = if (args.length > 2) args(2).split(",").map(_.trim).toSeq else all
     // validate BEFORE the session spins up: a typo'd kernel name used to
     // surface as a bare MatchError after ~10 s of Spark startup
@@ -104,6 +105,32 @@ object ScaleProbe {
     val ringPivotA = Seq(0.0, 0.0)       // ring center: one hot annulus
     val ringPivotB = Seq(7.0, 0.0)       // off-center: ~100 annuli across the ring
 
+    // shared beam-search fixture: m×-grown corpus + resident graph, a FIXED
+    // query set (base-replica ids only), LSH-entry ∪ min-id-fallback seeds —
+    // setup is untimed in every beam kernel
+    def beamFixtures(m: Int): (Long, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      val e = embX(m).persist(); val nIn = e.count()
+      val nPlanes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
+      val g = graft.operators.Vectors.nnDescentKnnGraph(e, "vec_id", "v",
+        k = 5, nPlanes = nPlanes).persist()
+      g.count()
+      val qs = e.filter(col("vec_id") % 41 === 0 && col("vec_id") < OFF)
+        .select(col("vec_id").as("q"), col("v").as("qv")).persist()
+      qs.count()
+      val b1 = graft.operators.Vectors.lshBuckets(e, "v", 64,
+          nPlanes = nPlanes, seed = 42L)
+        .select(col("vec_id").as("id"), col("lsh_bucket").as("bk"))
+      val entry = g.agg(min(col("a")).as("id"))
+      val seeds = qs.select(col("q"))
+        .join(b1.select(col("id").as("q"), col("bk")), Seq("q"))
+        .join(b1, Seq("bk")).filter(col("id") =!= col("q"))
+        .select(col("q"), col("id"))
+        .union(qs.select(col("q")).crossJoin(broadcast(entry))
+          .filter(col("id") =!= col("q")))
+        .distinct().localCheckpoint()
+      (nIn, e, g, qs, seeds)
+    }
+
     // each kernel returns (rows_in, result-materializing thunk)
     def run(kernel: String, m: Int): (Long, () => Long) = kernel match {
       case "dedup_exact" =>
@@ -143,28 +170,33 @@ object ScaleProbe {
       // construction are setup (untimed); the thunk times only the
       // 4-round beam probe — the corpus-independence claim under test.
       case "beam_query" =>
-        val e = embX(m).persist(); val nIn = e.count()
-        val nPlanes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
-        val g = graft.operators.Vectors.nnDescentKnnGraph(e, "vec_id", "v",
-          k = 5, nPlanes = nPlanes).persist()
-        g.count()
-        val qs = e.filter(col("vec_id") % 41 === 0 && col("vec_id") < OFF)
-          .select(col("vec_id").as("q"), col("v").as("qv")).persist()
-        qs.count()
-        val b1 = graft.operators.Vectors.lshBuckets(e, "v", 64,
-            nPlanes = nPlanes, seed = 42L)
-          .select(col("vec_id").as("id"), col("lsh_bucket").as("bk"))
-        val entry = g.agg(min(col("a")).as("id"))
-        val seeds = qs.select(col("q"))
-          .join(b1.select(col("id").as("q"), col("bk")), Seq("q"))
-          .join(b1, Seq("bk")).filter(col("id") =!= col("q"))
-          .select(col("q"), col("id"))
-          .union(qs.select(col("q")).crossJoin(broadcast(entry))
-            .filter(col("id") =!= col("q")))
-          .distinct().localCheckpoint()
+        val (nIn, e, g, qs, seeds) = beamFixtures(m)
         (nIn, () => graft.operators.Vectors.beamSearch(
           g, e.select(col("vec_id"), col("v")), qs, seeds,
           ef = 10, rounds = 4).count())
+      // Cold-probe A/B for the r12 stored-adjacency layout: the SAME graph
+      // rows written flat vs partitionBy(a_bkt), read UNPERSISTED each
+      // probe, so the timed thunk includes the per-round adjacency scan the
+      // resident beam_query kernel deliberately pins away. Their ratio is
+      // the measured value of graphHops' dynamic partition pruning at this
+      // SF (at 100 TB the adjacency cannot be resident per executor and
+      // this cold path IS the serving path).
+      case "beam_query_cold_flat" | "beam_query_cold_bucketed" =>
+        val bucketed = kernel.endsWith("bucketed")
+        val (nIn, e, g, qs, seeds) = beamFixtures(m)
+        val path = Warehouse.dir + s"/scaleprobe_knng_${m}_" +
+          (if (bucketed) "bkt" else "flat")
+        if (bucketed)
+          g.withColumn("a_bkt",
+              pmod(col("a"), lit(graft.operators.Vectors.KnnGraphBuckets)))
+            .repartition(col("a_bkt")).sortWithinPartitions(col("a"), col("b"))
+            .write.partitionBy("a_bkt").mode("overwrite").parquet(path)
+        else
+          g.sortWithinPartitions(col("a")).write.mode("overwrite").parquet(path)
+        g.unpersist()
+        (nIn, () => graft.operators.Vectors.beamSearch(
+          spark.read.parquet(path), e.select(col("vec_id"), col("v")), qs,
+          seeds, ef = 10, rounds = 4).count())
       // Hot-annulus candidate census: rows_out = candidate pairs the
       // annulus equi-join admits BEFORE the exact ε² check. 1p puts the
       // whole ring in one annulus (≈ n²/2 candidates); 2p intersects a

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph analytics beyond connected components (those live in
@@ -276,17 +276,36 @@ object Graph {
     * community C scores 2m·k_{v,C} − k_v·Σtot(C∖{v}) (the ΔQ numerator
     * scaled by 4m² — argmax-equivalent, overflow-bounded by 2m·max_deg,
     * comfortably inside int64 until ~10¹² directed edges × 10⁶ degree;
-    * past that bound the fixed LongType products would overflow — the
-    * required change at that scale is casting m2·kic and k·tot to
-    * DecimalType(38,0), a two-line widening of the `score` column, not
-    * implemented here because the int64 headroom covers ~10× the 100 TB
-    * design point).
+    * past that bound [[louvainScore]] WIDENS the products to
+    * DecimalType(38,0) automatically — the switch is the exact int64
+    * bound m2 > Long.MaxValue / max_deg, both scalars already known per
+    * call, and LouvainOverflowSpec pins the ANSI failure mode the narrow
+    * form hits at that boundary plus the widened form's exactness).
     * Candidates are the neighbor communities ∪ the current one (kept via a
     * zero-count union so "stay" is always priced); ties break to the
     * smallest community id. Each round is two keyed groupBys and three
     * broadcast-or-shuffle equi-joins over node-sized relations — one Pregel
     * superstep; localCheckpoint pins the assignment per round (house rule).
     * Returns (v, c, k): node, community, degree. */
+  /** True when louvainSync's int64 gain products could overflow: both
+    * |m2·kic| and |k·(tot−k)| are ≤ m2·maxDeg (kic ≤ maxDeg, k ≤ maxDeg,
+    * tot ≤ m2), so int64 is exact iff m2·maxDeg fits. */
+  private[graft] def louvainWidens(m2: Long, maxDeg: Long): Boolean =
+    maxDeg > 0 && m2 > Long.MaxValue / maxDeg
+
+  /** The modularity-gain score column 2m·k_{v,C} − k_v·Σtot(C∖{v}) over
+    * (kic, k, tot, c, cc) — LongType while the [[louvainWidens]] bound
+    * holds (codegen integer math), DecimalType(38,0) past it (exact at any
+    * graph scale; decimal compares order the argmax identically). */
+  private[graft] def louvainScore(m2: Long, maxDeg: Long): Column = {
+    val totLessSelf = col("tot") -
+      when(col("c") === col("cc"), col("k")).otherwise(lit(0L))
+    if (louvainWidens(m2, maxDeg)) {
+      val d = org.apache.spark.sql.types.DecimalType(38, 0)
+      lit(m2).cast(d) * col("kic").cast(d) - col("k").cast(d) * totLessSelf.cast(d)
+    } else lit(m2) * col("kic") - col("k") * totLessSelf
+  }
+
   def louvainSync(edges: DataFrame, rounds: Int,
                   assumeDistinct: Boolean = false): DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
@@ -301,6 +320,10 @@ object Graph {
     val deg = e.groupBy(col("src").as("v")).agg(count(lit(1)).as("k"))
       .persist(mem)
     deg.count()
+    // driver-bounded scalar off the persisted node relation: picks the
+    // exact int64-vs-decimal score form for this graph's actual bound
+    val maxDeg = Option(deg.agg(max(col("k"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     var c = deg.select(col("v"), col("v").as("c"))
     for (_ <- 1 to rounds) {
       val tot = c.join(deg, Seq("v"))
@@ -317,8 +340,7 @@ object Graph {
         .join(c, Seq("v"))
         .join(deg, Seq("v"))
         .join(tot.withColumnRenamed("c", "cc"), Seq("cc"))
-        .withColumn("score", lit(m2) * col("kic") - col("k") *
-          (col("tot") - when(col("c") === col("cc"), col("k")).otherwise(lit(0L))))
+        .withColumn("score", louvainScore(m2, maxDeg))
       c = sc.groupBy(col("v"))
         .agg(min(struct((-col("score")).as("ns"), col("cc").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("c"))

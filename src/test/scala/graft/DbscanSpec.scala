@@ -22,12 +22,26 @@ class DbscanSpec extends SparkTestBase {
       (3L, Seq(0.0, 0.1)), (4L, Seq(0.1, 0.1)),
       (5L, Seq(0.3, 0.0)), (6L, Seq(1.0, 1.0))
     ).toDF("id", "v")
-    val got = Vectors.dbscan(pts, "id", "v", eps = 0.25, minPts = 3, pivot)
+    val got = Vectors.dbscan(pts, "id", "v", eps = 0.25, minPts = 3, pivot,
+        selfInclusive = false)
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(got == Seq(
       (1L, 1L, "core"), (2L, 1L, "core"), (3L, 1L, "core"), (4L, 1L, "core"),
       (5L, 1L, "border"), (6L, -1L, "noise")), got.toString)
+    // convention parity: the default (Ester et al. / sklearn, x ∈ N_ε(x))
+    // at minPts+1 is the same clustering — a sklearn min_samples value
+    // ports with NO adjustment under the default
+    val gotIncl = Vectors.dbscan(pts, "id", "v", eps = 0.25, minPts = 4, pivot)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(gotIncl == got, gotIncl.toString)
+    // sklearn min_samples = 1: every point is core, noise impossible —
+    // the inclusive threshold must cover points with ZERO ε-neighbors
+    val gotOne = Vectors.dbscan(pts, "id", "v", eps = 0.25, minPts = 1, pivot)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(gotOne.forall(_._2 == "core"), gotOne.toString)
   }
 
   test("dbscan: annulus pruning is exact — roles and clusters match a brute-force ε-graph") {
@@ -40,7 +54,8 @@ class DbscanSpec extends SparkTestBase {
     val df = pts.toDF("id", "v")
     val eps = 0.18 // 124 core / 7 border / 89 noise at this density
     val minPts = 3
-    val got = Vectors.dbscan(df, "id", "v", eps, minPts, pivot)
+    val got = Vectors.dbscan(df, "id", "v", eps, minPts, pivot,
+        selfInclusive = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toMap2
     // brute-force reference, plain Scala
     def d2(x: Seq[Double], y: Seq[Double]) =
@@ -78,7 +93,7 @@ class DbscanSpec extends SparkTestBase {
     // multi-pivot intersection must not change the result: the composite
     // key only PRUNES candidate pairs, never the true ε-neighbors
     val got2 = Vectors.dbscan(df, "id", "v", eps, minPts,
-        Seq(Seq(5.0, 5.0), Seq(-3.0, 4.0)))
+        Seq(Seq(5.0, 5.0), Seq(-3.0, 4.0)), selfInclusive = false)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toMap2
     assert(got2 == expected, "2-pivot dbscan diverged from brute force")
     // candidate-set algebra: 2-pivot candidates ⊆ 1-pivot candidates, and
