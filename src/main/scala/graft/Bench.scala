@@ -253,21 +253,30 @@ object Bench {
     // total can mask a single line regressing 2× — the r11 graph-family
     // readings were only exonerated by hand-run BenchOne A/Bs. A line's
     // steady state doesn't move when unrelated queries are added, so these
-    // keys are registry-size independent. Lines over 1.5× their floor are
-    // FLAGGED in the artifact (provenance, not retries — the per-line
-    // medians already absorb one contended rep each); a flagged line on an
-    // uncontended run is a real candidate regression to A/B with BenchOne.
+    // keys are registry-size independent. Lines over 1.5× their floor AND
+    // more than 0.25 s above it are FLAGGED in the artifact (provenance,
+    // not retries — the per-line medians already absorb one contended rep
+    // each); a flagged line on an uncontended run is a real candidate
+    // regression to A/B with BenchOne. The absolute-delta guard is from
+    // the wire's first live run (r12, NOTES): 10 of 12 flags were
+    // sub-second lines where 1.5× amplifies 50-400 ms of task-dispatch
+    // jitter — a real regression big enough to matter clears 0.25 s.
     val QueryWire = 1.5
+    val MinFlagDelta = 0.25
     def qKey(name: String) = s"q_${sfKey}_$name"
     val flaggedQueries = results.toSeq.sortBy(_._1).collect {
-      case (n, v) if floorsAfterWarm.get(qKey(n)).exists(f => v > f * QueryWire) =>
+      case (n, v) if floorsAfterWarm.get(qKey(n))
+            .exists(f => v > f * QueryWire && v - f > MinFlagDelta) =>
         n
     }
     val floorsWithTotal = floorsAfterWarm +
       (totalKey -> math.min(floorsAfterWarm.getOrElse(totalKey, totalSec), totalSec))
-    writeFloors(results.foldLeft(floorsWithTotal) { case (m, (n, v)) =>
-      m + (qKey(n) -> math.min(m.getOrElse(qKey(n), v), v))
-    })
+    // threaded in memory (never re-read between writes — see the warm-floor
+    // note); the resident lap below appends its own floors to this map
+    val floorsWithQueries = results.foldLeft(floorsWithTotal) {
+      case (m, (n, v)) => m + (qKey(n) -> math.min(m.getOrElse(qKey(n), v), v))
+    }
+    writeFloors(floorsWithQueries)
     // RESIDENT second lap (r10 verdict item 2): the r10 cache-release sweep
     // made every graph/ANN line pay its stored-layout load per call —
     // measurement honesty for one-shot execution, but production pins the
@@ -286,6 +295,19 @@ object Bench {
     }
     val residentResults = timedLap(residentNames)
     residentPins.foreach(_.unpersist())
+    // same wire for the resident lap — the pinned-index steady state is
+    // the SERVING-path number, and a regression there (e.g. a hop join
+    // regressing against the cached adjacency) can hide behind a healthy
+    // cold lap
+    def qrKey(name: String) = s"qr_${sfKey}_$name"
+    val flaggedResident = residentResults.toSeq.sortBy(_._1).collect {
+      case (n, v) if floorsWithQueries.get(qrKey(n))
+            .exists(f => v > f * QueryWire && v - f > MinFlagDelta) =>
+        n
+    }
+    writeFloors(residentResults.foldLeft(floorsWithQueries) {
+      case (m, (n, v)) => m + (qrKey(n) -> math.min(m.getOrElse(qrKey(n), v), v))
+    })
     // The driver captures only the last 2000 chars of sbt output; round-1's
     // full-precision 71-query line (~3 KB) overflowed that and the bench went
     // ungraded ("parsed": null). So: print a compact line — total + a fixed
@@ -313,9 +335,11 @@ object Bench {
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val residentTotal = residentResults.values.sum
     val flaggedJson = flaggedQueries.map(n => s""""$n"""").mkString("[", ",", "]")
+    val flaggedResidentJson =
+      flaggedResident.map(n => s""""$n"""").mkString("[", ",", "]")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"flagged_queries":$flaggedJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
+      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"timed_lap_retries":$timedRetries,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
     spark.stop()
