@@ -183,18 +183,20 @@ object Bench {
     }
     val floors = readFloors()
     def sizedFloor(prefix: String): Option[Double] = {
-      val exactKey = s"$prefix${sfKey}_n$nQ"
-      floors.get(exactKey).orElse {
-        val re = ("^" + java.util.regex.Pattern.quote(s"$prefix${sfKey}_n") +
-          "(\\d+)$").r
-        val scaled: Iterable[Double] = floors.flatMap { case (k, v) =>
-          k match {
-            case re(n) if n.toInt > 0 => Some(v * nQ / n.toInt)
-            case _ => None
-          }
+      // min over the exact-size key AND every other size scaled by
+      // n_new/n_old — never prefer the exact key alone: a contended first
+      // run at a new registry size persists a too-high exact floor, and
+      // preferring it would shadow the lower scaled floor and disarm the
+      // wire for every later run (r12 self-review finding)
+      val re = ("^" + java.util.regex.Pattern.quote(s"$prefix${sfKey}_n") +
+        "(\\d+)$").r
+      val scaled: Iterable[Double] = floors.flatMap { case (k, v) =>
+        k match {
+          case re(n) if n.toInt > 0 => Some(v * nQ / n.toInt)
+          case _ => None // the exact-size key participates at scale 1
         }
-        scaled.minOption
       }
+      scaled.minOption
     }
     val warmKey = s"${sfKey}_n$nQ"
     val priorFloor = sizedFloor("")

@@ -1593,7 +1593,7 @@ object QueriesVector {
     // resident adjacency, so single-node latency ∝ resident-index scan,
     // not corpus × queries — ScaleProbe's beam_query measured ~2× latency
     // over a 16× corpus (SCALE.md r11 wave 1). The stored layout IS
-    // bucketed by node id (ensureKnnGraph partitionBy(a_bkt)) and the hop
+    // bucketed by node id (ensureKnnGraph partitionBy(a_bkt_<B>)) and the hop
     // join (Vectors.graphHops) dynamic-partition-prunes a cold probe to
     // the probed buckets (KnnGraphLayoutSpec), which is why graph indexes
     // win at scale; this row keeps the graph persisted because the graded
@@ -1614,7 +1614,7 @@ object QueriesVector {
         // away before pinning, so graphHops takes the plain key join — a
         // cached relation has no partitions to prune and the DPP probe
         // machinery measured ~+0.9 s/call of pure overhead against it
-        // (r12 bench flag). The cold/cluster path keeps a_bkt and prunes
+        // (r12 bench flag). The cold/cluster path keeps the bucket column and prunes
         // (KnnGraphLayoutSpec, ScaleProbe beam_query_cold_bucketed).
         val g1 = s.read.parquet(path).select(col("a"), col("b")).persist()
         g1.count() // resident index: R probe joins + nothing else reads disk

@@ -175,7 +175,7 @@ object ScaleProbe {
           g, e.select(col("vec_id"), col("v")), qs, seeds,
           ef = 10, rounds = 4).count())
       // Cold-probe A/B for the r12 stored-adjacency layout: the SAME graph
-      // rows written flat vs partitionBy(a_bkt), read UNPERSISTED each
+      // rows written flat vs the bucketed layout (writeKnnGraphBucketed), read UNPERSISTED each
       // probe, so the timed thunk includes the per-round adjacency scan the
       // resident beam_query kernel deliberately pins away. Their ratio is
       // the measured value of graphHops' dynamic partition pruning at this
@@ -187,10 +187,7 @@ object ScaleProbe {
         val path = Warehouse.dir + s"/scaleprobe_knng_${m}_" +
           (if (bucketed) "bkt" else "flat")
         if (bucketed)
-          g.withColumn("a_bkt",
-              pmod(col("a"), lit(graft.operators.Vectors.KnnGraphBuckets)))
-            .repartition(col("a_bkt")).sortWithinPartitions(col("a"), col("b"))
-            .write.partitionBy("a_bkt").mode("overwrite").parquet(path)
+          graft.operators.Vectors.writeKnnGraphBucketed(g, path)
         else
           g.sortWithinPartitions(col("a")).write.mode("overwrite").parquet(path)
         g.unpersist()

@@ -156,30 +156,43 @@ object Vectors {
     * Cost shape: each round joins a |queries|·ef relation against the
     * resident adjacency and embedding relations — ScaleProbe's `beam_query`
     * kernel measures the corpus-size dependence of that probe. */
+  /** The stored layout's bucket column name, `a_bkt_<B>` — SELF-DESCRIBING:
+    * the probe side must re-derive `pmod(a, B)` with the EXACT B the writer
+    * used, and reading B out of the column name (rather than a shared
+    * compile-time constant) means a layout written under an older/other
+    * bucket count can never silently mis-join — the r12 self-review caught
+    * that a constant bump plus a pre-existing layout would have dropped
+    * every hop where pmod(a, B_old) ≠ pmod(a, B_new). */
+  private[graft] val KnnBucketColRe = "^a_bkt_(\\d+)$".r
+  private[graft] def knnBucketCol(buckets: Int): String = s"a_bkt_$buckets"
+
   /** One beam-expansion hop: probe (q, a) against the adjacency, returning
-    * (q, a, b[, a_bkt]). When the adjacency carries the stored layout's
-    * bucket column ([[ensureKnnGraph]] writes partitionBy(a_bkt)), the same
-    * bucket is derived on the tiny probe side and joined on — with the
-    * probe broadcast, Catalyst's dynamic partition pruning turns the hop
-    * into a scan of only the probed buckets instead of the full adjacency
-    * (the cluster behavior SCALE.md claims; KnnGraphLayoutSpec pins the
-    * pruned plan). A resident (persisted) graph or a bucketless adjacency
-    * takes the plain key join; output content is identical either way
-    * (a_bkt is a pure function of a). */
+    * (q, a, b[, a_bkt_B]). When the adjacency carries the stored layout's
+    * bucket column ([[writeKnnGraphBucketed]] partitions by `a_bkt_<B>`),
+    * the same bucket is derived on the tiny probe side — with B parsed
+    * from the column name — and joined on; with the probe broadcast,
+    * Catalyst's dynamic partition pruning turns the hop into a scan of
+    * only the probed buckets instead of the full adjacency (the cluster
+    * behavior SCALE.md claims; KnnGraphLayoutSpec pins the pruned plan).
+    * A resident (persisted) graph or a bucketless adjacency takes the
+    * plain key join; output content is identical either way (the bucket
+    * is a pure function of a). */
   def graphHops(graph: DataFrame, probe: DataFrame): DataFrame =
-    if (graph.columns.contains("a_bkt"))
-      // broadcast + the trivially-true comparison are plan-shaping for
-      // Catalyst's PartitionPruning rule: it only plants a DPP subquery
-      // when the filtering side is a reusable broadcast AND carries a
-      // "likely selective" Filter node — the beam is ≤ |queries|·ef rows
-      // (always broadcastable) but arrives as a checkpointed LogicalRDD
-      // whose stats and filter lineage were erased, so both markers must
-      // be restated
-      broadcast(probe
-          .withColumn("a_bkt", pmod(col("a"), lit(KnnGraphBuckets)))
-          .where(col("a") >= lit(Long.MinValue)))
-        .join(graph, Seq("a_bkt", "a"))
-    else probe.join(graph, Seq("a"))
+    graph.columns.collectFirst { case c @ KnnBucketColRe(b) => (c, b.toInt) } match {
+      case Some((bktCol, buckets)) =>
+        // broadcast + the trivially-true comparison are plan-shaping for
+        // Catalyst's PartitionPruning rule: it only plants a DPP subquery
+        // when the filtering side is a reusable broadcast AND carries a
+        // "likely selective" Filter node — the beam is ≤ |queries|·ef rows
+        // (always broadcastable) but arrives as a checkpointed LogicalRDD
+        // whose stats and filter lineage were erased, so both markers must
+        // be restated
+        broadcast(probe
+            .withColumn(bktCol, pmod(col("a"), lit(buckets)))
+            .where(col("a") >= lit(Long.MinValue)))
+          .join(graph, Seq(bktCol, "a"))
+      case None => probe.join(graph, Seq("a"))
+    }
 
   def beamSearch(graph: DataFrame, emb: DataFrame, queries: DataFrame,
                  seeds: DataFrame, ef: Int, rounds: Int): DataFrame = {
@@ -210,32 +223,42 @@ object Vectors {
 
   private val graphBuilt = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** Bucket count of the stored kNN-graph layout: `a_bkt = pmod(a, B)` is a
-    * pure function of the source node id, so the query side can always
-    * re-derive it. 16 keeps every sf0.1 bucket well over the parquet
-    * row-group sweet spot; on a cluster set B ≈ graph_bytes / 128 MB so a
-    * beam round's probed buckets are a small fraction of the index. */
+  /** Default bucket count of the stored kNN-graph layout: `pmod(a, B)` is
+    * a pure function of the source node id, so the query side can always
+    * re-derive it (the ACTUAL B of a given layout travels in its column
+    * name, [[knnBucketCol]]). 16 keeps every sf0.1 bucket well over the
+    * parquet row-group sweet spot; on a cluster set B ≈ graph_bytes /
+    * 128 MB so a beam round's probed buckets are a small fraction of the
+    * index. */
   val KnnGraphBuckets = 16
+
+  /** The ONE writer of the bucketed adjacency layout (shared by
+    * [[ensureKnnGraph]] and ScaleProbe's cold-probe A/B kernel, so the
+    * measured layout cannot drift from the production one): (a, b) edges
+    * written partitionBy(`a_bkt_<buckets>`), src-sorted within each
+    * bucket. */
+  def writeKnnGraphBucketed(graph: DataFrame, path: String,
+                            buckets: Int = KnnGraphBuckets): Unit = {
+    val bktCol = knnBucketCol(buckets)
+    graph.withColumn(bktCol, pmod(col("a"), lit(buckets)))
+      .repartition(col(bktCol))
+      .sortWithinPartitions(col("a"), col("b"))
+      .write.partitionBy(bktCol).mode("overwrite").parquet(path)
+  }
 
   /** Build-once stored kNN-graph index (the inverted-index/Z-order
     * contract): the graph an ANN deployment keeps RESIDENT so query-time
-    * beam search pays only per-hop probes. Parquet at `path`, PARTITIONED
-    * by the id-mod bucket `a_bkt` and src-sorted within each bucket — the
-    * layout [[beamSearch]]'s probe join prunes to (dynamic partition
-    * pruning off the broadcast beam side), so a cold/cluster probe reads
-    * only the buckets the beam actually touches instead of the whole
-    * adjacency. */
+    * beam search pays only per-hop probes. Parquet at `path` in the
+    * [[writeKnnGraphBucketed]] layout — [[graphHops]] prunes a cold probe
+    * to the probed buckets (dynamic partition pruning off the broadcast
+    * beam side) instead of scanning the whole adjacency. */
   def ensureKnnGraph(spark: org.apache.spark.sql.SparkSession,
                      vectors: => DataFrame, idCol: String, embCol: String,
                      path: String, k: Int = 5): Unit =
     if (!graphBuilt.contains(path)) graphBuilt.synchronized {
       if (!graphBuilt.contains(path)) {
         if (!new java.io.File(s"$path/_SUCCESS").exists())
-          nnDescentKnnGraph(vectors, idCol, embCol, k)
-            .withColumn("a_bkt", pmod(col("a"), lit(KnnGraphBuckets)))
-            .repartition(col("a_bkt"))
-            .sortWithinPartitions(col("a"), col("b"))
-            .write.partitionBy("a_bkt").mode("overwrite").parquet(path)
+          writeKnnGraphBucketed(nnDescentKnnGraph(vectors, idCol, embCol, k), path)
         graphBuilt.add(path)
       }
     }

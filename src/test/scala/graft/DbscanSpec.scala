@@ -37,11 +37,15 @@ class DbscanSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
     assert(gotIncl == got, gotIncl.toString)
     // sklearn min_samples = 1: every point is core, noise impossible —
-    // the inclusive threshold must cover points with ZERO ε-neighbors
+    // the inclusive threshold must cover points with ZERO ε-neighbors,
+    // and an isolated core point must form a SINGLETON cluster labeled by
+    // its own id (not -1, not dropped)
     val gotOne = Vectors.dbscan(pts, "id", "v", eps = 0.25, minPts = 1, pivot)
       .orderBy("id").collect()
-      .map(r => (r.getLong(0), r.getString(2))).toSeq
-    assert(gotOne.forall(_._2 == "core"), gotOne.toString)
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(gotOne.forall(_._3 == "core"), gotOne.toString)
+    assert(gotOne.find(_._1 == 6L).map(_._2).contains(6L),
+      s"isolated core point must be its own singleton cluster: $gotOne")
   }
 
   test("dbscan: annulus pruning is exact — roles and clusters match a brute-force ε-graph") {

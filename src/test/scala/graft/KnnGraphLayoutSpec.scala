@@ -6,28 +6,31 @@ import org.apache.spark.sql.functions._
 
 /** The stored kNN-graph layout (SCALE.md's bucketed-adjacency claim, made
   * real in r12): `ensureKnnGraph` writes the adjacency partitioned by the
-  * id-mod bucket `a_bkt`, and `beamSearch`'s per-round probe join against a
+  * id-mod bucket `a_bkt_<B>` (B self-described in the column name), and
+  * `beamSearch`'s per-round probe join against a
   * COLD stored graph must prune to the probed buckets via dynamic partition
   * pruning off the broadcast beam side — not scan the full adjacency.
   */
 class KnnGraphLayoutSpec extends SparkTestBase {
 
-  test("stored kNN graph is a_bkt-partitioned, matches the inline build, and the cold beam probe prunes") {
+  test("stored kNN graph is bucket-partitioned, matches the inline build, and the cold beam probe prunes") {
     val emb = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
     val path =
       java.nio.file.Files.createTempDirectory("knn_store").toString + "/graph"
     Vectors.ensureKnnGraph(spark, emb, "vec_id", "v", path, k = 3)
 
-    // layout: one directory per materialized id-mod bucket
+    // layout: one directory per materialized id-mod bucket, the bucket
+    // count self-described in the partition column name
+    val bktCol = Vectors.knnBucketCol(Vectors.KnnGraphBuckets)
     val dirs = new java.io.File(path).listFiles()
-      .filter(_.getName.startsWith("a_bkt=")).toSeq
-    assert(dirs.size > 2, s"expected several a_bkt= dirs, got ${dirs.size}")
+      .filter(_.getName.startsWith(bktCol + "=")).toSeq
+    assert(dirs.size > 2, s"expected several $bktCol= dirs, got ${dirs.size}")
 
-    // content parity: a_bkt is a pure derivation, the (a, b) edge set must
-    // equal the inline (unbucketed) build's
+    // content parity: the bucket is a pure derivation, the (a, b) edge set
+    // must equal the inline (unbucketed) build's
     val stored = spark.read.parquet(path)
-    assert(stored.filter(col("a_bkt") =!=
+    assert(stored.filter(col(bktCol) =!=
       pmod(col("a"), lit(Vectors.KnnGraphBuckets))).count() == 0)
     val storedEdges = stored.select(col("a"), col("b"))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -55,7 +58,7 @@ class KnnGraphLayoutSpec extends SparkTestBase {
         s"probe scan carries no dynamic pruning filter: ${scan.partitionFilters}")
       def parquetFiles(d: java.io.File): Int =
         Option(d.listFiles()).toSeq.flatten.count(_.getName.endsWith(".parquet"))
-      val bucket0Files = dirs.filter(_.getName == "a_bkt=0").map(parquetFiles).sum
+      val bucket0Files = dirs.filter(_.getName == bktCol + "=0").map(parquetFiles).sum
       val totalFiles = dirs.map(parquetFiles).sum
       val filesRead = scan.metrics("numFiles").value
       assert(filesRead == bucket0Files && filesRead < totalFiles,
