@@ -1987,6 +1987,44 @@ object QueriesExtra {
            |FROM sh GROUP BY lang, shard ORDER BY lang, shard""".stripMargin),
       doc = "ASR corpus capstone: VAD gate + per-language duration-packed shard manifests (exact ints)"),
 
+    // The REAL-decode arm of the extraction family (r12 verdict item 3):
+    // genuine RIFF/WAVE containers (WavCodec.encodePcm16Mono — LIST/INFO
+    // chunks, pad bytes, varying chunk order) decoded back by a real
+    // chunk-walking parser (WavCodec.decodePcm16) and censused in exact
+    // integers. The oracle replays the PCM recurrence + container byte
+    // arithmetic analytically, so a wrong chunk size, endianness slip, or
+    // pad-byte miss on EITHER side of the codec shifts the hashed numbers.
+    // 100 TB path: identical to mm_extract_features — decode amortizes
+    // per partition via mapPartitions, zero shuffle, binary column pruned
+    // unless actually decoded.
+    "mm_wav_decode" -> Q(
+      fn = (s, dir) => Multimodal.extractWavFeatures(Multimodal.wavMedia(s, dir))
+        .orderBy(col("media_id")),
+      oracle = Some(
+        """WITH m AS (SELECT doc_id AS media_id,
+          |    200 + doc_id % 312 AS n,
+          |    CAST(CASE WHEN doc_id % 5 < 2 THEN 8000 ELSE 16000 END AS INT)
+          |      AS sample_rate,
+          |    6 + len(CAST(doc_id AS VARCHAR)) AS nmlen
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |s AS (SELECT media_id, i,
+          |    ((media_id * 48271 + i * 40503) % 65536) - 32768 AS smp
+          |  FROM m CROSS JOIN (SELECT unnest(range(512)) AS i) WHERE i < n),
+          |fr AS (SELECT media_id, i // 64 AS f, sum(smp * smp) AS fe
+          |  FROM s GROUP BY 1, 2),
+          |agg AS (SELECT media_id, CAST(sum(smp * smp) AS BIGINT) AS sum_sq,
+          |    CAST(max(abs(smp)) AS BIGINT) AS max_abs FROM s GROUP BY 1),
+          |lf AS (SELECT media_id, CAST(count(*) FILTER (WHERE fe > 23104000000)
+          |    AS BIGINT) AS n_loud_frames FROM fr GROUP BY 1)
+          |SELECT m.media_id,
+          |  CAST(44 + 2 * m.n + CASE WHEN m.media_id % 4 = 1
+          |    THEN 20 + m.nmlen + m.nmlen % 2 ELSE 0 END AS BIGINT) AS payload_bytes,
+          |  m.sample_rate, CAST(m.n AS BIGINT) AS n_samples,
+          |  agg.sum_sq, agg.max_abs, lf.n_loud_frames
+          |FROM m JOIN agg USING (media_id) JOIN lf USING (media_id)
+          |ORDER BY media_id""".stripMargin),
+      doc = "REAL WAV codec arm: RIFF encode + chunk-walk decode + integer PCM census (oracle replays container bytes + samples)"),
+
     // Multimodal: per-partition feature extraction (stubbed decode kernel) —
     // not SQL-expressible, driver records a rows-only check.
     // The stub kernel emits dyadic k/65536 bins (md5-derived), so the
@@ -2358,7 +2396,7 @@ object QueriesExtra {
     "mm_phash_dedup" -> Q(
       fn = (s, dir) => {
         val hashed = Multimodal.phashBlocks(Multimodal.imagesWithReencodes(s, dir))
-        hashed.persist(); hashed.count()
+        graft.operators.CacheOnce.pin(hashed); hashed.count()
         val melted = hashed.select(col("media_id"),
           col("b0"), col("b1"), col("b2"), col("b3"),
           posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
@@ -2682,7 +2720,7 @@ object QueriesExtra {
       fn = (s, dir) => {
         val h = Multimodal.constellationHashes(
           Multimodal.audioWithReencodes(s, dir))
-        h.persist(); h.count()
+        graft.operators.CacheOnce.pin(h); h.count()
         val a = h.alias("a"); val b = h.alias("b")
         a.join(b, col("a.hash") === col("b.hash") &&
             col("a.media_id") < col("b.media_id"))
@@ -2812,7 +2850,7 @@ object QueriesExtra {
       fn = (s, dir) => {
         // image branch: near-dup rejection via phash blocks
         val hashed = Multimodal.phashBlocks(Multimodal.imagesWithReencodes(s, dir))
-        hashed.persist(); hashed.count()
+        graft.operators.CacheOnce.pin(hashed); hashed.count()
         val melted = hashed.select(col("media_id"),
           col("b0"), col("b1"), col("b2"), col("b3"),
           posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
@@ -3089,7 +3127,7 @@ object QueriesExtra {
     "graph_clustering_coeff" -> Q(
       fn = (s, dir) => {
         val e = Tables.coPurchasePairs(s, dir)
-        e.persist(); e.count() // feeds triangles AND the degree census
+        graft.operators.CacheOnce.pin(e); e.count() // feeds triangles AND the degree census
         val tv = graft.operators.Graph.triangles(e)
           .select(explode(array(col("n1"), col("n2"), col("n3"))).as("node"))
           .groupBy(col("node")).agg(count(lit(1)).as("t"))
