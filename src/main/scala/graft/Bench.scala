@@ -182,30 +182,47 @@ object Bench {
       catch { case _: Throwable => () }
     }
     val floors = readFloors()
-    def sizedFloor(prefix: String): Option[Double] = {
-      // min over the exact-size key AND every other size scaled by
-      // n_new/n_old — never prefer the exact key alone: a contended first
-      // run at a new registry size persists a too-high exact floor, and
-      // preferring it would shadow the lower scaled floor and disarm the
-      // wire for every later run (r12 self-review finding)
+    // Returns (floor, provenance) — provenance is stamped into the artifact
+    // (r12 verdict item 6: the proportional-scaling heuristic assumes
+    // per-query cost homogeneity across registry sizes, so a future
+    // mis-scale must be diagnosable from the JSON alone). Candidates: the
+    // exact-size key at scale 1 AND every other size scaled by n_new/n_old
+    // — never the exact key alone: a contended first run at a new registry
+    // size persists a too-high exact floor, and preferring it would shadow
+    // the lower scaled floor and disarm the wire for every later run (r12
+    // self-review finding). Once an exact-size floor HAS been demonstrated,
+    // scaled candidates are clamped to exact/TripWire (r12 ADVICE): a stale
+    // smaller-registry key whose scaled value sits below any achievable lap
+    // would otherwise trip the wire — two wasted ~190 s retry laps — on
+    // every subsequent run forever.
+    def sizedFloor(prefix: String): Option[(Double, String)] = {
       val re = ("^" + java.util.regex.Pattern.quote(s"$prefix${sfKey}_n") +
         "(\\d+)$").r
-      val scaled: Iterable[Double] = floors.flatMap { case (k, v) =>
+      val exact = floors.get(s"$prefix${sfKey}_n$nQ")
+      val cands: Iterable[(Double, String)] = floors.flatMap { case (k, v) =>
         k match {
-          case re(n) if n.toInt > 0 => Some(v * nQ / n.toInt)
-          case _ => None // the exact-size key participates at scale 1
+          case re(n) if n.toInt == nQ => Some((v, s"exact:$k"))
+          case re(n) if n.toInt > 0 =>
+            val scaled = v * nQ / n.toInt
+            exact match {
+              case Some(e) if scaled < e / TripWire =>
+                Some((e / TripWire, s"scaled:$k,clamped"))
+              case _ => Some((scaled, s"scaled:$k"))
+            }
+          case _ => None
         }
       }
-      scaled.minOption
+      if (cands.isEmpty) None else Some(cands.minBy(_._1))
     }
     val warmKey = s"${sfKey}_n$nQ"
     val priorFloor = sizedFloor("")
+    val warmProv = priorFloor.map(_._2).getOrElse("none")
     var retries = 0
-    while (priorFloor.exists(f => warmLapSec > f * TripWire) && retries < 2) {
+    while (priorFloor.exists(f => warmLapSec > f._1 * TripWire) && retries < 2) {
       retries += 1
       warmLapSec = math.min(warmLapSec, runLap())
     }
-    val warmContended = priorFloor.exists(f => warmLapSec > f * TripWire)
+    val warmContended = priorFloor.exists(f => warmLapSec > f._1 * TripWire)
     // persist the new floor (min of history and this run). The merged map is
     // THREADED in memory from here on — re-reading the file between writes
     // would, on a transient read failure (readFloors returns empty), rewrite
@@ -242,8 +259,9 @@ object Bench {
     // re-run it once and grade the better lap.
     val totalKey = s"total_${sfKey}_n$nQ"
     val priorTotalFloor = sizedFloor("total_")
+    val totalProv = priorTotalFloor.map(_._2).getOrElse("none")
     var timedRetries = 0
-    if (priorTotalFloor.exists(f => results.values.sum > f * TripWire)) {
+    if (priorTotalFloor.exists(f => results.values.sum > f._1 * TripWire)) {
       timedRetries = 1
       val second = timedLap()
       if (second.values.sum < results.values.sum) results = second
@@ -254,27 +272,72 @@ object Bench {
     // `warm_contended`: the r12 gate hit a marginal warmup trip (291 s vs
     // a 284 s wire) and then timed the fastest total ever recorded
     // (180.6 s, a new floor) — OR-ing the warmup trip into `contended`
-    // falsely labeled a record-clean graded lap as contended.
-    val contended = priorTotalFloor.exists(f => totalSec > f * TripWire)
-    // PER-QUERY rolling floors (r11 verdict item 4): ±14% host drift on the
-    // total can mask a single line regressing 2× — the r11 graph-family
-    // readings were only exonerated by hand-run BenchOne A/Bs. A line's
-    // steady state doesn't move when unrelated queries are added, so these
-    // keys are registry-size independent. Lines over 1.5× their floor AND
-    // more than 0.25 s above it are FLAGGED in the artifact (provenance,
-    // not retries — the per-line medians already absorb one contended rep
-    // each); a flagged line on an uncontended run is a real candidate
-    // regression to A/B with BenchOne. The absolute-delta guard is from
-    // the wire's first live run (r12, NOTES): 10 of 12 flags were
-    // sub-second lines where 1.5× amplifies 50-400 ms of task-dispatch
+    // falsely labeled a record-clean graded lap as contended. EXCEPT when
+    // no timed-total floor exists at all (first run at a new sf / fresh
+    // floor file): then the warm wire is the only signal there is, so it
+    // carries the stamp — a contended first-ever run must not grade as
+    // clean (r12 ADVICE).
+    val contended = priorTotalFloor match {
+      case Some((f, _)) => totalSec > f * TripWire
+      case None => warmContended
+    }
+    // PER-QUERY wire (r11 verdict item 4, re-based r12 verdict item 1a):
+    // ±14% host drift on the total can mask a single line regressing 2× —
+    // the r11 graph-family readings were only exonerated by hand-run
+    // BenchOne A/Bs. A line's steady state doesn't move when unrelated
+    // queries are added, so these keys are registry-size independent.
+    // BASIS: floors are all-time minima seeded by record laps, so an
+    // ordinary-drift lap (+7%) over the 180.6 s record fired 24/346 flags
+    // on a SAME-CODE run — a wire that cries wolf at 7% trains readers to
+    // ignore it. The flag base is now the MEDIAN of the last ≤3
+    // uncontended laps (BENCH_QHIST.json — what the line actually costs
+    // lately), with the all-time floor kept as a second, looser guard:
+    //   flag  iff  v > max(1.5 × median, 1.25 × floor)  AND  v − base > 0.25 s
+    // (base = median when history exists, else floor). Bootstrap with no
+    // history falls back to the old floor-only rule. The absolute-delta
+    // guard is from the wire's first live run (r12, NOTES): 10 of 12 flags
+    // were sub-second lines where 1.5× amplifies 50-400 ms of task-dispatch
     // jitter — a real regression big enough to matter clears 0.25 s.
+    // Flags are provenance, not retries (the per-line medians-of-3 already
+    // absorb one contended rep each); a flagged line on an uncontended run
+    // is a real candidate regression to A/B with BenchOne, and every
+    // graded artifact's flags get a per-line disposition in NOTES.md.
     val QueryWire = 1.5
+    val FloorWire = 1.25
     val MinFlagDelta = 0.25
+    val qhistPath = java.nio.file.Paths.get("/root/repo/BENCH_QHIST.json")
+    def readHist(): Map[String, List[Double]] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(qhistPath), "UTF-8")
+        """"([^"]+)"\s*:\s*\[([0-9., ]*)\]""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).split(',').toList
+            .map(_.trim).filter(_.nonEmpty).map(_.toDouble))
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    def writeHist(m: Map[String, List[Double]]): Unit = {
+      val body = m.toSeq.sortBy(_._1).map { case (k, vs) =>
+        s""""$k":${vs.map(v => "%.3f".format(v)).mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      try java.nio.file.Files.write(qhistPath, body.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
+    }
+    val qhist = readHist()
+    def median3(xs: List[Double]): Double = { val s = xs.sorted; s(s.length / 2) }
+    def wireFlag(v: Double, key: String, floorMap: Map[String, Double]): Boolean = {
+      val med = qhist.get(key).filter(_.nonEmpty).map(median3)
+      val flr = floorMap.get(key)
+      val thresh = (med, flr) match {
+        case (Some(m), Some(f)) => Some(math.max(QueryWire * m, FloorWire * f))
+        case (Some(m), None) => Some(QueryWire * m)
+        case (None, Some(f)) => Some(QueryWire * f)
+        case _ => None
+      }
+      val base = med.orElse(flr)
+      thresh.exists(v > _) && base.exists(v - _ > MinFlagDelta)
+    }
     def qKey(name: String) = s"q_${sfKey}_$name"
     val flaggedQueries = results.toSeq.sortBy(_._1).collect {
-      case (n, v) if floorsAfterWarm.get(qKey(n))
-            .exists(f => v > f * QueryWire && v - f > MinFlagDelta) =>
-        n
+      case (n, v) if wireFlag(v, qKey(n), floorsAfterWarm) => n
     }
     val floorsWithTotal = floorsAfterWarm +
       (totalKey -> math.min(floorsAfterWarm.getOrElse(totalKey, totalSec), totalSec))
@@ -296,25 +359,33 @@ object Bench {
     val residentNames = SparkEntry.queries.keys.toSeq
       .filter(n => residentPrefixes.exists(n.startsWith)).sorted
     val residentPins = Warehouse.residentPins(spark, sfDir)
-    residentPins.foreach { df =>
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      df.count()
-    }
+    val pinnedHere = residentPins.filter(df =>
+      graft.operators.CacheOnce.pin(df))
+    residentPins.foreach(_.count())
     val residentResults = timedLap(residentNames)
-    residentPins.foreach(_.unpersist())
+    pinnedHere.foreach(_.unpersist())
     // same wire for the resident lap — the pinned-index steady state is
     // the SERVING-path number, and a regression there (e.g. a hop join
     // regressing against the cached adjacency) can hide behind a healthy
     // cold lap
     def qrKey(name: String) = s"qr_${sfKey}_$name"
     val flaggedResident = residentResults.toSeq.sortBy(_._1).collect {
-      case (n, v) if floorsWithQueries.get(qrKey(n))
-            .exists(f => v > f * QueryWire && v - f > MinFlagDelta) =>
-        n
+      case (n, v) if wireFlag(v, qrKey(n), floorsWithQueries) => n
     }
     writeFloors(residentResults.foldLeft(floorsWithQueries) {
       case (m, (n, v)) => m + (qrKey(n) -> math.min(m.getOrElse(qrKey(n), v), v))
     })
+    // History feeds the NEXT run's medians — only uncontended laps append
+    // (a contended lap would raise the median and mask the next real
+    // regression); keeps the last 3 readings per key.
+    if (!contended) {
+      val h1 = results.foldLeft(qhist) { case (m, (n, v)) =>
+        m + (qKey(n) -> (m.getOrElse(qKey(n), Nil) :+ v).takeRight(3))
+      }
+      writeHist(residentResults.foldLeft(h1) { case (m, (n, v)) =>
+        m + (qrKey(n) -> (m.getOrElse(qrKey(n), Nil) :+ v).takeRight(3))
+      })
+    }
     // The driver captures only the last 2000 chars of sbt output; round-1's
     // full-precision 71-query line (~3 KB) overflowed that and the bench went
     // ungraded ("parsed": null). So: print a compact line — total + a fixed
@@ -344,11 +415,25 @@ object Bench {
     val flaggedJson = flaggedQueries.map(n => s""""$n"""").mkString("[", ",", "]")
     val flaggedResidentJson =
       flaggedResident.map(n => s""""$n"""").mkString("[", ",", "]")
+    // which floor armed each wire (r12 verdict item 6) — "exact:<key>" /
+    // "scaled:<key>[,clamped]" / "none"
+    val provJson = s"""{"warm":"$warmProv","total":"$totalProv"}"""
+    // per-flag basis so a disposition can be written from the JSON alone
+    def flagDetail(flags: Seq[String], rs: Map[String, Double],
+                   key: String => String, floorMap: Map[String, Double]) =
+      flags.map { n =>
+        val k = key(n)
+        val med = qhist.get(k).filter(_.nonEmpty).map(median3)
+        s""""$n":{"v":${r3(rs(n))},"median3":${med.map(r3).getOrElse("null")},"floor":${floorMap.get(k).map(r3).getOrElse("null")}}"""
+      }.mkString("{", ",", "}")
+    val flagDetailJson = flagDetail(flaggedQueries, results, qKey, floorsAfterWarm)
+    val flagDetailResidentJson =
+      flagDetail(flaggedResident, residentResults, qrKey, floorsWithQueries)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
+      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"floor_provenance":$provJson,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
     spark.stop()
     Warehouse.cleanup()
   }

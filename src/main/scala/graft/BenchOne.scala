@@ -13,7 +13,10 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args(1).split(',').toSeq
+    // `all` = the full registry in sorted order (lap parity with Bench) —
+    // used for whole-registry sweeps like the WARN-flood census
+    val names = if (args(1) == "all") SparkEntry.queries.keys.toSeq.sorted
+                else args(1).split(',').toSeq
     val reps = if (args.length > 2) args(2).toInt else 1
     // fail fast on a typo'd mode flag (same silent-failure class the
     // ScaleProbe kernel-name validation guards): a misspelled "resident"

@@ -20,7 +20,13 @@ import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJ
   *     join whose logical side is provably under the session's
   *     autoBroadcastJoinThreshold AND broadcastable for the join type —
   *     Catalyst would normally broadcast these, so one surfacing means a
-  *     hint/structure change silently dropped a broadcast;
+  *     hint/structure change silently dropped a broadcast. Known
+  *     limitation (r12 ADVICE): the audit inspects the UN-EXECUTED plan,
+  *     so under AQE a SortMergeJoin may appear here that the runtime
+  *     replan would convert to a broadcast join once exchange stats land
+  *     — a flag from this detector is a candidate to confirm by
+  *     executing the query and re-reading `executedPlan`, not an
+  *     automatic failure (currently 0/346, so the risk is latent);
   *  4. unpruned partitioned scans (r11 verdict item 7b): a scan of a
   *     partitioned layout (objects is bucket_id-partitioned; IVF/kNN-graph
   *     are the stored index layouts) with NO partition filters while a

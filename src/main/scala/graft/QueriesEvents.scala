@@ -2766,7 +2766,7 @@ object QueriesEvents {
           .groupBy(col("event_type"),
             expr("unix_micros(ts) div 3600000000").as("t"))
           .agg(count(lit(1)).as("x"))
-        h.persist(); h.count() // feeds stats AND both sides of the lag join
+        graft.operators.CacheOnce.pin(h); h.count() // feeds stats AND both sides of the lag join
         val st = h.groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"))
         val hd = h.join(st, "event_type")

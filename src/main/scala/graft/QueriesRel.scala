@@ -628,7 +628,7 @@ object QueriesRel {
             count(lit(1)).as("frequency"),
             sum(round(col("o_totalprice"), 2).cast(DecimalType(18, 2)))
               .cast(DecimalType(18, 2)).as("monetary"))
-          .persist()
+        graft.operators.CacheOnce.pin(c)
         val n = c.count()
         val melted = c.select(lit("recency").as("metric"), col("custkey"),
             col("recency").cast(DecimalType(18, 2)).as("value"))
@@ -692,7 +692,7 @@ object QueriesRel {
         val baskets = Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
           .groupBy(col("o")).agg(collect_set(col("p")).as("ps"))
-          .persist()
+        graft.operators.CacheOnce.pin(baskets)
         val n = baskets.count() // pin: feeds pairs + supports; n = basket census
         val pairs = baskets
           .select(explode(expr(

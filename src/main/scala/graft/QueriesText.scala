@@ -773,12 +773,12 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
               lit(" click accept to continue "), col("text")).as("text"))
           .withColumn("canonical_url",
             graft.functions.PathFns.canonicalizeUrl(col("raw_url")))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.CacheOnce.pin(base)
         base.count() // both the winner relation and the probe read it
         val winners = base.groupBy(col("canonical_url"))
           .agg(min(col("doc_id")).as("doc_id"))
         val surv = base.join(winners.select(col("doc_id")), Seq("doc_id"), "left_semi")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.CacheOnce.pin(surv)
         val cleaned = TextAnalysis.boilerplateRemoval(surv, "doc_id", "host", "text", 4, 3)
           .withColumnRenamed("id", "doc_id")
         val gated = cleaned
@@ -1414,7 +1414,7 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
             .select((col("doc_id") + 1000000).as("doc_id"),
               concat(col("text"), lit(" quality data pipeline tail marker")).as("text")))
         val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", 3, 0.5, maxDf = 8)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.operators.CacheOnce.pin(pairs)
         pairs.count() // pin: the pair kernel feeds both splits
         // "arrival order": docs whose base id ≡ 3 (mod 7) land in the batch
         // (variants travel with their source doc)
@@ -2343,7 +2343,7 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
           .select(col("doc_id"), col("lang"), explode(bigrams).as("g"))
           .withColumn("b",
             expr("cast(conv(substring(md5(g), 1, 15), 16, 10) as bigint) % 10000"))
-          .persist()
+        graft.operators.CacheOnce.pin(gb)
         gb.count() // pin: census + term table + per-doc reduce
         val tot = gb.agg(count(lit(1)).as("r_total"),
           sum(when(col("lang") === "en", 1L).otherwise(0L)).as("t_total"))
@@ -2915,7 +2915,7 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
             size(TextAnalysis.words(col("text"))).cast("long").as("t"))
           .groupBy(col("lang"))
           .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("n_tokens"))
-        g.persist(); g.count() // feeds the sweep AND the budget total
+        graft.operators.CacheOnce.pin(g); g.count() // feeds the sweep AND the budget total
         val tok = col("n_tokens").cast("double")
         val w = g.select(col("lang"), col("n_docs"), col("n_tokens"),
           explode(array(

@@ -534,7 +534,7 @@ object QueriesVector {
           .withColumn("probes", expr(
             "array(b, b ^ shiftleft(cast(1 as bigint), pr[0].i), " +
               "b ^ shiftleft(cast(1 as bigint), pr[1].i))"))
-          .persist()
+        graft.operators.CacheOnce.pin(queries)
         queries.count() // pin: single-probe, multiprobe, and exact all read it
         val dist = round(Vectors.cosineDistance(col("c_emb"), col("q_emb")), 9) + 0.0
         val w = org.apache.spark.sql.expressions.Window
@@ -549,7 +549,7 @@ object QueriesVector {
           col("cb_b") === col("pb")))
         val exact = top10(corpus.crossJoin(
             broadcast(queries.select(col("q_key"), col("q_emb")))))
-          .persist()
+        graft.operators.CacheOnce.pin(exact)
         exact.count() // pin: census + both semi-join probes
         def census(ar: org.apache.spark.sql.DataFrame, nm: String) =
           exact.join(ar, Seq("q_key", "c_key"), "left_semi")
@@ -630,7 +630,8 @@ object QueriesVector {
         val queries = emb.filter(col("vec_id") % 41 === 0)
           .select(col("vec_id").as("q_key"),
             col("embedding").cast("array<double>").as("qv"))
-        val joined = corpus.crossJoin(broadcast(queries)).persist()
+        val joined = corpus.crossJoin(broadcast(queries))
+        graft.operators.CacheOnce.pin(joined)
         joined.count() // pin: the exact arm + three truncation arms share it
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("q_key")).orderBy(col("distance"), col("c_key"))
@@ -641,7 +642,8 @@ object QueriesVector {
         def dist(d: Int) = round(Vectors.cosineDistance(
           slice(col("cv"), 1, d), slice(col("qv"), 1, d)), 9) + 0.0
         val exact = top10(round(
-          Vectors.cosineDistance(col("cv"), col("qv")), 9) + 0.0).persist()
+          Vectors.cosineDistance(col("cv"), col("qv")), 9) + 0.0)
+        graft.operators.CacheOnce.pin(exact)
         exact.count()
         val base = exact.groupBy(col("q_key")).agg(count(lit(1)).as("n_exact"))
         Seq(8, 16, 32).foldLeft(base) { (acc, d) =>
@@ -720,7 +722,7 @@ object QueriesVector {
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
           .select(col("q_key"), col("c_key"))
-          .persist()
+        graft.operators.CacheOnce.pin(exact)
         exact.count() // pin: three probe arms + the totals read it
         val totals = exact.agg(count(lit(1)).as("n_exact"),
           countDistinct(col("q_key")).as("n_queries"))
@@ -1253,7 +1255,7 @@ object QueriesVector {
           .withColumn("rnk", row_number().over(w))
           .filter(col("rnk") <= 10)
           .select(col("q_key"), col("c_key"))
-          .persist()
+        graft.operators.CacheOnce.pin(exact)
         exact.count() // pin: census + the semi-join probe
         val matched = exact.join(approx, Seq("q_key", "c_key"), "left_semi")
           .groupBy(col("q_key")).agg(count(lit(1)).as("n_matched"))
@@ -1469,7 +1471,8 @@ object QueriesVector {
           .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
           .withColumn("d9", d9("va", "vb"))
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-          .select(col("a"), col("b"), col("d9")).persist()
+          .select(col("a"), col("b"), col("d9"))
+        graft.operators.CacheOnce.pin(g0)
         g0.count() // pin: feeds candidates, degree census AND both recalls
         val und = g0.select(col("a"), col("b"))
           .union(g0.select(col("b").as("a"), col("a").as("b"))).distinct()
@@ -1482,7 +1485,8 @@ object QueriesVector {
           .join(emb.select(col("vec_id").as("b"), col("v").as("vb")), Seq("b"))
           .withColumn("d9", d9("va", "vb"))
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-          .select(col("a"), col("b"), col("d9")).persist()
+          .select(col("a"), col("b"), col("d9"))
+        graft.operators.CacheOnce.pin(g1)
         g1.count() // pin: degree census + recall probe
         val qs = emb.filter(col("vec_id") % 41 === 0)
           .select(col("vec_id").as("a"), col("v").as("qa"))
@@ -1490,7 +1494,8 @@ object QueriesVector {
           .crossJoin(broadcast(qs)).filter(col("a") =!= col("b"))
           .withColumn("d9", d9("qa", "vb"))
           .withColumn("rnk", row_number().over(w)).filter(col("rnk") <= K)
-          .select(col("a"), col("b")).persist()
+          .select(col("a"), col("b"))
+        graft.operators.CacheOnce.pin(exact)
         exact.count() // pin: two semi-join probes
         val r0 = exact.join(g0, Seq("a", "b"), "left_semi")
           .groupBy(col("a")).agg(count(lit(1)).as("r0"))
@@ -1616,10 +1621,15 @@ object QueriesVector {
         // machinery measured ~+0.9 s/call of pure overhead against it
         // (r12 bench flag). The cold/cluster path keeps the bucket column and prunes
         // (KnnGraphLayoutSpec, ScaleProbe beam_query_cold_bucketed).
-        val g1 = s.read.parquet(path).select(col("a"), col("b")).persist()
+        // CacheOnce (not bare persist): these pins are deliberately left
+        // cached across calls — the resident serving contract — so rep 2+
+        // would otherwise WARN-flood the bench log (r12 verdict item 4)
+        val g1 = s.read.parquet(path).select(col("a"), col("b"))
+        graft.operators.CacheOnce.pin(g1)
         g1.count() // resident index: R probe joins + nothing else reads disk
         val qs = emb.filter(col("vec_id") % 41 === 0)
-          .select(col("vec_id").as("q"), col("v").as("qv")).persist()
+          .select(col("vec_id").as("q"), col("v").as("qv"))
+        graft.operators.CacheOnce.pin(qs)
         qs.count()
         // entry candidates = the query's own table-1 LSH bucket co-members
         // (the hybrid LSH-entry + graph-refinement shape real deployments

@@ -30,8 +30,10 @@ object ScaleProbe {
       .split(",").map(_.trim.toInt).toSeq
     val all = Seq("dedup_exact", "dedup_minhash_lsh", "text_wordpiece",
       "graph_louvain", "t_sessionize", "e_hourly_agg",
-      "knn_graph_build", "beam_query", "beam_query_cold_flat",
-      "beam_query_cold_bucketed", "dbscan_hot_1p", "dbscan_hot_2p")
+      "knn_graph_build", "knn_graph_build_wide", "beam_query",
+      "beam_query_cold_flat", "beam_query_cold_bucketed",
+      "hop_cold_flat", "hop_cold_bucketed",
+      "dbscan_hot_1p", "dbscan_hot_2p")
     val kernels = if (args.length > 2) args(2).split(",").map(_.trim).toSeq else all
     // validate BEFORE the session spins up: a typo'd kernel name used to
     // surface as a bare MatchError after ~10 s of Spark startup
@@ -194,6 +196,70 @@ object ScaleProbe {
         (nIn, () => graft.operators.Vectors.beamSearch(
           spark.read.parquet(path), e.select(col("vec_id"), col("v")), qs,
           seeds, ef = 10, rounds = 4).count())
+      // Shuffle-partition isolation twin of knn_graph_build (r12 verdict
+      // item 5): IDENTICAL kernel, but spark.sql.shuffle.partitions scales
+      // with the multiple (cpus·m, capped 512) so per-task shuffle input
+      // stays ~constant instead of the fixed-32 tasks growing m× heavier —
+      // the wall-clock delta between this and knn_graph_build at the same
+      // m is pure CONFIGURATION growth, the residual is algorithmic.
+      case "knn_graph_build_wide" =>
+        val e = embX(m)
+        val nPlanes = 4 + (31 - Integer.numberOfLeadingZeros(math.max(m, 1)))
+        (e.count(), () => {
+          val prev = spark.conf.get("spark.sql.shuffle.partitions")
+          spark.conf.set("spark.sql.shuffle.partitions",
+            math.min(512, cpus.toInt * m))
+          try graft.operators.Vectors.nnDescentKnnGraph(e, "vec_id", "v",
+            k = 5, nPlanes = nPlanes).count()
+          finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+        })
+      // The DECISIVE bucketed-layout A/B (r12 verdict item 2): the
+      // beam_query_cold pair tops out at MB-scale adjacency where the DPP
+      // subquery overhead (~0.9 s measured) drowns the bytes it skips —
+      // two r12 repetitions disagreed on the growth ordering and the claim
+      // was withdrawn. This pair isolates the question: a SYNTHETIC
+      // K-regular adjacency (8 pseudo-random neighbors per node, 100k·m
+      // nodes — no NN-Descent build, so 64×/256× are reachable), written
+      // flat vs bucketed under the PRODUCTION bucket rule (B grows with
+      // the data, ~50 MB/bucket at the top sizes: B = max(16, m/4)), then
+      // a single-query serving probe — 10 seed nodes, 4 chained cold hop
+      // joins through Vectors.graphHops, next hop = 10 smallest distinct
+      // neighbors (the beam contract without the scoring noise). The flat
+      // arm scans all B buckets per hop; the bucketed arm DPP-prunes to
+      // ≤10 — the crossover multiple is where bytes-skipped beats the DPP
+      // subquery + small-files overhead.
+      case "hop_cold_flat" | "hop_cold_bucketed" =>
+        val bucketed = kernel.endsWith("bucketed")
+        val K = 8
+        val n = 100000L * m
+        val buckets = math.max(16, m / 4)
+        val edges = spark.range(n * K).select(
+          (col("id") % n).as("a"),
+          pmod(col("id") * 2654435761L + 12345L, lit(n)).as("b"))
+        val path = Warehouse.dir + s"/scaleprobe_hop_${m}_" +
+          (if (bucketed) s"bkt$buckets" else "flat")
+        if (!new java.io.File(s"$path/_SUCCESS").exists()) {
+          if (bucketed)
+            graft.operators.Vectors.writeKnnGraphBucketed(edges, path, buckets)
+          else
+            edges.sortWithinPartitions(col("a")).write.mode("overwrite").parquet(path)
+        }
+        val g = spark.read.parquet(path)
+        (n * K, () => {
+          var probe = spark.range(10)
+            .select(lit(1L).as("q"), (col("id") * (n / 10) + 1L).as("a"))
+            .localCheckpoint()
+          var out = 0L
+          for (_ <- 1 to 4) {
+            val nxt = graft.operators.Vectors.graphHops(g, probe)
+              .select(col("q"), col("b")).distinct()
+              .orderBy(col("b")).limit(10)
+              .select(col("q"), col("b").as("a")).localCheckpoint()
+            out = nxt.count()
+            probe = nxt
+          }
+          out
+        })
       // Hot-annulus candidate census: rows_out = candidate pairs the
       // annulus equi-join admits BEFORE the exact ε² check. 1p puts the
       // whole ring in one annulus (≈ n²/2 candidates); 2p intersects a

@@ -637,7 +637,7 @@ object Dedup {
                                  idA: String = "id_a", idB: String = "id_b",
                                  newIds: Option[DataFrame] = None): DataFrame = {
     val p = prev.select(col("id"), col("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheOnce.pin(p) // re-execution-safe: this pin is deliberately left
     p.count() // pin: feeds two lookup joins + the relabel scan
     val e0 = newPairs.select(col(idA).as("a"), col(idB).as("b"))
     val contracted = e0
@@ -653,7 +653,7 @@ object Dedup {
     // batch-sized by construction → the relabel side broadcasts
     val rl = resolveClusters(contracted)
       .select(col("id").as("rep"), col("cluster").as("newc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheOnce.pin(rl)
     rl.count() // pin: iterative output feeding two joins
     val oldSide = p.join(broadcast(rl), p("cluster") === rl("rep"), "left")
       .select(p("id"), coalesce(col("newc"), p("cluster")).as("cluster"))
@@ -675,7 +675,7 @@ object Dedup {
     * lineage must not re-run). */
   def dedupCorpus(corpus: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
     val clusters = resolveClusters(pairs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheOnce.pin(clusters)
     val losers = clusters.filter(col("id") =!= col("cluster"))
       .select(col("id").as(idCol))
     val absorbed = clusters.groupBy(col("cluster").as(idCol))
@@ -795,7 +795,7 @@ object Dedup {
                            n: Int = 20): DataFrame = {
     val ws = df.select(col(idCol).as("doc_id"),
       graft.operators.TextAnalysis.words(col(textCol)).as("ws"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheOnce.pin(ws) // corpus-sized output contract: pin deliberately left
     val grams = ws.select(col("doc_id"), posexplode(
       graft.functions.VectorExprs.positionalShingleHashes(col("ws"), n)))
       .toDF("doc_id", "pos", "s")

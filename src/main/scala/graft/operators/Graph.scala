@@ -112,8 +112,10 @@ object Graph {
     // one scan of the stored layout into cache — every hop probes memory,
     // not parquet (a resident engine keeps the CSR hot; re-streaming the
     // relation per hop measured 2× slower at 2.3M edges, r10)
+    // CacheOnce + conditional release (the triangles rule): a resident
+    // caller may have pinned this same stored-adjacency plan already
     val a = adj.select(col("src"), col("dst"), col("idx"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aMine = CacheOnce.pin(a)
     a.count()
     // node-sized degree relation off the cache: max(idx) is map-side
     // combinable, so the shuffle carries nodes, not edges
@@ -140,7 +142,8 @@ object Graph {
           concat(col("path"), lit("->"), col("dst").cast("string")).as("path"))
         .localCheckpoint()
     }
-    a.unpersist(); deg.unpersist() // walk is checkpointed: lineage cut
+    if (aMine) a.unpersist()
+    deg.unpersist() // walk is checkpointed: lineage cut
     walk.select(col("seed"), col("r").as("walk_r"), col("path"),
       col("node").as("end_node"))
   }
@@ -162,7 +165,13 @@ object Graph {
     * co-occurrence graphs from densifying into noise). */
   def triangles(edges: DataFrame): DataFrame = {
     val e = edges.select(col("u"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // CacheOnce + conditional release: when the caller already pinned this
+    // exact plan (graph_clustering_coeff passes the resident co-purchase
+    // pairs, whose identity projection canonicalizes to the pinned plan),
+    // a bare persist WARNs and — worse — the paired unpersist below would
+    // EVICT the caller's longer-lived pin: the CacheManager keys entries
+    // by analyzed plan, not by DataFrame reference.
+    val eMine = CacheOnce.pin(e)
     e.count()
     val deg = e.select(col("u").as("n")).unionByName(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
@@ -187,7 +196,8 @@ object Graph {
       // triangle-sized (≤ m^1.5, the wedge bound) — eager cut so the edge
       // and oriented caches release before return (r9 ADVICE hygiene rule)
       .localCheckpoint()
-    e.unpersist(); o.unpersist()
+    if (eMine) e.unpersist()
+    o.unpersist()
     out
   }
 
@@ -246,8 +256,11 @@ object Graph {
     import spark.implicits._
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val base = edges.select(col("src"), col("dst"))
-    var e = (if (assumeDistinct) base else base.dropDuplicates("src", "dst"))
-      .persist(mem)
+    var e = if (assumeDistinct) base else base.dropDuplicates("src", "dst")
+    // conditional first-round release (the triangles rule): under
+    // assumeDistinct the initial relation is an identity projection of the
+    // caller's — possibly pinned — edge relation
+    var eMine = CacheOnce.pin(e)
     e.count()
     val census = Seq.newBuilder[(Int, Long, Long)]
     for (r <- 1 to rounds) {
@@ -258,10 +271,11 @@ object Graph {
         .join(keep.withColumnRenamed("v", "src"), Seq("src"), "left_semi")
         .join(keep.withColumnRenamed("v", "dst"), Seq("dst"), "left_semi")
         .localCheckpoint()
-      e.unpersist()
+      if (eMine) e.unpersist()
       deg.unpersist()
       keep.unpersist()
       e = pruned
+      eMine = true // checkpointed rounds are always ours (unpersist = no-op)
       census += ((r, nNodes, e.count()))
     }
     census.result().toDF("round", "n_nodes", "n_edges")
@@ -387,7 +401,10 @@ object Graph {
     * at 100 TB each hop is one shuffle round, the textbook Pregel superstep. */
   def bfsLayers(edges: DataFrame, sources: DataFrame, maxHops: Int): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst")).persist(mem)
+    // conditional release (the triangles rule): the identity projection of
+    // a pinned caller relation must not be evicted on exit
+    val e = edges.select(col("src"), col("dst"))
+    val eMine = CacheOnce.pin(e, mem)
     val nodes = e.select(col("src").as("id")).distinct().persist(mem)
     val visited0 = sources.select(col("id")).distinct()
       .withColumn("dist", lit(0)).persist(mem)
@@ -418,7 +435,8 @@ object Graph {
     // hop-census-sized — eager cut, then release every loop cache (r9 ADVICE)
     val out = reached.unionByName(unreached).filter(col("n_nodes") > 0)
       .localCheckpoint()
-    e.unpersist(); nodes.unpersist(); visited0.unpersist()
+    if (eMine) e.unpersist()
+    nodes.unpersist(); visited0.unpersist()
     hops.result().foreach(_.unpersist())
     out
   }
@@ -436,7 +454,10 @@ object Graph {
   def perSourceBfsCensus(edges: DataFrame, sources: DataFrame,
                          maxHops: Int): DataFrame = {
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.select(col("src"), col("dst")).persist(mem)
+    // conditional release (the triangles rule): identity projection of a
+    // possibly-pinned caller relation
+    val e = edges.select(col("src"), col("dst"))
+    val eMine = CacheOnce.pin(e, mem)
     val visited0 = sources.select(col("id").as("root"))
       .distinct()
       .select(col("root"), col("root").as("id"), lit(0).as("dist"))
@@ -458,7 +479,8 @@ object Graph {
     val out = visited.filter(col("dist") > 0)
       .groupBy(col("root"), col("dist")).agg(count(lit(1)).as("n_nodes"))
       .localCheckpoint()
-    e.unpersist(); visited0.unpersist()
+    if (eMine) e.unpersist()
+    visited0.unpersist()
     out
   }
 
@@ -509,8 +531,10 @@ object Graph {
     * all-pairs. Returns (p, q, cn, deg_p, deg_q, j_den, jaccard) with
     * exact integer scores and ONE round-9 division. */
   def commonNeighborPairs(edges: DataFrame): DataFrame = {
+    // conditional release (the triangles rule): identity projection of a
+    // possibly-pinned caller relation
     val e = edges.select(col("u"), col("v"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val eMine = CacheOnce.pin(e)
     e.count() // feeds adj twice AND the anti-join probe
     val adj = e.select(col("u").as("a"), col("v").as("b"))
       .unionByName(e.select(col("v").as("a"), col("u").as("b")))
@@ -532,7 +556,7 @@ object Graph {
       // two-hop-pair-sized (the Σd² wedge bound already paid above) —
       // eager cut, then release the pinned edge cache (r9 ADVICE)
       .localCheckpoint()
-    e.unpersist()
+    if (eMine) e.unpersist()
     out
   }
 

@@ -403,7 +403,9 @@ object TextAnalysis {
       // reconstructed kept_text is corpus-sized, so checkpoint-and-release
       // would double-write it; the line cache stays pinned for the two
       // readers and is reclaimed by the caller's clearCache between runs.
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // (pin is re-execution-safe below — a second run of the same plan
+      // must not WARN-flood or double-cache)
+    CacheOnce.pin(lines)
     val boiler = lines.select(col("host"), col("lh"), col("id")).distinct()
       .groupBy(col("host"), col("lh"))
       .agg(count(lit(1)).as("docs"))

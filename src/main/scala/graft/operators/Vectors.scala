@@ -186,9 +186,15 @@ object Vectors {
         // "likely selective" Filter node — the beam is ≤ |queries|·ef rows
         // (always broadcastable) but arrives as a checkpointed LogicalRDD
         // whose stats and filter lineage were erased, so both markers must
-        // be restated
+        // be restated. The derived bucket is cast to the layout's OWN
+        // partition-column type (parquet partition inference yields
+        // IntegerType for small values, pmod on a bigint id yields
+        // LongType) so the equi-join never leans on an implicit coercion —
+        // a Spark upgrade changing partition-type inference could silently
+        // stop the DPP plant without any correctness failure (r12 ADVICE).
         broadcast(probe
-            .withColumn(bktCol, pmod(col("a"), lit(buckets)))
+            .withColumn(bktCol,
+              pmod(col("a"), lit(buckets)).cast(graph.schema(bktCol).dataType))
             .where(col("a") >= lit(Long.MinValue)))
           .join(graph, Seq(bktCol, "a"))
       case None => probe.join(graph, Seq("a"))
@@ -829,12 +835,12 @@ object Vectors {
   def powerIteration(cov: DataFrame, iters: Int): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(iters >= 1, s"need at least one iteration, got $iters")
-    val full = cov.select(col("i"), col("j"),
+    val full: DataFrame = cov.select(col("i"), col("j"),
         expr("cast(floor(cov * 1000000000.0) as bigint)").as("cq"))
       .unionByName(cov.filter(col("i") < col("j"))
         .select(col("j").as("i"), col("i").as("j"),
           expr("cast(floor(cov * 1000000000.0) as bigint)").as("cq")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    CacheOnce.pin(full) // left pinned: the returned plan reads it lazily
     full.count() // pin: joined every round
     var v = full.select(col("i").as("idx")).distinct()
       .select(col("idx"), lit(1.0).as("x"))
