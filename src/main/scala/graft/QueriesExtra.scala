@@ -2025,6 +2025,96 @@ object QueriesExtra {
           |ORDER BY media_id""".stripMargin),
       doc = "REAL WAV codec arm: RIFF encode + chunk-walk decode + integer PCM census (oracle replays container bytes + samples)"),
 
+    // The REAL-decode arm for the IMAGE modality (sibling of mm_wav_decode):
+    // genuine 24bpp BI_RGB BMP containers (BmpCodec.encodeRgb24 — bottom-up
+    // AND top-down row order, 40-byte AND 108-byte V4 headers, all four
+    // row-pad widths) decoded back by a real parser that seeks the pixel
+    // offset and NORMALIZES row order, censused in exact integers. The
+    // oracle replays the pixel recurrence + container byte arithmetic
+    // analytically; top_luma sums the top half of the NORMALIZED grid, so
+    // a bottom-up/top-down slip leaves sum_luma intact and breaks the hash.
+    // 100 TB path: identical to mm_wav_decode — decode amortizes per
+    // partition via mapPartitions, zero shuffle.
+    "mm_bmp_decode" -> Q(
+      fn = (s, dir) => Multimodal.extractBmpFeatures(Multimodal.bmpMedia(s, dir))
+        .orderBy(col("media_id")),
+      oracle = Some(
+        """WITH m AS (SELECT doc_id AS media_id,
+          |    3 + (doc_id // 3) % 14 AS w, 2 + doc_id % 7 AS h,
+          |    CASE WHEN doc_id % 5 = 0 THEN 108 ELSE 40 END AS hdr
+          |  FROM documents WHERE doc_id % 3 = 0),
+          |px AS (SELECT media_id, w, h, x, y,
+          |    77 * ((media_id + 3 * x + 7 * y) % 256)
+          |    + 150 * ((2 * media_id + 5 * x + y) % 256)
+          |    + 29 * ((3 * media_id + x + 11 * y) % 256) AS luma
+          |  FROM m CROSS JOIN (SELECT unnest(range(16)) AS x)
+          |         CROSS JOIN (SELECT unnest(range(8)) AS y)
+          |  WHERE x < w AND y < h),
+          |agg AS (SELECT media_id,
+          |    CAST(sum(luma) AS BIGINT) AS sum_luma,
+          |    CAST(max(luma) AS BIGINT) AS max_luma,
+          |    CAST(coalesce(sum(luma) FILTER (WHERE y < h // 2), 0) AS BIGINT)
+          |      AS top_luma,
+          |    CAST(count(*) FILTER (WHERE luma >= 32768) AS BIGINT) AS n_bright
+          |  FROM px GROUP BY 1)
+          |SELECT m.media_id,
+          |  CAST(14 + m.hdr + ((3 * m.w + 3) // 4) * 4 * m.h AS BIGINT)
+          |    AS payload_bytes,
+          |  CAST(m.w AS INT) AS width, CAST(m.h AS INT) AS height,
+          |  agg.sum_luma, agg.max_luma, agg.top_luma, agg.n_bright
+          |FROM m JOIN agg USING (media_id)
+          |ORDER BY media_id""".stripMargin),
+      doc = "REAL BMP codec arm: encode (4 container variants) + normalize-decode + integer luma census (oracle replays pixels + bytes)"),
+
+    // REAL perceptual hash over decoded pixels: the real-decode arm of
+    // mm_phash_dedup. bmpWithReencodes emits byte-level-DIFFERENT,
+    // pixel-IDENTICAL twins (row order flipped + other header size), and
+    // the aHash runs over BmpCodec's normalized luma grid — so the twin's
+    // four blocks equal the original's exactly iff the decoder earns its
+    // normalization. The oracle replays the pixel recurrence only (it
+    // never sees the container choice): any byte-sensitivity in the
+    // decode would diverge. Integer cross-multiplied mean threshold
+    // (cellSum*n > totalSum*cellN) — no float means; empty 8x8 cells
+    // (w < 8) are 0-bits by the same comparison.
+    "mm_bmp_phash" -> Q(
+      fn = (s, dir) => Multimodal.bmpPhashBlocks(Multimodal.bmpWithReencodes(s, dir))
+        .orderBy(col("media_id")),
+      oracle = Some(
+        """WITH ids AS (SELECT doc_id AS media_id, doc_id AS src, false AS reencode
+          |    FROM documents WHERE doc_id % 3 = 0
+          |  UNION ALL
+          |  SELECT doc_id + 3000000, doc_id, true
+          |    FROM documents WHERE doc_id % 15 = 0),
+          |m AS (SELECT media_id, src, reencode,
+          |    3 + (src // 3) % 14 AS w, 2 + src % 7 AS h FROM ids),
+          |px AS (SELECT media_id, reencode, w, h, x, y,
+          |    77 * ((src + 3 * x + 7 * y) % 256)
+          |    + 150 * ((2 * src + 5 * x + y) % 256)
+          |    + 29 * ((3 * src + x + 11 * y) % 256) AS luma
+          |  FROM m CROSS JOIN (SELECT unnest(range(16)) AS x)
+          |         CROSS JOIN (SELECT unnest(range(8)) AS y)
+          |  WHERE x < w AND y < h),
+          |cell AS (SELECT media_id, reencode,
+          |    ((y * 8) // h) * 8 + (x * 8) // w AS j,
+          |    sum(luma) AS cs, count(*) AS cn
+          |  FROM px GROUP BY 1, 2, 3),
+          |tot AS (SELECT media_id, sum(luma) AS ts, count(*) AS tn
+          |  FROM px GROUP BY 1),
+          |bits AS (SELECT c.media_id, c.reencode, c.j
+          |  FROM cell c JOIN tot t ON c.media_id = t.media_id
+          |  WHERE c.cs * t.tn > t.ts * c.cn),
+          |blk AS (SELECT media_id, reencode, j // 16 AS b,
+          |    CAST(sum(1 << (j % 16)) AS INT) AS v
+          |  FROM bits GROUP BY 1, 2, 3)
+          |SELECT i.media_id, i.reencode,
+          |  CAST(coalesce(max(v) FILTER (WHERE b = 0), 0) AS INT) AS b0,
+          |  CAST(coalesce(max(v) FILTER (WHERE b = 1), 0) AS INT) AS b1,
+          |  CAST(coalesce(max(v) FILTER (WHERE b = 2), 0) AS INT) AS b2,
+          |  CAST(coalesce(max(v) FILTER (WHERE b = 3), 0) AS INT) AS b3
+          |FROM ids i LEFT JOIN blk ON i.media_id = blk.media_id
+          |GROUP BY 1, 2 ORDER BY i.media_id""".stripMargin),
+      doc = "REAL image aHash: byte-different pixel-identical re-encodes hash equal over the normalized decode (oracle replays pixels, blind to container)"),
+
     // Multimodal: per-partition feature extraction (stubbed decode kernel) —
     // not SQL-expressible, driver records a rows-only check.
     // The stub kernel emits dyadic k/65536 bins (md5-derived), so the

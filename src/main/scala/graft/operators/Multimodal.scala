@@ -17,10 +17,13 @@ import org.apache.spark.sql.types._
   * metadata-first design that lets Catalyst prune the heavy binary column
   * whenever a query touches only metadata.
   *
-  * The AUDIO modality is real end-to-end since r13: [[wavMedia]] builds
-  * genuine RIFF/WAVE containers and [[extractWavFeatures]] decodes them
-  * with [[WavCodec]] (a pure-JVM chunk-walking parser) — the `???`
-  * decode-stub contract is retired for one modality, exactly the shape a
+  * The AUDIO and IMAGE modalities are real end-to-end since r13:
+  * [[wavMedia]] builds genuine RIFF/WAVE containers decoded back by
+  * [[WavCodec]] (a pure-JVM chunk-walking parser), and [[bmpMedia]]
+  * builds genuine BMP containers — four byte-level encodings of the same
+  * pixels — decoded back by [[BmpCodec]] with row-order normalization.
+  * The `???` decode-stub contracts are retired for both; the remaining
+  * stub kernels (video scene energy) keep the documented contract shape a
   * production pipeline swaps in for JPEG/H.264 via a native codec.
   */
 object Multimodal {
@@ -54,8 +57,10 @@ object Multimodal {
       col("text").cast("binary").as("bytes"))
   }
 
-  /** ??? decode stub: a real implementation calls an image codec here
-    * (per-partition, batched). The stub derives a deterministic fake feature
+  /** Decode stub: a real implementation calls an image codec here
+    * (per-partition, batched) — [[extractBmpFeatures]] IS that real
+    * implementation for BMP; this stub remains the format-agnostic
+    * plumbing arm. It derives a deterministic fake feature
     * vector from the bytes so the distributed plumbing is testable — and is
     * deliberately ORACLE-REPLAYABLE: bin j = the first 4 hex chars of
     * md5(md5hex(payload) || '|' || j) as k ∈ [0, 65536), scaled to the
@@ -223,6 +228,179 @@ object Multimodal {
           }
           Row(r.getLong(0), bytes.length.toLong, wav.sampleRate, n.toLong,
             sumSq, maxAbs, loud)
+        }
+      }
+  }
+
+  /** Real BMP image corpus over the image rows of [[syntheticMedia]]
+    * (media_id ≡ 0 mod 3): each payload is a genuine 24 bpp BI_RGB
+    * container ([[BmpCodec.encodeRgb24]]) whose pixel (x, y) channels
+    * follow integer recurrences
+    *   r = (id + 3x + 7y) mod 256, g = (2id + 5x + y) mod 256,
+    *   b = (3id + x + 11y) mod 256
+    * at width = 3 + (id/3 mod 14) ∈ [3, 16] (all four row-pad values) and
+    * height = 2 + (id mod 7) — every parameter replayable by a SQL oracle,
+    * while the BYTES are a real container: rows with id ≡ 0 (mod 4) are
+    * written top-down (negative height) and rows with id ≡ 0 (mod 5)
+    * carry a 108-byte V4 header, so the graded data exercises the
+    * decoder's row-order normalization and pixel-offset seek, not just
+    * the happy path. */
+  def bmpMedia(spark: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("bytes", BinaryType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id")).filter(col("media_id") % 3 === 0)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          Row(id, BmpCodec.encodeRgb24(bmpWidth(id), bmpHeight(id),
+            bmpPixels(id), topDown = id % 4 == 0,
+            headerSize = if (id % 5 == 0) 108 else 40))
+        }
+      }
+  }
+
+  private def bmpWidth(id: Long): Int = (3 + (id / 3) % 14).toInt
+  private def bmpHeight(id: Long): Int = (2 + id % 7).toInt
+  private def bmpPixels(id: Long): Array[Int] = {
+    val w = bmpWidth(id)
+    Array.tabulate(w * bmpHeight(id)) { i =>
+      val x = i % w; val y = i / w
+      val rr = ((id + 3 * x + 7 * y) % 256).toInt
+      val gg = ((2 * id + 5 * x + y) % 256).toInt
+      val bb = ((3 * id + x + 11 * y) % 256).toInt
+      (rr << 16) | (gg << 8) | bb
+    }
+  }
+
+  /** REAL decode arm of the image family: parse each BMP container with
+    * [[BmpCodec.decodeRgb24]] and census the pixels — all integer-exact
+    * (luma = 77r + 150g + 29b, the BT.601 weights scaled to sum to 256),
+    * so a SQL oracle that replays the pixel recurrence checks the encoder
+    * AND decoder byte-for-byte. `top_luma` sums the TOP half rows
+    * (y < h/2) of the NORMALIZED grid — a bottom-up/top-down slip leaves
+    * `sum_luma` intact and breaks `top_luma`, which is the point. Same
+    * mapPartitions shape as [[extractFeatures]]: decode amortizes per
+    * partition, zero shuffle. */
+  def extractBmpFeatures(media: DataFrame,
+                         brightThreshold: Int = 32768): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("payload_bytes", LongType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sum_luma", LongType),
+      StructField("max_luma", LongType),
+      StructField("top_luma", LongType),
+      StructField("n_bright", LongType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img = BmpCodec.decodeRgb24(bytes)
+          var sum = 0L; var maxL = 0L; var top = 0L; var bright = 0L
+          val half = img.height / 2
+          var i = 0
+          while (i < img.pixels.length) {
+            val p = img.pixels(i)
+            val l = 77L * ((p >> 16) & 0xff) + 150L * ((p >> 8) & 0xff) +
+              29L * (p & 0xff)
+            sum += l
+            if (l > maxL) maxL = l
+            if (i / img.width < half) top += l
+            if (l >= brightThreshold) bright += 1
+            i += 1
+          }
+          Row(r.getLong(0), bytes.length.toLong, img.width, img.height,
+            sum, maxL, top, bright)
+        }
+      }
+  }
+
+  /** Real BMP corpus with byte-level RE-ENCODES: every image from
+    * [[bmpMedia]] plus, for media_id ≡ 0 (mod 15), a twin
+    * (media_id + 3000000) holding the SAME pixels in a DIFFERENT
+    * container — row order flipped and the other header size — standing
+    * in for the same picture saved again by a different writer. Unlike
+    * [[imagesWithReencodes]] (stub-era: same bytes, perturbed features),
+    * the twins here are byte-level DIFFERENT and pixel-identical, so a
+    * hash over decoded pixels must match its original exactly — true iff
+    * the decoder's normalization earns it. */
+  def bmpWithReencodes(spark: SparkSession, dir: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("reencode", BooleanType),
+      StructField("bytes", BinaryType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    graft.Tables.documents(spark, dir)
+      .select(col("doc_id").as("media_id")).filter(col("media_id") % 3 === 0)
+      .mapPartitions { rows =>
+        rows.flatMap { r =>
+          val id = r.getLong(0)
+          val base = Row(id, false, BmpCodec.encodeRgb24(bmpWidth(id),
+            bmpHeight(id), bmpPixels(id), topDown = id % 4 == 0,
+            headerSize = if (id % 5 == 0) 108 else 40))
+          if (id % 15 == 0)
+            Seq(base, Row(id + 3000000L, true,
+              BmpCodec.encodeRgb24(bmpWidth(id), bmpHeight(id), bmpPixels(id),
+                topDown = id % 4 != 0,
+                headerSize = if (id % 5 == 0) 40 else 108)))
+          else Seq(base)
+        }
+      }
+  }
+
+  /** REAL aHash over decoded BMP pixels — the real-decode arm of
+    * [[phashBlocks]]: box-partition the normalized luma grid into 8×8
+    * cells (cell of (x, y) = (8x div w, 8y div h); cells can be empty
+    * when w < 8 — an empty cell's bit is 0), set bit j = cy·8 + cx iff
+    * the cell's mean luma exceeds the global mean, cross-multiplied in
+    * exact integers (cellSum · n > totalSum · cellN), and emit four
+    * 16-bit blocks for Manku-style Hamming blocking. A re-encoded twin
+    * from [[bmpWithReencodes]] carries different BYTES and identical
+    * pixels, so its blocks equal the original's exactly — the graded row
+    * checks precisely that. */
+  def bmpPhashBlocks(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType),
+      StructField("reencode", BooleanType),
+      StructField("b0", IntegerType), StructField("b1", IntegerType),
+      StructField("b2", IntegerType), StructField("b3", IntegerType)))
+    implicit val enc: org.apache.spark.sql.Encoder[Row] = ExpressionEncoder(outSchema)
+    media.select(col("media_id"), col("reencode"), col("bytes"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val img = BmpCodec.decodeRgb24(r.getAs[Array[Byte]](2))
+          val cellSum = new Array[Long](64)
+          val cellN = new Array[Long](64)
+          var total = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val p = img.pixels(i)
+            val l = 77L * ((p >> 16) & 0xff) + 150L * ((p >> 8) & 0xff) +
+              29L * (p & 0xff)
+            val cx = (i % img.width) * 8 / img.width
+            val cy = (i / img.width) * 8 / img.height
+            cellSum(cy * 8 + cx) += l
+            cellN(cy * 8 + cx) += 1
+            total += l
+            i += 1
+          }
+          val n = img.pixels.length.toLong
+          val blocks = Array.tabulate(4) { b =>
+            var v = 0; var j = 0
+            while (j < 16) {
+              val c = 16 * b + j
+              if (cellSum(c) * n > total * cellN(c)) v |= (1 << j)
+              j += 1
+            }
+            v
+          }
+          Row(r.getLong(0), r.getBoolean(1),
+            blocks(0), blocks(1), blocks(2), blocks(3))
         }
       }
   }
