@@ -176,8 +176,12 @@ object Bench {
           .map(m => m.group(1) -> m.group(2).toDouble).toMap
       } catch { case _: Throwable => Map.empty }
     def writeFloors(m: Map[String, Double]): Unit = {
+      // Locale.ROOT: a comma-decimal default locale would serialize
+      // "1,234" — unparseable JSON that readFloors silently drops
       val body = m.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""$k":${"%.3f".format(v)}""" }.mkString("{", ",", "}")
+        .map { case (k, v) =>
+          s""""$k":${"%.3f".formatLocal(java.util.Locale.ROOT, v)}"""
+        }.mkString("{", ",", "}")
       try java.nio.file.Files.write(floorPath, body.getBytes("UTF-8"))
       catch { case _: Throwable => () }
     }
@@ -205,8 +209,14 @@ object Bench {
           case re(n) if n.toInt > 0 =>
             val scaled = v * nQ / n.toInt
             exact match {
+              // clamp UP TO the exact floor itself (not e/TripWire): a
+              // candidate at e/TripWire would win minBy and arm a wire
+              // whose threshold is exactly e — the all-time record with
+              // ZERO headroom, tripping on every ordinary-drift run (r13
+              // self-review; the r13 gate's n346 key armed exactly this).
+              // At e the stale key is neutral: same threshold as exact.
               case Some(e) if scaled < e / TripWire =>
-                Some((e / TripWire, s"scaled:$k,clamped"))
+                Some((e, s"scaled:$k,clamped"))
               case _ => Some((scaled, s"scaled:$k"))
             }
           case _ => None
@@ -316,7 +326,8 @@ object Bench {
       } catch { case _: Throwable => Map.empty }
     def writeHist(m: Map[String, List[Double]]): Unit = {
       val body = m.toSeq.sortBy(_._1).map { case (k, vs) =>
-        s""""$k":${vs.map(v => "%.3f".format(v)).mkString("[", ",", "]")}"""
+        s""""$k":${vs.map(v => "%.3f".formatLocal(java.util.Locale.ROOT, v))
+          .mkString("[", ",", "]")}"""
       }.mkString("{", ",", "}")
       try java.nio.file.Files.write(qhistPath, body.getBytes("UTF-8"))
       catch { case _: Throwable => () }
@@ -372,26 +383,42 @@ object Bench {
     val flaggedResident = residentResults.toSeq.sortBy(_._1).collect {
       case (n, v) if wireFlag(v, qrKey(n), floorsWithQueries) => n
     }
-    writeFloors(residentResults.foldLeft(floorsWithQueries) {
+    // The resident lap runs minutes after the timed lap and carries its
+    // OWN contention exposure (r13 self-review: gating its history append
+    // on the MAIN lap's stamp alone lets a load spike during the resident
+    // lap poison the qr_ medians and silently raise the serving-path
+    // wire). Same rolling-floor wire shape as the timed total, keyed by
+    // the resident family size; bootstrap (no floor yet) counts as clean.
+    val residentTotal = residentResults.values.sum
+    val rTotalKey = s"rtotal_${sfKey}_n${residentNames.size}"
+    val residentContended = floorsWithQueries.get(rTotalKey)
+      .exists(f => residentTotal > f * TripWire)
+    val floorsWithResident = residentResults.foldLeft(floorsWithQueries) {
       case (m, (n, v)) => m + (qrKey(n) -> math.min(m.getOrElse(qrKey(n), v), v))
-    })
+    }
+    writeFloors(floorsWithResident +
+      (rTotalKey -> math.min(
+        floorsWithResident.getOrElse(rTotalKey, residentTotal), residentTotal)))
     // History feeds the NEXT run's medians — only uncontended laps append
     // (a contended lap would raise the median and mask the next real
-    // regression); keeps the last 3 readings per key.
-    if (!contended) {
-      val h1 = results.foldLeft(qhist) { case (m, (n, v)) =>
+    // regression); keeps the last 3 readings per key. Each lap is gated
+    // on its own wire: a clean timed lap still appends when the later
+    // resident lap hit contention, and vice versa.
+    val h1 = if (contended) qhist
+      else results.foldLeft(qhist) { case (m, (n, v)) =>
         m + (qKey(n) -> (m.getOrElse(qKey(n), Nil) :+ v).takeRight(3))
       }
-      writeHist(residentResults.foldLeft(h1) { case (m, (n, v)) =>
+    val h2 = if (contended || residentContended) h1
+      else residentResults.foldLeft(h1) { case (m, (n, v)) =>
         m + (qrKey(n) -> (m.getOrElse(qrKey(n), Nil) :+ v).takeRight(3))
-      })
-    }
+      }
+    if (!(h2 eq qhist)) writeHist(h2)
     // The driver captures only the last 2000 chars of sbt output; round-1's
     // full-precision 71-query line (~3 KB) overflowed that and the bench went
     // ungraded ("parsed": null). So: print a compact line — total + a fixed
     // headline subset — and write the complete per-query timings to
     // BENCH_DETAIL.json in the repo for offline reading.
-    def r3(v: Double): String = "%.3f".format(v)
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     val headline = Seq("q1_agg", "q3_topk_revenue", "q6_selective_sum",
       "list_v2_prefix", "a4_first_per_prefix", "a5_search_by_timestamp",
       "j2_orphan_s3", "j3_orphan_db", "d1_upsert_merge", "v3_knn_cosine",
@@ -411,7 +438,6 @@ object Bench {
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
     val residentJson = residentResults.toSeq.sortBy(_._1)
       .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
-    val residentTotal = residentResults.values.sum
     val flaggedJson = flaggedQueries.map(n => s""""$n"""").mkString("[", ",", "]")
     val flaggedResidentJson =
       flaggedResident.map(n => s""""$n"""").mkString("[", ",", "]")
@@ -431,7 +457,7 @@ object Bench {
       flagDetail(flaggedResident, residentResults, qrKey, floorsWithQueries)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
+      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"resident_contended":$residentContended,"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
     catch { case _: Throwable => () }
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"floor_provenance":$provJson,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
     spark.stop()

@@ -2083,7 +2083,7 @@ object QueriesExtra {
         """WITH ids AS (SELECT doc_id AS media_id, doc_id AS src, false AS reencode
           |    FROM documents WHERE doc_id % 3 = 0
           |  UNION ALL
-          |  SELECT doc_id + 3000000, doc_id, true
+          |  SELECT -(doc_id + 1), doc_id, true
           |    FROM documents WHERE doc_id % 15 = 0),
           |m AS (SELECT media_id, src, reencode,
           |    3 + (src // 3) % 14 AS w, 2 + src % 7 AS h FROM ids),

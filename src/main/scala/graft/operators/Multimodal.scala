@@ -321,14 +321,17 @@ object Multimodal {
   }
 
   /** Real BMP corpus with byte-level RE-ENCODES: every image from
-    * [[bmpMedia]] plus, for media_id ≡ 0 (mod 15), a twin
-    * (media_id + 3000000) holding the SAME pixels in a DIFFERENT
-    * container — row order flipped and the other header size — standing
-    * in for the same picture saved again by a different writer. Unlike
-    * [[imagesWithReencodes]] (stub-era: same bytes, perturbed features),
-    * the twins here are byte-level DIFFERENT and pixel-identical, so a
-    * hash over decoded pixels must match its original exactly — true iff
-    * the decoder's normalization earns it. */
+    * [[bmpMedia]] plus, for media_id ≡ 0 (mod 15), a twin with id
+    * −(media_id + 1) holding the SAME pixels in a DIFFERENT container —
+    * row order flipped and the other header size — standing in for the
+    * same picture saved again by a different writer. The negated twin id
+    * can NEVER collide with a genuine doc_id (doc ids are ≥ 0) at any
+    * corpus scale — an additive offset like the stub-era +1M/+2M schemes
+    * silently breaks the total order once the table outgrows the offset
+    * (r13 self-review). Unlike [[imagesWithReencodes]] (stub-era: same
+    * bytes, perturbed features), the twins here are byte-level DIFFERENT
+    * and pixel-identical, so a hash over decoded pixels must match its
+    * original exactly — true iff the decoder's normalization earns it. */
   def bmpWithReencodes(spark: SparkSession, dir: String): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType),
@@ -344,7 +347,7 @@ object Multimodal {
             bmpHeight(id), bmpPixels(id), topDown = id % 4 == 0,
             headerSize = if (id % 5 == 0) 108 else 40))
           if (id % 15 == 0)
-            Seq(base, Row(id + 3000000L, true,
+            Seq(base, Row(-(id + 1L), true,
               BmpCodec.encodeRgb24(bmpWidth(id), bmpHeight(id), bmpPixels(id),
                 topDown = id % 4 != 0,
                 headerSize = if (id % 5 == 0) 40 else 108)))

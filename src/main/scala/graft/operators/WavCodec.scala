@@ -117,8 +117,12 @@ object WavCodec {
           val audioFormat = u16le(bytes, body.toInt)
           require(audioFormat == 1,
             s"unsupported audio format $audioFormat (only integer PCM = 1)")
+          // validate BEFORE narrowing: a u32 rate >= 2^31 would wrap to a
+          // negative Int, and rate 0 poisons every downstream duration
+          val rate = u32le(bytes, body.toInt + 4)
+          require(rate >= 1 && rate <= Int.MaxValue, s"bad sample rate $rate")
           fmt = Some((u16le(bytes, body.toInt + 2),
-            u32le(bytes, body.toInt + 4).toInt, u16le(bytes, body.toInt + 14)))
+            rate.toInt, u16le(bytes, body.toInt + 14)))
         case "data" => data = Some((body, size))
         case _ => // LIST/INFO, fact, … — skip (real decoders must)
       }

@@ -131,22 +131,23 @@ class BmpCodecSpec extends SparkTestBase {
     val media = Multimodal.bmpWithReencodes(spark, sfDir)
     val twins = media.filter(col("reencode")).count()
     assert(twins > 0, "fixture should contain re-encoded twins")
-    // byte-level difference: join twin to original on source id
+    // byte-level difference: join twin to original on source id (twin id
+    // is -(src + 1) — collision-free with genuine non-negative doc ids)
     val byId = media.collect().map(r =>
       r.getLong(0) -> (r.getBoolean(1), r.getAs[Array[Byte]](2))).toMap
-    byId.keys.filter(_ >= 3000000L).foreach { tid =>
+    byId.keys.filter(_ < 0L).foreach { tid =>
       val (_, tb) = byId(tid)
-      val (_, ob) = byId(tid - 3000000L)
+      val (_, ob) = byId(-tid - 1L)
       assert(!java.util.Arrays.equals(tb, ob), s"twin $tid should differ in bytes")
     }
     // hash identity over the normalized decode
     val blocks = Multimodal.bmpPhashBlocks(media).collect()
       .map(r => r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
       .toMap
-    val twinIds = blocks.keys.filter(_ >= 3000000L)
+    val twinIds = blocks.keys.filter(_ < 0L)
     assert(twinIds.nonEmpty)
     twinIds.foreach { tid =>
-      assert(blocks(tid) == blocks(tid - 3000000L),
+      assert(blocks(tid) == blocks(-tid - 1L),
         s"twin $tid phash should equal its original's")
     }
   }

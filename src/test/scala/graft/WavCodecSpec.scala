@@ -77,6 +77,15 @@ class WavCodecSpec extends SparkTestBase {
     // non-PCM format code (3 = IEEE float) rejected
     val float = good.clone(); float(20) = 3
     failsWith(float, "unsupported audio format")
+    // sample rate 0 rejected; a rate >= 2^31 (would wrap negative as Int)
+    // rejected too — canonical layout puts the u32 rate at bytes 24-27
+    val rate0 = good.clone()
+    rate0(24) = 0; rate0(25) = 0; rate0(26) = 0; rate0(27) = 0
+    failsWith(rate0, "bad sample rate")
+    val rateHuge = good.clone()
+    rateHuge(24) = 0; rateHuge(25) = 0; rateHuge(26) = 0
+    rateHuge(27) = 0x80.toByte
+    failsWith(rateHuge, "bad sample rate")
     // no fmt chunk at all: skip it by renaming to an unknown fourcc
     val nofmt = good.clone()
     "junk".getBytes("US-ASCII").copyToArray(nofmt, 12)
