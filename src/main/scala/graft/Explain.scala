@@ -13,7 +13,7 @@ object Explain {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
     val names =
       if (args.length > 1) args(1).split(",").toSeq else Registry.all.keys.toSeq.sorted
-    val spark = SparkSession.builder()
+    val spark = Tuning(SparkSession.builder())
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")

@@ -497,7 +497,11 @@ object QueriesExtra {
     // oracle unrolls the same three supersteps as explicit CTEs.
     "graph_bfs_layers" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
+        // stored DISTINCT adjacency, not the multi-edge expansion: BFS
+        // reachability is invariant under edge multiplicity (the oracle's
+        // `e` is SELECT DISTINCT), and the deduped relation cuts the
+        // per-hop join fanout before each frontier `distinct` (r13)
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
         val nodes = e.select(col("src").as("id")).distinct()
         graft.operators.Graph.bfsLayers(e,
           nodes.filter(col("id") % 1000 === 0), maxHops = 3)
@@ -533,7 +537,10 @@ object QueriesExtra {
     // three supersteps with root in the frontier key.
     "graph_harmonic_centrality" -> Q(
       fn = (s, dir) => {
-        val e = Tables.coPurchaseEdges(s, dir)
+        // stored DISTINCT adjacency (oracle `e` is SELECT DISTINCT): the
+        // per-hop reach census is multiplicity-invariant, and the deduped
+        // relation shrinks every superstep's join fanout (r13)
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
         val seeds = e.select(col("src").as("id")).distinct()
           .filter(col("id") % 1000 === 0).orderBy(col("id")).limit(8)
         graft.operators.Graph.perSourceBfsCensus(e, seeds, maxHops = 3)
@@ -3065,10 +3072,10 @@ object QueriesExtra {
     // scale. Final ratio is one IEEE division, round-9.
     "graph_assortativity" -> Q(
       fn = (s, dir) => {
-        // the stored fixture pre-applies src =!= dst; assortativityMoments
-        // dedups and re-filters internally, so the moments are unchanged
-        val e = Tables.coPurchaseEdges(s, dir)
-        graft.operators.Graph.assortativityMoments(e)
+        // stored DISTINCT adjacency (src =!= dst pre-applied): skips the
+        // per-call edge-sized dedup shuffle; moments unchanged (r13)
+        val e = Tables.coPurchaseAdjacency(s, dir).select(col("src"), col("dst"))
+        graft.operators.Graph.assortativityMoments(e, assumeDistinct = true)
       },
       oracle = Some(
         """WITH e AS (SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst

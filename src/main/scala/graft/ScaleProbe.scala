@@ -42,7 +42,7 @@ object ScaleProbe {
       s"unknown kernel(s) ${unknown.mkString(", ")}; valid: ${all.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(Runtime.getRuntime.availableProcessors, 32).toString)
-    val spark = SparkSession.builder()
+    val spark = Tuning(SparkSession.builder())
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")

@@ -20,7 +20,10 @@ object Warehouse {
     * contract. */
   def residentPins(spark: org.apache.spark.sql.SparkSession,
                    sfDir: String): Seq[org.apache.spark.sql.DataFrame] = Seq(
-    Tables.coPurchaseEdges(spark, sfDir),
+    // coPurchaseEdges dropped from the pin set in r13: the last three
+    // multi-edge consumers (bfs_layers, harmonic_centrality,
+    // assortativity) now probe the stored DISTINCT adjacency like the
+    // rest of the family, so pinning the expansion bought nothing
     Tables.coPurchasePairs(spark, sfDir),
     Tables.coPurchaseAdjacency(spark, sfDir),
     spark.read.parquet(knnGraphPath(sfDir)),

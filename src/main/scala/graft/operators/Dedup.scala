@@ -149,19 +149,25 @@ object Dedup {
     require(maxDf >= 1, s"maxDf must be positive, got $maxDf")
     val sh = df.select(col(idCol).as("id"),
       graft.functions.VectorExprs.shingleHashes(words(col(textCol)), n).as("hs"))
-    // persisted once: the df census, the anti-join, and the size recount all
-    // read this relation — without the cache the scan+shingle+md5 kernel
-    // re-runs per reader (the jaccardPairs capped-path discipline)
-    val all = sh.select(col("id"), explode(col("hs")).as("s"))
+      // persisted once: the hot census and the exploded probe both read it
+      // — without the cache the scan+shingle kernel re-runs per reader
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // hot set is tiny by construction (only shingles in >maxDf docs) —
-    // broadcast anti-join, no shuffle of the big side by shingle
-    val hot = all.groupBy(col("s")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > maxDf).select(col("s"))
-    val kept = all.join(broadcast(hot), Seq("s"), "left_anti")
-    val exploded = kept
-      .join(kept.groupBy("id").agg(count(lit(1)).as("n_sh")), Seq("id"))
-      .select(col("id"), col("n_sh"), col("s"))
+    // hot set is tiny by construction (only shingles in >maxDf docs)
+    val hot = sh.select(explode(col("hs")).as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDf)
+    // Fold the hot set to a single array literal (1-row broadcast cross
+    // join): `hs` is sorted-DISTINCT per doc, so hot removal and the
+    // kept-shingle recount are row-local array ops — array_except + size —
+    // and the old shape's id-keyed groupBy recount + equi-join of the
+    // exploded relation disappear entirely (r13; guide §2.4).
+    val hotArr = hot.agg(
+      coalesce(collect_set(col("s")), expr("array()").cast("array<bigint>"))
+        .as("hotset"))
+    val exploded = sh.crossJoin(broadcast(hotArr))
+      .select(col("id"), array_except(col("hs"), col("hotset")).as("ks"))
+      .select(col("id"), size(col("ks")).cast("long").as("n_sh"),
+        explode(col("ks")).as("s"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.as("a")
     val b = exploded.as("b")
@@ -175,7 +181,7 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("na"), col("nb"), col("containment"))
       // pair-sized — eager cut, release the signature caches (r9 ADVICE)
       .localCheckpoint()
-    exploded.unpersist(); all.unpersist()
+    exploded.unpersist(); sh.unpersist()
     out
   }
 

@@ -31,17 +31,17 @@ object PrefixIndex {
     * an object, not a prefix. Keeps a per-prefix live-object count (`n_under`)
     * so the delete-side check (delete_prefix, 0026:86-101) is a column read,
     * not a correlated probe. */
+  // CASE-guarded: Spark's sequence(1, 0) is DESCENDING [1, 0], not
+  // empty, so a root-level name would fabricate bogus prefixes
+  private val explodedPrefixes = explode(expr(
+    "CASE WHEN size(split(name, '/')) > 1 THEN" +
+      " transform(sequence(1, size(split(name, '/')) - 1)," +
+      " i -> array_join(slice(split(name, '/'), 1, i), '/'))" +
+      " ELSE array() END"))
+
   def derivePrefixes(objects: DataFrame): DataFrame = {
     objects
-      .select(col("bucket_id"),
-        // CASE-guarded: Spark's sequence(1, 0) is DESCENDING [1, 0], not
-        // empty, so a root-level name would fabricate bogus prefixes
-        explode(expr(
-          "CASE WHEN size(split(name, '/')) > 1 THEN" +
-            " transform(sequence(1, size(split(name, '/')) - 1)," +
-            " i -> array_join(slice(split(name, '/'), 1, i), '/'))" +
-            " ELSE array() END"))
-          .as("prefix"))
+      .select(col("bucket_id"), explodedPrefixes.as("prefix"))
       .groupBy(col("bucket_id"), col("prefix"))
       .agg(count(lit(1)).as("n_under"))
       .withColumn("level", size(split(col("prefix"), "/")).cast("long"))
@@ -83,21 +83,24 @@ object PrefixIndex {
   def prefixDeltaIncremental(before: DataFrame, after: DataFrame,
                              doomed: DataFrame, inserted: DataFrame): DataFrame = {
     def unsupported(cands: DataFrame, corpus: DataFrame): DataFrame = {
-      val c = cands.select(col("bucket_id"), col("prefix"), col("level"),
-        split(col("prefix"), "/").getItem(0).as("seg0"))
-      // broadcast the candidate first-segment set so only the TOUCHED
-      // subtrees of the corpus are re-exploded — the corpus is scanned
-      // once but explodes/shuffles ∝ touched-subtree size. The probe is
-      // then a plain equi anti-join on the full prefix (a per-segment
-      // startsWith theta-join degenerates to a quasi-cartesian when a
-      // bulk mutation touches most segments — measured 6× slower than
-      // the full diff at sf0.1; this shape is never worse than ~half it)
-      val segs = c.select(col("bucket_id"), col("seg0")).distinct()
-      val touched = corpus
-        .withColumn("seg0", split(col("name"), "/").getItem(0))
-        .join(broadcast(segs), Seq("bucket_id", "seg0"), "left_semi")
-      c.join(derivePrefixes(touched).select(col("bucket_id"), col("prefix")),
-          Seq("bucket_id", "prefix"), "left_anti")
+      val c = cands.select(col("bucket_id"), col("prefix"), col("level"))
+      // Stream the corpus ONCE: explode each name to its ancestor prefixes
+      // map-side and keep only rows hitting the BROADCAST mutation-sized
+      // candidate set, so the only shuffle is the distinct over matched
+      // candidates (≤ |candidates| after partial aggregation) — never
+      // corpus × depth. The previous shape filtered the corpus to "touched
+      // first-segment subtrees" but then re-ran the full derivePrefixes
+      // groupBy over them; on a flat namespace (few distinct first
+      // segments — this fixture has 3) that degenerated to re-aggregating
+      // the whole corpus per probe side (r13: 2.55 s → see bench A/B).
+      // The broadcast is mutation-sized by the operator's own contract
+      // (work ∝ |batch|), the same bound the old seg0 broadcast relied on.
+      val matched = corpus
+        .select(col("bucket_id"), explodedPrefixes.as("prefix"))
+        .join(broadcast(c.select(col("bucket_id"), col("prefix"))),
+          Seq("bucket_id", "prefix"), "left_semi")
+        .distinct()
+      c.join(matched, Seq("bucket_id", "prefix"), "left_anti")
         .select(col("bucket_id"), col("prefix"), col("level"))
     }
     val removed = unsupported(derivePrefixes(doomed), after)

@@ -325,15 +325,19 @@ object Sketches {
     val vals = df.select(col(valueCol).cast("long").as("v"))
       .filter(col("v").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    vals.count() // pin: histogram pass + exact count
+    // pin action doubles as the row count: n = Σc over the histogram is by
+    // definition the number of non-null values — the old shape re-derived
+    // it with a full extra aggregation pass over the prefix-summed
+    // histogram (r13; one job saved, value provably identical)
+    val n = vals.count()
     // All bucket bounds in ONE aggregation over the prefix-summed histogram
     // (an exploded percentile list, the groupedQuantiles trick) — the
     // per-percentile job launches of exactQuantiles cost ~4 s at sf0.1
     // for a 10-point histogram; this is ~6 jobs total.
     val hist = vals.groupBy(col("v")).agg(count(lit(1)).as("c"))
+    // single consumer (the exploded-percentile readout) — no pin needed;
+    // withRankAndCumSum already localCheckpoints its range-partitioned core
     val cum = Prefix.withRankAndCumSum(hist, Seq(col("v")), col("c"), nPart)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = cum.agg(sum(col("c"))).head().getLong(0)
     val pcts = (1 to buckets).map(_ * step)
     val h = cum
       .select(col("v"), col("cum"),
@@ -367,7 +371,7 @@ object Sketches {
       .select(lit(n).as("n_rows"), col("exact_rows"), col("est_rows"),
         (col("est_rows") - col("exact_rows")).as("err_rows"))
       .localCheckpoint() // one row — eager cut, release the pins (r9 ADVICE)
-    vals.unpersist(); cum.unpersist()
+    vals.unpersist()
     out
   }
 
@@ -458,16 +462,29 @@ object Sketches {
     def kmin(h: DataFrame) = h.orderBy(col("h")).limit(k).persist(mem)
     val ka = kmin(ha)
     val kb = kmin(hb)
-    val ku = kmin(ha.unionByName(hb).distinct())
+    // Semilattice law (SketchesSpec): bottom-k of a union = bottom-k of the
+    // parts' bottom-ks. ka ∪ kb is ≤ 2k rows, so the union sketch costs a
+    // 2k-row dedup instead of re-aggregating |A|+|B| hashes (r13: the
+    // union-distinct over the full hash sets was the query's largest
+    // shuffle; the law the doc comment already cites makes it free).
+    val ku = kmin(ka.unionByName(kb).distinct())
     val space = lit(math.pow(2, 60)) // exact double (power of two)
     def est(km: DataFrame, name: String) = km.agg(max(col("h")).as("kth"))
       .select((lit((k - 1).toDouble) * space / col("kth").cast("double")).as(name))
-    val common = ku.join(ha, Seq("h"), "left_semi")
-      .join(hb, Seq("h"), "left_semi")
+    // Membership probes stream each big hash set ONCE map-side against the
+    // broadcast k-row union sample (ku is the smaller relation by 3-4
+    // orders of magnitude; the pre-r13 ku-as-left semi-joins shuffled ha
+    // and hb instead). inA/inB are ≤ k rows, so their semi-join is tiny.
+    val inA = ha.join(broadcast(ku), Seq("h"), "left_semi")
+    val inB = hb.join(broadcast(ku), Seq("h"), "left_semi")
+    val common = inA.join(broadcast(inB), Seq("h"), "left_semi")
       .agg(count(lit(1)).as("n_common_kmin"))
+    // ha/hb are distinct by construction, so INTERSECT ≡ LEFT SEMI join —
+    // same result, one join instead of intersect's two-sided re-dedup.
     val exact = ha.agg(count(lit(1)).as("exact_a"))
       .crossJoin(hb.agg(count(lit(1)).as("exact_b")))
-      .crossJoin(ha.intersect(hb).agg(count(lit(1)).as("exact_common")))
+      .crossJoin(ha.join(hb, Seq("h"), "left_semi")
+        .agg(count(lit(1)).as("exact_common")))
     val out = exact
       .crossJoin(est(ka, "kmv_a"))
       .crossJoin(est(kb, "kmv_b"))
