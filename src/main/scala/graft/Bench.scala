@@ -2,6 +2,30 @@ package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
+    // WALL-CLOCK BUDGET (r13 verdict item 1): the r13 driver's 32-core run
+    // died rc=124 — under host contention the trip-wire machinery's worst
+    // case (3 warm laps + 2 timed laps + the resident lap) ran past the
+    // driver's timeout and the one-line JSON never printed, leaving the
+    // whole round ungraded. The OPTIONAL laps (warm retries, timed retry,
+    // resident lap) are now gated on a total wall-clock budget
+    // (`SPARK_GRAFT_BENCH_BUDGET_S`, default 1500 s — comfortably under
+    // any plausible driver timeout even with a full contended timed lap
+    // still to run): once exceeded, remaining retries and the resident lap
+    // are skipped and the artifact stamps `budget_exceeded: true`, so the
+    // mandatory path (fixtures + 1 warm lap + 1 timed lap + print) is the
+    // only thing that can ever run and the JSON always prints. The TIMED
+    // lap itself is never shortened — dropping queries or reps would make
+    // the artifact non-comparable, which is worse than a late one.
+    val benchT0 = System.nanoTime()
+    val budgetS =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    var budgetExceeded = false
+    // true (and latches the stamp) when an optional lap must be skipped
+    def budgetSpent(): Boolean = {
+      val over = (System.nanoTime() - benchT0) / 1e9 > budgetS
+      if (over) budgetExceeded = true
+      over
+    }
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the host's cores (the target config is local[32] with 32
     // shuffle partitions). Rounds 1-3 defaulted to 4 here, so every graded
@@ -137,10 +161,25 @@ object Bench {
     // measured 39.6 s first-execution vs 3.1 s steady-state on the same
     // query. A resident engine pays this once per process, not per query,
     // so the timed lap measures the resident steady state.
+    // FAILURE VISIBILITY (r14): the catch used to swallow every per-query
+    // exception, so a query that broke mid-lap was silently recorded as a
+    // ~10 ms "success" — a bogus all-time floor AND a phantom 100× speedup
+    // in the graded artifact. Failures now log (first occurrence per query,
+    // with the cause) and are tracked; a failed query's timing is excluded
+    // from floors/history and the artifact names it in `failed_queries`.
+    val failedOnce = scala.collection.mutable.LinkedHashMap[String, String]()
+    def logFailure(name: String, e: Throwable): Unit =
+      if (!failedOnce.contains(name)) {
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
+        failedOnce(name) = msg
+        System.err.println(s"BENCH-FAIL $name $msg")
+        if (failedOnce.size == 1) e.printStackTrace(System.err)
+      }
     def runLap(): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable => logFailure(name, e) }
       }
       (System.nanoTime() - t0) / 1e9
     }
@@ -228,7 +267,10 @@ object Bench {
     val priorFloor = sizedFloor("")
     val warmProv = priorFloor.map(_._2).getOrElse("none")
     var retries = 0
-    while (priorFloor.exists(f => warmLapSec > f._1 * TripWire) && retries < 2) {
+    // budgetSpent() is checked LAST: it only fires (and latches the stamp)
+    // when a retry was otherwise warranted
+    while (priorFloor.exists(f => warmLapSec > f._1 * TripWire) && retries < 2
+        && !budgetSpent()) {
       retries += 1
       warmLapSec = math.min(warmLapSec, runLap())
     }
@@ -250,15 +292,22 @@ object Bench {
     // median absorbs one contended rep per query; reps run back-to-back so
     // a transient spike can't poison all three.
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // queries whose reps ALL failed in a timed lap: named in the artifact,
+    // excluded from floor/history updates (their recorded "time" is the
+    // exception latency, not a measurement)
+    val timedFailed = scala.collection.mutable.Set[String]()
     def timedLap(names: Seq[String] = SparkEntry.queries.keys.toSeq)
         : Map[String, Double] =
       names.sorted.map { name =>
         val fn = SparkEntry.queries(name)
+        var okCount = 0
         val times = (1 to reps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          try { fn(spark, sfDir).count(); okCount += 1 }
+          catch { case e: Throwable => logFailure(name, e) }
           (System.nanoTime() - t0) / 1e9
         }.sorted
+        if (okCount == 0) timedFailed += name
         name -> times(times.length / 2)
       }.toMap
     var results = timedLap()
@@ -271,7 +320,8 @@ object Bench {
     val priorTotalFloor = sizedFloor("total_")
     val totalProv = priorTotalFloor.map(_._2).getOrElse("none")
     var timedRetries = 0
-    if (priorTotalFloor.exists(f => results.values.sum > f._1 * TripWire)) {
+    if (priorTotalFloor.exists(f => results.values.sum > f._1 * TripWire)
+        && !budgetSpent()) {
       timedRetries = 1
       val second = timedLap()
       if (second.values.sum < results.values.sum) results = second
@@ -348,14 +398,19 @@ object Bench {
     }
     def qKey(name: String) = s"q_${sfKey}_$name"
     val flaggedQueries = results.toSeq.sortBy(_._1).collect {
-      case (n, v) if wireFlag(v, qKey(n), floorsAfterWarm) => n
+      case (n, v) if !timedFailed(n) && wireFlag(v, qKey(n), floorsAfterWarm) => n
     }
-    val floorsWithTotal = floorsAfterWarm +
-      (totalKey -> math.min(floorsAfterWarm.getOrElse(totalKey, totalSec), totalSec))
+    // a lap containing failed queries has an artificially small total —
+    // never let it become the demonstrated total floor
+    val floorsWithTotal = if (timedFailed.nonEmpty) floorsAfterWarm
+      else floorsAfterWarm +
+        (totalKey -> math.min(floorsAfterWarm.getOrElse(totalKey, totalSec), totalSec))
     // threaded in memory (never re-read between writes — see the warm-floor
     // note); the resident lap below appends its own floors to this map
     val floorsWithQueries = results.foldLeft(floorsWithTotal) {
-      case (m, (n, v)) => m + (qKey(n) -> math.min(m.getOrElse(qKey(n), v), v))
+      case (m, (n, v)) if !timedFailed(n) =>
+        m + (qKey(n) -> math.min(m.getOrElse(qKey(n), v), v))
+      case (m, _) => m
     }
     writeFloors(floorsWithQueries)
     // RESIDENT second lap (r10 verdict item 2): the r10 cache-release sweep
@@ -369,19 +424,25 @@ object Bench {
     val residentPrefixes = Seq("graph_", "v3_", "embedding_")
     val residentNames = SparkEntry.queries.keys.toSeq
       .filter(n => residentPrefixes.exists(n.startsWith)).sorted
-    val residentPins = Warehouse.residentPins(spark, sfDir)
-    val pinnedHere = residentPins.filter(df =>
-      graft.operators.CacheOnce.pin(df))
-    residentPins.foreach(_.count())
-    val residentResults = timedLap(residentNames)
-    pinnedHere.foreach(_.unpersist())
+    // the resident lap is provenance for the serving path, not the graded
+    // quantity — the first thing skipped once the wall-clock budget is spent
+    val residentRan = !budgetSpent()
+    val residentResults: Map[String, Double] = if (residentRan) {
+      val residentPins = Warehouse.residentPins(spark, sfDir)
+      val pinnedHere = residentPins.filter(df =>
+        graft.operators.CacheOnce.pin(df))
+      residentPins.foreach(_.count())
+      val r = timedLap(residentNames)
+      pinnedHere.foreach(_.unpersist())
+      r
+    } else Map.empty
     // same wire for the resident lap — the pinned-index steady state is
     // the SERVING-path number, and a regression there (e.g. a hop join
     // regressing against the cached adjacency) can hide behind a healthy
     // cold lap
     def qrKey(name: String) = s"qr_${sfKey}_$name"
     val flaggedResident = residentResults.toSeq.sortBy(_._1).collect {
-      case (n, v) if wireFlag(v, qrKey(n), floorsWithQueries) => n
+      case (n, v) if !timedFailed(n) && wireFlag(v, qrKey(n), floorsWithQueries) => n
     }
     // The resident lap runs minutes after the timed lap and carries its
     // OWN contention exposure (r13 self-review: gating its history append
@@ -394,23 +455,32 @@ object Bench {
     val residentContended = floorsWithQueries.get(rTotalKey)
       .exists(f => residentTotal > f * TripWire)
     val floorsWithResident = residentResults.foldLeft(floorsWithQueries) {
-      case (m, (n, v)) => m + (qrKey(n) -> math.min(m.getOrElse(qrKey(n), v), v))
+      case (m, (n, v)) if !timedFailed(n) =>
+        m + (qrKey(n) -> math.min(m.getOrElse(qrKey(n), v), v))
+      case (m, _) => m
     }
-    writeFloors(floorsWithResident +
+    // a skipped resident lap must not poison the rtotal floor with 0, and
+    // neither may a lap whose queries failed (artificially small total)
+    writeFloors(if (residentRan && timedFailed.isEmpty) floorsWithResident +
       (rTotalKey -> math.min(
-        floorsWithResident.getOrElse(rTotalKey, residentTotal), residentTotal)))
+        floorsWithResident.getOrElse(rTotalKey, residentTotal), residentTotal))
+    else floorsWithResident)
     // History feeds the NEXT run's medians — only uncontended laps append
     // (a contended lap would raise the median and mask the next real
     // regression); keeps the last 3 readings per key. Each lap is gated
     // on its own wire: a clean timed lap still appends when the later
     // resident lap hit contention, and vice versa.
     val h1 = if (contended) qhist
-      else results.foldLeft(qhist) { case (m, (n, v)) =>
-        m + (qKey(n) -> (m.getOrElse(qKey(n), Nil) :+ v).takeRight(3))
+      else results.foldLeft(qhist) {
+        case (m, (n, v)) if !timedFailed(n) =>
+          m + (qKey(n) -> (m.getOrElse(qKey(n), Nil) :+ v).takeRight(3))
+        case (m, _) => m
       }
     val h2 = if (contended || residentContended) h1
-      else residentResults.foldLeft(h1) { case (m, (n, v)) =>
-        m + (qrKey(n) -> (m.getOrElse(qrKey(n), Nil) :+ v).takeRight(3))
+      else residentResults.foldLeft(h1) {
+        case (m, (n, v)) if !timedFailed(n) =>
+          m + (qrKey(n) -> (m.getOrElse(qrKey(n), Nil) :+ v).takeRight(3))
+        case (m, _) => m
       }
     if (!(h2 eq qhist)) writeHist(h2)
     // The driver captures only the last 2000 chars of sbt output; round-1's
@@ -457,9 +527,9 @@ object Bench {
       flagDetail(flaggedResident, residentResults, qrKey, floorsWithQueries)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"resident_contended":$residentContended,"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
+      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"resident_contended":$residentContended,"budget_exceeded":$budgetExceeded,"budget_s":${r3(budgetS)},"wall_clock_sec":${r3((System.nanoTime() - benchT0) / 1e9)},"resident_lap_ran":$residentRan,"failed_queries":${timedFailed.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},"n_fail_logged":${failedOnce.size},"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"floor_provenance":$provJson,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"budget_exceeded":$budgetExceeded,"n_failed_queries":${timedFailed.size},"floor_provenance":$provJson,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
     spark.stop()
     Warehouse.cleanup()
   }

@@ -3,8 +3,11 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.plans._
 import org.apache.spark.sql.catalyst.plans.logical.Join
-import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{CollectLimitExec, FileSourceScanExec, GlobalLimitExec, LocalLimitExec, SparkPlan, TakeOrderedAndProjectExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
 import org.apache.spark.sql.execution.window.WindowExec
 import org.apache.spark.sql.execution.joins.{CartesianProductExec, ShuffledHashJoinExec, SortMergeJoinExec}
 
@@ -52,6 +55,64 @@ object PlanAudit {
       case a: AdaptiveSparkPlanExec => a +: allNodes(a.executedPlan)
       case n => Seq(n)
     }
+
+  /** Detector 5 (r13 verdict item 5): the session-wide 64 MB
+    * autoBroadcastJoinThreshold trusts Catalyst size ESTIMATES — a
+    * corpus-lineage relation UNDER-estimated below the gate would be
+    * broadcast and can OOM an executor at 100 TB. Flag every
+    * BroadcastExchange whose build side reaches a corpus-sized scan (the
+    * fact tables and the corpus-derived stored fixtures — never the
+    * bounded dims like buckets/nation or the mutation-sized `incoming`
+    * batch) with NO row-limiting operator on the path: an aggregate
+    * (rows := group count) or a limit. Filters deliberately do NOT count
+    * as limiting — a filter-only reduction is exactly the
+    * estimate-trusting shape the detector exists to surface.
+    *
+    * The flag additionally requires the REACHED SCAN itself to be above
+    * the broadcast threshold: a corpus whose files are below the gate is
+    * broadcastable by construction, and because scan estimates are the
+    * file bytes, the same plan re-gates itself as the data grows —
+    * scan-proportional decisions are self-correcting and NOT the risk.
+    * The risky shape is precisely "the planner believes a >threshold
+    * input shrank below the gate with no row-limiting operator between"
+    * (a first sf0.001 run without the scan-size condition flagged 64
+    * queries, every one a legitimately sub-gate corpus at that sf). On
+    * the bundled test SFs every source file is < 64 MB, so this detector
+    * is structurally quiet there and arms on production-sized inputs. */
+  private val CorpusScanNames = Set(
+    "lineitem.parquet", "orders.parquet", "customer.parquet", "part.parquet",
+    "partsupp.parquet", "supplier.parquet", "events.parquet",
+    "documents.parquet", "embeddings.parquet",
+    "objects", "s3_keys", "parts",
+    "copurchase_edges", "copurchase_adj", "copurchase_pairs")
+  private val CorpusScanPrefixes =
+    Seq("inverted_idx", "zorder_events", "mh_corpus", "knn_graph")
+  private def isCorpusScan(f: FileSourceScanExec): Boolean = {
+    val n = f.relation.location.rootPaths.headOption
+      .map(_.getName).getOrElse("")
+    CorpusScanNames.contains(n) || CorpusScanPrefixes.exists(n.startsWith)
+  }
+
+  /** Corpus-sized scans reachable from `p` without crossing a row-limiting
+    * operator, as (name, scanBytes). Descends through AQE wrappers, reused
+    * exchanges and cached relations; joins are walked on BOTH children (a
+    * semi/inner join does not bound its streamed side). */
+  def unboundedCorpusScans(p: SparkPlan): Seq[(String, Long)] = p match {
+    case _: BaseAggregateExec => Nil
+    case _: GlobalLimitExec | _: LocalLimitExec |
+         _: TakeOrderedAndProjectExec | _: CollectLimitExec => Nil
+    case f: FileSourceScanExec =>
+      if (isCorpusScan(f))
+        Seq((f.relation.location.rootPaths.headOption.map(_.getName)
+          .getOrElse("?"), f.relation.location.sizeInBytes))
+      else Nil
+    case i: InMemoryTableScanExec =>
+      unboundedCorpusScans(i.relation.cachedPlan)
+    case a: AdaptiveSparkPlanExec => unboundedCorpusScans(a.executedPlan)
+    case q: QueryStageExec => unboundedCorpusScans(q.plan)
+    case r: ReusedExchangeExec => unboundedCorpusScans(r.child)
+    case other => other.children.flatMap(unboundedCorpusScans)
+  }
 
   /** Which logical sides a broadcast-hash join may build on, per type. */
   private def broadcastableSides(jt: JoinType): (Boolean, Boolean) = jt match {
@@ -117,15 +178,24 @@ object PlanAudit {
           f.relation.location.rootPaths.headOption
             .map(_.getName).getOrElse("?")
         }
+        val riskyBroadcasts = nodes.collect {
+          case b: BroadcastExchangeExec => unboundedCorpusScans(b.child)
+            .collect { case (n, bytes) if broadcastThresh > 0 &&
+              bytes > broadcastThresh => n }
+        }.flatten
         if (globalWindows.nonEmpty || cartesians.nonEmpty ||
-            lostBroadcasts.nonEmpty || unprunedStored.nonEmpty) {
+            lostBroadcasts.nonEmpty || unprunedStored.nonEmpty ||
+            riskyBroadcasts.nonEmpty) {
           flagged += 1
           println(s"FLAG $name: ${globalWindows.size} global window(s), " +
             s"${cartesians.size} cartesian product(s), " +
             s"${lostBroadcasts.size} lost broadcast(s), " +
             s"${unprunedStored.size} unpruned partitioned scan(s)" +
             (if (unprunedStored.nonEmpty)
-               unprunedStored.mkString(" [", ", ", "]") else ""))
+               unprunedStored.mkString(" [", ", ", "]") else "") +
+            s", ${riskyBroadcasts.size} risky corpus broadcast(s)" +
+            (if (riskyBroadcasts.nonEmpty)
+               riskyBroadcasts.mkString(" [", ", ", "]") else ""))
         }
       } catch {
         case e: Throwable =>

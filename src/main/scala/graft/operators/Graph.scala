@@ -320,8 +320,13 @@ object Graph {
     } else lit(m2) * col("kic") - col("k") * totLessSelf
   }
 
+  /** `roundPlanHook(round, cNew)` sees each round's pre-checkpoint argmax
+    * relation — plan-evidence capture for the loop-internal join shape
+    * (ExplainLouvainRound); a no-op in every query path. */
   def louvainSync(edges: DataFrame, rounds: Int,
-                  assumeDistinct: Boolean = false): DataFrame = {
+                  assumeDistinct: Boolean = false,
+                  roundPlanHook: (Int, DataFrame) => Unit = (_, _) => ())
+      : DataFrame = {
     require(rounds >= 1, s"need at least one round, got $rounds")
     val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val nPart = edges.sparkSession.conf
@@ -339,7 +344,7 @@ object Graph {
     val maxDeg = Option(deg.agg(max(col("k"))).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     var c = deg.select(col("v"), col("v").as("c"))
-    for (_ <- 1 to rounds) {
+    for (round <- 1 to rounds) {
       // localCheckpoint is for STATS, not just lineage: tot is a lazy
       // join+agg whose size ESTIMATE is join-product-sized, so the
       // planner sort-merge-joined it against the candidate relation —
@@ -365,10 +370,11 @@ object Graph {
         .join(deg, Seq("v"))
         .join(tot.withColumnRenamed("c", "cc"), Seq("cc"))
         .withColumn("score", louvainScore(m2, maxDeg))
-      c = sc.groupBy(col("v"))
+      val cNew = sc.groupBy(col("v"))
         .agg(min(struct((-col("score")).as("ns"), col("cc").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("c"))
-        .localCheckpoint()
+      roundPlanHook(round, cNew)
+      c = cNew.localCheckpoint()
     }
     val out = c.join(deg, Seq("v")).select(col("v"), col("c"), col("k"))
       .localCheckpoint()

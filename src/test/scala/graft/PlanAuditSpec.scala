@@ -28,4 +28,38 @@ class PlanAuditSpec extends SparkTestBase {
     assert(seen.exists(_.isInstanceOf[WindowExec]),
       s"allNodes missed the global window under AQE (saw ${seen.size} nodes)")
   }
+
+  // r13 verdict item 5: the 64 MB session broadcast gate trusts size
+  // estimates, so the audit must flag a broadcast build side that reaches a
+  // corpus-sized scan with no row-limiting operator — and must NOT flag the
+  // bounded shapes (aggregate / limit between scan and broadcast).
+  test("unboundedCorpusScans: filter-only corpus lineage flagged, agg/limit bounded") {
+    val dir = java.nio.file.Files.createTempDirectory("planaudit").toString
+    val path = s"$dir/lineitem.parquet" // corpus-set name
+    spark.range(1000).toDF("l_orderkey").write.mode("overwrite").parquet(path)
+    val corpus = spark.read.parquet(path)
+    def scans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      PlanAudit.unboundedCorpusScans(df.queryExecution.executedPlan).map(_._1)
+    assert(scans(corpus) == Seq("lineitem.parquet"),
+      "bare corpus scan must be reported")
+    assert(scans(corpus.filter(col("l_orderkey") % 100 === 0)) ==
+      Seq("lineitem.parquet"),
+      "a filter does NOT bound rows — the estimate-trusting shape must flag")
+    assert(scans(corpus.groupBy(col("l_orderkey") % 10).count()).isEmpty,
+      "an aggregate bounds rows to the group count")
+    assert(scans(corpus.limit(10)).isEmpty, "a limit bounds rows")
+    val other = s"$dir/tiny_dim.parquet"
+    spark.range(10).toDF("k").write.mode("overwrite").parquet(other)
+    assert(scans(spark.read.parquet(other)).isEmpty,
+      "non-corpus scans are not the detector's business")
+    // the reported bytes are the scan's file size — the audit's flag
+    // condition (scan above the broadcast gate, build side below it) keys
+    // off this, so it must be the real on-disk size, not an estimate
+    val reported = PlanAudit
+      .unboundedCorpusScans(corpus.queryExecution.executedPlan)
+    val onDisk = new java.io.File(path).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.length).sum
+    assert(reported.head._2 >= onDisk,
+      s"scan bytes ${reported.head._2} below summed data files $onDisk")
+  }
 }
