@@ -26,6 +26,22 @@ object Bench {
       if (over) budgetExceeded = true
       over
     }
+    // AMBIENT-SPEED CALIBRATION (r14): this sandbox's host shows waves of
+    // hypervisor steal/clock throttling that inflate wall-clock 1.3-2×
+    // while load average reads idle — r13/r14 burned hours distinguishing
+    // "machine slow" from "code slow". A fixed single-thread MD5 loop
+    // (2M digests) timed here and again after the timed lap pins the
+    // machine's scalar speed into the artifact: same code + higher calib
+    // = ambient, same calib + higher totals = code.
+    def calibMd5(): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val buf = new Array[Byte](16)
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 2000000) { buf(0) = (i & 0xff).toByte; md.update(buf); md.digest(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibStart = calibMd5()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Default to the host's cores (the target config is local[32] with 32
     // shuffle partitions). Rounds 1-3 defaulted to 4 here, so every graded
@@ -327,6 +343,7 @@ object Bench {
       if (second.values.sum < results.values.sum) results = second
     }
     val totalSec = results.values.sum
+    val calibEnd = calibMd5()
     // `contended` stamps the GRADED quantity — the timed total, which has
     // its own wire and retry. Warmup contention is reported separately as
     // `warm_contended`: the r12 gate hit a marginal warmup trip (291 s vs
@@ -527,9 +544,9 @@ object Bench {
       flagDetail(flaggedResident, residentResults, qrKey, floorsWithQueries)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("/root/repo/BENCH_DETAIL.json"),
-      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"resident_contended":$residentContended,"budget_exceeded":$budgetExceeded,"budget_s":${r3(budgetS)},"wall_clock_sec":${r3((System.nanoTime() - benchT0) / 1e9)},"resident_lap_ran":$residentRan,"failed_queries":${timedFailed.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},"n_fail_logged":${failedOnce.size},"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
+      s"""{"sf":"$sfDir","total_sec":${r3(total)},"n_queries":${results.size},"warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"warm_lap_retries":$retries,"timed_lap_retries":$timedRetries,"resident_contended":$residentContended,"budget_exceeded":$budgetExceeded,"budget_s":${r3(budgetS)},"wall_clock_sec":${r3((System.nanoTime() - benchT0) / 1e9)},"resident_lap_ran":$residentRan,"failed_queries":${timedFailed.toSeq.sorted.map(n => s""""$n"""").mkString("[", ",", "]")},"n_fail_logged":${failedOnce.size},"calib_md5_start_sec":${r3(calibStart)},"calib_md5_end_sec":${r3(calibEnd)},"floor_provenance":$provJson,"flagged_queries":$flaggedJson,"flagged_resident":$flaggedResidentJson,"flag_detail":$flagDetailJson,"flag_detail_resident":$flagDetailResidentJson,"mh_layout_build_sec":${r3(buildSec)},"zorder_layout_build_sec":${r3(zbuildSec)},"inverted_index_build_sec":${r3(ibuildSec)},"graph_fixture_build_sec":${r3(gbuildSec)},"knn_graph_build_sec":${r3(kbuildSec)},"resident_total_sec":${r3(residentTotal)},"resident_queries":$residentJson,"queries":$full}""")
     catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"budget_exceeded":$budgetExceeded,"n_failed_queries":${timedFailed.size},"floor_provenance":$provJson,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","warmup_lap_sec":${r3(warmLapSec)},"contended":$contended,"warm_contended":$warmContended,"timed_lap_retries":$timedRetries,"budget_exceeded":$budgetExceeded,"n_failed_queries":${timedFailed.size},"calib_md5_sec":${r3(math.min(calibStart, calibEnd))},"floor_provenance":$provJson,"n_flagged_queries":${flaggedQueries.size},"resident_total_sec":${r3(residentTotal)}}""")
     spark.stop()
     Warehouse.cleanup()
   }

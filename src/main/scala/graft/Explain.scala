@@ -35,13 +35,36 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // In exec mode, ALSO print every INTERNAL execution (the localCheckpoint
+    // / pin-count jobs operators run inside fn()) — queries whose top-level
+    // plan ends at a checkpoint leaf (pipeline_ccnet, i6_snapshot_expiry,
+    // the iterative graph family) are otherwise invisible to plan review
+    // (the r13 Louvain loop plan gap, generalized).
+    if (exec) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          println(s"\n---------- internal execution ($funcName, " +
+            f"${durationNs / 1e9}%.3f s) ----------")
+          println(qe.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     names.foreach { n =>
       println(s"\n========== $n ==========")
       val df = Registry.all(n).fn(spark, sfDir)
       df.explain("formatted")
       if (exec) {
-        df.write.format("noop").mode("overwrite").save()
-        println(s"\n========== $n (final plan, post noop-sink execution) ==========")
+        // a noop-sink write would spawn its OWN QueryExecution and leave
+        // this one un-finalized (isFinalPlan=false) — drive THIS plan's
+        // toRdd instead, which computes every column of every row like the
+        // noop sink and lets AQE finalize the very plan being printed
+        df.queryExecution.toRdd.count()
+        println(s"\n========== $n (final plan, post execution) ==========")
         println(df.queryExecution.explainString(
           org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       }

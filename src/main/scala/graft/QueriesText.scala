@@ -1993,8 +1993,12 @@ GROUP BY e.id, e.split ORDER BY e.id""")),
     // two exact longs.
     "pack_padding_waste" -> Q(
       fn = (s, dir) => {
+        // both packing arms consume the same (doc_id, toks) relation and
+        // differ only in sort order — localCheckpoint it once so the
+        // corpus scan + token count runs once, not per arm (r14)
         val d = Tables.documents(s, dir).select(col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("toks"))
+          .localCheckpoint()
         def arm(sortCols: Seq[org.apache.spark.sql.Column], strategy: String) =
           graft.operators.Prefix.withRankAndCumSum(d, sortCols, col("toks"), 8)
             .withColumn("batch", expr("(rnk - 1) div 32"))

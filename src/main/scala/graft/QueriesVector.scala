@@ -1152,11 +1152,19 @@ object QueriesVector {
           .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
           .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
           .sortBy(_._1)
-        def census(cents: Seq[(Long, Seq[Double])], tag: String) =
-          Vectors.ivfAssign(emb, "embedding", cents)
-            .groupBy(col("ivf_cid").as("cid")).agg(count(lit(1)).as("n"))
-            .select(lit(tag).as("init"), col("cid"), col("n"))
-        census(kc, "kcenter").unionByName(census(sample, "sample"))
+        // both census arms in ONE corpus pass (r14, guide §2.3/§2.4): the
+        // assignment is a row-local argmin per centroid set, so evaluating
+        // both sets in one projection and exploding 2 tagged rows replaces
+        // two full scans + two exchanges + a union with one scan + one
+        // partial-aggregated exchange — identical (init, cid, n) rows
+        emb.select(explode(array(
+            struct(lit("kcenter").as("init"),
+              Vectors.ivfAssignExpr(col("embedding"), kc).as("cid")),
+            struct(lit("sample").as("init"),
+              Vectors.ivfAssignExpr(col("embedding"), sample).as("cid"))))
+            .as("a"))
+          .groupBy(col("a.init").as("init"), col("a.cid").as("cid"))
+          .agg(count(lit(1)).as("n"))
           .orderBy(col("init"), col("cid"))
       },
       oracle = Some(ivfBalanceOracle(8)),

@@ -116,32 +116,39 @@ object IcebergCatalog {
       .withColumn("expired", col("ts") < cutoff && col("is_latest").isNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     flagged.count() // pin: feeds the manifest join and the census
-    val r = refs
+    // Per-file liveness in ONE keyed aggregation (r14, guide §2.3/§2.4).
+    // The old shape materialized the manifest-sized join into the cache,
+    // then ran TWO distincts (live / expired file sets) plus a left-anti
+    // join between them — three exchanges of file-sized relations and a
+    // corpus-sized cache pin. A file is deletable iff it has >= 1 expired
+    // ref and 0 live refs, and its bytes are a function of the file key,
+    // so one groupBy(table_id, file) with any(live)/any(expired)/any(bytes)
+    // decides everything: same sets, one exchange, nothing pinned.
+    val g = refs
       .join(broadcast(flagged.select(col("snapshot_id"), col("table_id"),
         col("expired"))), Seq("snapshot_id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    r.count() // pin: live and expired sets both read it
-    val live = r.filter(!col("expired"))
-      .select(col("table_id"), col("file"), col("bytes")).distinct()
-    val expf = r.filter(col("expired"))
-      .select(col("table_id"), col("file"), col("bytes")).distinct()
-    val del = expf.join(live.select(col("table_id"), col("file")),
-      Seq("table_id", "file"), "left_anti")
+      .groupBy(col("table_id"), col("file"))
+      .agg(max(when(!col("expired"), 1L).otherwise(0L)).as("has_live"),
+        max(when(col("expired"), 1L).otherwise(0L)).as("has_expired"),
+        max(col("bytes")).as("bytes"))
     val snapC = flagged.groupBy(col("table_id")).agg(
       count(lit(1)).as("n_snapshots"),
       sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"))
-    val liveC = live.groupBy(col("table_id")).agg(count(lit(1)).as("n_live_files"))
-    val delC = del.groupBy(col("table_id")).agg(
-      count(lit(1)).as("n_deletable_files"), sum(col("bytes")).as("deletable_bytes"))
-    val out = snapC.join(liveC, Seq("table_id"), "left").join(delC, Seq("table_id"), "left")
+    val fileC = g.groupBy(col("table_id")).agg(
+      sum(col("has_live")).as("n_live_files"),
+      sum(when(col("has_expired") === 1L && col("has_live") === 0L, 1L)
+        .otherwise(0L)).as("n_deletable_files"),
+      sum(when(col("has_expired") === 1L && col("has_live") === 0L,
+        col("bytes")).otherwise(0L)).as("deletable_bytes"))
+    val out = snapC.join(fileC, Seq("table_id"), "left")
       .select(col("table_id"), col("n_snapshots"), col("n_expired"),
         coalesce(col("n_live_files"), lit(0L)).as("n_live_files"),
         coalesce(col("n_deletable_files"), lit(0L)).as("n_deletable_files"),
         coalesce(col("deletable_bytes"), lit(0L)).as("deletable_bytes"))
       .orderBy(col("table_id"))
-      // per-table census — eager cut, release the pins (r9 ADVICE)
+      // per-table census — eager cut, release the pin (r9 ADVICE)
       .localCheckpoint()
-    flagged.unpersist(); r.unpersist()
+    flagged.unpersist()
     out
   }
 

@@ -959,8 +959,17 @@ object TextAnalysis {
   def rocchioPredict(train: DataFrame, test: DataFrame, idCol: String,
                      textCol: String, labelCol: String,
                      buckets: Int): DataFrame = {
+    // prof feeds BOTH the score join and the totals reduction, and docVec
+    // BOTH the scores and the doc roster — unpinned, each was recomputed
+    // from its own corpus explode (the r14 executed plan showed documents
+    // scanned+exploded 4× for this query; the algorithm needs 2: one train
+    // pass, one test pass). Both relations are bounded (L×B profile rows;
+    // per-doc bucket counts), so the pins are tiny; released on the
+    // checkpoint cut below.
+    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val prof = classProfiles(train, idCol, textCol, labelCol, buckets)
       .select(col("label"), col("bucket"), col("n"))
+      .persist(mem)
     val totals = prof.groupBy(col("label")).agg(sum(col("n")).as("nl"))
     val b = (expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
       % buckets).cast("int")
@@ -970,6 +979,7 @@ object TextAnalysis {
       .select(col("id"), col("label_true"), b.as("bucket"))
       .groupBy(col("id"), col("label_true"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .persist(mem)
     val scores = docVec.join(broadcast(prof), Seq("bucket"))
       .groupBy(col("id"), col("label"))
       .agg(sum(col("c") * col("n")).as("s"))
@@ -987,11 +997,15 @@ object TextAnalysis {
     val beaten = (col("sb") * col("na") > col("sa") * col("nb")) ||
       (col("sb") * col("na") === col("sa") * col("nb") &&
         col("lb") < col("la"))
-    a.join(bb, Seq("id"))
+    val out = a.join(bb, Seq("id"))
       .groupBy(col("id"), col("label_true"), col("la"))
       .agg(sum(when(beaten, 1L).otherwise(0L)).as("losses"))
       .filter(col("losses") === 0)
       .select(col("id"), col("label_true"), col("la").as("label_pred"))
+      // per-doc prediction rows — eager cut, release the pins (r9 ADVICE)
+      .localCheckpoint()
+    prof.unpersist(); docVec.unpersist()
+    out
   }
   /** CCNet-style corpus pipeline (Wenzek et al. 2020) composed end-to-end:
     * (1) cross-doc LINE dedup, first occurrence wins — the survivor's text
@@ -1013,9 +1027,19 @@ object TextAnalysis {
     import org.apache.spark.sql.expressions.Window
     val lines = docLines(df, idCol, textCol, wordsPerLine)
     val key = col("id") * 4294967296L + col("line_no")
-    val winners = lines.groupBy(col("line")).agg(min(key).as("keep_key"))
-    val kept = lines.join(winners, Seq("line"))
-      .filter(key === col("keep_key"))
+    // first-occurrence-wins line dedup in ONE pass (r14, guide §2.4): the
+    // old argmin-rejoin (groupBy(line).min(key) then equi-join back on
+    // line) shipped the full line-content relation into an exchange AND
+    // sort-merged it against the winner set — two walks over the heaviest
+    // relation in the pipeline. A min_by window over the same partitioning
+    // keeps exactly the min-key row per line with one exchange + one sort:
+    // same rows (min key is unique per line — ids and line_nos are), so
+    // the graded lineage is unchanged.
+    val wFirst = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("line")).orderBy(key.asc)
+    val kept = lines
+      .withColumn("_rn", row_number().over(wFirst))
+      .filter(col("_rn") === 1)
       .select(col("id"), col("line"))
     val tok = kept.select(col("id"), explode(split(col("line"), "\\s+")).as("w"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -350,14 +350,23 @@ object Vectors {
     * partitioned by `ivf_cid`, so a query scans nProbe partitions. Centroids
     * are deterministic seeded samples (IVF-flat without k-means refinement),
     * which keeps assignments exactly reproducible by the DuckDB oracle. */
-  def ivfAssign(vectors: DataFrame, embCol: String,
-                centroids: Seq[(Long, Seq[Double])]): DataFrame = {
+  /** The row-local argmin-over-centroids assignment as a bare Column —
+    * lets callers evaluate several centroid sets in ONE scan (r14:
+    * v3_ivf_balance's two census arms shared one corpus pass this way)
+    * instead of one [[ivfAssign]] pass per set. */
+  def ivfAssignExpr(embCol: org.apache.spark.sql.Column,
+                    centroids: Seq[(Long, Seq[Double])])
+      : org.apache.spark.sql.Column = {
     val candidates = centroids.map { case (cid, cv) =>
-      struct(graft.functions.VectorExprs.l2Sq(col(embCol), typedLit(cv)).as("d"),
+      struct(graft.functions.VectorExprs.l2Sq(embCol, typedLit(cv)).as("d"),
         lit(cid).as("c"))
     }
-    vectors.withColumn("ivf_cid", array_min(array(candidates: _*)).getField("c"))
+    array_min(array(candidates: _*)).getField("c")
   }
+
+  def ivfAssign(vectors: DataFrame, embCol: String,
+                centroids: Seq[(Long, Seq[Double])]): DataFrame =
+    vectors.withColumn("ivf_cid", ivfAssignExpr(col(embCol), centroids))
 
   /** SSL-prototype pruning census (Sorscher et al. 2022, "Beyond neural
     * scaling laws": prune the most PROTOTYPICAL examples — those closest to
