@@ -959,17 +959,17 @@ object TextAnalysis {
   def rocchioPredict(train: DataFrame, test: DataFrame, idCol: String,
                      textCol: String, labelCol: String,
                      buckets: Int): DataFrame = {
-    // prof feeds BOTH the score join and the totals reduction, and docVec
-    // BOTH the scores and the doc roster — unpinned, each was recomputed
-    // from its own corpus explode (the r14 executed plan showed documents
-    // scanned+exploded 4× for this query; the algorithm needs 2: one train
-    // pass, one test pass). Both relations are bounded (L×B profile rows;
-    // per-doc bucket counts), so the pins are tiny; released on the
-    // checkpoint cut below.
-    val mem = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // prof and docVec are each consumed twice (score join + totals; scores
+    // + doc roster), so documents is scanned+exploded 4x where the
+    // algorithm needs 2. Pinning both and cutting with a localCheckpoint
+    // was tried in r14 and REVERTED: an interleaved same-JVM shape A/B
+    // (graft.AbRocchio) measured the pinned form 1.6-1.9x SLOWER steady
+    // state (1.59 s vs ~2.96 s at sf0.1/32c) — the persist
+    // materialization + checkpoint cut cost more than the two explodes
+    // they save, and two full bench laps flagged the pinned form against
+    // its own floor (0.834 s -> 2.06/2.1). Recompute wins here.
     val prof = classProfiles(train, idCol, textCol, labelCol, buckets)
       .select(col("label"), col("bucket"), col("n"))
-      .persist(mem)
     val totals = prof.groupBy(col("label")).agg(sum(col("n")).as("nl"))
     val b = (expr("cast(conv(substring(md5(w), 1, 15), 16, 10) as bigint)")
       % buckets).cast("int")
@@ -979,7 +979,6 @@ object TextAnalysis {
       .select(col("id"), col("label_true"), b.as("bucket"))
       .groupBy(col("id"), col("label_true"), col("bucket"))
       .agg(count(lit(1)).as("c"))
-      .persist(mem)
     val scores = docVec.join(broadcast(prof), Seq("bucket"))
       .groupBy(col("id"), col("label"))
       .agg(sum(col("c") * col("n")).as("s"))
@@ -997,15 +996,11 @@ object TextAnalysis {
     val beaten = (col("sb") * col("na") > col("sa") * col("nb")) ||
       (col("sb") * col("na") === col("sa") * col("nb") &&
         col("lb") < col("la"))
-    val out = a.join(bb, Seq("id"))
+    a.join(bb, Seq("id"))
       .groupBy(col("id"), col("label_true"), col("la"))
       .agg(sum(when(beaten, 1L).otherwise(0L)).as("losses"))
       .filter(col("losses") === 0)
       .select(col("id"), col("label_true"), col("la").as("label_pred"))
-      // per-doc prediction rows — eager cut, release the pins (r9 ADVICE)
-      .localCheckpoint()
-    prof.unpersist(); docVec.unpersist()
-    out
   }
   /** CCNet-style corpus pipeline (Wenzek et al. 2020) composed end-to-end:
     * (1) cross-doc LINE dedup, first occurrence wins — the survivor's text

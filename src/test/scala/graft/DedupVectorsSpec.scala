@@ -148,6 +148,30 @@ class DedupVectorsSpec extends SparkTestBase {
     assert(ivf.head == 0L)
   }
 
+  test("ivfAssignExpr: two centroid sets in one projection == two ivfAssign passes") {
+    // the identity behind v3_ivf_balance's single-scan census (r14): the
+    // assignment is a row-local argmin, so evaluating two sets as columns
+    // of one projection must reproduce each set's own ivfAssign output
+    val emb = Tables.embeddings(spark, sfDir)
+    def cents(mod: Long) = emb.filter(col("vec_id") % 97 === mod)
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("vec_id"), col("embedding").cast("array<double>")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toSeq)).toSeq
+    val (ca, cb) = (cents(3), cents(5))
+    val fused = emb.select(col("vec_id"),
+        Vectors.ivfAssignExpr(col("embedding"), ca).as("cid_a"),
+        Vectors.ivfAssignExpr(col("embedding"), cb).as("cid_b"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    for ((cs, pick) <- Seq(ca -> ((p: (Long, Long)) => p._1),
+                           cb -> ((p: (Long, Long)) => p._2))) {
+      val solo = Vectors.ivfAssign(emb, "embedding", cs)
+        .select(col("vec_id"), col("ivf_cid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(solo.size == fused.size)
+      solo.foreach { case (id, cid) => assert(pick(fused(id)) == cid, s"vec $id") }
+    }
+  }
+
   test("PQ: codebook rows self-encode; ADC top-k is deterministic") {
     val emb = Tables.embeddings(spark, sfDir)
     val samples = emb.filter(col("vec_id") % 97 === 3)
